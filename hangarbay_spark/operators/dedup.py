@@ -1,0 +1,289 @@
+"""Deduplication operators for training-data pipelines, designed for the
+100 TB path:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the 128-bit digest; no full-text comparisons cross the wire.
+- **n-gram Jaccard**: inverted-index self-join on shingles (token ->
+  doc postings), partial-agg'd pair counts, exact Jaccard. Shuffles
+  scale with postings, not with |docs|² — the classic scalable design.
+- **MinHash + LSH**: md5-based minhash signatures computed *inside the
+  row* (array_min over transform — no explode, no shuffle), banded into
+  buckets, candidate pairs from bucket joins only, then exact-Jaccard
+  verification of candidates.
+- **SimHash**: 16-bit fingerprint from per-token md5 nibble parities;
+  Hamming-near buckets via exact fingerprint match (synthetic data) —
+  the full Hamming-distance variant would fan out 16 one-bit-flip keys.
+
+Every construction uses only md5/string/list primitives with identical
+semantics in DuckDB, so each stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hangarbay_spark.operators.text import fingerprint_expr, shingles_expr
+
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 4  # rows-per-band = K / BANDS = 2
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fingerprint, keep_id, n_dups): ``keep_id`` is the smallest
+    id in the group — the canonical survivor.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text (the min-id row)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) postings — the inverted index."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: pairs are generated only for docs sharing at
+    least one shingle, intersections come from a count over the join —
+    never a |docs|² loop. At scale, hot shingles should be df'd away
+    (drop shingles with document frequency > cutoff) — see
+    ``prune_frequent``.
+    """
+    post = shingle_postings(df, id_col, text_col, n).alias("p")
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = post.select(F.col(id_col).alias("id_a"), "shingle")
+    b = post.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prune_frequent(postings: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    skew guard for the inverted-index join at scale (a stopword shingle
+    appearing in 10^8 docs would otherwise create a 10^16-row join)."""
+    hot = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return postings.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _seeded_md5(seed: int):
+    # Closure factory: a plain `lambda s, i=i:` would present arity 2 to
+    # PySpark's lambda inspection and the seed would be shadowed by the
+    # array-index argument.
+    def fn(s):
+        return F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    return fn
+
+
+def minhash_signature_cols(text_col: str, k: int = DEFAULT_MINHASH_K) -> list:
+    """K minhash values as columns ``mh0..mh{k-1}``, computed without a
+    shuffle: min over the shingle array of md5(seed || shingle).
+
+    md5-lexicographic-min is a valid minwise hash family (each seed
+    prefix is an independent "permutation"), and md5 is bit-identical
+    in DuckDB — the whole signature is oracle-checkable.
+    """
+    sh = shingles_expr(text_col)
+    return [
+        F.array_min(F.transform(sh, _seeded_md5(i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_MINHASH_K
+) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_signature_cols(text_col, k))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket.
+
+    Band hash = md5 over the band's minhash values; bucket join only —
+    candidate generation never compares documents pairwise.
+    """
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets
+    -> candidate pairs -> exact-Jaccard verification >= threshold.
+
+    Formulation notes (both learned by measuring, not guessing):
+
+    - **Signatures via explode + groupBy-min**, not per-row array
+      transforms: computing K minhashes as nested higher-order
+      expressions over the (already large) shingle expression made
+      Catalyst inline the shingle construction into every band hash —
+      whole-stage codegen ballooned and a 500-doc run took minutes.
+      The exploded form hashes each posting K times with tiny
+      expressions and aggregates with map-side combine: one shuffle on
+      the doc id, and the same plan shape scales to 100 TB.
+    - **Verification via array_intersect on candidate pairs only** —
+      cost scales with |candidates|, not the full co-occurrence matrix
+      (the postings-join in :func:`ngram_jaccard_pairs` computes every
+      co-occurring pair; LSH exists precisely to avoid that).
+    """
+    post = shingle_postings(df, id_col, text_col)
+    # one pass: K minhash mins + the shingle set for verification
+    sigs = post.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ],
+        F.collect_list("shingle").alias("sh"),
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, k, bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document: bit i is the majority vote over
+    distinct tokens of the parity of md5 hex digit i.
+
+    Formulation: explode tokens once, hash each token ONCE, derive all
+    16 signed votes from that single digest, then groupBy-sum — one
+    shuffle on the doc id with map-side partial aggregation. (A pure
+    per-row expression with 16 nested higher-order ``aggregate`` calls
+    analyzes/codegens pathologically — seconds per query — and recomputes
+    md5 16× per token; the exploded form is both the fast and the
+    100 TB-honest design.) Primitives match DuckDB bit-for-bit.
+    """
+    toks = shingle_postings(df, id_col, text_col, n=1)
+    h = F.md5(F.col("shingle"))
+    votes = [
+        (
+            ((F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1) % 2) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    summed = (
+        toks.select(F.col(id_col), *votes)
+        .groupBy(id_col)
+        .agg(*[F.sum(f"v{i}").alias(f"s{i}") for i in range(16)])
+    )
+    out = F.lit(0)
+    for i in range(16):
+        out = out + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return summed.select(F.col(id_col), out.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Documents grouped by identical 16-bit simhash (candidate near-dup
+    clusters). The scale path for Hamming distance <= d: explode each
+    fingerprint into its d one-bit-flip variants and bucket-join."""
+    return (
+        simhash_fingerprints(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,167 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container ships no image/audio codecs, so the decode kernels are
+deterministic fakes behind ``_decode_bytes`` (clearly marked; swap in
+Pillow/torchaudio/PyAV in a real deployment). Everything Spark-side is
+real and tested: schemas, batch iteration, partition sizing, and the
+UDF signatures — which is the part that must survive a 100 TB corpus.
+
+Scale notes:
+- payloads stay in ``binary`` columns; Arrow moves them to Python in
+  columnar batches (``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds batch memory — set it low for multi-MB payloads);
+- per-row Python work is embarrassingly parallel: no shuffle is
+  introduced by any map-style stage;
+- frame sampling / resizing emit one row per output artifact via
+  ``mapInPandas`` (a generator of DataFrames — no driver collection).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_bytes(payload: bytes, kind: str) -> list[float]:
+    """STUB decode kernel — deterministic fake feature vector.
+
+    A real deployment replaces this with Pillow / torchaudio / PyAV
+    decoding; the container has no codec libraries. The fake is a
+    sha256-derived unit-scale vector so downstream plumbing (similarity
+    joins, dedup on features) is exercised with stable values.
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode requires codec libs")
+    h = hashlib.sha256(kind.encode() + payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media table -> per-item feature rows (Arrow-batched, no shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "sha256": pdf["payload"].map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                        if p is not None
+                        else None
+                    ),
+                    "feature": [
+                        _decode_bytes(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    The frame extraction itself is the stubbed decode (payload slices
+    stand in for decoded frames); the fan-out shape — a mapInPandas
+    generator emitting a variable number of rows per input — is the
+    real contract a PyAV-backed kernel drops into.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or r["payload"] is None:
+                    continue
+                dur = r["duration_ms"] or 0
+                n_frames = max(1, int(dur // every_ms))
+                payload = r["payload"]
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            # STUB: slice of payload, not a decoded frame
+                            "frame_payload": payload[i * step : (i + 1) * step],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_payload"]
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes metadata through, marks the new
+    dimensions; payload transformation is the stubbed decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"].copy()
+            # STUB: a real kernel decodes, resizes, re-encodes payload.
+            img["width"] = width
+            img["height"] = height
+            yield img
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def make_media_rows(items: list[Mapping]) -> list[tuple]:
+    """Helper to build MEDIA_SCHEMA-shaped rows from dicts (tests)."""
+    return [
+        (
+            m["media_id"],
+            m["kind"],
+            m.get("payload"),
+            m.get("mime", "application/octet-stream"),
+            m.get("width"),
+            m.get("height"),
+            m.get("duration_ms"),
+        )
+        for m in items
+    ]

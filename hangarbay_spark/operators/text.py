@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language-ID heuristic, quality scoring, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd) — no Python UDFs —
+so they stream through a 100 TB `documents` scan with zero shuffle.
+Formulas use only functions with identical semantics in DuckDB so each
+operator is oracle-checkable (see queries/llmops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the point is the distributed plumbing
+# and deterministic scoring, not linguistic accuracy.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des", "est"],
+}
+# Fixed evaluation order for deterministic argmax tie-breaking.
+LANG_ORDER = ("en", "es", "de", "fr")
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text (no empties)."""
+    t = F.lower(F.trim(_col(text)))
+    return F.split(t, r"\s+")
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokens_expr(text)).cast("bigint")
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    """BPE-ish subword-pretokenizer count: runs of letters, runs of
+    digits, and single punctuation marks (BIGINT). Group index 0 — the
+    pattern has no capture group (default idx=1 would error)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(_col(text)), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("bigint")
+
+
+def stopword_hits_expr(text: Column | str, words: list[str]) -> Column:
+    """Number of stopword occurrences (word-boundary regex count)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(_col(text)), F.lit(pat))).cast(
+        "bigint"
+    )
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    deterministic tie-break in LANG_ORDER, 'und' when all scores are 0."""
+    scores = {
+        lang: stopword_hits_expr(text, LANG_STOPWORDS[lang]) for lang in LANG_ORDER
+    }
+    # Fold from the last language backwards so the first language in
+    # LANG_ORDER wins ties (its WHEN is evaluated first).
+    folded = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        others = [scores[o] for o in LANG_ORDER if o != lang]
+        is_max = scores[lang] == F.greatest(scores[lang], *others)
+        folded = F.when((scores[lang] > 0) & is_max, F.lit(lang)).otherwise(folded)
+    return folded
+
+
+def punct_count_expr(text: Column | str) -> Column:
+    t = _col(text)
+    return (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast(
+        "bigint"
+    )
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Deterministic quality score in [0, 1]: mixes token count, mean
+    token length, stopword ratio, and punctuation density — the standard
+    cheap pre-filter features of an LLM data pipeline."""
+    t = _col(text)
+    n_chars = F.length(t).cast("double")
+    n_tokens = token_count_expr(t).cast("double")
+    stop_ratio = (
+        stopword_hits_expr(t, LANG_STOPWORDS["en"]).cast("double") / n_tokens
+    )
+    punct_ratio = punct_count_expr(t).cast("double") / n_chars
+    mean_tok_len = (n_chars - (n_tokens - F.lit(1.0))) / n_tokens
+    length_term = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    toklen_term = F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.2) * toklen_term
+        + F.lit(0.2) * stop_term
+        + F.lit(0.2) * punct_term
+    )
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (1-indexed element_at keeps the
+    construction identical to the DuckDB oracle's list_transform)."""
+    toks = tokens_expr(text)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    # Guard: sequence(1, k) with k < 1 would count *down*; short docs
+    # fall back to the whole text as a single shingle.
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )

@@ -1,0 +1,110 @@
+"""Query-spec registry + cross-engine numeric parity helpers.
+
+Parity rules (Spark vs the DuckDB oracle) — every query in this package
+follows them so the driver's order-insensitive value hash matches bit
+for bit:
+
+- **Sums of doubles** are never aggregated as doubles (parallel FP
+  addition is order-dependent). Per-row arithmetic stays in DOUBLE
+  (IEEE, engine-independent), the per-row result is cast to DECIMAL for
+  the exact/associative aggregation, and the aggregate is cast back to
+  DOUBLE. Both engines produce the identical exact decimal, hence the
+  identical double.
+- **Counts / ranks** are cast to BIGINT on both sides (Spark's
+  row_number/length/year return INT, DuckDB's return BIGINT).
+- **Timestamps** are surfaced as epoch milliseconds (BIGINT) or DATE —
+  never raw TIMESTAMP — to dodge ns/us/tz canonicalization drift.
+- Every computed column is aliased identically in the DataFrame code
+  and the oracle SQL (the driver sorts columns by name before hashing).
+- **Top-k queries** always carry a unique tie-break key in the ORDER BY
+  so LIMIT selects the same row set in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    description: str
+    survey: str  # SURVEY.md §2 operator ids this query covers
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, description: str, survey: str
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, survey)
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_ns_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """ns-since-epoch longs (see session.py nanosAsLong) -> TimestampType
+    (µs, truncating). No-op for columns already timestamp-typed."""
+    out = df
+    for c in cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integral `div` — a double division would round at ns scale
+            out = out.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return out
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to TimestampType."""
+    return normalize_ns_ts(load_table(spark, sf_dir, "events"), "ts")
+
+
+def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Exact cross-engine sum of a double expression.
+
+    Cast per-row double -> DECIMAL(30, scale), sum exactly, cast back
+    to double. Oracle twin: :func:`o_dsum`.
+
+    ``scale`` must exceed the true decimal precision of the data (money
+    columns here are 2dp; a product of two 2dp values is 4dp) but stay
+    well below ~15 significant digits: Spark converts double->decimal
+    via the shortest string representation while DuckDB rounds the exact
+    binary expansion, and the two only agree when the rounding target is
+    far from the double's noise floor.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+    )
+
+
+def o_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    """Oracle-SQL twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"

@@ -1,0 +1,170 @@
+"""Event/time-series operators over the ``events`` table — the batch
+twins of the Structured Streaming surface in
+``hangarbay_spark/streaming/`` (same logical windows; the streaming
+module adds watermarks + incremental state).
+
+Timestamps are surfaced as epoch milliseconds (BIGINT) for exact
+cross-engine comparison (Spark TimestampType is µs, DuckDB is µs, the
+parquet source is ns — truncation to ms is identical on both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from hangarbay_spark.queries.base import load_events, register
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "tumbling-window aggregation (batch twin of the streaming hourly "
+    "rollup; F.window in streaming/events.py)",
+    "streaming §2.7 extension (batch twin)",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ms
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ms IS NULL
+                       OR ts_ms - prev_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END
+                  AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts_ms, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) AS session_end_ms,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "sessionization (gaps-and-islands): lag + cumulative-sum windows + "
+    "agg; batch twin of session_window in streaming",
+    "streaming §2.7 extension (sessionization)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    order_w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(order_w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(order_w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(order_w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    "semi-structured JSON column extraction + agg (props is a JSON "
+    "string; get_json_object in Spark, json_extract in DuckDB)",
+    "semi-structured extension",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_user_activity_topk",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           epoch_ms(MIN(ts)) AS first_ms,
+           epoch_ms(MAX(ts)) AS last_ms
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+    "per-entity activity profile + tie-broken top-k (heavy-hitter scan)",
+    "A4,A5 over events",
+)
+def events_user_activity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.unix_millis(F.min("ts")).alias("first_ms"),
+            F.unix_millis(F.max("ts")).alias("last_ms"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )

@@ -1,0 +1,373 @@
+"""Training-data pipeline operators as declared queries over the
+``documents`` and ``embeddings`` tables: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search (brute-force + IVF-bucketed),
+and text analysis (lang-ID, quality, token counts, fingerprints).
+
+Oracle SQL strings are generated programmatically where the expression
+is wide (minhash signatures, simhash bit votes) — the construction in
+SQL mirrors the Column expression term by term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hangarbay_spark.operators import dedup as D
+from hangarbay_spark.operators import similarity as S
+from hangarbay_spark.operators import text as X
+from hangarbay_spark.queries.base import load_table, register
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+O_TOKENS = r"str_split_regex(lower(trim(text)), '\s+')"
+O_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def o_shingles(n: int = 3) -> str:
+    """DuckDB twin of operators.text.shingles_expr (1-indexed lists)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(t)-{n - 1}), i -> {gram})) "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+O_JACCARD_TAIL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = "|".join(X.LANG_STOPWORDS["en"])
+
+
+def _o_lang_case() -> str:
+    scores = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
+        for lang, ws in X.LANG_STOPWORDS.items()
+    }
+    clauses = []
+    for lang in X.LANG_ORDER:
+        others = ", ".join(scores[o] for o in X.LANG_ORDER if o != lang)
+        clauses.append(
+            f"WHEN {scores[lang]} > 0 AND {scores[lang]} = "
+            f"greatest({scores[lang]}, {others}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{X.BPE_ISH_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS BIGINT)
+             AS n_stopwords,
+           {_o_lang_case()} AS lang_pred,
+           md5({O_NORM}) AS fingerprint
+    FROM documents
+    """,
+    "per-document text profile: char/token/BPE-ish counts, stopword "
+    "hits, heuristic language-ID, md5 fingerprint — all JVM-side "
+    "column expressions, zero shuffle",
+    "text-analysis extension (lang-id, token counting, fingerprinting)",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        X.token_count_expr("text").alias("n_tokens"),
+        X.bpe_token_count_expr("text").alias("n_bpe_tokens"),
+        X.stopword_hits_expr("text", X.LANG_STOPWORDS["en"]).alias("n_stopwords"),
+        X.lang_id_expr("text").alias("lang_pred"),
+        X.fingerprint_expr("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_topk",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+        0.4 * least(CAST(len({O_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+        + 0.2 * least(((CAST(LENGTH(text) AS DOUBLE)
+                        - (CAST(len({O_TOKENS}) AS DOUBLE) - 1.0))
+                       / CAST(len({O_TOKENS}) AS DOUBLE)) / 8.0, 1.0)
+        + 0.2 * least((CAST(len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS DOUBLE)
+                       / CAST(len({O_TOKENS}) AS DOUBLE)) * 3.0, 1.0)
+        + 0.2 * (1.0 - least((CAST(LENGTH(text)
+                               - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                              / CAST(LENGTH(text) AS DOUBLE)) * 10.0, 1.0))
+          AS quality
+      FROM documents)
+    SELECT doc_id, lang, quality FROM q
+    ORDER BY quality DESC, doc_id LIMIT 25
+    """,
+    "quality scoring (length/token-length/stopword/punctuation mix) + "
+    "tie-broken top-k — the cheap pre-filter of an LLM data pipeline",
+    "text-analysis extension (quality scoring)",
+)
+def text_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", X.quality_score_expr("text").alias("quality")
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({O_NORM}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: hash-groupBy on normalized-text fingerprint; one "
+    "shuffle on the digest, survivor = min id",
+    "dedup extension (exact)",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    post AS (SELECT doc_id, unnest({o_shingles(3)}) AS shingle FROM toks),
+    {O_JACCARD_TAIL}
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    """,
+    "n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(postings join, partial-agg'd intersection counts — no pairwise "
+    "loop; shuffles scale with postings)",
+    "dedup extension (n-gram Jaccard)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _o_minhash_lsh() -> str:
+    k, bands = D.DEFAULT_MINHASH_K, D.DEFAULT_BANDS
+    rpb = k // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(k)
+    )
+    band_elems = ", ".join(
+        "'{b}:' || md5({parts})".format(
+            b=b,
+            parts=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    sh_arr AS (SELECT doc_id, {o_shingles(3)} AS sh FROM toks),
+    sigs AS (SELECT doc_id, {mh_cols} FROM sh_arr),
+    buckets AS (SELECT doc_id, unnest([{band_elems}]) AS bucket FROM sigs),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_arr),
+    {O_JACCARD_TAIL},
+    ver AS (SELECT i.* FROM inter i
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.id_a = i.id_a AND c.id_b = i.id_b))
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM ver
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _o_minhash_lsh(),
+    "MinHash(md5, K=8) + LSH banding (4 bands x 2 rows): signatures "
+    "computed inside the row (array_min over transform — no explode), "
+    "candidates from bucket equi-join only, exact-Jaccard verification",
+    "dedup extension (MinHash+LSH)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+def _o_simhash() -> str:
+    hexd = D.HEX_DIGITS
+    bit_terms = []
+    for i in range(16):
+        vote = (
+            f"list_sum(list_transform(sh, s -> CASE WHEN "
+            f"(strpos('{hexd}', substr(md5(s), {i + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
+    simhash = " + ".join(bit_terms)
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    sh_arr AS (SELECT doc_id, {o_shingles(1)} AS sh FROM toks),
+    fp AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sh_arr)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+@register(
+    "dedup_simhash_groups",
+    _o_simhash(),
+    "SimHash(16-bit, md5 nibble parity majority vote) duplicate-cluster "
+    "groups; Hamming<=d variant = explode d one-bit-flip keys + bucket join",
+    "dedup extension (SimHash)",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_dup_groups(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+O_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(14,10)) * "
+    "CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(14,10)) AS DECIMAL(38,20)))) "
+    "AS DOUBLE)"
+)
+
+
+def _o_cosine(a: str, b: str) -> str:
+    # round(9) twin of operators.similarity.cosine_expr — the final
+    # double ops can differ by 1 ulp across engines
+    dot = O_DOT.format(a=a, b=b)
+    na = "sqrt(" + O_DOT.format(a=a, b=a) + ")"
+    nb = "sqrt(" + O_DOT.format(a=b, b=b) + ")"
+    return f"round(({dot}) / (({na}) * ({nb})), 9)"
+
+
+def _o_sign_bucket(v: str, nbits: int = 4) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {v}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(nbits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+PROBE_IDS = (0, 1, 2)
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN p
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    "exact cosine top-k neighbors (brute force baseline): probe set "
+    "broadcast, one corpus scan, per-probe window top-k; dot products "
+    "decimal-accumulated in array order for cross-engine exactness",
+    "similarity-search extension (brute-force cosine top-k)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv,
+                      {_o_sign_bucket("embedding")} AS bucket
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding,
+                 {_o_sign_bucket("embedding")} AS bucket
+          FROM embeddings),
+    scored AS (
+      SELECT p.probe_id, c.neighbor_id,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM c JOIN p USING (bucket)
+      WHERE c.neighbor_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    "IVF-style bucketed ANN: sign-bit coarse buckets (2^4), probe "
+    "searches only its bucket — the ~16x scan-reduction scale path "
+    "(bucket doubles as a write-time partition key)",
+    "similarity-search extension (IVF/LSH-bucketed ANN)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.ivf_topk(emb, probes, k=5, nbits=4).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
+    "sim_embedding_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_o_sign_bucket("embedding")} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_o_cosine("a.embedding", "b.embedding")} AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_o_cosine("a.embedding", "b.embedding")} >= 0.4
+    """,
+    "embedding-cosine near-dup pairs via sign-bucketed self-join "
+    "(only same-bucket vectors compared, then exact cosine filter)",
+    "dedup extension (embedding-cosine near-dup)",
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=4).select(
+        "id_a", "id_b", "cosine"
+    )

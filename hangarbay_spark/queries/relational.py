@@ -1,0 +1,629 @@
+"""Core relational operator coverage (SURVEY.md §2.2-§2.6) expressed on
+the driver's TPC-H-ish testdata tables.
+
+Each query maps a reference operator family to idiomatic DataFrame code
+plus an equivalent DuckDB oracle. Scale notes are inline: broadcasts for
+dims, partial aggregation for groupBys, tie-broken top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from hangarbay_spark.queries.base import dsum, load_table, o_dsum, register
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4: A1-A7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum("l_quantity", "sum_qty", 2)},
+           {o_dsum("l_extendedprice", "sum_base_price", 2)},
+           {o_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {o_dsum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", "sum_charge", 6)},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: filtered scan -> 2-key hash agg with 6 aggregates",
+    "A1,A4,P1,F8",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    # Partial (map-side) aggregation is automatic for hash aggs; the only
+    # shuffle is on the 2 low-cardinality keys -> 6 groups at any scale.
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty", 2),
+            dsum("l_extendedprice", "sum_base_price", 2),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge", 6),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact distinct aggregation (expand + two-phase agg in Spark)",
+    "A4,A7",
+)
+def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "ROLLUP grouping sets (subtotals + grand total)",
+    "A1,A4 (+Spark-native grouping sets)",
+)
+def agg_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_group_concat",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS order_count,
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ';' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys_concat,
+           BOOL_OR(o_orderstatus = 'F') AS any_f_flag
+    FROM orders GROUP BY o_custkey
+    """,
+    "owners_summary analog: count + ordered STRING_AGG + BOOL_OR "
+    "(reference publish.py:58-67; collect order made deterministic via "
+    "array_sort, SURVEY §4.3 trap 2)",
+    "A1,A2,A3",
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))), ";"
+        ).alias("order_keys_concat"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f_flag"),
+    )
+
+
+@register(
+    "filter_revenue_scan",
+    f"""
+    SELECT {o_dsum("l_extendedprice * l_discount", "revenue")},
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure pushed-down filter + scalar aggregate",
+    "P1,A4,F8",
+)
+def filter_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3: J1-J9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_topk_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join -> agg -> tie-broken top-k "
+    "(TakeOrderedAndProject, no global sort)",
+    "J7,A1,A5",
+)
+def join_topk_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    # customer is the small side after the segment filter -> broadcast it
+    # into orders; the orders->lineitem join shuffles on the order key.
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_local_supplier_volume",
+    f"""
+    SELECT n_name, {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way star join with dim broadcast + region filter",
+    "J1,J2,J7,A1",
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "join_decode_wide",
+    """
+    SELECT o_orderkey, o_orderstatus, c_name, n_name, r_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderkey % 100 = 0
+    """,
+    "aircraft_decoded analog: chained LEFT-JOIN decode view over "
+    "broadcast dims (reference publish.py:156-183)",
+    "J1,J2,J3,J4",
+)
+def join_decode_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("o_orderkey", "o_orderstatus", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_semi_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "left-semi join (EXISTS) + agg",
+    "J7 (semi variant)",
+)
+def join_semi_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_anti_no_returns",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderstatus
+    """,
+    "left-anti join (NOT EXISTS) + agg",
+    "J7 (anti variant)",
+)
+def join_anti_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point lookup / search (SURVEY §2.6: Q1-Q4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lookup_point_customer",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 777
+    """,
+    "search analog: point lookup + decode join (reference api.py:181-192); "
+    "pushdown turns the scan into a single-row-group read",
+    "Q1,J6",
+)
+def lookup_point_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 777)
+    nation = load_table(spark, sf_dir, "nation")
+    return cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
+
+
+@register(
+    "search_fleet_like",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE (LOWER(c_name) LIKE '%00004%' OR LOWER(c_name) LIKE '%00013%')
+      AND UPPER(n_name) = 'NATION_3'
+    """,
+    "fleet analog: OR-of-LIKEs substring search + equality filter "
+    "(reference api.py:232-261)",
+    "Q2,Q3,Q4,J7",
+)
+def search_fleet_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.upper(F.col("n_name")) == "NATION_3"
+    )
+    like_any = F.lower(F.col("c_name")).like("%00004%") | F.lower(
+        F.col("c_name")
+    ).like("%00013%")
+    return (
+        cust.filter(like_any)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    )
+
+
+@register(
+    "topk_brands",
+    """
+    SELECT p_brand, COUNT(*) AS n
+    FROM part GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10
+    """,
+    "top-makers analog: group -> count -> tie-broken top-k "
+    "(reference README.md:141-143)",
+    "A5,A6,J8",
+)
+def topk_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "p_brand")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (Spark-native extension; SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    "top-N per group via row_number window (single shuffle on the "
+    "partition key; no self-join)",
+    "window (Spark extension over §2.5)",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS rk
+    FROM orders WHERE o_custkey < 100
+    """,
+    "running-total + rank windows with deterministic decimal accumulation",
+    "window (Spark extension over §2.5)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.5 set ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_dedup",
+    """
+    SELECT DISTINCT c_custkey, c_name FROM (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) t
+    """,
+    "union + dropDuplicates (notebook cell-13 semantics, SURVEY §2.5)",
+    "setops",
+)
+def setop_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return a.unionByName(b).dropDuplicates(["c_custkey", "c_name"])
+
+
+@register(
+    "setop_intersect_except",
+    """
+    SELECT 'both' AS side, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') t1
+    UNION ALL
+    SELECT 'only_rich' AS side, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') t2
+    """,
+    "INTERSECT / EXCEPT set semantics",
+    "setops",
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(bld).select(F.lit("both").alias("side"), "c_custkey")
+    only = rich.exceptAll(bld).distinct().select(
+        F.lit("only_rich").alias("side"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression parity (SURVEY §2.2: F1-F14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTRING(c_name, 10, 9) AS name_digits,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           TRIM(CONCAT('  ', c_name, '  ')) AS trimmed,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_nonum,
+           LPAD(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short
+    FROM customer WHERE c_custkey < 200
+    """,
+    "string function battery: upper/substr/length/concat_ws/trim/"
+    "regexp_replace/lpad/replace (SURVEY F1-F6 analogs)",
+    "F1,F2,F3,F5,F6",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws(
+            "-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_nonum"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_day,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    "date function battery: year/month/day extract, date arithmetic, "
+    "truncation (SURVEY F7,F14 analogs)",
+    "F7,F14",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+    )
+
+
+@register(
+    "pivot_segment_status",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "pivot (wide conditional aggregation) over join",
+    "A1,A7 (pivot extension)",
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+    )

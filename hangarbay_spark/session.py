@@ -1,0 +1,67 @@
+"""SparkSession factory with the semantics configs the engine relies on.
+
+Semantics configs mirror the reference's DuckDB/pandas conventions
+(see SURVEY.md §4.3; reference: /root/reference/hangarbay/api.py:301-302):
+
+- ANSI off: unsafe casts return null instead of erroring, matching the
+  reference's ``cast(schema, safe=False)`` / ``errors="coerce"`` behavior
+  (/root/reference/pipelines/normalize.py:123-142).
+- ``timeParserPolicy=CORRECTED``: malformed dates -> null.
+- Session timezone UTC: testdata timestamps are naive; DuckDB treats
+  them as UTC-naive, so Spark must too for oracle parity.
+- AQE on: runtime join-strategy selection, partition coalescing and
+  skew-join handling — the scale path for a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "hangarbay_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session used by the pipeline, API and tests.
+
+    In local mode the driver is the only JVM; ``local[N]`` controls task
+    threads. On a real cluster the same configs apply, only
+    ``spark.sql.shuffle.partitions`` should scale with executor count
+    (or be left to AQE's coalescing with a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # The driver testdata writes TIMESTAMP(NANOS) parquet, which the
+        # Spark reader rejects outright; read as long ns-since-epoch and
+        # normalize to TimestampType at load (queries/base.py:load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,149 @@
+"""Structured Streaming surface over the ``events`` stream — the
+incremental twins of the batch queries in
+``hangarbay_spark/queries/events.py``.
+
+The reference has no streaming at all (SURVEY.md §2.7); this is the
+north-star extension. Each builder takes any streaming DataFrame with
+the events schema (ts timestamp, event_id, user_id, event_type, value,
+props) and returns a streaming result:
+
+- ``hourly_rollup``: watermarked tumbling-window counts/sums — late
+  rows beyond the watermark are dropped, state is bounded.
+- ``sliding_rollup``: overlapping windows (trend surfaces).
+- ``sessionize``: native ``session_window`` with a 30-min gap —
+  Spark merges/extends window state per key incrementally.
+- ``dedup_events``: exact duplicate-event suppression inside the
+  watermark horizon (``dropDuplicates`` with event_id + ts).
+
+All builders are pure plan constructors — they work identically on a
+file/kafka/rate source; tests drive them with a file source over the
+driver's events parquet and ``availableNow`` triggers.
+
+Scale notes: state store size is bounded by (watermark horizon ×
+key cardinality); shuffles are on the grouping keys only; no Python
+UDFs anywhere in the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "2 hours"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over an events parquet directory
+    (schema inferred from the existing files). A ns-long ``ts`` (from
+    the nanosAsLong read path, see session.py) is normalized to
+    TimestampType so watermarks/windows apply."""
+    from hangarbay_spark.queries.base import normalize_ns_ts
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    return normalize_ns_ts(stream, "ts")
+
+
+def hourly_rollup(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Watermarked tumbling 1-hour window per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Overlapping sliding windows per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = SESSION_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-user session windows with a dynamic gap — the incremental
+    twin of the batch gaps-and-islands query (events_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Exactly-once event stream: duplicates of (event_id) within the
+    watermark horizon are suppressed; state expires with the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory sink and
+    return the materialized result (test/bench harness). Use
+    ``output_mode="append"`` for non-aggregating streams (dedup)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,173 @@
+"""Unit tests for the FTS inverted index, multimodal plumbing, and the
+dedup/similarity primitives not fully covered by the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hangarbay_spark.operators import dedup as D
+from hangarbay_spark.operators import fts
+from hangarbay_spark.operators import multimodal as M
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # case dup of 1
+    (3, "A completely different document about Spark SQL engines"),
+    (4, "quick brown foxes and lazy dogs, a different document"),
+    (5, "Spark SQL engines execute queries"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+# -- FTS inverted index ------------------------------------------------------
+
+
+def test_fts_build_and_match(spark, tmp_path):
+    df = _docs_df(spark)
+    idx = fts.build_inverted_index(df, "doc_id", "text")
+    postings = {(r["token"], r["doc_id"]) for r in idx.collect()}
+    assert ("fox", 1) in postings and ("fox", 2) in postings
+    assert ("spark", 3) in postings and ("spark", 5) in postings
+    # dedup within doc: "the" appears twice in doc 1 but posts once
+    assert len([p for p in postings if p == ("the", 1)]) == 1
+
+    # AND semantics
+    ids = {r["doc_id"] for r in fts.match_all(idx, "spark engines", "doc_id").collect()}
+    assert ids == {3, 5}
+    ids = {r["doc_id"] for r in fts.match_all(idx, "spark queries", "doc_id").collect()}
+    assert ids == {5}
+    # OR semantics
+    ids = {r["doc_id"] for r in fts.match_any(idx, ["fox", "spark"], "doc_id").collect()}
+    assert ids == {1, 2, 3, 5}
+    # punctuation/case-insensitive tokenization
+    assert fts.tokenize_query("Quick, BROWN!") == ["quick", "brown"]
+
+    # round-trip through the partitioned on-disk index
+    path = str(tmp_path / "fts_idx")
+    fts.save_index(idx, path, buckets=4)
+    idx2 = fts.load_index(spark, path)
+    rows = fts.search(df, idx2, "doc_id", "lazy dog").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_fts_empty_query(spark):
+    df = _docs_df(spark)
+    idx = fts.build_inverted_index(df, "doc_id", "text")
+    assert fts.match_all(idx, "   ", "doc_id").count() == 0
+    assert fts.match_any(idx, [], "doc_id").count() == 0
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def _media_df(spark):
+    rows = M.make_media_rows(
+        [
+            {
+                "media_id": "img1",
+                "kind": "image",
+                "payload": b"\x89PNG-fake-bytes-1",
+                "mime": "image/png",
+                "width": 640,
+                "height": 480,
+            },
+            {
+                "media_id": "img2",
+                "kind": "image",
+                "payload": b"\x89PNG-fake-bytes-2",
+                "mime": "image/png",
+                "width": 1024,
+                "height": 768,
+            },
+            {
+                "media_id": "vid1",
+                "kind": "video",
+                "payload": b"\x00\x01" * 500,
+                "mime": "video/mp4",
+                "duration_ms": 3500,
+            },
+            {
+                "media_id": "aud1",
+                "kind": "audio",
+                "payload": b"RIFF-fake",
+                "mime": "audio/wav",
+                "duration_ms": 1200,
+            },
+        ]
+    )
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_multimodal_features(spark):
+    media = _media_df(spark)
+    feats = M.extract_features(media)
+    assert feats.schema == M.FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 4
+    f1 = rows["img1"]
+    assert f1["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    assert len(f1["sha256"]) == 64
+    assert len(f1["feature"]) == M.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in f1["feature"])
+    # deterministic fake: same payload+kind -> same feature
+    feats2 = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    assert feats2["img1"]["feature"] == f1["feature"]
+    # different payloads -> different features
+    assert rows["img1"]["feature"] != rows["img2"]["feature"]
+
+
+def test_multimodal_frame_sampling(spark):
+    media = _media_df(spark)
+    frames = M.sample_frames(media, every_ms=1000)
+    assert frames.schema == M.FRAME_SCHEMA
+    rows = frames.collect()
+    # only the video row fans out; 3500ms at 1000ms -> 3 frames
+    assert {r["media_id"] for r in rows} == {"vid1"}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    assert all(len(r["frame_payload"]) > 0 for r in rows)
+
+
+def test_multimodal_resize(spark):
+    media = _media_df(spark)
+    out = M.resize_images(media, 256, 256)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"img1", "img2"}  # non-images dropped
+    assert all(r["width"] == 256 and r["height"] == 256 for r in rows.values())
+
+
+# -- dedup primitives --------------------------------------------------------
+
+
+def test_exact_dedup_survivors(spark):
+    df = _docs_df(spark)
+    kept = D.exact_dedup(df, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # doc 2 is a case-duplicate of doc 1 -> min-id survivor is 1
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5}
+
+
+def test_prune_frequent(spark):
+    df = _docs_df(spark)
+    post = D.shingle_postings(df, "doc_id", "text", n=1)
+    pruned = D.prune_frequent(post, max_df=3)
+    toks = {r["shingle"] for r in pruned.collect()}
+    # "the" appears in docs 1,2 (deduped per doc) ... use a strict cutoff
+    all_toks = {r["shingle"] for r in post.collect()}
+    assert toks <= all_toks
+    hot = (
+        post.groupBy("shingle").count().filter(F.col("count") > 3).collect()
+    )
+    assert all(r["shingle"] not in toks for r in hot)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs_df(spark)
+    pairs = D.minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # docs 1 and 2 are identical post-normalization -> jaccard 1.0
+    assert (1, 2) in got

@@ -1,0 +1,96 @@
+"""Structured Streaming tests: drive the streaming builders with a file
+source over the driver's events parquet (availableNow trigger) and
+check the results against their batch twins.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hangarbay_spark.streaming import events as SE
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The file streaming source needs a *directory*; re-write the
+    driver's single-file events parquet (ts normalized to µs) into one."""
+    from hangarbay_spark.queries.base import load_events
+
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_events(spark, SF_DIR).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture()
+def events_stream(spark, events_dir):
+    return SE.read_events_stream(spark, events_dir)
+
+
+def _events_batch(spark):
+    from hangarbay_spark.queries.base import load_events
+
+    return load_events(spark, SF_DIR)
+
+
+def test_hourly_rollup_matches_batch(spark, events_stream):
+    got = SE.run_to_memory(
+        SE.hourly_rollup(events_stream), "t_hourly", spark
+    )
+    batch = (
+        _events_batch(spark)
+        .groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    g = {
+        (r["window_start_ms"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start_ms"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert g == b
+
+
+def test_sliding_rollup_covers_events(spark, events_stream):
+    got = SE.run_to_memory(
+        SE.sliding_rollup(events_stream), "t_sliding", spark
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # every tumbling hour appears in 4 slides (60/15)
+    n_events_total = _events_batch(spark).count()
+    assert sum(r["n_events"] for r in rows) == 4 * n_events_total
+
+
+def test_sessionize_stream(spark, events_stream):
+    got = SE.run_to_memory(SE.sessionize(events_stream), "t_sessions", spark)
+    rows = got.collect()
+    assert len(rows) > 0
+    ev = _events_batch(spark)
+    # session count per user is bounded by event count; totals preserved
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # no session shorter than one event; gaps respected (end >= start)
+    assert all(r["session_end_ms"] >= r["session_start_ms"] for r in rows)
+
+
+def test_dedup_events_stream(spark, events_stream):
+    got = SE.run_to_memory(
+        SE.dedup_events(events_stream), "t_dedup", spark, output_mode="append"
+    )
+    ev = _events_batch(spark)
+    assert got.count() == ev.select("event_id").distinct().count()
