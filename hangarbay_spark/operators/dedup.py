@@ -216,7 +216,10 @@ def minhash_lsh_dedup_pairs(
       co-occurring pair; LSH exists precisely to avoid that).
     """
     post = shingle_postings(df, id_col, text_col)
-    # one pass: K minhash mins + the shingle set for verification
+    # one pass: K minhash mins + the shingle set for verification.
+    # Persisted — the DAG consumes it four times (two bucket sides, two
+    # verification sides); in a real deployment signatures are written
+    # once and reused across dedup runs.
     sigs = post.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
@@ -225,7 +228,7 @@ def minhash_lsh_dedup_pairs(
             for i in range(k)
         ],
         F.collect_list("shingle").alias("sh"),
-    )
+    ).persist()
     cand = lsh_candidate_pairs(sigs, id_col, k, bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

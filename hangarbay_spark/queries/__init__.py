@@ -14,5 +14,6 @@ from hangarbay_spark.queries.base import REGISTRY, QuerySpec, load_table, regist
 from hangarbay_spark.queries import relational  # noqa: E402,F401
 from hangarbay_spark.queries import events  # noqa: E402,F401
 from hangarbay_spark.queries import llmops  # noqa: E402,F401
+from hangarbay_spark.queries import search  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "load_table", "register"]

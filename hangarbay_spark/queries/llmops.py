@@ -263,11 +263,11 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+# Array-order sequential double accumulation — bit-identical to Spark's
+# zip_with+aggregate (verified pairwise at sf0.01; see operators/similarity.py)
 O_DOT = (
-    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
-    "CAST(CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(14,10)) * "
-    "CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(14,10)) AS DECIMAL(38,20)))) "
-    "AS DOUBLE)"
+    "list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
 
 

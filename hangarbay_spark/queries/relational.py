@@ -600,6 +600,88 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subquery_small_quantity_revenue",
+    f"""
+    WITH avgq AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {o_dsum("l_extendedprice", "revenue", 2)}, COUNT(*) AS n
+    FROM lineitem JOIN avgq ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "TPC-H Q17 shape: correlated per-key average via self-agg + join "
+    "(both sides shuffle on the same key -> co-partitioned join; the "
+    "decorrelated form Catalyst would produce for the subquery)",
+    "A1,J7 (correlated-subquery decorrelation)",
+)
+def subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(avgq, li.l_partkey == avgq.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "revenue", 2),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                                      AS DOUBLE) / COUNT(*) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    "scalar subquery: global average broadcast into the filter "
+    "(one extra tiny job, no per-row recompute)",
+    "A4,A7 (scalar subquery)",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_having_heavy_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+    "HAVING clause (post-aggregation filter)",
+    "A1,A4",
+)
+def agg_having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
     "pivot_segment_status",
     """
     SELECT c_mktsegment,

@@ -1,0 +1,108 @@
+"""Declared queries for the FTS inverted index, multimodal columns, and
+the Structured Streaming surface.
+
+The FTS queries exercise the 100 TB-safe substitute for the reference's
+SQLite FTS5 index (/root/reference/pipelines/publish.py:286-304) — see
+``operators/fts.py``. The multimodal query runs the real mapInPandas
+plumbing with text-bytes payloads so even the Pandas-UDF path is
+oracle-checked (sha256/byte-length are SQL-expressible; the fake
+feature vector is covered by unit tests instead). The streaming query
+is genuinely non-SQL-expressible -> rows-only check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hangarbay_spark.operators import fts
+from hangarbay_spark.operators import multimodal as M
+from hangarbay_spark.queries.base import load_events, load_table, register
+
+O_TOKENS_FTS = r"str_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')"
+
+
+@register(
+    "fts_match_all",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE len(list_distinct(list_filter({O_TOKENS_FTS},
+          t -> t IN ('spark', 'data')))) = 2
+    """,
+    "inverted-index AND search: postings lookup for each term + "
+    "count-equality intersection, semi-join back to the table — never "
+    "a corpus scan at query time once the index is persisted",
+    "Q5 (FTS substitute), Q2",
+)
+def fts_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = fts.build_inverted_index(docs, "doc_id", "text")
+    return fts.search(docs, idx, "doc_id", "spark data", mode="all").select(
+        "doc_id"
+    )
+
+
+@register(
+    "fts_match_any",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE len(list_filter({O_TOKENS_FTS},
+          t -> t IN ('vector', 'stream'))) >= 1
+    """,
+    "inverted-index OR search (one pushdown-filtered postings scan)",
+    "Q5 (FTS substitute), Q3",
+)
+def fts_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = fts.build_inverted_index(docs, "doc_id", "text")
+    ids = fts.match_any(idx, ["vector stream"], "doc_id")
+    return docs.join(ids, "doc_id", "left_semi").select("doc_id")
+
+
+@register(
+    "multimodal_text_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    "multimodal feature extraction through the real Arrow/mapInPandas "
+    "path: documents' text bytes as binary payloads -> per-item "
+    "byte-length + sha256 (the stub-decoded feature vector is unit-"
+    "tested; this query proves the distributed plumbing end-to-end)",
+    "multimodal extension (binary columns + Pandas-UDF kernel)",
+)
+def multimodal_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return M.extract_features(media).select("media_id", "n_bytes", "sha256")
+
+
+@register(
+    "streaming_hourly_rollup",
+    None,  # genuinely non-SQL-expressible (incremental watermark state)
+    "Structured Streaming hourly rollup drained with availableNow over "
+    "a file source (events re-staged to a directory); result equals the "
+    "batch tumbling-window query — the rows-only check plus "
+    "tests/test_streaming.py's batch-equality assertion cover it",
+    "streaming §2.7 extension",
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.streaming import events as SE
+
+    stage_dir = tempfile.mkdtemp(prefix="hb_stream_")
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(stage_dir)
+    stream = SE.read_events_stream(spark, stage_dir, max_files_per_trigger=8)
+    name = "q_streaming_hourly_rollup"
+    return SE.run_to_memory(SE.hourly_rollup(stream), name, spark)

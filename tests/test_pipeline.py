@@ -218,6 +218,29 @@ def test_api_surface(spark, published, data_dir):
     assert status["stale"] is True  # 2026-01-01 is >30 days old
 
 
+def test_data_quality_checks(spark, published):
+    from hangarbay_spark.pipelines.verify import (
+        assert_hard_checks,
+        run_all,
+    )
+
+    results = {r.name: r for r in run_all(spark)}
+    # the fixture deliberately contains a duplicate n_number (757AF)
+    assert results["unique_n_number"].violations == 1
+    # year 1960/1998/2005 are all in bounds; garbage year became null
+    assert results["year_mfr_bounds"].ok
+    assert results["n_number_format"].ok
+    assert results["owner_id_present"].ok
+    assert results["zip5_format"].ok
+    # every non-empty mfr_mdl_code resolves in the fixture
+    assert results["make_model_fk_coverage"].ok
+    # hard-check failure raises
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="unique_n_number"):
+        assert_hard_checks(list(results.values()))
+
+
 def test_helpers():
     assert normalize_n_number("n221la") == "221LA"
     assert normalize_n_number("221LA") == "221LA"
