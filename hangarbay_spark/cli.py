@@ -1,0 +1,126 @@
+"""``hangar``-style CLI — parity with the reference's Typer CLI surface
+(/root/reference/hangarbay/cli.py: fetch / normalize / publish / update /
+status / sql / search / fleet / tables / schema), on stdlib argparse
+(typer is not in the runtime).
+
+Usage:
+    python -m hangarbay_spark.cli update --zip-path fixture.zip
+    python -m hangarbay_spark.cli search N221LA
+    python -m hangarbay_spark.cli fleet "netjets|flexjet" --state TX
+    python -m hangarbay_spark.cli sql "SELECT ... " -i --output-format json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from hangarbay_spark.api import Hangarbay
+from hangarbay_spark.config import get_data_dir, parquet_dir, raw_dir
+
+
+def _emit(df, fmt: str, limit: int = 100) -> None:
+    """table/json/csv rendering with the reference's 100-row display cap
+    (reference cli.py:217-250)."""
+    if len(df) > limit and fmt == "table":
+        print(f"(showing first {limit} of {len(df)} rows)", file=sys.stderr)
+        df = df.head(limit)
+    if fmt == "json":
+        print(df.to_json(orient="records", date_format="iso"))
+    elif fmt == "csv":
+        print(df.to_csv(index=False), end="")
+    else:
+        print(df.to_string(index=False))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hangar", description=__doc__)
+    p.add_argument("--data-dir", default=None, help="warehouse root")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("fetch", help="download/ingest a raw snapshot")
+    sp.add_argument("--snapshot", default=None)
+    sp.add_argument("--zip-path", default=None, help="local zip (offline)")
+
+    sp = sub.add_parser("normalize", help="raw snapshot -> typed parquet")
+    sp.add_argument("--snapshot", required=True)
+
+    sub.add_parser("publish", help="register tables/views in the session")
+
+    sp = sub.add_parser("update", help="fetch + normalize + publish")
+    sp.add_argument("--snapshot", default=None)
+    sp.add_argument("--zip-path", default=None)
+
+    sub.add_parser("status", help="pipeline/provenance status")
+    sub.add_parser("tables", help="list catalog tables")
+
+    sp = sub.add_parser("schema", help="describe a table")
+    sp.add_argument("table")
+
+    sp = sub.add_parser("sql", help="ad-hoc SQL")
+    sp.add_argument("query")
+    sp.add_argument("-i", "--ilike", action="store_true", help="LIKE->ILIKE")
+    sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
+
+    sp = sub.add_parser("search", help="point lookup by N-number")
+    sp.add_argument("n_number")
+    sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
+
+    sp = sub.add_parser("fleet", help="substring owner search")
+    sp.add_argument("owner", help="'|'-separated terms")
+    sp.add_argument("--state", default=None)
+    sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
+    sp.add_argument("--export-csv", default=None, help="write results to a CSV file")
+
+    args = p.parse_args(argv)
+    data_dir = get_data_dir(args.data_dir)
+
+    if args.cmd == "fetch":
+        from hangarbay_spark.pipelines.fetch import fetch_snapshot
+
+        snap = fetch_snapshot(data_dir, snapshot=args.snapshot, zip_path=args.zip_path)
+        print(f"fetched -> {snap}")
+        return 0
+
+    hb = Hangarbay(data_dir=data_dir)
+
+    if args.cmd == "normalize":
+        from hangarbay_spark.pipelines.normalize import normalize_snapshot
+
+        counts = normalize_snapshot(
+            hb.spark, raw_dir(data_dir, args.snapshot), parquet_dir(data_dir)
+        )
+        print(json.dumps(counts, indent=2))
+    elif args.cmd == "publish":
+        print(json.dumps(hb.load_data(force=True), indent=2))
+    elif args.cmd == "update":
+        from hangarbay_spark.pipelines.fetch import fetch_snapshot
+        from hangarbay_spark.pipelines.normalize import normalize_snapshot
+
+        snap = fetch_snapshot(data_dir, snapshot=args.snapshot, zip_path=args.zip_path)
+        normalize_snapshot(hb.spark, snap, parquet_dir(data_dir))
+        print(json.dumps(hb.load_data(force=True), indent=2))
+    elif args.cmd == "status":
+        print(json.dumps(hb.status(), indent=2, default=str))
+    elif args.cmd == "tables":
+        for t in hb.list_tables():
+            print(t)
+    elif args.cmd == "schema":
+        _emit(hb.schema(args.table), "table")
+    elif args.cmd == "sql":
+        _emit(hb.query(args.query, ilike=args.ilike), args.output_format)
+    elif args.cmd == "search":
+        _emit(hb.search(args.n_number), args.output_format)
+    elif args.cmd == "fleet":
+        res = hb.fleet(args.owner, state=args.state, limit=args.limit)
+        if args.export_csv:
+            res.to_csv(args.export_csv, index=False)
+            print(f"wrote {len(res)} rows -> {args.export_csv}", file=sys.stderr)
+        _emit(res, args.output_format)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
