@@ -682,6 +682,40 @@ def agg_having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "argmin_cheapest_supplier_per_part",
+    """
+    SELECT l_partkey, l_suppkey, cost FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS cost,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE),
+                        l_suppkey) AS BIGINT) AS rn
+      FROM lineitem GROUP BY l_partkey, l_suppkey) t
+    WHERE rn = 1 AND l_partkey < 200
+    """,
+    "TPC-H Q2 shape (argmin per group): agg -> window rank -> filter; "
+    "one shuffle for the agg, the window reuses its partitioning",
+    "A1,window (argmin pattern)",
+)
+def argmin_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("cost")
+    )
+    w = W.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
+    return (
+        per_supp.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("l_partkey") < 200))
+        .select("l_partkey", "l_suppkey", "cost")
+    )
+
+
+@register(
     "pivot_segment_status",
     """
     SELECT c_mktsegment,
