@@ -30,12 +30,18 @@ HEADLINE = [
     "lookup_point_customer",
     "agg_group_concat",
     "window_top_orders_per_customer",
+    "subquery_small_quantity_revenue",
+    "argmin_cheapest_supplier_per_part",
     "events_tumbling_hourly",
     "events_sessionize",
     "text_profile",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_simhash_groups",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "fts_match_all",
+    "multimodal_text_features",
 ]
 
 

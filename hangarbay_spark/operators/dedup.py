@@ -56,9 +56,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Exploded (id, shingle) postings — the inverted index."""
-    return df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    """Exploded (id, shingle) postings — the inverted index.
+
+    Repartitions the documents first: parquet scan parallelism is
+    file-split-granular, so a small input (one file) would otherwise
+    run the CPU-heavy shingle/hash expressions in a SINGLE task. The
+    pre-shuffle is one narrow pass over (id, text) and spreads the
+    expensive stage across the cluster; with many input splits (the
+    100 TB case) it is still correct, merely redundant.
+
+    Tokens are materialized in their own projection before the gram
+    transform — see :func:`~hangarbay_spark.operators.text.
+    shingles_from_tokens` for why inlining is ~10x slower.
+    """
+    from hangarbay_spark.operators.text import shingles_from_tokens, tokens_expr
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(id_col)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        )
     )
 
 
@@ -215,11 +235,9 @@ def minhash_lsh_dedup_pairs(
       (the postings-join in :func:`ngram_jaccard_pairs` computes every
       co-occurring pair; LSH exists precisely to avoid that).
     """
+    rows_per_band = k // bands
     post = shingle_postings(df, id_col, text_col)
-    # one pass: K minhash mins + the shingle set for verification.
-    # Persisted — the DAG consumes it four times (two bucket sides, two
-    # verification sides); in a real deployment signatures are written
-    # once and reused across dedup runs.
+    # one pass: K minhash mins + the shingle set for verification
     sigs = post.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
@@ -228,16 +246,53 @@ def minhash_lsh_dedup_pairs(
             for i in range(k)
         ],
         F.collect_list("shingle").alias("sh"),
-    ).persist()
-    cand = lsh_candidate_pairs(sigs, id_col, k, bands)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    )
+    # Single-consumption plan: the shingle arrays ride along into the
+    # banded bucket rows, so the expensive sigs subtree is computed
+    # exactly once (measured: the candidate-then-lookup formulation
+    # recomputed postings+groupBy four times — ReuseExchange does not
+    # dedup across differently-projected consumers). The extra shuffle
+    # weight is bands x |sh| per doc — the standard LSH trade; a real
+    # deployment writes sigs to a table once instead.
+    band_hashes = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_hashes).alias("bucket"), F.col("sh")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "bucket", F.col("sh").alias("sh_a")
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "bucket", F.col("sh").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        pairs.withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -116,6 +116,40 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_quarter_hour",
+    """
+    WITH e AS (SELECT epoch_ms(ts) AS tm, event_type FROM events),
+    w AS (SELECT ((tm // 900000) - j) * 900000 AS window_start_ms, event_type
+          FROM e, (SELECT unnest([0, 1, 2, 3]) AS j) s)
+    SELECT window_start_ms,
+           window_start_ms + 3600000 AS window_end_ms,
+           event_type,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2, 3
+    """,
+    "sliding-window aggregation (1h window, 15min slide): each event "
+    "lands in 4 overlapping windows (F.window fan-out in Spark; "
+    "explicit slide-index unnest in the oracle); batch twin of "
+    "streaming sliding_rollup",
+    "streaming §2.7 extension (sliding windows, batch twin)",
+)
+def events_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_type,
