@@ -82,7 +82,13 @@ def normalize_ns_ts(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` normalized to TimestampType."""
+    """events table with ``ts`` normalized to TimestampType.
+
+    Sets ``nanosAsLong`` defensively — the driver's harness may hand us
+    a session built without it, and the events parquet is
+    TIMESTAMP(NANOS) which Spark otherwise refuses to read.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_ns_ts(load_table(spark, sf_dir, "events"), "ts")
 
 
