@@ -260,6 +260,139 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Term statistics / sampling
+# ---------------------------------------------------------------------------
+
+
+def _token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (doc_id, token) postings with duplicates (tf source).
+    Repartition + materialized token array — same rationale as
+    operators.dedup.shingle_postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", X.tokens_expr("text").alias("__toks"))
+        .select("doc_id", F.explode("__toks").alias("token"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT doc_id, token, score, rk FROM (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * nd / dfq AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * nd / dfq DESC, tf.token)
+             AS BIGINT) AS rk
+      FROM tf JOIN dfreq USING (token), n) t
+    WHERE rk <= 3
+    """,
+    "TF-IDF-style top terms per document (tf x N/df rarity score, "
+    "linear idf for cross-engine exactness): postings -> tf agg + "
+    "doc-freq agg -> broadcast join -> per-doc top-k window",
+    "text-analysis extension (TF-IDF term scoring)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    post = _token_postings(spark, sf_dir)
+    tf = post.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = post.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfq")
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("nd") / F.col("dfq")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+    )
+
+
+@register(
+    "vocab_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS token FROM documents)
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS total_tf
+    FROM toks GROUP BY token
+    ORDER BY doc_freq DESC, token LIMIT 20
+    """,
+    "vocabulary build: global term document-frequency + total counts, "
+    "tie-broken top-k (one shuffle on token, map-side combine)",
+    "text-analysis extension (vocabulary statistics)",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    post = _token_postings(spark, sf_dir)
+    return (
+        post.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "sample_split_distribution",
+    None,  # oracle defined below via o_hash_bucket (set after import)
+    "deterministic train/val/test split by content-hash bucket — "
+    "stable across runs, repartitions and incremental loads (no "
+    "random-seed leakage between splits)",
+    "sampling extension (deterministic split)",
+)
+def sample_split_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(split_expr("doc_id").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _set_sampling_oracle() -> None:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+    from hangarbay_spark.queries.base import REGISTRY, QuerySpec
+
+    spec = REGISTRY["sample_split_distribution"]
+    oracle = f"""
+    WITH b AS (SELECT {o_hash_bucket("doc_id")} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 229 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM b GROUP BY 1
+    """
+    REGISTRY["sample_split_distribution"] = QuerySpec(
+        spec.name, spec.fn, oracle, spec.description, spec.survey
+    )
+
+
+_set_sampling_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 

@@ -165,6 +165,34 @@ def test_prune_frequent(spark):
     assert all(r["shingle"] not in toks for r in hot)
 
 
+def test_deterministic_sampling(spark):
+    from hangarbay_spark.operators.sampling import (
+        deterministic_sample,
+        split_expr,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 0.25).collect()}
+    # stable across re-runs and repartitions
+    s2 = {
+        r["k"]
+        for r in deterministic_sample(df.repartition(7), "k", 0.25).collect()
+    }
+    assert s1 == s2
+    assert 0.18 < len(s1) / 2000 < 0.32  # ~25% within hash noise
+    # splits partition the data
+    splits = df.select("k", split_expr("k").alias("s")).collect()
+    by = {}
+    for r in splits:
+        by.setdefault(r["s"], set()).add(r["k"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 2000
+    assert 0.7 < len(by["train"]) / 2000 < 0.9
+    # salt changes membership
+    s3 = {r["k"] for r in deterministic_sample(df, "k", 0.25, salt="x").collect()}
+    assert s3 != s1
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = _docs_df(spark)
     pairs = D.minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8)
