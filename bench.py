@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "fts_match_all",
     "multimodal_text_features",
+    "tfidf_top_terms",
+    "sample_split_distribution",
 ]
 
 

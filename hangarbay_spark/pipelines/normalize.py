@@ -219,7 +219,11 @@ def normalize_snapshot(
     raw_dir, out_dir = Path(raw_dir), Path(out_dir)
     t0 = time.time()
 
-    master = read_faa_csv(spark, raw_dir / "MASTER.txt")
+    # MASTER feeds three tables and carries the expression-heavy owner
+    # standardization; a single CSV file scans as ONE task, so spread
+    # the rows across the cluster first (narrow pre-shuffle, ~MBs).
+    par = spark.sparkContext.defaultParallelism
+    master = read_faa_csv(spark, raw_dir / "MASTER.txt").repartition(par)
     acftref = read_faa_csv(spark, raw_dir / "ACFTREF.txt")
     engine = read_faa_csv(spark, raw_dir / "ENGINE.txt")
 
