@@ -716,6 +716,56 @@ def argmin_cheapest_supplier_per_part(
 
 
 @register(
+    "join_full_outer_balance",
+    """
+    WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+    bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                                             AND c_acctbal > 8000)
+    SELECT COALESCE(big.c_custkey, bld.c_custkey) AS c_custkey,
+           big.c_custkey IS NOT NULL AS is_rich,
+           bld.c_custkey IS NOT NULL AS is_building
+    FROM big FULL OUTER JOIN bld ON big.c_custkey = bld.c_custkey
+    """,
+    "full outer join (both-sides-preserved merge; the snapshot-diff "
+    "join shape, pipelines/diff.py)",
+    "J-family (full outer)",
+)
+def join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k_big")
+    )
+    bld = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 8000)
+    ).select(F.col("c_custkey").alias("k_bld"))
+    return big.join(bld, big.k_big == bld.k_bld, "full_outer").select(
+        F.coalesce("k_big", "k_bld").alias("c_custkey"),
+        F.col("k_big").isNotNull().alias("is_rich"),
+        F.col("k_bld").isNotNull().alias("is_building"),
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # sketch outputs are algorithm-specific (HLL++/GK in Spark,
+    # HLL/t-digest in DuckDB) -> rows-only; error bounds are asserted
+    # against exact values in tests/test_operators.py
+    "approximate aggregation sketches: approx_count_distinct (HLL++) "
+    "and percentile_approx (GK) per group — the constant-memory path "
+    "for cardinality/quantiles at 100 TB where exact distinct would "
+    "shuffle every value",
+    "A-family (approximate sketches extension)",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "pivot_segment_status",
     """
     SELECT c_mktsegment,

@@ -193,6 +193,31 @@ def test_deterministic_sampling(spark):
     assert s3 != s1
 
 
+def test_approx_sketches_error_bounds(spark):
+    """The sketch query has no oracle (algorithm-specific outputs);
+    assert its estimates against exact values instead."""
+    from hangarbay_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_approx_sketches"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    for flag, row in got.items():
+        assert abs(row["approx_parts"] - exact[flag]["d"]) / exact[flag]["d"] < 0.05
+        assert abs(row["approx_median_price"] - exact[flag]["m"]) / exact[flag]["m"] < 0.05
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = _docs_df(spark)
     pairs = D.minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8)
