@@ -298,6 +298,75 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster)
+    where cluster = the minimum id reachable from ``id``.
+
+    Iterative min-label propagation — the standard large-scale
+    formulation (each round: join labels across edges, take the min;
+    rounds needed = O(graph diameter), and near-dup graphs are shallow
+    clusters, so 3-4 rounds in practice). Each round is one join + one
+    groupBy on the id key; ``localCheckpoint`` truncates the lineage so
+    plans don't grow exponentially across iterations.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the min-id member) plus all
+    rows that belong to no cluster — the end-to-end dedup step."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 HEX_DIGITS = "0123456789abcdef"
 
 

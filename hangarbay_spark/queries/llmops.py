@@ -178,7 +178,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
-def _o_minhash_lsh() -> str:
+def _o_minhash_parts() -> tuple[str, str]:
     k, bands = D.DEFAULT_MINHASH_K, D.DEFAULT_BANDS
     rpb = k // bands
     mh_cols = ", ".join(
@@ -192,8 +192,7 @@ def _o_minhash_lsh() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    ctes = f"""toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
     sh_arr AS (SELECT doc_id, {o_shingles(3)} AS sh FROM toks),
     sigs AS (SELECT doc_id, {mh_cols} FROM sh_arr),
     buckets AS (SELECT doc_id, unnest([{band_elems}]) AS bucket FROM sigs),
@@ -204,13 +203,36 @@ def _o_minhash_lsh() -> str:
     {O_JACCARD_TAIL},
     ver AS (SELECT i.* FROM inter i
             WHERE EXISTS (SELECT 1 FROM cand c
-                          WHERE c.id_a = i.id_a AND c.id_b = i.id_b))
-    SELECT id_a, id_b,
+                          WHERE c.id_a = i.id_a AND c.id_b = i.id_b))"""
+    select = """SELECT id_a, id_b,
            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
     FROM ver
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8"""
+    return ctes, select
+
+
+def _o_minhash_lsh() -> str:
+    ctes, select = _o_minhash_parts()
+    return f"WITH {ctes}\n    {select}"
+
+
+def _o_minhash_clusters() -> str:
+    """Recursive-CTE twin of minhash pairs -> connected components ->
+    per-cluster sizes (DuckDB computes the full reachability closure;
+    min reachable id == the iterative min-label fixpoint)."""
+    ctes, select = _o_minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id)
+    SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster
     """
 
 
@@ -225,6 +247,22 @@ def _o_minhash_lsh() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "dedup_minhash_clusters",
+    _o_minhash_clusters(),
+    "near-dup clusters: MinHash-LSH pairs -> connected components "
+    "(iterative min-label propagation, O(diameter) rounds) -> "
+    "per-cluster sizes; the transitive-closure step that turns pair "
+    "finding into actual dedup (oracle: recursive-CTE reachability)",
+    "dedup extension (transitive-closure clustering)",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = D.connected_components(pairs)
+    return comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
 def _o_simhash() -> str:

@@ -224,3 +224,16 @@ def test_minhash_lsh_finds_near_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     # docs 1 and 2 are identical post-normalization -> jaccard 1.0
     assert (1, 2) in got
+
+
+def test_connected_components_and_survivors(spark):
+    # chain 1-2, 2-3 plus isolated pair 7-8: two clusters
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8)], "id_a int, id_b int"
+    )
+    comp = {r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    df = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 5, 7, 8)], "doc_id int, text string")
+    kept = {r["doc_id"] for r in D.near_dedup_survivors(df, pairs.selectExpr("id_a", "id_b"), "doc_id").collect()}
+    # one survivor per cluster (min id) + untouched doc 5
+    assert kept == {1, 5, 7}
