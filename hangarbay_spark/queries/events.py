@@ -150,6 +150,52 @@ def events_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_purchase_signup",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r0 AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'signup'),
+    r AS (SELECT user_id, ts, MAX(event_id) AS sid FROM r0 GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           epoch_ms(l.ts) AS purchase_ms,
+           r.sid AS signup_id,
+           epoch_ms(l.ts) - epoch_ms(r.ts) AS signup_lag_ms
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "as-of join: each purchase matched to the user's latest "
+    "at-or-before signup (union-tag + ordered window carry-forward — "
+    "one shuffle on the key; oracle uses DuckDB's native ASOF JOIN)",
+    "temporal-join extension (as-of join)",
+)
+def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("sid"))
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = as_of_join(
+        purchases, signups, on="user_id", right_cols=["sid", "rts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("asof_sid").alias("signup_id"),
+        (F.unix_millis("ts") - F.unix_millis("asof_rts")).alias(
+            "signup_lag_ms"
+        ),
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_type,

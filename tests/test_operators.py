@@ -226,6 +226,38 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 2) in got
 
 
+def test_as_of_join_semantics(spark):
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 50), (4, "v", 100)],
+        "eid int, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 150), (12, "w", 10)],
+        "rid int, k string, ts long",
+    )
+    out = {
+        r["eid"]: r["asof_rid"]
+        for r in as_of_join(left, right, on="k", right_cols=["rid"]).collect()
+    }
+    assert out[1] == 10  # simultaneous right row visible (inclusive <=)
+    assert out[2] == 11  # latest at-or-before 200
+    assert out[3] is None  # nothing precedes ts=50
+    assert out[4] is None  # no right rows for key v
+    # tie-break: two right rows at the same (key, ts) -> max wins
+    right2 = spark.createDataFrame(
+        [(20, "u", 100), (21, "u", 100)], "rid int, k string, ts long"
+    )
+    out2 = {
+        r["eid"]: r["asof_rid"]
+        for r in as_of_join(
+            left, right2, on="k", right_cols=["rid"], tie_break="rid"
+        ).collect()
+    }
+    assert out2[2] == 21
+
+
 def test_connected_components_and_survivors(spark):
     # chain 1-2, 2-3 plus isolated pair 7-8: two clusters
     pairs = spark.createDataFrame(
