@@ -84,8 +84,10 @@ def match_any(index: DataFrame, terms: list[str], id_col: str) -> DataFrame:
 def match_all(index: DataFrame, query: str, id_col: str) -> DataFrame:
     """ids containing ALL tokens of ``query`` (AND): per-token postings,
     then a count-equality check — set intersection without pairwise
-    joins, one aggregation shuffle."""
-    toks = tokenize_query(query)
+    joins, one aggregation shuffle. Query tokens are deduplicated so a
+    repeated word (e.g. "new york new") can still satisfy the
+    distinct-count equality."""
+    toks = list(dict.fromkeys(tokenize_query(query)))
     if not toks:
         return index.select(id_col).limit(0)
     return (

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Mapping
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -59,16 +60,19 @@ FRAME_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def _decode_bytes(payload: bytes, kind: str) -> list[float]:
+def _decode_bytes(payload: bytes | None, kind: str) -> list[float] | None:
     """STUB decode kernel — deterministic fake feature vector.
 
     A real deployment replaces this with Pillow / torchaudio / PyAV
     decoding; the container has no codec libraries. The fake is a
     sha256-derived unit-scale vector so downstream plumbing (similarity
     joins, dedup on features) is exercised with stable values.
+
+    A null payload yields a null feature (consistent with the other
+    null-safe columns) rather than failing the whole Arrow batch.
     """
     if payload is None:
-        raise NotImplementedError("real media decode requires codec libs")
+        return None
     h = hashlib.sha256(kind.encode() + payload).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
@@ -112,25 +116,45 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["payload"] is None:
-                    continue
-                dur = r["duration_ms"] or 0
-                n_frames = max(1, int(dur // every_ms))
-                payload = r["payload"]
-                step = max(1, len(payload) // n_frames)
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            # STUB: slice of payload, not a decoded frame
-                            "frame_payload": payload[i * step : (i + 1) * step],
-                        }
-                    )
+            vid = pdf[(pdf["kind"] == "video") & pdf["payload"].notna()]
+            if vid.empty:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype=object),
+                        "frame_idx": pd.Series([], dtype="int32"),
+                        "frame_payload": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            # Vectorized fan-out: frame counts and slice offsets computed
+            # column-wise; only the byte slicing touches Python objects.
+            n_frames = (
+                (vid["duration_ms"].fillna(0) // every_ms)
+                .clip(lower=1)
+                .astype("int64")
+            )
+            media_id = vid["media_id"].repeat(n_frames).reset_index(drop=True)
+            frame_idx = np.concatenate(
+                [np.arange(n, dtype="int32") for n in n_frames]
+            )
+            payloads = vid["payload"].repeat(n_frames).reset_index(drop=True)
+            steps = np.concatenate(
+                [
+                    np.full(n, max(1, len(p) // n), dtype="int64")
+                    for p, n in zip(vid["payload"], n_frames)
+                ]
+            )
+            # STUB: slice of payload, not a decoded frame
+            frame_payload = [
+                p[i * s : (i + 1) * s]
+                for p, i, s in zip(payloads, frame_idx, steps)
+            ]
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_payload"]
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx,
+                    "frame_payload": frame_payload,
+                }
             )
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)

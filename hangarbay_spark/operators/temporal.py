@@ -10,12 +10,20 @@ the key distribution; the same plan shape TimescaleDB/kdb-style engines
 execute natively, expressed in windows. Right-side ties on (key, ts)
 are resolved deterministically (max tie-break key wins) before the
 union.
+
+The carried value is a single STRUCT of all requested right columns —
+one ``last(ignorenulls=True)`` over the struct, then unpack. Carrying
+each column independently would stitch together values from different
+right rows whenever right columns contain genuine nulls; the struct
+guarantees every ``asof_`` column comes from the same matched row,
+matching DuckDB ASOF JOIN semantics (which return the row wholesale).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
@@ -46,12 +54,15 @@ def as_of_join(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    r_struct_type = T.StructType(
+        [T.StructField(c, r.schema[c].dataType) for c in right_cols]
+    )
     l_tag = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(f"asof_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = r.select(
         F.col(on),
@@ -60,7 +71,9 @@ def as_of_join(
         F.lit(None).cast(
             l_tag.schema["__l"].dataType
         ).alias("__l"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols]
+        ).cast(r_struct_type).alias("__r"),
     )
     # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
     # an exactly-simultaneous right row IS visible to the left row
@@ -73,12 +86,10 @@ def as_of_join(
     carried = l_tag.unionByName(r_tag).select(
         "__is_left",
         "__l",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     return carried.filter(F.col("__is_left") == 1).select(
-        *out_cols, *[f"asof_{c}" for c in right_cols]
+        *out_cols,
+        *[F.col(f"__r.{c}").alias(f"asof_{c}") for c in right_cols],
     )

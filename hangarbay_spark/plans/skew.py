@@ -34,7 +34,16 @@ def salted_join(
 
     Output columns = big's columns + small's non-key columns (as in a
     plain ``join(small, key)``).
+
+    Only ``inner``/``left``/``left_semi`` are supported: the
+    salt-and-replicate scheme is correct only when rows are emitted from
+    the big side. A right/full-outer would emit each unmatched
+    small-side key ``salt`` times, and left_anti inverts wrongly.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch row count so multi-MB binary payloads
+        # (multimodal media columns) don't blow Python-worker memory:
+        # 1024 rows x ~4 MB payload ≈ 4 GB worst-case without a cap.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

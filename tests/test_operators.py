@@ -258,6 +258,66 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_fts_repeated_query_token(spark):
+    # a repeated word must not make the AND count-equality unsatisfiable
+    df = _docs_df(spark)
+    idx = fts.build_inverted_index(df, "doc_id", "text")
+    ids = {
+        r["doc_id"]
+        for r in fts.match_all(idx, "quick brown quick", "doc_id").collect()
+    }
+    assert ids == {1, 2, 4}
+
+
+def test_multimodal_null_payload(spark):
+    rows = M.make_media_rows(
+        [
+            {"media_id": "ok", "kind": "image", "payload": b"bytes"},
+            {"media_id": "nul", "kind": "image", "payload": None},
+        ]
+    )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    # a null payload yields null feature columns, not a failed batch
+    assert got["nul"]["n_bytes"] == 0
+    assert got["nul"]["sha256"] is None
+    assert got["nul"]["feature"] is None
+    assert got["ok"]["feature"] is not None
+
+
+def test_as_of_join_ties(spark):
+    """Pin the operator's tie semantics AND whole-row carry: with
+    duplicate (key, ts) right rows, all asof_ columns must come from the
+    single tie-break winner — and with genuinely-null right columns, from
+    the one matched row (struct carry), never stitched across rows."""
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 200)], "eid int, k string, ts long"
+    )
+    # two right rows at the same (key, ts): winner is rid=21 wholesale
+    right = spark.createDataFrame(
+        [(20, "u", 100, "a"), (21, "u", 100, None)],
+        "rid int, k string, ts long, tag string",
+    )
+    row = as_of_join(
+        left, right, on="k", right_cols=["rid", "tag"], tie_break="rid"
+    ).collect()[0]
+    assert row["asof_rid"] == 21
+    assert row["asof_tag"] is None  # winner's null tag, NOT loser's "a"
+
+    # distinct-ts right rows with complementary nulls: the matched row
+    # is carried as a unit (no mixing of ts=1's a with ts=2's b)
+    right2 = spark.createDataFrame(
+        [(1, "u", 1, None), (None, "u", 2, "b")],
+        "a int, k string, ts long, b string",
+    )
+    row2 = as_of_join(
+        left, right2, on="k", right_cols=["a", "b"]
+    ).collect()[0]
+    assert row2["asof_a"] is None and row2["asof_b"] == "b"
+
+
 def test_connected_components_and_survivors(spark):
     # chain 1-2, 2-3 plus isolated pair 7-8: two clusters
     pairs = spark.createDataFrame(

@@ -33,6 +33,16 @@ def test_salted_left_join(spark):
     assert got == {(1, "a", "x"), (2, "b", "y"), (99, "c", None)}
 
 
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, d string")
+    for how in ("right", "full_outer", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", salt=4, how=how)
+
+
 def test_two_phase_agg_matches_plain(spark):
     df = spark.range(0, 3000).select(
         (F.col("id") % 7).alias("k"),
