@@ -10,9 +10,12 @@
   row* (array_min over transform — no explode, no shuffle), banded into
   buckets, candidate pairs from bucket joins only, then exact-Jaccard
   verification of candidates.
-- **SimHash**: 16-bit fingerprint from per-token md5 nibble parities;
-  Hamming-near buckets via exact fingerprint match (synthetic data) —
-  the full Hamming-distance variant would fan out 16 one-bit-flip keys.
+- **SimHash**: 64-bit fingerprint (majority vote over per-token md5
+  bits), stored as four 16-bit words. Hamming-distance<=3 search by the
+  block-pigeonhole method (Manku et al., WWW'07): any two fingerprints
+  within distance d agree exactly on at least one of d+1 blocks, so
+  candidates come from a bucket equi-join on (block_idx, block_value)
+  — never an all-pairs comparison — and are verified with popcount.
 
 Every construction uses only md5/string/list primitives with identical
 semantics in DuckDB, so each stage is oracle-checkable.
@@ -369,42 +372,137 @@ def near_dedup_survivors(
 
 HEX_DIGITS = "0123456789abcdef"
 
+SIMHASH_BITS = 64
+SIMHASH_BLOCKS = 4  # 4 blocks of 16 bits: pigeonhole-complete for d<=3
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document: bit i is the majority vote over
-    distinct tokens of the parity of md5 hex digit i.
+    """64-bit SimHash per document as four 16-bit words ``w0..w3``
+    (w0 = bits 0-15, low first) plus a display hex string ``simhash``.
 
-    Formulation: explode tokens once, hash each token ONCE, derive all
-    16 signed votes from that single digest, then groupBy-sum — one
+    Bit g (0..63) is the majority vote over distinct tokens of bit
+    ``g%4`` of md5 hex digit ``g//4`` — each token hashed ONCE, all 64
+    signed votes derived from the single digest, then groupBy-sum: one
     shuffle on the doc id with map-side partial aggregation. (A pure
-    per-row expression with 16 nested higher-order ``aggregate`` calls
-    analyzes/codegens pathologically — seconds per query — and recomputes
-    md5 16× per token; the exploded form is both the fast and the
-    100 TB-honest design.) Primitives match DuckDB bit-for-bit.
+    per-row expression with 64 nested higher-order ``aggregate`` calls
+    analyzes/codegens pathologically and recomputes md5 64× per token;
+    the exploded form is both the fast and the 100 TB-honest design.)
+    Words stay under 2^16 so no signed-64 overflow games are needed,
+    and the (block, value) pair IS the Hamming-search bucket key.
+    Primitives (md5, strpos, >>, %) match DuckDB bit-for-bit.
     """
     toks = shingle_postings(df, id_col, text_col, n=1)
     h = F.md5(F.col("shingle"))
-    votes = [
-        (
-            ((F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1) % 2) * 2 - 1
-        ).alias(f"v{i}")
-        for i in range(16)
-    ]
+    votes = []
+    for g in range(SIMHASH_BITS):
+        d = F.instr(F.lit(HEX_DIGITS), F.substring(h, g // 4 + 1, 1)) - 1
+        bit = F.shiftright(d, g % 4) % 2
+        votes.append((bit * 2 - 1).alias(f"v{g}"))
     summed = (
         toks.select(F.col(id_col), *votes)
         .groupBy(id_col)
-        .agg(*[F.sum(f"v{i}").alias(f"s{i}") for i in range(16)])
+        .agg(*[F.sum(f"v{g}").alias(f"s{g}") for g in range(SIMHASH_BITS)])
     )
-    out = F.lit(0)
-    for i in range(16):
-        out = out + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return summed.select(F.col(id_col), out.cast("bigint").alias("simhash"))
+    words = []
+    for j in range(SIMHASH_BLOCKS):
+        w = F.lit(0)
+        for i in range(SIMHASH_BLOCK_BITS):
+            g = j * SIMHASH_BLOCK_BITS + i
+            w = w + F.when(F.col(f"s{g}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        words.append(w.cast("int").alias(f"w{j}"))
+    out = summed.select(F.col(id_col), *words)
+    hex_str = F.lower(
+        F.concat(
+            *[
+                F.lpad(F.hex(F.col(f"w{j}")), 4, "0")
+                for j in range(SIMHASH_BLOCKS - 1, -1, -1)
+            ]
+        )
+    )
+    return out.withColumn("simhash", hex_str)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits, from a
+    fingerprint table with word columns ``w0..w3``.
+
+    Block-pigeonhole candidate generation: two 64-bit fingerprints
+    within Hamming distance d<=3 must agree exactly on >=1 of the 4
+    16-bit blocks, so candidates come from an equi-join on
+    (block_idx, block_value) — the same bucketed shape as MinHash-LSH,
+    shuffle weight 4 rows x 4 ints per doc (no arrays, no text).
+    Verification is popcount over XOR-ed words on candidates only.
+    """
+    if max_hamming >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"block pigeonhole with {SIMHASH_BLOCKS} blocks is complete "
+            f"only for max_hamming <= {SIMHASH_BLOCKS - 1}"
+        )
+    wcols = [f"w{j}" for j in range(SIMHASH_BLOCKS)]
+    blocks = fp.select(
+        F.col(id_col),
+        *wcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"), F.col(f"w{j}").alias("val")
+                    )
+                    for j in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), *wcols, F.col("bk.blk"), F.col("bk.val"))
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(w).alias(f"{w}_a") for w in wcols],
+        "blk",
+        "val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(w).alias(f"{w}_b") for w in wcols],
+        "blk",
+        "val",
+    )
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            *[F.first(f"{w}_a").alias(f"{w}_a") for w in wcols],
+            *[F.first(f"{w}_b").alias(f"{w}_b") for w in wcols],
+        )
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")).cast("bigint")
+        )
+        for w in wcols
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """End-to-end SimHash near-dup pairs: 64-bit fingerprints ->
+    block-bucket candidates -> popcount-verified Hamming <= d."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return simhash_pairs_from_fingerprints(fp, id_col, max_hamming)
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Documents grouped by identical 16-bit simhash (candidate near-dup
-    clusters). The scale path for Hamming distance <= d: explode each
-    fingerprint into its d one-bit-flip variants and bucket-join."""
+    """Documents grouped by identical 64-bit simhash — the distance-0
+    clusters (token-set-identical docs); ``simhash_hamming_pairs`` is
+    the distance<=d generalization."""
     return (
         simhash_fingerprints(df, id_col, text_col)
         .groupBy("simhash")

@@ -265,36 +265,93 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
-def _o_simhash() -> str:
+def _o_simhash_word(j: int) -> str:
+    """DuckDB twin of one 16-bit simhash word (bits 16j .. 16j+15)."""
     hexd = D.HEX_DIGITS
     bit_terms = []
-    for i in range(16):
+    for i in range(D.SIMHASH_BLOCK_BITS):
+        g = j * D.SIMHASH_BLOCK_BITS + i
         vote = (
             f"list_sum(list_transform(sh, s -> CASE WHEN "
-            f"(strpos('{hexd}', substr(md5(s), {i + 1}, 1)) - 1) % 2 = 1 "
-            f"THEN 1 ELSE -1 END))"
+            f"((strpos('{hexd}', substr(md5(s), {g // 4 + 1}, 1)) - 1) "
+            f">> {g % 4}) % 2 = 1 THEN 1 ELSE -1 END))"
         )
         bit_terms.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
-    simhash = " + ".join(bit_terms)
-    return f"""
-    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    return "CAST(" + " + ".join(bit_terms) + " AS INT)"
+
+
+def _o_simhash_fp_ctes() -> str:
+    words = ", ".join(
+        f"{_o_simhash_word(j)} AS w{j}" for j in range(D.SIMHASH_BLOCKS)
+    )
+    return f"""toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
     sh_arr AS (SELECT doc_id, {o_shingles(1)} AS sh FROM toks),
-    fp AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sh_arr)
+    fp AS (SELECT doc_id, {words} FROM sh_arr)"""
+
+
+def _o_simhash_groups() -> str:
+    hex_str = " || ".join(
+        f"lower(lpad(to_hex(w{j}), 4, '0'))"
+        for j in range(D.SIMHASH_BLOCKS - 1, -1, -1)
+    )
+    return f"""
+    WITH {_o_simhash_fp_ctes()},
+    hx AS (SELECT doc_id, {hex_str} AS simhash FROM fp)
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
-    FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+    FROM hx GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+def _o_simhash_hamming(max_hamming: int = 3) -> str:
+    nb = D.SIMHASH_BLOCKS
+    block_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS blk, w{j} AS val FROM fp" for j in range(nb)
+    )
+    ham = " + ".join(
+        f"bit_count(CAST(xor(fa.w{j}, fb.w{j}) AS BIGINT))" for j in range(nb)
+    )
+    return f"""
+    WITH {_o_simhash_fp_ctes()},
+    blocks AS ({block_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM blocks a JOIN blocks b
+               ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE {ham} <= {max_hamming}
     """
 
 
 @register(
     "dedup_simhash_groups",
-    _o_simhash(),
-    "SimHash(16-bit, md5 nibble parity majority vote) duplicate-cluster "
-    "groups; Hamming<=d variant = explode d one-bit-flip keys + bucket join",
+    _o_simhash_groups(),
+    "SimHash(64-bit, md5-bit majority vote) identical-fingerprint "
+    "groups — the distance-0 clusters of the Hamming search",
     "dedup extension (SimHash)",
 )
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_dup_groups(docs, "doc_id", "text")
+    return D.simhash_dup_groups(docs, "doc_id", "text").select(
+        "simhash", "n_docs", "min_id"
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    _o_simhash_hamming(3),
+    "SimHash near-dup pairs within Hamming distance 3: 64-bit "
+    "fingerprints as four 16-bit words, candidates from a "
+    "(block, value) bucket equi-join (pigeonhole: d<=3 pairs must "
+    "agree on >=1 of 4 blocks — Manku et al. WWW'07), popcount "
+    "verification on candidates only; shuffle weight 4 small ints "
+    "per doc — no arrays, no text",
+    "dedup extension (SimHash Hamming<=d search)",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -258,6 +258,53 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_simhash_hamming_pigeonhole(spark):
+    """Pin the block-pigeonhole machinery on hand-built fingerprints:
+    a 1-bit-different pair is caught, a far pair is not, and the
+    reported Hamming distance is exact."""
+    rows = [
+        (1, 0x1234, 0x5678, 0x9ABC, 0x0DEF),
+        (2, 0x1235, 0x5678, 0x9ABC, 0x0DEF),  # 1 bit from doc 1
+        (3, 0x1234 ^ 0x7, 0x5678, 0x9ABC, 0x0DEF),  # 3 bits from doc 1
+        (4, 0xFFFF, 0x0000, 0xFFFF, 0x0000),  # far from everything
+    ]
+    fp = spark.createDataFrame(
+        rows, "doc_id int, w0 int, w1 int, w2 int, w3 int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs_from_fingerprints(fp, "doc_id", 3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 2  # 0x1235 vs 0x1233: bits 1,2 differ
+    assert not any(4 in pair for pair in got)
+    # d >= number of blocks would break pigeonhole completeness
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash_pairs_from_fingerprints(fp, "doc_id", 4)
+
+
+def test_simhash_perturbed_doc_caught(spark):
+    """A doc with one token changed out of many stays within Hamming<=3
+    of the original (deterministic fixture, pinned empirically)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    perturbed = base.replace("tok30", "tok999")
+    reordered = " ".join(reversed(base.split()))  # same token SET
+    df = spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, reordered)], "doc_id int, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(df, "doc_id", "text", 3).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 0  # token-set-identical
+    assert (1, 2) in pairs  # 1-token perturbation caught
+    groups = D.simhash_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
 def test_fts_repeated_query_token(spark):
     # a repeated word must not make the AND count-equality unsatisfiable
     df = _docs_df(spark)
