@@ -20,9 +20,21 @@ Scale design:
   ``nbits`` dimensions; probe searches only its own bucket. Trades
   recall for a ~2^nbits scan reduction; the bucket column doubles as a
   write-time partition key for real deployments.
+- near-dup pairs: banded random-hyperplane LSH (Charikar's SRP, the
+  cosine analog of MinHash banding). ``HYPERPLANE_BITS`` Rademacher
+  (±1) hyperplanes -> sign bits -> ``HYPERPLANE_BANDS`` band values;
+  candidate pairs share >=1 exact band, verified with exact cosine.
+  Per-band bucket domain is 2^(bits/bands) ≫ the old 2^4 global
+  buckets, so within-bucket self-join cost stays near-linear; a
+  hot-bucket guard (same idea as ``dedup.prune_frequent``) bounds the
+  worst case. Hyperplane coefficients are data-independent
+  compile-time constants (seeded md5 -> ±1), embedded as literals in
+  both the Spark plan and the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -136,27 +148,123 @@ def ivf_topk(
     )
 
 
+HYPERPLANE_BITS = 64
+HYPERPLANE_BANDS = 8  # 8 bands x 8 bits: ~99% recall at cosine 0.95
+HYPERPLANE_SEED = "hplsh"
+
+
+def rademacher_coefs(
+    nbits: int = HYPERPLANE_BITS,
+    dim: int = 64,
+    seed: str = HYPERPLANE_SEED,
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplane coefficients (seeded md5 parity).
+    Rademacher vectors are a valid sign-random-projection family for
+    cosine LSH, and ±1 multiplication is IEEE-exact, so signatures are
+    bit-identical across engines."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{h}|{i}".encode()).digest()[0] & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for h in range(nbits)
+    ]
+
+
+def hyperplane_band_cols(
+    vec_col: Column | str,
+    dim: int,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+) -> list[Column]:
+    """One integer band-value column per band: sign bits of the
+    Rademacher projections, packed ``bits_per_band`` at a time.
+
+    The projection is a sequential array-order double accumulation
+    (zip_with + aggregate), the same cross-engine-exact discipline as
+    :func:`cosine_expr` — so the sign, and hence every bucket id, is
+    engine-independent.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    coefs = rademacher_coefs(nbits, dim, seed)
+    rpb = nbits // bands
+    bits = []
+    for row in coefs:
+        prods = F.zip_with(
+            v,
+            F.array(*[F.lit(c) for c in row]),
+            lambda x, c: x.cast("double") * c,
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = []
+    for b in range(bands):
+        val = F.lit(0)
+        for r in range(rpb):
+            val = val + bits[b * rpb + r] * F.lit(1 << r)
+        out.append(val.cast("int"))
+    return out
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    nbits: int = 4,
+    dim: int = 64,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join:
-    only vectors sharing a sign bucket are compared, then exact cosine
-    filters at ``threshold``."""
-    bucket = sign_bucket_expr(vec_col, nbits)
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), bucket.alias("bucket")
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    Candidates = pairs sharing >=1 exact band value (equi-join on
+    (band_idx, band_value) — never an all-pairs comparison), then exact
+    cosine filters at ``threshold``. Per-band bucket domain is
+    2^(nbits/bands) (256 at the defaults), so the within-bucket
+    self-join is near-linear; ``max_bucket`` drops degenerate buckets
+    (e.g. a zero-vector pile-up) before they go quadratic — the
+    embedding twin of ``dedup.prune_frequent``.
+    """
+    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+    buckets = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("blk"), bv.alias("val"))
+                    for b, bv in enumerate(band_vals)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), "__vec", F.col("bk.blk"), F.col("bk.val"))
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket)
+            .select("blk", "val")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["blk", "val"], "left_anti")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("__vec").alias("vec_a"), "blk", "val"
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), bucket.alias("bucket")
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("__vec").alias("vec_b"), "blk", "val"
+    )
+    pairs = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cosine"),

@@ -580,22 +580,67 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+NEAR_DUP_MAX_BUCKET = 100
+
+
+def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
+    """DuckDB twin of the banded hyperplane LSH near-dup pipeline —
+    same ±1 coefficient literals, same sequential array-order
+    projection, same band packing and hot-bucket guard."""
+    coefs = S.rademacher_coefs(S.HYPERPLANE_BITS, EMB_DIM)
+    rpb = S.HYPERPLANE_BITS // S.HYPERPLANE_BANDS
+
+    def proj(h: int) -> str:
+        arr = "[" + ", ".join(str(c) for c in coefs[h]) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    band_exprs = []
+    for b in range(S.HYPERPLANE_BANDS):
+        terms = " + ".join(
+            f"CASE WHEN {proj(b * rpb + r)} >= 0 THEN {1 << r} ELSE 0 END"
+            for r in range(rpb)
+        )
+        band_exprs.append(f"CAST({terms} AS INT) AS b{b}")
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS blk, b{b} AS val FROM v"
+        for b in range(S.HYPERPLANE_BANDS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {", ".join(band_exprs)} FROM embeddings),
+    buckets AS ({band_rows}),
+    cnt AS (SELECT blk, val, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+    bk AS (SELECT b.* FROM buckets b JOIN cnt USING (blk, val)
+           WHERE cnt.c <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b
+               ON a.blk = b.blk AND a.val = b.val AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           {_o_cosine("ea.embedding", "eb.embedding")} AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {_o_cosine("ea.embedding", "eb.embedding")} >= {threshold}
+    """
+
+
 @register(
     "sim_embedding_near_dup",
-    f"""
-    WITH v AS (SELECT vec_id, embedding, {_o_sign_bucket("embedding")} AS bucket
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_o_cosine("a.embedding", "b.embedding")} AS cosine
-    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_o_cosine("a.embedding", "b.embedding")} >= 0.4
-    """,
-    "embedding-cosine near-dup pairs via sign-bucketed self-join "
-    "(only same-bucket vectors compared, then exact cosine filter)",
+    _o_hyperplane_near_dup(0.4, NEAR_DUP_MAX_BUCKET),
+    "embedding-cosine near-dup pairs via banded random-hyperplane LSH "
+    "(64 Rademacher sign bits, 8 bands x 8 bits): candidates share >=1 "
+    "exact band value (256-way per-band bucket domain, hot-bucket "
+    "guard), exact-cosine verification on candidates only",
     "dedup extension (embedding-cosine near-dup)",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=4).select(
-        "id_a", "id_b", "cosine"
-    )
+    return S.embedding_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        dim=EMB_DIM,
+        max_bucket=NEAR_DUP_MAX_BUCKET,
+    ).select("id_a", "id_b", "cosine")

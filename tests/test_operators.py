@@ -258,6 +258,66 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_hyperplane_lsh_near_dup(spark):
+    """Banded hyperplane LSH: near-dup recall preserved while per-band
+    buckets stay small, and the hot-bucket guard drops a degenerate
+    pile-up instead of going quadratic."""
+    import itertools
+
+    import numpy as np
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    dim, vecs = 8, []
+    for c in range(6):  # 6 clusters x 4 near-identical members
+        base = rng.normal(size=dim)
+        for _ in range(4):
+            vecs.append(base + rng.normal(scale=0.01, size=dim))
+    for _ in range(40):  # background noise vectors
+        vecs.append(rng.normal(size=dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.95, dim=dim, nbits=16, bands=4
+        ).collect()
+    }
+    # ground truth from exact cosine over all pairs
+    V = np.array([np.array(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(range(len(rows)), 2)
+        if round(float(Vn[a] @ Vn[b]), 9) >= 0.95
+    }
+    assert truth, "fixture must contain near-dup pairs"
+    assert got == truth  # 100% recall on clustered dups (pinned, seeded)
+
+    # per-band bucket population stays far below n (old scheme: 2^4
+    # global buckets over all rows; banded domain is 2^(nbits/bands))
+    band_cols = S.hyperplane_band_cols("embedding", dim, nbits=16, bands=4)
+    buckets = df.select(
+        *[bc.alias(f"b{i}") for i, bc in enumerate(band_cols)]
+    ).toPandas()
+    max_pop = max(buckets[f"b{i}"].value_counts().max() for i in range(4))
+    assert max_pop <= len(rows) // 3
+
+    # hot-bucket guard: 20 identical vectors pile into one bucket per
+    # band; with the guard they are dropped, without it they pair up
+    pile = [(100 + i, [1.0] * dim) for i in range(20)]
+    df2 = spark.createDataFrame(pile, "vec_id int, embedding array<float>")
+    no_guard = S.embedding_near_dup_pairs(
+        df2, threshold=0.95, dim=dim, nbits=16, bands=4
+    ).count()
+    guarded = S.embedding_near_dup_pairs(
+        df2, threshold=0.95, dim=dim, nbits=16, bands=4, max_bucket=5
+    ).count()
+    assert no_guard == 190 and guarded == 0
+
+
 def test_simhash_hamming_pigeonhole(spark):
     """Pin the block-pigeonhole machinery on hand-built fingerprints:
     a 1-bit-different pair is caught, a far pair is not, and the
