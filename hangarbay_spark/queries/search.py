@@ -23,6 +23,27 @@ from hangarbay_spark.queries.base import load_events, load_table, register
 
 O_TOKENS_FTS = r"str_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')"
 
+# Build-once/query-many: the persisted index path per sf_dir (process-
+# lifetime cache — the warehouse analog of the reference's one-time FTS5
+# build at publish time, /root/reference/pipelines/publish.py:286-304).
+_FTS_INDEX_PATHS: dict[str, str] = {}
+
+
+def persisted_fts_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-bucketed on-disk postings index for ``sf_dir``,
+    building and saving it on first use. Queries against the returned
+    DataFrame scan ONLY the index parquet — the documents table is
+    touched once at build time, never at query time."""
+    path = _FTS_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hb_fts_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        fts.save_index(
+            fts.build_inverted_index(docs, "doc_id", "text"), path, buckets=16
+        )
+        _FTS_INDEX_PATHS[sf_dir] = path
+    return fts.load_index(spark, path)
+
 
 @register(
     "fts_match_all",
@@ -31,17 +52,14 @@ O_TOKENS_FTS = r"str_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')"
     WHERE len(list_distinct(list_filter({O_TOKENS_FTS},
           t -> t IN ('spark', 'data')))) = 2
     """,
-    "inverted-index AND search: postings lookup for each term + "
-    "count-equality intersection, semi-join back to the table — never "
-    "a corpus scan at query time once the index is persisted",
+    "inverted-index AND search against the PERSISTED index: postings "
+    "lookup for each term + count-equality intersection; the documents "
+    "table is scanned once at index-build time, never at query time",
     "Q5 (FTS substitute), Q2",
 )
 def fts_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    idx = fts.build_inverted_index(docs, "doc_id", "text")
-    return fts.search(docs, idx, "doc_id", "spark data", mode="all").select(
-        "doc_id"
-    )
+    idx = persisted_fts_index(spark, sf_dir)
+    return fts.match_all(idx, "spark data", "doc_id").select("doc_id")
 
 
 @register(
@@ -51,14 +69,13 @@ def fts_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_filter({O_TOKENS_FTS},
           t -> t IN ('vector', 'stream'))) >= 1
     """,
-    "inverted-index OR search (one pushdown-filtered postings scan)",
+    "inverted-index OR search against the persisted index (one "
+    "pushdown-filtered postings scan, no corpus scan)",
     "Q5 (FTS substitute), Q3",
 )
 def fts_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    idx = fts.build_inverted_index(docs, "doc_id", "text")
-    ids = fts.match_any(idx, ["vector stream"], "doc_id")
-    return docs.join(ids, "doc_id", "left_semi").select("doc_id")
+    idx = persisted_fts_index(spark, sf_dir)
+    return fts.match_any(idx, ["vector stream"], "doc_id").select("doc_id")
 
 
 @register(

@@ -258,6 +258,29 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_fts_persisted_index_no_corpus_scan(spark):
+    """The declared FTS queries must run against the persisted index:
+    no scan of the documents table anywhere in the query plan."""
+    from hangarbay_spark.operators.fts import build_inverted_index, match_all
+    from hangarbay_spark.queries.search import fts_match_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = fts_match_all(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # only the index parquet is scanned
+    assert "hb_fts_idx_" in plan
+    # the term filter reaches the index scan (partition-local lookup)
+    assert "PushedFilters: [In(token" in plan
+    # and the persisted-index result equals the inline-index result
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inline = match_all(
+        build_inverted_index(docs, "doc_id", "text"), "spark data", "doc_id"
+    )
+    assert {r["doc_id"] for r in df.collect()} == {
+        r["doc_id"] for r in inline.collect()
+    }
+
+
 def test_hyperplane_lsh_near_dup(spark):
     """Banded hyperplane LSH: near-dup recall preserved while per-band
     buckets stay small, and the hot-bucket guard drops a degenerate
