@@ -255,8 +255,9 @@ def minhash_lsh_dedup_pairs(
     # exactly once (measured: the candidate-then-lookup formulation
     # recomputed postings+groupBy four times — ReuseExchange does not
     # dedup across differently-projected consumers). The extra shuffle
-    # weight is bands x |sh| per doc — the standard LSH trade; a real
-    # deployment writes sigs to a table once instead.
+    # weight is bands x |sh| per doc — the standard LSH trade for a
+    # one-shot run; the build-once path that avoids it is
+    # write_minhash_signature_table + minhash_pairs_from_signature_table.
     band_hashes = F.array(
         *[
             F.concat_ws(
@@ -290,6 +291,66 @@ def minhash_lsh_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def write_minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = DEFAULT_MINHASH_K,
+    buckets: int = 32,
+) -> None:
+    """One-time signature build: (id, mh0..mh{k-1}, sh) persisted to
+    parquet, id-bucketed. This is the real-deployment shape the inline
+    ``minhash_lsh_dedup_pairs`` docstring promises: text is read ONCE at
+    build time; every subsequent LSH run reads small fixed-width
+    signature rows, and the banded bucket shuffle carries no shingle
+    arrays at all (see :func:`minhash_pairs_from_signature_table`).
+    """
+    post = shingle_postings(df, id_col, text_col)
+    sigs = post.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ],
+        F.collect_list("shingle").alias("sh"),
+    )
+    sigs.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def minhash_pairs_from_signature_table(
+    spark,
+    path: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup pairs from a persisted signature table: banded bucket
+    join over (id, band-hash) rows ONLY — the shingle sets needed for
+    exact-Jaccard verification are fetched per-candidate by joining back
+    to the id-keyed signature table, so the wide arrays never ride the
+    bucket shuffle (the 100 TB fix for the inline formulation's
+    bands x |sh| shuffle weight)."""
+    sigs = spark.read.parquet(path)
+    cand = lsh_candidate_pairs(sigs, id_col, k, bands)
+    sh_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

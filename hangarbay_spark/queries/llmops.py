@@ -249,6 +249,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
 
 
+_MINHASH_SIG_PATHS: dict[str, str] = {}
+
+
+@register(
+    "dedup_minhash_lsh_persisted",
+    _o_minhash_lsh(),
+    "MinHash-LSH near-dup pairs from a PERSISTED signature table "
+    "(build-once: text read at build time only; the banded bucket "
+    "shuffle carries fixed-width signature rows, no shingle arrays — "
+    "the 100 TB operational shape; results identical to the inline "
+    "dedup_minhash_lsh, same oracle)",
+    "dedup extension (MinHash+LSH, persisted signatures)",
+)
+def dedup_minhash_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    path = _MINHASH_SIG_PATHS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hb_minhash_sigs_")
+        docs = load_table(spark, sf_dir, "documents")
+        D.write_minhash_signature_table(docs, "doc_id", "text", path)
+        _MINHASH_SIG_PATHS[sf_dir] = path
+    return D.minhash_pairs_from_signature_table(
+        spark, path, "doc_id", threshold=0.8
+    )
+
+
 @register(
     "dedup_minhash_clusters",
     _o_minhash_clusters(),

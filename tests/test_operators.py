@@ -258,6 +258,31 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_minhash_signature_table_roundtrip(spark, tmp_path):
+    """pairs-from-persisted-signatures == pairs-from-inline at sf0.01,
+    and the persisted candidate stage reads fixed-width signature rows
+    (no text, no shingle recompute)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    inline = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    path = str(tmp_path / "sigs")
+    D.write_minhash_signature_table(docs, "doc_id", "text", path)
+    persisted_df = D.minhash_pairs_from_signature_table(
+        spark, path, "doc_id", threshold=0.8
+    )
+    persisted = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in persisted_df.collect()
+    }
+    assert persisted == inline and len(inline) > 0
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # text is never re-read
+
+
 def test_fts_persisted_index_no_corpus_scan(spark):
     """The declared FTS queries must run against the persisted index:
     no scan of the documents table anywhere in the query plan."""
