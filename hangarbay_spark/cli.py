@@ -13,11 +13,37 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import sys
 
+import pandas as pd
+
 from hangarbay_spark.api import Hangarbay
 from hangarbay_spark.config import get_data_dir, parquet_dir, raw_dir
+
+
+def _format_dates(df: pd.DataFrame) -> pd.DataFrame:
+    """Human date display for table output — ``"%b %d, %Y"``, N/A for
+    nulls (reference cli.py:427-432). json/csv keep machine formats."""
+
+    def fmt(v):
+        if pd.isna(v):
+            return "N/A"
+        return v.strftime("%b %d, %Y")
+
+    out = df.copy()
+    for c in out.columns:
+        col = out[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            out[c] = col.map(fmt)
+        elif col.dtype == object:
+            sample = col.dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], (datetime.date, datetime.datetime)
+            ):
+                out[c] = col.map(fmt)
+    return out
 
 
 def _emit(df, fmt: str, limit: int = 100) -> None:
@@ -31,7 +57,26 @@ def _emit(df, fmt: str, limit: int = 100) -> None:
     elif fmt == "csv":
         print(df.to_csv(index=False), end="")
     else:
-        print(df.to_string(index=False))
+        print(_format_dates(df).to_string(index=False))
+
+
+def _fleet_summary(res: pd.DataFrame) -> list[str]:
+    """Post-table fleet summary stats (reference cli.py:639-648):
+    unique owners, Valid-registration count, unique manufacturers."""
+    lines: list[str] = []
+    if "owner_name" in res.columns:
+        uo = res["owner_name"].nunique()
+        if uo > 1:
+            lines.append(f"Unique owners: {uo}")
+    if "reg_status" in res.columns:
+        sc = res["reg_status"].value_counts()
+        if "Valid" in sc:
+            lines.append(f"Valid registrations: {sc['Valid']}")
+    if "maker" in res.columns:
+        um = res[res["maker"].notna()]["maker"].nunique()
+        if um > 0:
+            lines.append(f"Manufacturers: {um}")
+    return lines
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -74,7 +119,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
     sp.add_argument("--export-csv", default=None, help="write results to a CSV file")
 
+    sub.add_parser("version", help="show version")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "version":
+        from hangarbay_spark import __version__
+
+        print(f"hangarbay-spark version {__version__}")
+        return 0
+
     data_dir = get_data_dir(args.data_dir)
 
     if args.cmd == "fetch":
@@ -119,6 +173,9 @@ def main(argv: list[str] | None = None) -> int:
             res.to_csv(args.export_csv, index=False)
             print(f"wrote {len(res)} rows -> {args.export_csv}", file=sys.stderr)
         _emit(res, args.output_format)
+        if args.output_format == "table":
+            for line in _fleet_summary(res):
+                print(line)
     return 0
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
+import urllib.error
 import urllib.request
 import zipfile
 from datetime import date
@@ -27,6 +29,8 @@ FAA_URL = (
 )
 REQUIRED_FILES = ("MASTER.txt", "ACFTREF.txt", "ENGINE.txt")
 TIMEOUT_SEC = 180
+DOWNLOAD_RETRIES = 3
+BACKOFF_SEC = 2.0
 
 
 def sha256_file(path: Path, chunk: int = 1 << 20) -> str:
@@ -40,21 +44,43 @@ def sha256_file(path: Path, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
-def download(url: str, dest: Path, timeout: int = TIMEOUT_SEC) -> Path:
+def download(
+    url: str,
+    dest: Path,
+    timeout: int = TIMEOUT_SEC,
+    retries: int = DOWNLOAD_RETRIES,
+    backoff: float = BACKOFF_SEC,
+    opener=urllib.request.urlopen,
+    sleep=time.sleep,
+) -> Path:
     """Streamed download with browser-ish headers (the FAA server
-    rejects default urllib agents; reference fetch.py:40-47)."""
+    rejects default urllib agents; reference fetch.py:40-47) and
+    ``retries`` attempts with linear backoff (reference fetch.py:34-73 —
+    the FAA server flakes; a partial file from a failed attempt is
+    overwritten by the next). ``opener``/``sleep`` are injectable so
+    tests can drive the retry loop offline."""
     req = urllib.request.Request(
         url, headers={"User-Agent": "Mozilla/5.0 (hangarbay-spark)"}
     )
-    with urllib.request.urlopen(req, timeout=timeout) as resp, open(
-        dest, "wb"
-    ) as out:
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-    return dest
+    last_err: Exception | None = None
+    for attempt in range(1, retries + 1):
+        try:
+            with opener(req, timeout=timeout) as resp, open(
+                dest, "wb"
+            ) as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            return dest
+        except (urllib.error.URLError, OSError, TimeoutError) as e:
+            last_err = e
+            if attempt < retries:
+                sleep(backoff * attempt)
+    raise RuntimeError(
+        f"download failed after {retries} attempts: {url}"
+    ) from last_err
 
 
 def extract(zip_path: Path, out_dir: Path) -> dict[str, str]:

@@ -1,0 +1,157 @@
+"""CLI surface tests: drive ``main()`` with argv over a fixture
+warehouse (no network, no subprocess — the session is shared with the
+test harness via getOrCreate). Covers S11 (CSV export), S12 (result
+formatting), F14 (human date format), fleet summary stats, version,
+and the fetch retry loop.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+
+import pytest
+
+from hangarbay_spark.cli import main
+from hangarbay_spark.pipelines.fetch import download
+from tests.test_pipeline import ACFTREF_CSV, ENGINE_CSV, MASTER_CSV
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory, spark):
+    """Fixture warehouse built through the CLI itself:
+    fetch (zip inject) -> normalize -> publish."""
+    dd = tmp_path_factory.mktemp("hb_cli_data")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("MASTER.txt", MASTER_CSV)
+        zf.writestr("ACFTREF.txt", ACFTREF_CSV)
+        zf.writestr("ENGINE.txt", ENGINE_CSV)
+    zip_path = dd / "fixture.zip"
+    zip_path.write_bytes(buf.getvalue())
+    base = ["--data-dir", str(dd)]
+    assert main(base + ["fetch", "--snapshot", "2026-01-01",
+                        "--zip-path", str(zip_path)]) == 0
+    assert main(base + ["normalize", "--snapshot", "2026-01-01"]) == 0
+    assert main(base + ["publish"]) == 0
+    return dd
+
+
+def _run(capsys, warehouse, *argv) -> str:
+    assert main(["--data-dir", str(warehouse), *argv]) == 0
+    return capsys.readouterr().out
+
+
+def test_version(capsys):
+    from hangarbay_spark import __version__
+
+    assert main(["version"]) == 0
+    assert f"hangarbay-spark version {__version__}" in capsys.readouterr().out
+
+
+def test_cli_tables_and_schema(capsys, warehouse):
+    out = _run(capsys, warehouse, "tables")
+    assert "aircraft" in out and "owners_clean" in out.replace("\n", " ")
+    out = _run(capsys, warehouse, "schema", "aircraft")
+    assert "n_number" in out and "column_type" in out
+
+
+def test_cli_search_table_dates(capsys, warehouse):
+    """Table output formats dates as '%b %d, %Y' (reference
+    cli.py:427-432); fixture cert_issue_date 20200110 -> Jan 10, 2020."""
+    out = _run(capsys, warehouse, "search", "N221LA")
+    assert "221LA" in out
+    assert "Jan 10, 2020" in out
+    assert "N/A" not in out.split("\n")[0]  # header untouched
+
+
+def test_cli_search_json_keeps_iso(capsys, warehouse):
+    out = _run(capsys, warehouse, "search", "221LA",
+               "--output-format", "json")
+    rows = json.loads(out)
+    assert len(rows) == 1
+    assert "Jan" not in out  # machine format, not display format
+
+
+def test_cli_fleet_summary_and_export(capsys, warehouse, tmp_path):
+    csv_path = tmp_path / "fleet.csv"
+    out = _run(capsys, warehouse, "fleet", "smith|acme",
+               "--export-csv", str(csv_path))
+    # reference cli.py:639-648 summary stats after the table
+    assert "Unique owners: 2" in out
+    assert "Valid registrations:" in out
+    assert "Manufacturers: 1" in out
+    assert csv_path.exists() and len(csv_path.read_text().splitlines()) == 3
+
+    # csv/json outputs stay clean of the summary
+    out = _run(capsys, warehouse, "fleet", "smith|acme",
+               "--output-format", "csv")
+    assert "Unique owners" not in out
+
+
+def test_cli_sql_ilike(capsys, warehouse):
+    out = _run(capsys, warehouse, "sql",
+               "SELECT n_number FROM owners_clean "
+               "WHERE owner_name LIKE '%acme%'",
+               "-i", "--output-format", "json")
+    rows = json.loads(out)
+    assert [r["n_number"] for r in rows] == ["100"]
+
+
+def test_cli_status(capsys, warehouse):
+    out = _run(capsys, warehouse, "status")
+    st = json.loads(out)
+    assert st["latest_snapshot"] == "2026-01-01"
+    assert "normalize" in st and "publish" in st
+
+
+# -- fetch retry loop --------------------------------------------------------
+
+
+class _FlakyOpener:
+    """Fails with URLError on the first n_fail calls, then streams."""
+
+    def __init__(self, n_fail: int, payload: bytes = b"zipbytes"):
+        self.n_fail, self.payload, self.calls = n_fail, payload, 0
+
+    def __call__(self, req, timeout=None):
+        self.calls += 1
+        if self.calls <= self.n_fail:
+            import urllib.error
+
+            raise urllib.error.URLError("flaky")
+        opener = self
+
+        class _Resp:
+            def __enter__(self):
+                self.left = opener.payload
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def read(self, n):
+                b, self.left = self.left, b""
+                return b
+
+        return _Resp()
+
+
+def test_download_succeeds_on_third_attempt(tmp_path):
+    opener = _FlakyOpener(n_fail=2)
+    sleeps: list[float] = []
+    dest = tmp_path / "x.zip"
+    download("http://example.invalid/x.zip", dest,
+             opener=opener, sleep=sleeps.append)
+    assert dest.read_bytes() == b"zipbytes"
+    assert opener.calls == 3
+    assert sleeps == [2.0, 4.0]  # linear backoff between attempts
+
+
+def test_download_raises_after_all_attempts(tmp_path):
+    opener = _FlakyOpener(n_fail=99)
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        download("http://example.invalid/x.zip", tmp_path / "y.zip",
+                 opener=opener, sleep=lambda s: None)
+    assert opener.calls == 3
