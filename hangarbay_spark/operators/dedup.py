@@ -362,6 +362,94 @@ def minhash_pairs_from_signature_table(
     )
 
 
+def minhash_pairs_incremental(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sig_path: str,
+    threshold: float = 0.8,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup pairs involving a NEW batch against an existing
+    persisted-signature corpus — the incremental-ingest shape: the
+    existing corpus is touched only through its signature table (no
+    re-shingling of old text, cost scales with |new| + matched buckets,
+    not |corpus|). Returns new-vs-old and new-vs-new pairs; old-vs-old
+    pairs were found when the corpus was built. Id spaces must be
+    disjoint across batches (they are, for snapshot ingest).
+    """
+    rows_per_band = k // bands
+    post = shingle_postings(new_df, id_col, text_col)
+    new_sigs = post.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ],
+        F.collect_list("shingle").alias("sh"),
+    ).localCheckpoint()
+    old_sigs = spark.read.parquet(sig_path)
+
+    def buckets(sigs: DataFrame, is_new: bool) -> DataFrame:
+        band_hashes = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col),
+            F.explode(band_hashes).alias("bucket"),
+            F.lit(is_new).alias("is_new"),
+        )
+    all_b = buckets(new_sigs, True).unionByName(buckets(old_sigs, False))
+    a = buckets(new_sigs, True).select(
+        F.col(id_col).alias("id_a"), "bucket"
+    )
+    b = all_b.select(
+        F.col(id_col).alias("id_b"), "bucket", "is_new"
+    )
+    cand = (
+        a.join(b, "bucket")
+        # new-new pairs once (ordered); new-old pairs regardless of order
+        .filter(
+            (~F.col("is_new")) | (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    all_sh = new_sigs.select(F.col(id_col), "sh").unionByName(
+        old_sigs.select(F.col(id_col), "sh")
+    )
+    sh_a = all_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = all_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -378,12 +466,17 @@ def connected_components(
     groupBy on the id key; ``localCheckpoint`` truncates the lineage so
     plans don't grow exponentially across iterations.
     """
+    # Materialize the edge list once: every iteration joins against it
+    # (plus the convergence probe), and ``pairs`` is usually an entire
+    # LSH pipeline — without this each of the O(diameter) rounds would
+    # re-execute candidate generation + verification from scratch.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -503,6 +596,11 @@ def simhash_pairs_from_fingerprints(
             f"only for max_hamming <= {SIMHASH_BLOCKS - 1}"
         )
     wcols = [f"w{j}" for j in range(SIMHASH_BLOCKS)]
+    # The fingerprint subtree (64 vote sums over token postings) has two
+    # consumers (join sides a and b); materialize it once — rows are 4
+    # small ints + the id, the scale analog of a persisted fingerprint
+    # table.
+    fp = fp.select(F.col(id_col), *wcols).localCheckpoint()
     blocks = fp.select(
         F.col(id_col),
         *wcols,
@@ -517,26 +615,26 @@ def simhash_pairs_from_fingerprints(
             )
         ).alias("bk"),
     ).select(F.col(id_col), *wcols, F.col("bk.blk"), F.col("bk.val"))
-    a = blocks.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(w).alias(f"{w}_a") for w in wcols],
-        "blk",
-        "val",
-    )
-    b = blocks.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(w).alias(f"{w}_b") for w in wcols],
-        "blk",
-        "val",
-    )
+    a = blocks.select(F.col(id_col).alias("id_a"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("id_b"), "blk", "val")
+    # Dedup candidates as bare id pairs (a pair can share up to 4
+    # blocks), then fetch both fingerprints by joining the materialized
+    # fp table back — with near-dup-heavy data the candidate multiset is
+    # orders of magnitude larger than the doc count, so keeping the
+    # distinct() narrow beats carrying 2x4 word columns through it.
     cand = (
         a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            *[F.first(f"{w}_a").alias(f"{w}_a") for w in wcols],
-            *[F.first(f"{w}_b").alias(f"{w}_b") for w in wcols],
-        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(w).alias(f"{w}_a") for w in wcols],
+    )
+    fb = fp.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(w).alias(f"{w}_b") for w in wcols],
     )
     hamming = sum(
         F.bit_count(
@@ -545,7 +643,9 @@ def simhash_pairs_from_fingerprints(
         for w in wcols
     )
     return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -148,6 +148,69 @@ def ivf_topk(
     )
 
 
+def hyperplane_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = 64,
+    bands: int = 8,
+    seed: str = "hplsh",
+) -> DataFrame:
+    """Multi-probe ANN: candidates = corpus vectors sharing >=1 of the
+    probe's hyperplane band values, scored with exact cosine, per-probe
+    top-k. Recall is far higher than single-bucket IVF (a neighbor is
+    missed only if it disagrees on ALL ``bands`` bands) at a cost of
+    ~bands matched buckets per probe — still a tiny fraction of a corpus
+    scan. Probe-side band rows are broadcast (probe sets are small)."""
+    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+
+    def buckets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("blk"), bv.alias("val")
+                        )
+                        for b, bv in enumerate(band_vals)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, F.col("bk.blk"), F.col("bk.val"))
+
+    cand = (
+        buckets(corpus, "neighbor_id")
+        .join(F.broadcast(buckets(probes, "probe_id")), ["blk", "val"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 HYPERPLANE_BITS = 64
 HYPERPLANE_BANDS = 8  # 8 bands x 8 bits: ~99% recall at cosine 0.95
 HYPERPLANE_SEED = "hplsh"
@@ -188,24 +251,27 @@ def hyperplane_band_cols(
     :func:`cosine_expr` — so the sign, and hence every bucket id, is
     engine-independent.
     """
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vec_sql = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
     coefs = rademacher_coefs(nbits, dim, seed)
     rpb = nbits // bands
-    bits = []
-    for row in coefs:
-        prods = F.zip_with(
-            v,
-            F.array(*[F.lit(c) for c in row]),
-            lambda x, c: x.cast("double") * c,
+
+    # Built as SQL text, one F.expr per band: constructing 64 x dim
+    # literal nodes through py4j costs seconds of driver time per query;
+    # a single parsed string is milliseconds for the identical tree.
+    def proj(h: int) -> str:
+        arr = ", ".join(f"{c}D" for c in coefs[h])
+        return (
+            f"aggregate(zip_with({vec_sql}, array({arr}), "
+            f"(x, c) -> cast(x as double) * c), "
+            f"cast(0.0 as double), (acc, p) -> acc + p)"
         )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
-        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+
     out = []
     for b in range(bands):
-        val = F.lit(0)
-        for r in range(rpb):
-            val = val + bits[b * rpb + r] * F.lit(1 << r)
-        out.append(val.cast("int"))
+        terms = " + ".join(
+            f"if({proj(b * rpb + r)} >= 0, {1 << r}, 0)" for r in range(rpb)
+        )
+        out.append(F.expr(f"cast({terms} as int)"))
     return out
 
 
@@ -231,18 +297,30 @@ def embedding_near_dup_pairs(
     embedding twin of ``dedup.prune_frequent``.
     """
     band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
-    buckets = corpus.select(
+    # Materialize the (id, band0..bandN) signature rows once: the
+    # 64-projection subtree has three consumers (hot-bucket counts, join
+    # side a, join side b) and ReuseExchange does not dedup across
+    # differently-projected consumers — without this the projections run
+    # 3x. localCheckpoint holds only nbits/8 bytes-ish per row; at real
+    # scale this is the persisted signature table (cf.
+    # dedup.write_minhash_signature_table).
+    sigs = corpus.select(
         F.col(id_col),
-        F.col(vec_col).alias("__vec"),
+        *[band_vals[b].alias(f"b{b}") for b in range(len(band_vals))],
+    ).localCheckpoint()
+    buckets = sigs.select(
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("blk"), bv.alias("val"))
-                    for b, bv in enumerate(band_vals)
+                    F.struct(
+                        F.lit(b).alias("blk"), F.col(f"b{b}").alias("val")
+                    )
+                    for b in range(len(band_vals))
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col), "__vec", F.col("bk.blk"), F.col("bk.val"))
+    ).select(F.col(id_col), F.col("bk.blk"), F.col("bk.val"))
     if max_bucket is not None:
         hot = (
             buckets.groupBy("blk", "val")
@@ -251,20 +329,26 @@ def embedding_near_dup_pairs(
             .select("blk", "val")
         )
         buckets = buckets.join(F.broadcast(hot), ["blk", "val"], "left_anti")
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("__vec").alias("vec_a"), "blk", "val"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("__vec").alias("vec_b"), "blk", "val"
-    )
-    pairs = (
+    a = buckets.select(F.col(id_col).alias("id_a"), "blk", "val")
+    b = buckets.select(F.col(id_col).alias("id_b"), "blk", "val")
+    cand = (
         a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # vectors fetched per-candidate by id join — the wide arrays never
+    # ride the bucket shuffle (same shape as the persisted-minhash path)
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
     return (
-        pairs.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cosine"),

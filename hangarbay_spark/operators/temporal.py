@@ -93,3 +93,51 @@ def as_of_join(
         *out_cols,
         *[F.col(f"__r.{c}").alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start: str,
+    end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row matched to every
+    ``intervals`` row with the same key and ``start <= ts <= end``.
+
+    A naive non-equi join degenerates to BroadcastNestedLoopJoin (or an
+    O(n*m) sort-merge) — the classic Spark range-join trap. The scale
+    formulation bins the time axis: every interval is exploded into the
+    ``bin_width``-sized bins it overlaps, a point lands in exactly one
+    bin, and the join becomes an equi-join on (key, bin) followed by the
+    exact BETWEEN verification — the same binned-range-join strategy
+    Databricks' range-join hint implements natively. Shuffle cost scales
+    with points + interval-spans/bin_width; pick ``bin_width`` near the
+    typical interval length so each interval explodes into O(1) bins.
+
+    Timestamps are compared as epoch values (``point_ts``/``start``/
+    ``end`` must be numeric — cast upstream); output = all point columns
+    plus the interval's columns (key column not duplicated).
+    """
+    p_bin = (F.col(point_ts) / bin_width).cast("bigint")
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(start) / bin_width).cast("bigint"),
+                (F.col(end) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    out = (
+        points.withColumn("__bin", p_bin)
+        .join(i, [on, "__bin"])
+        .filter(
+            (F.col(point_ts) >= F.col(start))
+            & (F.col(point_ts) <= F.col(end))
+        )
+        .drop("__bin")
+    )
+    return out

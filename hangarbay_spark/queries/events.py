@@ -196,6 +196,61 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_range_join_purchase_window",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT event_id AS sid, user_id, epoch_ms(ts) AS st_ms,
+                 epoch_ms(ts) + 7200000 AS en_ms
+          FROM events WHERE event_type = 'signup')
+    SELECT p.event_id AS purchase_id, p.user_id, s.sid AS signup_id,
+           p.ts_ms - s.st_ms AS lag_ms
+    FROM p JOIN s ON p.user_id = s.user_id
+                 AND p.ts_ms >= s.st_ms AND p.ts_ms <= s.en_ms
+    """,
+    "range/interval join: purchases inside [signup, signup+2h] windows "
+    "of the same user. Spark side uses the binned formulation "
+    "(operators/temporal.py:range_join — intervals exploded into 1h "
+    "bins, equi-join on (user, bin) + exact BETWEEN verify) instead of "
+    "the non-equi-join BroadcastNestedLoop trap; oracle is the plain "
+    "BETWEEN join",
+    "temporal-join extension (binned range join)",
+)
+def events_range_join_purchase_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.temporal import range_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"),
+        "user_id",
+        F.unix_millis("ts").alias("st_ms"),
+        (F.unix_millis("ts") + F.lit(7200000)).alias("en_ms"),
+    )
+    joined = range_join(
+        purchases,
+        signups,
+        on="user_id",
+        point_ts="ts_ms",
+        start="st_ms",
+        end="en_ms",
+        bin_width=3600000,
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("sid").alias("signup_id"),
+        (F.col("ts_ms") - F.col("st_ms")).alias("lag_ms"),
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_type,

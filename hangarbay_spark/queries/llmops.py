@@ -252,6 +252,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SIG_PATHS: dict[str, str] = {}
 
 
+def _o_minhash_incremental() -> str:
+    """Oracle: the full-corpus LSH pairs restricted to pairs involving a
+     'new batch' doc (doc_id % 10 == 0) — identical by construction to
+    the incremental new-vs-all candidate generation, since bucket
+    definitions are the same and old-old pairs are excluded both ways.
+    Pair order normalized to (min, max) to match the operator's
+    new-first output."""
+    ctes, select = _o_minhash_parts()
+    return f"""
+    WITH {ctes},
+    allp AS ({select})
+    SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, jaccard
+    FROM allp WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    _o_minhash_incremental(),
+    "incremental near-dup ingest: a new batch (doc_id % 10 == 0) "
+    "checked against the persisted signature corpus of the remaining "
+    "docs — old text is never re-shingled, cost scales with the batch "
+    "plus matched buckets, not the corpus; returns new-vs-old and "
+    "new-vs-new pairs",
+    "dedup extension (incremental MinHash ingest)",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    key = f"{sf_dir}|incremental_corpus"
+    path = _MINHASH_SIG_PATHS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hb_minhash_corpus_")
+        old = docs.filter(F.col("doc_id") % 10 != 0)
+        D.write_minhash_signature_table(old, "doc_id", "text", path)
+        _MINHASH_SIG_PATHS[key] = path
+    pairs = D.minhash_pairs_incremental(
+        spark, new, "doc_id", "text", path, threshold=0.8
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard",
+    )
+
+
 @register(
     "dedup_minhash_lsh_persisted",
     _o_minhash_lsh(),
@@ -611,10 +659,11 @@ EMB_DIM = 64
 NEAR_DUP_MAX_BUCKET = 100
 
 
-def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
-    """DuckDB twin of the banded hyperplane LSH near-dup pipeline —
-    same ±1 coefficient literals, same sequential array-order
-    projection, same band packing and hot-bucket guard."""
+def _o_hyperplane_buckets() -> str:
+    """Shared DuckDB CTE fragment: per-vector hyperplane band values ->
+    (vec_id, blk, val) bucket rows — same ±1 coefficient literals, same
+    sequential array-order projection, same band packing as
+    ``similarity.hyperplane_band_cols``."""
     coefs = S.rademacher_coefs(S.HYPERPLANE_BITS, EMB_DIM)
     rpb = S.HYPERPLANE_BITS // S.HYPERPLANE_BANDS
 
@@ -636,9 +685,15 @@ def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
         f"SELECT vec_id, {b} AS blk, b{b} AS val FROM v"
         for b in range(S.HYPERPLANE_BANDS)
     )
+    return f"""v AS (SELECT vec_id, {", ".join(band_exprs)} FROM embeddings),
+    buckets AS ({band_rows})"""
+
+
+def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
+    """DuckDB twin of the banded hyperplane LSH near-dup pipeline,
+    including the hot-bucket guard."""
     return f"""
-    WITH v AS (SELECT vec_id, {", ".join(band_exprs)} FROM embeddings),
-    buckets AS ({band_rows}),
+    WITH {_o_hyperplane_buckets()},
     cnt AS (SELECT blk, val, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
     bk AS (SELECT b.* FROM buckets b JOIN cnt USING (blk, val)
            WHERE cnt.c <= {max_bucket}),
@@ -652,6 +707,41 @@ def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
     JOIN embeddings eb ON eb.vec_id = id_b
     WHERE {_o_cosine("ea.embedding", "eb.embedding")} >= {threshold}
     """
+
+
+@register(
+    "sim_hplsh_topk",
+    f"""
+    WITH {_o_hyperplane_buckets()},
+    pb AS (SELECT * FROM buckets WHERE vec_id IN {PROBE_IDS}),
+    cand AS (SELECT DISTINCT pb.vec_id AS probe_id, c.vec_id AS neighbor_id
+             FROM buckets c JOIN pb ON c.blk = pb.blk AND c.val = pb.val
+             WHERE c.vec_id <> pb.vec_id),
+    scored AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             {_o_cosine("ep.embedding", "en.embedding")} AS cosine
+      FROM cand
+      JOIN embeddings ep ON ep.vec_id = cand.probe_id
+      JOIN embeddings en ON en.vec_id = cand.neighbor_id)
+    SELECT probe_id, neighbor_id, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    "multi-probe banded-hyperplane ANN top-k: candidates share >=1 of "
+    "8 band values with the probe (a neighbor is missed only if it "
+    "disagrees on ALL bands — far higher recall than single-bucket "
+    "IVF at a ~bands-buckets scan cost), exact-cosine rescoring + "
+    "per-probe window top-k",
+    "similarity-search extension (banded hyperplane multi-probe ANN)",
+)
+def sim_hplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.hyperplane_topk(emb, probes, k=5, dim=EMB_DIM).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
 
 
 @register(

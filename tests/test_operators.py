@@ -283,6 +283,34 @@ def test_minhash_signature_table_roundtrip(spark, tmp_path):
     assert "documents" not in plan  # text is never re-read
 
 
+def test_minhash_incremental_vs_full(spark, tmp_path):
+    """Incremental pairs (new batch vs persisted corpus signatures)
+    == the full-run pairs restricted to pairs involving a new doc."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    path = str(tmp_path / "corpus_sigs")
+    D.write_minhash_signature_table(old, "doc_id", "text", path)
+    inc = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]),
+         round(r["jaccard"], 9))
+        for r in D.minhash_pairs_incremental(
+            spark, new, "doc_id", "text", path, threshold=0.8
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == full and len(full) > 0
+
+
 def test_fts_persisted_index_no_corpus_scan(spark):
     """The declared FTS queries must run against the persisted index:
     no scan of the documents table anywhere in the query plan."""
@@ -471,6 +499,32 @@ def test_as_of_join_ties(spark):
         left, right2, on="k", right_cols=["a", "b"]
     ).collect()[0]
     assert row2["asof_a"] is None and row2["asof_b"] == "b"
+
+
+def test_range_join_binned(spark):
+    """Binned range join: inclusive boundaries, intervals spanning many
+    bins, key isolation, and points matching multiple intervals."""
+    from hangarbay_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 999), (4, "v", 100)],
+        "pid int, k string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, "u", 100, 250),  # both boundaries inclusive
+            (11, "u", 0, 990),  # spans 100 bins at bin_width=10
+            (12, "w", 0, 1000),  # other key — never matches
+        ],
+        "iid int, k string, st long, en long",
+    )
+    out = range_join(
+        points, intervals, on="k", point_ts="ts", start="st", end="en",
+        bin_width=10,
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11)}
+    # pid 3 (ts=999 > 990) and pid 4 (key v) match nothing
 
 
 def test_connected_components_and_survivors(spark):
