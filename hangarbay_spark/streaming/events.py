@@ -129,6 +129,92 @@ def dedup_events(
     )
 
 
+def purchase_signup_window_join(
+    purchases: DataFrame,
+    signups: DataFrame,
+    window: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each
+    purchase matched to same-user signups with
+    ``signup.ts <= purchase.ts <= signup.ts + window`` — the streaming
+    twin of the batch binned range join
+    (``queries/events.py:events_range_join_purchase_window``).
+
+    Both sides carry watermarks, and the interval condition bounds how
+    long each side's rows are buffered: Spark derives the state-eviction
+    horizon from (watermark + window), so join state is bounded — the
+    one requirement for an unbounded stream-stream join at scale.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    s = signups.withWatermark("ts", watermark).alias("s")
+    return p.join(
+        s,
+        F.expr(
+            f"p.user_id = s.user_id AND p.ts >= s.ts "
+            f"AND p.ts <= s.ts + INTERVAL {window}"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_id"),
+        (F.unix_millis("p.ts") - F.unix_millis("s.ts")).alias("lag_ms"),
+    )
+
+
+USER_TOTALS_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double"
+)
+USER_TOTALS_STATE = "n bigint, total decimal(30,4)"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, decimal-exact value total), emitting the
+    updated totals for every user seen in each micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows can't express (per-key accumulators, custom eviction,
+    model-ish state). State is one tiny row per user; decimal
+    accumulation keeps totals exact so the drained stream agrees with
+    the batch aggregate bit-for-bit.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (
+            state.get if state.exists else (0, Decimal("0.0000"))
+        )
+        total = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                # quantized decimal addition — associative, batch-exact
+                # (HALF_UP matches Spark's double->decimal cast)
+                total += Decimal(str(v)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream: DataFrame,
     query_name: str,

@@ -88,6 +88,70 @@ def test_sessionize_stream(spark, events_stream):
     assert all(r["session_end_ms"] >= r["session_start_ms"] for r in rows)
 
 
+def test_stream_stream_window_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join == the batch binned
+    range join over the same data."""
+    from hangarbay_spark.queries import REGISTRY
+
+    stream = SE.read_events_stream(spark, events_dir, max_files_per_trigger=8)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    signups = stream.filter(F.col("event_type") == "signup")
+    got = SE.run_to_memory(
+        SE.purchase_signup_window_join(purchases, signups),
+        "t_ssjoin",
+        spark,
+        output_mode="append",
+    )
+    batch = REGISTRY["events_range_join_purchase_window"].fn(spark, SF_DIR)
+    g = {
+        (r["purchase_id"], r["user_id"], r["signup_id"], r["lag_ms"])
+        for r in got.collect()
+    }
+    b = {
+        (r["purchase_id"], r["user_id"], r["signup_id"], r["lag_ms"])
+        for r in batch.collect()
+    }
+    assert g == b and len(b) > 0
+
+
+def test_running_user_totals_stateful(spark, events_stream):
+    """applyInPandasWithState running totals: the LAST update emitted
+    per user equals the batch per-user aggregate exactly."""
+    from pyspark.sql.window import Window as W
+
+    got = SE.run_to_memory(
+        SE.running_user_totals(events_stream),
+        "t_totals",
+        spark,
+        output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    last = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = (
+        _events_batch(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    g = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in last.collect()
+    }
+    b = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert g == b
+
+
 def test_dedup_events_stream(spark, events_stream):
     got = SE.run_to_memory(
         SE.dedup_events(events_stream), "t_dedup", spark, output_mode="append"
