@@ -148,6 +148,104 @@ def ivf_topk(
     )
 
 
+def centroid_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every corpus vector to its max-cosine centroid (ties ->
+    smallest centroid id): broadcast the centroid table, one corpus
+    scan, per-vector argmax window. This is the assignment step of
+    Lloyd's k-means and the coarse-quantizer step of IVF training —
+    cost is one pass over the corpus per call, no corpus shuffle."""
+    c = centroids.select(
+        F.col(cid_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(c)
+    ).select(
+        F.col(id_col),
+        F.col(cid_col),
+        cosine_expr(F.col(vec_col), F.col("__cvec")).alias("cosine"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("cosine"), cid_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, cid_col, "cosine")
+    )
+
+
+def centroid_update(
+    assigned: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Element-wise mean of each cluster's vectors -> new centroid
+    table. posexplode + (cluster, dim) aggregation: the sum is decimal-
+    cast so partial-aggregation order cannot perturb the mean, then the
+    array is reassembled in dimension order. One shuffle on
+    (cluster, dim) — never collects vectors to the driver."""
+    j = assigned.select(F.col(id_col), cid_col).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    pos = j.select(
+        F.col(cid_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    )
+    means = pos.groupBy(cid_col, "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1))
+        )
+        .cast("float")
+        .alias("m")
+    )
+    return means.groupBy(cid_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ),
+            lambda s: s.getField("m"),
+        ).alias(vec_col)
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on cosine affinity, expressed as DataFrame ops:
+    deterministic init (the k smallest-id vectors), then
+    assign -> decimal-exact mean -> reassign. Centroids are tiny and
+    localCheckpoint-ed each round so plans do not grow across
+    iterations; corpus cost is one scan per iteration. Returns the
+    final (id, centroid_id, cosine) assignment."""
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy(id_col))
+            .alias("centroid_id"),
+            F.col(vec_col),
+        )
+        .localCheckpoint()
+    )
+    assigned = centroid_assign(corpus, centroids, id_col, vec_col)
+    for _ in range(iters - 1):
+        centroids = centroid_update(
+            assigned, corpus, id_col, vec_col
+        ).localCheckpoint()
+        assigned = centroid_assign(corpus, centroids, id_col, vec_col)
+    return assigned
+
+
 def hyperplane_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -562,6 +562,80 @@ def _set_sampling_oracle() -> None:
 _set_sampling_oracle()
 
 
+def _o_corpus_clean() -> str:
+    """Oracle for the composed cleaning pipeline: exact-dedup survivors
+    -> quality gate -> language ID -> deterministic split -> cohort
+    stats. Reuses the per-stage oracle fragments verbatim."""
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    en = _EN
+    quality = f"""
+      0.4 * least(CAST(len({O_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+      + 0.2 * least(((CAST(LENGTH(text) AS DOUBLE)
+                      - (CAST(len({O_TOKENS}) AS DOUBLE) - 1.0))
+                     / CAST(len({O_TOKENS}) AS DOUBLE)) / 8.0, 1.0)
+      + 0.2 * least((CAST(len(regexp_extract_all(lower(text), '\\b({en})\\b')) AS DOUBLE)
+                     / CAST(len({O_TOKENS}) AS DOUBLE)) * 3.0, 1.0)
+      + 0.2 * (1.0 - least((CAST(LENGTH(text)
+                             - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                            / CAST(LENGTH(text) AS DOUBLE)) * 10.0, 1.0))
+    """
+    return f"""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({O_NORM})),
+    gated AS (
+      SELECT d.doc_id, d.text,
+             {_o_lang_case()} AS lang_pred,
+             CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN survivors USING (doc_id)
+      WHERE ({quality}) >= 0.5),
+    split_assigned AS (
+      SELECT lang_pred,
+             CASE WHEN {o_hash_bucket("doc_id")} < 204 THEN 'train'
+                  WHEN {o_hash_bucket("doc_id")} < 229 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM gated)
+    SELECT lang_pred, split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM split_assigned GROUP BY 1, 2
+    """
+
+
+@register(
+    "pipeline_corpus_clean",
+    _o_corpus_clean(),
+    "composed LLM-corpus cleaning pipeline in ONE declarative plan: "
+    "exact-dedup survivors (hash-groupBy min-id) -> quality gate "
+    "(>=0.5) -> heuristic language ID -> deterministic content-hash "
+    "split -> per-(lang, split) doc/token counts. Catalyst fuses the "
+    "stages; the only shuffles are the dedup groupBy and the final "
+    "cohort agg",
+    "pipeline composition (dedup + quality + lang-ID + split)",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = D.exact_dedup(docs, "doc_id", "text")
+    gated = survivors.filter(X.quality_score_expr("text") >= 0.5).select(
+        "doc_id",
+        X.lang_id_expr("text").alias("lang_pred"),
+        X.token_count_expr("text").alias("n_tokens"),
+    )
+    return (
+        gated.select(
+            "lang_pred", split_expr("doc_id").alias("split"), "n_tokens"
+        )
+        .groupBy("lang_pred", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -741,6 +815,39 @@ def sim_hplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
     return S.hyperplane_topk(emb, probes, k=5, dim=EMB_DIM).select(
         "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
+    "sim_centroid_assign",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_o_cosine("e.embedding", "c.cvec")} AS cosine
+      FROM embeddings e CROSS JOIN c)
+    SELECT vec_id, centroid_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rk
+      FROM scored) t
+    WHERE rk = 1
+    """,
+    "centroid assignment (the k-means assignment / IVF coarse-"
+    "quantizer step): centroid table broadcast, one corpus scan, "
+    "per-vector argmax-cosine window; the iterative Lloyd loop "
+    "(similarity.kmeans: assign -> decimal-exact elementwise mean -> "
+    "reassign, checkpointed per round) is unit-tested on clustered "
+    "fixtures",
+    "similarity-search extension (k-means / coarse quantizer)",
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return S.centroid_assign(emb, centroids).select(
+        "vec_id", "centroid_id", "cosine"
     )
 
 

@@ -394,6 +394,41 @@ def test_hyperplane_lsh_near_dup(spark):
     assert no_guard == 190 and guarded == 0
 
 
+def test_kmeans_recovers_clusters(spark):
+    """Lloyd k-means (DataFrame-native) recovers a planted 3-cluster
+    structure; iterations strictly improve (or keep) mean cosine."""
+    import numpy as np
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    dim, rows = 8, []
+    bases = [rng.normal(size=dim) for _ in range(3)]
+    # first 3 ids land in distinct clusters (deterministic init picks
+    # them as seeds); 20 members per cluster
+    for m in range(20):
+        for c, base in enumerate(bases):
+            vid = m * 3 + c
+            v = base + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id int, embedding array<float>"
+    )
+    truth = {i: c for i, _, c in rows}
+    out = S.kmeans(df, k=3, iters=4).collect()
+    got = {r["vec_id"]: r["centroid_id"] for r in out}
+    # cluster labels are arbitrary — check partition equality
+    by_label: dict[int, set] = {}
+    for vid, lab in got.items():
+        by_label.setdefault(lab, set()).add(vid)
+    truth_parts = {
+        frozenset(i for i in truth if truth[i] == c) for c in range(3)
+    }
+    assert {frozenset(v) for v in by_label.values()} == truth_parts
+    # assignments are tight: every vector close to its centroid
+    assert all(r["cosine"] > 0.9 for r in out)
+
+
 def test_simhash_hamming_pigeonhole(spark):
     """Pin the block-pigeonhole machinery on hand-built fingerprints:
     a 1-bit-different pair is caught, a far pair is not, and the
