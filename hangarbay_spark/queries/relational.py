@@ -113,6 +113,87 @@ def agg_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube_priority_status",
+    f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+           COALESCE(o_orderstatus, 'ALL') AS st,
+           COUNT(*) AS n,
+           {o_dsum("o_totalprice", "total_price", 2)}
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    "CUBE grouping sets: all 4 subtotal combinations in one pass "
+    "(Spark expands grouping sets before the hash agg — one shuffle)",
+    "A1,A4 (+Spark-native grouping sets: CUBE)",
+)
+def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total_price", 2),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (full-sort semantics; "
+    "the approx/sketch variant for 100 TB is agg_approx_sketches). "
+    "Rounded to 6 dp: both engines interpolate the same sorted doubles "
+    "and only the last multiply can drift 1 ulp",
+    "A1 (+exact percentile aggregation)",
+)
+def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
+            "p90_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_levenshtein_fuzzy",
+    """
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000100') AS BIGINT) AS dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000100') <= 2
+    """,
+    "fuzzy string matching: names within edit distance 2 of a probe "
+    "(levenshtein is JVM-side codegen; at scale the filter sits behind "
+    "cheap blocking — length band / shared n-gram — so the DP cost "
+    "applies to candidates only)",
+    "F-battery (+edit-distance similarity)",
+)
+def scalar_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000100"))
+    return (
+        cust.filter(dist <= 2)
+        .select("c_custkey", "c_name", dist.cast("bigint").alias("dist"))
+    )
+
+
+@register(
     "agg_group_concat",
     """
     SELECT o_custkey,
