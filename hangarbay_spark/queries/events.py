@@ -196,6 +196,170 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_view_click_purchase",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ms
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ms IS NULL
+                       OR ts_ms - prev_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END
+                  AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, event_type, ts_ms,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM marked
+    ), s1 AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view
+      FROM sess GROUP BY 1, 2
+    ), s2 AS (
+      SELECT s.user_id, s.session_id, s1.t_view,
+             MIN(CASE WHEN s.event_type = 'click'
+                       AND s.ts_ms >= s1.t_view THEN s.ts_ms END) AS t_click
+      FROM sess s JOIN s1 USING (user_id, session_id)
+      GROUP BY 1, 2, 3
+    ), s3 AS (
+      SELECT s.user_id, s.session_id, s2.t_view, s2.t_click,
+             MIN(CASE WHEN s.event_type = 'purchase'
+                       AND s.ts_ms >= s2.t_click THEN s.ts_ms END) AS t_buy
+      FROM sess s JOIN s2 USING (user_id, session_id)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_view_then_click,
+           COUNT(t_buy) AS n_full_funnel
+    FROM s3
+    """,
+    "ordered funnel over sessionized events: per session, first view, "
+    "first click at-or-after that view, first purchase at-or-after "
+    "that click; conditional-min aggregations joined on the session "
+    "key (co-partitioned shuffles) — the product-analytics shape on "
+    "top of gaps-and-islands sessionization",
+    "streaming §2.7 extension (sessionized funnel)",
+)
+def events_funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("ts"),
+    )
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = (
+        ev.withColumn("prev_ms", F.lag("ts_ms").over(w_lag))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ms").isNull()
+                | (F.col("ts_ms") - F.col("prev_ms") > SESSION_GAP_MS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id", F.sum("is_new").over(w_cum).cast("bigint")
+        )
+        .select("user_id", "session_id", "event_type", "ts_ms")
+    )
+    key = ["user_id", "session_id"]
+    s1 = sess.groupBy(*key).agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_ms"))
+        ).alias("t_view")
+    )
+    s2 = (
+        sess.join(s1, key)
+        .groupBy(*key, "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_ms") >= F.col("t_view")),
+                    F.col("ts_ms"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        sess.join(s2, key)
+        .groupBy(*key, "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_ms") >= F.col("t_click")),
+                    F.col("ts_ms"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_then_click"),
+        F.count("t_buy").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_quality_flags",
+    """
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+           SUM(CASE WHEN event_type NOT IN
+                 ('view','click','purchase','signup','error')
+               THEN 1 ELSE 0 END) AS unknown_type,
+           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_value,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                      OR ts >= TIMESTAMP '2024-02-01'
+               THEN 1 ELSE 0 END) AS ts_out_of_range,
+           SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+             AS empty_props
+    FROM events
+    """,
+    "data-quality rule pass (pipelines/verify.py pattern on the "
+    "declared surface): every rule a conditional flag summed in ONE "
+    "column-pruned aggregation pass — no per-rule rescans",
+    "data-quality verification extension",
+)
+def events_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        flag(F.col("event_id").isNull()).alias("null_event_id"),
+        flag(
+            ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            )
+        ).alias("unknown_type"),
+        flag(F.col("value") < 0).alias("negative_value"),
+        flag(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
+        ).alias("ts_out_of_range"),
+        flag(
+            F.col("props").isNull() | (F.col("props") == "")
+        ).alias("empty_props"),
+    )
+
+
+@register(
     "events_range_join_purchase_window",
     """
     WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms

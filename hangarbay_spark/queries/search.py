@@ -106,6 +106,55 @@ def multimodal_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select("media_id", "n_bytes", "sha256")
 
 
+FRAME_EVERY_MS = 250
+
+
+@register(
+    "multimodal_frame_fanout",
+    f"""
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             octet_length(encode(text)) AS plen,
+             greatest(1, n_chars // {FRAME_EVERY_MS}) AS nf
+      FROM documents),
+    f AS (
+      SELECT media_id, plen, nf,
+             greatest(1, plen // nf) AS step,
+             unnest(generate_series(0, nf - 1)) AS frame_idx
+      FROM m)
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(greatest(0, least(plen, (frame_idx + 1) * step)
+                            - frame_idx * step) AS BIGINT) AS n_bytes
+    FROM f
+    """,
+    "multimodal FAN-OUT through the real mapInPandas generator "
+    "(variable rows per input — the contract a PyAV frame extractor "
+    "drops into): documents' bytes as fake video payloads, one row per "
+    "sampled frame; the oracle reproduces the slice arithmetic with "
+    "generate_series, so the Arrow-batched kernel's shape is "
+    "hash-checked, not just unit-tested",
+    "multimodal extension (mapInPandas fan-out)",
+)
+def multimodal_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    frames = M.sample_frames(media, every_ms=FRAME_EVERY_MS)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").cast("bigint").alias("n_bytes"),
+    )
+
+
 @register(
     "streaming_hourly_rollup",
     None,  # genuinely non-SQL-expressible (incremental watermark state)
