@@ -240,7 +240,10 @@ def minhash_lsh_dedup_pairs(
     """
     rows_per_band = k // bands
     post = shingle_postings(df, id_col, text_col)
-    # one pass: K minhash mins + the shingle set for verification
+    # one pass: K minhash mins + the shingle set for verification,
+    # materialized once — the banded bucket rows feed BOTH self-join
+    # sides, and ReuseExchange does not dedup differently-projected
+    # consumers, so without this the postings+groupBy runs twice
     sigs = post.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
@@ -249,7 +252,7 @@ def minhash_lsh_dedup_pairs(
             for i in range(k)
         ],
         F.collect_list("shingle").alias("sh"),
-    )
+    ).localCheckpoint()
     # Single-consumption plan: the shingle arrays ride along into the
     # banded bucket rows, so the expensive sigs subtree is computed
     # exactly once (measured: the candidate-then-lookup formulation
