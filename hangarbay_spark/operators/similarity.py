@@ -399,13 +399,21 @@ def embedding_near_dup_pairs(
     # 64-projection subtree has three consumers (hot-bucket counts, join
     # side a, join side b) and ReuseExchange does not dedup across
     # differently-projected consumers — without this the projections run
-    # 3x. localCheckpoint holds only nbits/8 bytes-ish per row; at real
-    # scale this is the persisted signature table (cf.
-    # dedup.write_minhash_signature_table).
+    # 3x. localCheckpoint holds only nbits/8 bytes-ish per row; the
+    # durable variant is write_hyperplane_signature_table.
     sigs = corpus.select(
         F.col(id_col),
         *[band_vals[b].alias(f"b{b}") for b in range(len(band_vals))],
     ).localCheckpoint()
+    cand = _banded_candidate_pairs(sigs, id_col, len(band_vals), max_bucket)
+    return _cosine_verify(cand, corpus, id_col, vec_col, threshold)
+
+
+def _banded_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int, max_bucket: int | None
+) -> DataFrame:
+    """(id_a, id_b) pairs sharing >=1 band value, from a signature table
+    with columns b0..b{bands-1}; optional hot-bucket guard."""
     buckets = sigs.select(
         F.col(id_col),
         F.explode(
@@ -414,7 +422,7 @@ def embedding_near_dup_pairs(
                     F.struct(
                         F.lit(b).alias("blk"), F.col(f"b{b}").alias("val")
                     )
-                    for b in range(len(band_vals))
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -429,14 +437,24 @@ def embedding_near_dup_pairs(
         buckets = buckets.join(F.broadcast(hot), ["blk", "val"], "left_anti")
     a = buckets.select(F.col(id_col).alias("id_a"), "blk", "val")
     b = buckets.select(F.col(id_col).alias("id_b"), "blk", "val")
-    cand = (
+    return (
         a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # vectors fetched per-candidate by id join — the wide arrays never
-    # ride the bucket shuffle (same shape as the persisted-minhash path)
+
+
+def _cosine_verify(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs; vectors fetched
+    per-candidate by id join — wide arrays never ride the bucket
+    shuffle (same shape as the persisted-minhash path)."""
     va = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -453,3 +471,47 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def write_hyperplane_signature_table(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    buckets: int = 32,
+) -> None:
+    """One-time hyperplane signature build: (id, b0..b{bands-1}) to
+    id-bucketed parquet. The projection (the expensive interpreted-HOF
+    step) runs once at build time; every subsequent near-dup or ANN run
+    reads tiny fixed-width rows — the embedding twin of
+    ``dedup.write_minhash_signature_table``."""
+    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+    sigs = corpus.select(
+        F.col(id_col),
+        *[band_vals[b].alias(f"b{b}") for b in range(bands)],
+    )
+    sigs.repartition(buckets, F.col(id_col)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def hyperplane_pairs_from_signature_table(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = HYPERPLANE_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from persisted hyperplane signatures: candidates
+    from the signature parquet only (no projection recompute), exact
+    cosine fetched per-candidate from ``corpus``."""
+    sigs = spark.read.parquet(path)
+    cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
+    return _cosine_verify(cand, corpus, id_col, vec_col, threshold)

@@ -194,6 +194,46 @@ def scalar_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_skew_two_phase",
+    f"""
+    SELECT l_suppkey,
+           COUNT(*) AS n,
+           {o_dsum("l_extendedprice", "revenue", 2)},
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    "salted two-phase aggregation (plans/skew.py:two_phase_agg) on the "
+    "declared surface: partial agg on (key, salt) shrinks hot keys "
+    "map-side, then re-aggregate by key — result identical to the "
+    "plain GROUP BY oracle because count/sum(decimal)/max all "
+    "re-aggregate exactly",
+    "A1 (+skew-mitigation two-phase aggregation)",
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.plans.skew import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(30,2)")
+    )
+    out = two_phase_agg(
+        li,
+        "l_suppkey",
+        {
+            "n": ("l_extendedprice", "count"),
+            "revenue": ("price_dec", "sum"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_suppkey",
+        "n",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+@register(
     "agg_group_concat",
     """
     SELECT o_custkey,

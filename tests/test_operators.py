@@ -429,6 +429,30 @@ def test_kmeans_recovers_clusters(spark):
     assert all(r["cosine"] > 0.9 for r in out)
 
 
+def test_hyperplane_signature_table_roundtrip(spark, tmp_path):
+    """pairs-from-persisted-hyperplane-signatures == inline pairs."""
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    inline = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.4, dim=64, max_bucket=100
+        ).collect()
+    }
+    path = str(tmp_path / "hp_sigs")
+    S.write_hyperplane_signature_table(emb, path, dim=64)
+    persisted_df = S.hyperplane_pairs_from_signature_table(
+        spark, path, emb, threshold=0.4, max_bucket=100
+    )
+    persisted = {
+        (r["id_a"], r["id_b"], r["cosine"]) for r in persisted_df.collect()
+    }
+    assert persisted == inline and len(inline) > 0
+    # candidate generation reads the signature parquet, not a projection
+    assert any("hp_sigs" in f for f in persisted_df.inputFiles())
+
+
 def test_simhash_hamming_pigeonhole(spark):
     """Pin the block-pigeonhole machinery on hand-built fingerprints:
     a 1-bit-different pair is caught, a far pair is not, and the
