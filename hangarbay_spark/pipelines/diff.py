@@ -46,6 +46,31 @@ def table_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     )
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """MERGE-style upsert expressed as plain DataFrames: rows in
+    ``updates`` replace target rows with the same key (insert if new);
+    ``deletes`` (a key column) drops rows. Composition law (tested):
+    ``merge_upsert(old, changed_rows_of(new), removed_keys_of(new))``
+    reconstructs ``new`` exactly — so a snapshot diff can be shipped and
+    applied instead of re-publishing the full table.
+
+    At scale: two left_anti joins + a union, all shuffling on the key
+    once; on a Delta/Iceberg table this same plan is ``MERGE INTO``.
+    """
+    changed_keys = updates.select(key).distinct()
+    survivors = target.join(changed_keys, key, "left_anti")
+    if deletes is not None:
+        survivors = survivors.join(
+            deletes.select(key).distinct(), key, "left_anti"
+        )
+    return survivors.unionByName(updates)
+
+
 def snapshot_diff(
     spark: SparkSession,
     old_parquet_dir: str,

@@ -71,6 +71,27 @@ def test_table_diff(spark):
     assert got == {("A", "removed"), ("C", "modified"), ("D", "added")}
 
 
+def test_merge_upsert_reconstructs_new(spark):
+    """CDC composition law: applying a table's diff to the old version
+    reconstructs the new version exactly."""
+    from hangarbay_spark.pipelines.diff import merge_upsert
+
+    old = spark.createDataFrame(
+        [("A", 1, "x"), ("B", 2, "y"), ("C", 3, "z")], "k string, a int, b string"
+    )
+    new = spark.createDataFrame(
+        [("B", 2, "y"), ("C", 30, "z"), ("D", 4, "w")], "k string, a int, b string"
+    )
+    d = table_diff(old, new, "k")
+    changed_keys = d.filter(F.col("change").isin("added", "modified")).select("k")
+    updates = new.join(changed_keys, "k", "left_semi")
+    deletes = d.filter(F.col("change") == "removed").select("k")
+    rebuilt = merge_upsert(old, updates, "k", deletes)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
 def test_snapshot_diff(spark, tmp_path):
     for ver, rows in (
         ("v1", [("100", "S1"), ("200", "S2")]),
