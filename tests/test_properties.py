@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the temporal join operators
+against brute-force Python reference implementations on randomized
+inputs. Spark round-trips are slow, so example counts are tuned low —
+the value is hitting tie/boundary/empty-side cases a fixture misses.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = ("u", "v")
+
+# small domains force collisions: equal timestamps, shared keys,
+# boundary hits
+ts_strat = st.integers(min_value=0, max_value=20)
+key_strat = st.sampled_from(KEYS)
+
+left_rows = st.lists(
+    st.tuples(key_strat, ts_strat), min_size=0, max_size=8
+)
+right_rows = st.lists(
+    st.tuples(key_strat, ts_strat), min_size=0, max_size=8
+)
+interval_rows = st.lists(
+    st.tuples(key_strat, ts_strat, st.integers(min_value=0, max_value=6)),
+    min_size=0,
+    max_size=6,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(left=left_rows, right=right_rows)
+@PROP_SETTINGS
+def test_as_of_join_matches_bruteforce(spark, left, right):
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "lid int, k string, ts long",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)] or [(None, None, None)],
+        "rid int, k string, ts long",
+    ).filter("rid is not null")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in as_of_join(
+            ldf, rdf, on="k", right_cols=["rid"], tie_break="rid"
+        ).collect()
+    }
+    # brute force: latest right at-or-before; ties -> max rid
+    expect = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, ri)
+            for ri, (rk, rt) in enumerate(right)
+            if rk == k and rt <= t
+        ]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@given(points=left_rows, intervals=interval_rows)
+@PROP_SETTINGS
+def test_range_join_matches_bruteforce(spark, points, intervals):
+    from hangarbay_spark.operators.temporal import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)] or [(None, None, None)],
+        "pid int, k string, ts long",
+    ).filter("pid is not null")
+    idf = spark.createDataFrame(
+        [(i, k, s, s + w) for i, (k, s, w) in enumerate(intervals)]
+        or [(None, None, None, None)],
+        "iid int, k string, st long, en long",
+    ).filter("iid is not null")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf, idf, on="k", point_ts="ts", start="st", end="en",
+            bin_width=5,
+        ).collect()
+    }
+    expect = {
+        (pi, ii)
+        for pi, (pk, pt) in enumerate(points)
+        for ii, (ik, s, w) in enumerate(intervals)
+        if pk == ik and s <= pt <= s + w
+    }
+    assert got == expect
