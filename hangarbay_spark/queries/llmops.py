@@ -562,6 +562,117 @@ def _set_sampling_oracle() -> None:
 _set_sampling_oracle()
 
 
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 10 tokens
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(generate_series(0, greatest(len(t) - 1, 0),
+                                    {CHUNK_STRIDE})) AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(least({CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens,
+           t[start + 1] AS first_token,
+           t[start + least({CHUNK_SIZE}, n - start)] AS last_token
+    FROM starts
+    """,
+    "context-window chunking: each document split into overlapping "
+    "{size}-token windows (stride {stride}) — the training-data prep "
+    "step before tokenization/packing. Pure fan-out: explode the "
+    "window starts per row, window metadata by index arithmetic, no "
+    "shuffle at all".format(size=CHUNK_SIZE, stride=CHUNK_STRIDE),
+    "text-analysis extension (context-window chunking)",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.tokens_expr("text").alias("t")
+    ).withColumn("n", F.size("t"))
+    starts = toks.withColumn(
+        "start",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ),
+    )
+    chunk_len = F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start"))
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        chunk_len.cast("bigint").alias("n_tokens"),
+        F.element_at("t", F.col("start") + 1).alias("first_token"),
+        F.element_at("t", F.col("start") + chunk_len).alias("last_token"),
+    )
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_off
+      FROM toks)
+    SELECT source,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM offs GROUP BY 1, 2
+    """,
+    "greedy sequence packing for training batches: docs are laid out "
+    "in id order within each source shard, each doc assigned to the "
+    f"{PACK_BUDGET}-token pack where it starts (cumulative-offset "
+    "window, partitioned by shard so packing parallelizes — the "
+    "offline analog of streaming pack-by-offset)",
+    "text-analysis extension (sequence packing)",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", X.token_count_expr("text").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    offs = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.select(
+            "source",
+            (F.col("start_off") / PACK_BUDGET)
+            .cast("bigint")
+            .alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def _o_corpus_clean() -> str:
     """Oracle for the composed cleaning pipeline: exact-dedup survivors
     -> quality gate -> language ID -> deterministic split -> cohort
