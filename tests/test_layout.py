@@ -46,6 +46,28 @@ def test_write_partitioned_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_embedding_bucket_partition_pruning(spark, tmp_path):
+    """The similarity docs claim the LSH band value doubles as a
+    write-time partition key — prove it: embeddings written partitioned
+    by band0 are partition-pruned when a probe filters its bucket."""
+    from hangarbay_spark.operators.similarity import hyperplane_band_cols
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    band0 = hyperplane_band_cols("embedding", dim=64)[0]
+    path = str(tmp_path / "emb_by_bucket")
+    emb.withColumn("b0", band0).write.partitionBy("b0").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    some_bucket = back.select("b0").first()["b0"]
+    q = back.filter(F.col("b0") == some_bucket)
+    # the bucket predicate becomes a partition filter (directory prune)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull(b0" in plan
+    assert f"(b0#" in plan and f"= {some_bucket})" in plan
+    assert 0 < q.count() < emb.count()
+
+
 def test_scan_stats_broadcast(spark):
     a = spark.range(0, 1000).select(F.col("id").alias("k"))
     b = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("d"))
