@@ -55,6 +55,40 @@ def build_inverted_index(
     )
 
 
+def build_positional_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(token, id, pos) postings — the positional index phrase search
+    needs. One posexplode; size is O(total tokens) with positions,
+    the same growth factor FTS5's detail=full index pays."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokenize_expr(text_col)).alias("pos", "token"),
+    )
+
+
+def match_phrase(
+    index: DataFrame, phrase: str, id_col: str
+) -> DataFrame:
+    """ids containing the exact token sequence of ``phrase``:
+    per-token postings self-joined on (id, consecutive positions) —
+    k-1 equi-joins on (id, pos), never a text rescan. Duplicate query
+    tokens are fine (each join step uses its own positional offset)."""
+    toks = tokenize_query(phrase)
+    if not toks:
+        return index.select(id_col).limit(0)
+    out = (
+        index.filter(F.col("token") == toks[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = index.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        out = out.join(nxt, [id_col, "p0"])
+    return out.select(id_col).distinct()
+
+
 def save_index(index: DataFrame, path: str, buckets: int = 64) -> None:
     """Persist the postings partitioned by token hash so a query term
     resolves to one file group (the write-time analog of an index)."""

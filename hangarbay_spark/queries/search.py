@@ -78,6 +78,42 @@ def fts_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.match_any(idx, ["vector stream"], "doc_id").select("doc_id")
 
 
+def persisted_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once (token, id, pos) positional index — the phrase-search
+    counterpart of :func:`persisted_fts_index`."""
+    key = f"{sf_dir}|positional"
+    path = _FTS_INDEX_PATHS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hb_fts_pos_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        fts.save_index(
+            fts.build_positional_index(docs, "doc_id", "text"),
+            path,
+            buckets=16,
+        )
+        _FTS_INDEX_PATHS[key] = path
+    return fts.load_index(spark, path)
+
+
+@register(
+    "fts_match_phrase",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE ' ' || array_to_string(
+            list_filter({O_TOKENS_FTS}, t -> t != ''), ' ') || ' '
+          LIKE '% table hash %'
+    """,
+    "positional-index phrase search: per-token postings self-joined on "
+    "(id, consecutive position) — FTS5 detail=full semantics without a "
+    "text rescan; oracle is the LIKE over the space-joined token "
+    "string, which is the same predicate",
+    "Q5 (FTS substitute: phrase search)",
+)
+def fts_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = persisted_positional_index(spark, sf_dir)
+    return fts.match_phrase(idx, "table hash", "doc_id").select("doc_id")
+
+
 @register(
     "multimodal_text_features",
     """

@@ -500,6 +500,19 @@ def test_simhash_perturbed_doc_caught(spark):
     assert len(groups) == 1 and groups[0]["n_docs"] == 2
 
 
+def test_fts_phrase_search(spark):
+    df = _docs_df(spark)
+    idx = fts.build_positional_index(df, "doc_id", "text")
+    ids = lambda ph: {  # noqa: E731
+        r["doc_id"] for r in fts.match_phrase(idx, ph, "doc_id").collect()
+    }
+    assert ids("quick brown") == {1, 2, 4}
+    assert ids("brown quick") == set()  # order matters
+    assert ids("the quick brown fox") == {1, 2}  # 4-token phrase
+    assert ids("lazy dogs") == {4}
+    assert ids("") == set()
+
+
 def test_fts_repeated_query_token(spark):
     # a repeated word must not make the AND count-equality unsatisfiable
     df = _docs_df(spark)
