@@ -258,6 +258,49 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Empirical recall of MinHash-LSH (K=8, 4 bands) against the exact
+    n-gram Jaccard pairs at threshold 0.8 — theoretical candidate
+    probability at j=0.8 is 1-(1-0.8^2)^4 ≈ 0.983; on the test corpora
+    recall is 100% (candidates are verified with exact Jaccard, so
+    precision is always 1.0 and found ⊆ exact)."""
+    for sf in ("0.001", "0.01"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+        assert lsh <= exact  # verification guarantees precision 1.0
+        assert len(lsh) >= 0.95 * len(exact) and exact
+
+
+def test_operators_on_empty_input(spark):
+    """Every pair/fingerprint operator degrades to empty output (not an
+    error) on an empty corpus."""
+    from hangarbay_spark.operators import similarity as S
+
+    docs = spark.createDataFrame([], "doc_id int, text string")
+    assert D.exact_dedup_groups(docs, "doc_id", "text").count() == 0
+    assert D.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
+    assert D.minhash_lsh_dedup_pairs(docs, "doc_id", "text").count() == 0
+    assert D.simhash_hamming_pairs(docs, "doc_id", "text").count() == 0
+    emb = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert (
+        S.embedding_near_dup_pairs(emb, dim=8, nbits=16, bands=4).count()
+        == 0
+    )
+    pairs = spark.createDataFrame([], "id_a int, id_b int")
+    assert D.connected_components(pairs).count() == 0
+
+
 def test_minhash_signature_table_roundtrip(spark, tmp_path):
     """pairs-from-persisted-signatures == pairs-from-inline at sf0.01,
     and the persisted candidate stage reads fixed-width signature rows
