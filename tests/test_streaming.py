@@ -152,6 +152,68 @@ def test_running_user_totals_stateful(spark, events_stream):
     assert g == b
 
 
+def test_dedup_stream_exactly_once_across_restarts(spark, tmp_path):
+    """Checkpointed restart semantics: a second availableNow run with
+    the same checkpoint processes only new files, and duplicate
+    event_ids arriving in them are suppressed by the persisted
+    dedup state — the file sink ends exactly-once."""
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def write_chunk(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        # flatten: move part file up so the source dir is one level
+        import glob
+        import shutil
+
+        part = glob.glob(f"{src}/{name}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{name}.parquet")
+        shutil.rmtree(src / name)
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda eid, mins: (  # noqa: E731
+        eid, t0 + timedelta(minutes=mins), eid % 3, float(eid)
+    )
+    write_chunk("a", [mk(1, 0), mk(2, 5), mk(3, 10), mk(4, 15), mk(5, 20)])
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{src}/a.parquet").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            SE.dedup_events(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(sink).count()
+    assert first == 5
+    # restart input: duplicates of 3..5 plus genuinely new 6, 7
+    write_chunk("b", [mk(3, 10), mk(4, 15), mk(5, 20), mk(6, 25), mk(7, 30)])
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 7  # dups suppressed across the restart
+    assert out.select("event_id").distinct().count() == 7
+
+
 def test_dedup_events_stream(spark, events_stream):
     got = SE.run_to_memory(
         SE.dedup_events(events_stream), "t_dedup", spark, output_mode="append"
