@@ -365,6 +365,50 @@ def minhash_pairs_from_signature_table(
     )
 
 
+def duplicated_span_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document count of distinct ``n``-gram spans that also appear
+    in other documents — the simplified form of substring-level dedup
+    (detecting copied passages rather than whole-document near-dups;
+    cf. the dedup-common-substrings approach of training-data curation;
+    a full span-REMOVAL pass would keep the positions this count
+    collapses).
+
+    n-gram postings -> gram document-frequency -> grams occurring in
+    >= ``min_df`` docs. All shuffles are postings-scaled (gram digest
+    keys); nothing is quadratic in documents. Returns
+    (id, n_dup_spans) for documents containing at least one such span.
+    """
+    from hangarbay_spark.operators.text import shingles_from_tokens, tokens_expr
+
+    post = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(id_col)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                shingles_from_tokens(F.col("__toks"), n)
+            ).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), "pos", F.md5("gram").alias("g"))
+    )
+    dfreq = post.groupBy("g").agg(
+        F.countDistinct(id_col).alias("gdf")
+    )
+    hot = dfreq.filter(F.col("gdf") >= min_df).select("g")
+    return (
+        post.join(hot, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+
+
 def minhash_pairs_incremental(
     spark,
     new_df: DataFrame,

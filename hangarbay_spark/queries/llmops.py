@@ -614,6 +614,32 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 10
+
+
+@register(
+    "dedup_duplicated_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    grams AS (SELECT doc_id, md5(unnest({o_shingles(SPAN_N)})) AS g
+              FROM toks),
+    dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS gdf FROM grams GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_dup_spans
+    FROM grams JOIN dfreq USING (g)
+    WHERE gdf >= 2
+    GROUP BY doc_id
+    """,
+    f"substring-level duplication signal: per-doc count of distinct "
+    f"{SPAN_N}-gram spans shared with other documents (copied-passage "
+    "detection, the precursor to span-removal dedup) — postings-scaled "
+    "gram-df join, nothing quadratic",
+    "dedup extension (duplicated-passage spans)",
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_span_counts(docs, "doc_id", "text", n=SPAN_N)
+
+
 PACK_BUDGET = 2048
 
 

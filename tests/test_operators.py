@@ -258,6 +258,25 @@ def test_as_of_join_semantics(spark):
     assert out2[2] == 21
 
 
+def test_duplicated_span_counts(spark):
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {passage} outro alpha"),
+            (2, f"other start {passage} different end"),
+            (3, "completely unrelated text with many words here ok"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in D.duplicated_span_counts(df, "doc_id", "text", n=10).collect()
+    }
+    # the shared 12-token passage yields 3 common 10-gram spans —
+    # surrounding context differs so boundary grams are unique
+    assert got == {1: 3, 2: 3}
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """Empirical recall of MinHash-LSH (K=8, 4 bands) against the exact
     n-gram Jaccard pairs at threshold 0.8 — theoretical candidate
