@@ -122,7 +122,9 @@ class Hangarbay:
         self._ensure_data()
         owners = self.spark.table("owners_clean")
         decoded = self.spark.table("aircraft_decoded")
-        terms = [t.strip() for t in owner.split("|") if t.strip()]
+        # empty terms are kept: LIKE '%%' matches every row, exactly the
+        # reference's behavior (api.py:232 builds '%'+term+'%' unfiltered)
+        terms = [t.strip() for t in owner.split("|")]
         conds = [
             F.lower(F.col("owner_name")).contains(t.lower()) for t in terms
         ]

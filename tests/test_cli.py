@@ -90,6 +90,14 @@ def test_cli_fleet_summary_and_export(capsys, warehouse, tmp_path):
     assert "Unique owners" not in out
 
 
+def test_cli_fleet_empty_term_matches_all(capsys, warehouse):
+    """Reference parity: an empty search term builds LIKE '%%', which
+    matches every owner (api.py:232) — must not crash."""
+    out = _run(capsys, warehouse, "fleet", "", "--output-format", "csv")
+    # all owner rows come back (fixture has 5 owner records)
+    assert len(out.strip().splitlines()) > 1
+
+
 def test_cli_sql_ilike(capsys, warehouse):
     out = _run(capsys, warehouse, "sql",
                "SELECT n_number FROM owners_clean "
