@@ -66,6 +66,47 @@ def test_as_of_join_matches_bruteforce(spark, left, right):
     assert got == expect
 
 
+WORDS = ("aa", "bb", "cc", "dd")
+doc_strat = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+query_strat = st.lists(st.sampled_from(WORDS), min_size=1, max_size=3)
+
+
+@given(docs=doc_strat, q=query_strat)
+@PROP_SETTINGS
+def test_fts_match_all_and_phrase_bruteforce(spark, docs, q):
+    from hangarbay_spark.operators import fts
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    idx = fts.build_inverted_index(df, "doc_id", "text")
+    got_all = {
+        r["doc_id"]
+        for r in fts.match_all(idx, " ".join(q), "doc_id").collect()
+    }
+    expect_all = {
+        i for i, toks in enumerate(docs) if set(q) <= set(toks)
+    }
+    assert got_all == expect_all
+
+    pidx = fts.build_positional_index(df, "doc_id", "text")
+    got_ph = {
+        r["doc_id"]
+        for r in fts.match_phrase(pidx, " ".join(q), "doc_id").collect()
+    }
+    expect_ph = {
+        i
+        for i, toks in enumerate(docs)
+        if any(toks[j : j + len(q)] == q for j in range(len(toks)))
+    }
+    assert got_ph == expect_ph
+
+
 @given(points=left_rows, intervals=interval_rows)
 @PROP_SETTINGS
 def test_range_join_matches_bruteforce(spark, points, intervals):
