@@ -473,6 +473,43 @@ def _cosine_verify(
     )
 
 
+def hyperplane_band_kernel(
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+):
+    """Arrow-batched numpy twin of :func:`hyperplane_band_cols` for
+    ``mapInPandas`` — one BLAS matmul per batch instead of interpreted
+    per-element lambdas (~100× faster per vector). Bit-for-bit equal to
+    the expression path except when a projection lands exactly at the
+    boundary of float64 summation order — measure-zero for real
+    embeddings and asserted equal on the test corpora."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(rademacher_coefs(nbits, dim, seed))  # nbits x dim
+    rpb = nbits // bands
+    weights = (1 << np.arange(rpb)).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (V @ C.T) >= 0  # n x nbits
+            out = {id_col: pdf[id_col]}
+            for b in range(bands):
+                out[f"b{b}"] = (
+                    bits[:, b * rpb : (b + 1) * rpb] @ weights
+                ).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
 def write_hyperplane_signature_table(
     corpus: DataFrame,
     path: str,
@@ -483,17 +520,35 @@ def write_hyperplane_signature_table(
     bands: int = HYPERPLANE_BANDS,
     seed: str = HYPERPLANE_SEED,
     buckets: int = 32,
+    fast: bool = False,
 ) -> None:
     """One-time hyperplane signature build: (id, b0..b{bands-1}) to
-    id-bucketed parquet. The projection (the expensive interpreted-HOF
-    step) runs once at build time; every subsequent near-dup or ANN run
-    reads tiny fixed-width rows — the embedding twin of
-    ``dedup.write_minhash_signature_table``."""
-    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
-    sigs = corpus.select(
-        F.col(id_col),
-        *[band_vals[b].alias(f"b{b}") for b in range(bands)],
-    )
+    id-bucketed parquet. The projection runs once at build time; every
+    subsequent near-dup or ANN run reads tiny fixed-width rows — the
+    embedding twin of ``dedup.write_minhash_signature_table``.
+
+    ``fast=True`` computes signatures with the Arrow/numpy kernel
+    (matmul; the production path for 10^9-vector builds). The default
+    expression path is the oracle-exact one: numpy's pairwise-summed
+    dot can, in principle, flip a sign on a projection that is exactly
+    0 under sequential summation."""
+    if fast:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [corpus.schema[id_col]]
+            + [T.StructField(f"b{b}", T.IntegerType()) for b in range(bands)]
+        )
+        sigs = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            hyperplane_band_kernel(id_col, vec_col, dim, nbits, bands, seed),
+            schema,
+        )
+    else:
+        band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+        sigs = corpus.select(
+            F.col(id_col),
+            *[band_vals[b].alias(f"b{b}") for b in range(bands)],
+        )
     sigs.repartition(buckets, F.col(id_col)).write.mode(
         "overwrite"
     ).parquet(path)
