@@ -86,6 +86,33 @@ def test_sessionize_stream(spark, events_stream):
     assert sum(r["n_events"] for r in rows) == ev.count()
     # no session shorter than one event; gaps respected (end >= start)
     assert all(r["session_end_ms"] >= r["session_start_ms"] for r in rows)
+    # EXACT equivalence with the batch gaps-and-islands formulation:
+    # same (user, start, n, value) sessions; session_window's end is
+    # last_event + gap, the batch twin's is last_event — normalize.
+    from hangarbay_spark.queries import REGISTRY
+
+    gap_ms = 30 * 60 * 1000
+    g = {
+        (
+            r["user_id"],
+            r["session_start_ms"],
+            r["session_end_ms"] - gap_ms,
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in rows
+    }
+    b = {
+        (
+            r["user_id"],
+            r["session_start_ms"],
+            r["session_end_ms"],
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in REGISTRY["events_sessionize"].fn(spark, SF_DIR).collect()
+    }
+    assert g == b
 
 
 def test_stream_stream_window_join_matches_batch(spark, events_dir):
