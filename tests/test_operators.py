@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from hangarbay_spark.operators import dedup as D
 from hangarbay_spark.operators import fts
 from hangarbay_spark.operators import multimodal as M
+from hangarbay_spark.operators import text as X
 
 DOCS = [
     (1, "The quick brown fox jumps over the lazy dog"),
@@ -696,3 +697,83 @@ def test_connected_components_and_survivors(spark):
     kept = {r["doc_id"] for r in D.near_dedup_survivors(df, pairs.selectExpr("id_a", "id_b"), "doc_id").collect()}
     # one survivor per cluster (min id) + untouched doc 5
     assert kept == {1, 5, 7}
+
+
+# ---------------------------------------------------------------------------
+# Corpus filters (operators/filters.py)
+# ---------------------------------------------------------------------------
+
+from hangarbay_spark.operators import filters as FL  # noqa: E402
+
+
+def test_line_dedup_and_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),  # 2 of 5 lines are repeats
+            (2, "only one line"),
+            (3, "x\nx\nx\nx"),  # 3 of 4 are repeats
+        ],
+        "doc_id int, text string",
+    )
+    lined = df.select(
+        "doc_id",
+        FL.lines_expr("text").alias("lines"),
+    ).select(
+        "doc_id",
+        FL.duplicate_line_fraction_expr(F.col("lines")).alias("frac"),
+        F.array_join(FL.dedup_lines_expr(F.col("lines")), "|").alias("clean"),
+    )
+    got = {r["doc_id"]: (r["frac"], r["clean"]) for r in lined.collect()}
+    assert got[1] == (0.4, "a|b|c")  # first occurrences, order kept
+    assert got[2] == (0.0, "only one line")
+    assert got[3] == (0.75, "x")
+
+
+def test_word_level_filter_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat ... sat # on 123 999 mat…")], "doc_id int, text string"
+    )
+    toks = df.select(
+        "doc_id", X.tokens_expr("text").alias("toks"), F.col("text")
+    )
+    row = toks.select(
+        FL.alpha_word_fraction_expr(F.col("toks")).alias("alpha"),
+        FL.mean_word_length_expr(F.col("toks")).alias("mwl"),
+        FL.symbol_word_ratio_expr(F.col("text"), F.col("toks")).alias("sym"),
+    ).collect()[0]
+    # 8 tokens: the cat ... sat # on 123 999 mat… -> 9 tokens actually:
+    # ['the','cat','...','sat','#','on','123','999','mat…']
+    assert row["alpha"] == 5 / 9  # the, cat, sat, on, mat…
+    assert abs(row["mwl"] - (3 + 3 + 3 + 3 + 1 + 2 + 3 + 3 + 4) / 9) < 1e-12
+    assert row["sym"] == 3 / 9  # '...', '#', '…'
+
+
+def test_ngrams_keep_duplicates(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id int, text string")
+    grams = df.select(
+        FL.ngrams_expr(X.tokens_expr("text"), 2).alias("g")
+    ).collect()[0]["g"]
+    assert grams == ["a b", "b a", "a b", "b a"]  # multiset, not distinct
+    short = df.select(
+        FL.ngrams_expr(F.array(F.lit("solo")), 2).alias("g")
+    ).collect()[0]["g"]
+    assert short == ["solo"]
+
+
+def test_pii_redaction_order_and_counts(spark):
+    s = (
+        "write alice.smith+tag@mail-host.org or 10.20.30.40 "
+        "call 555-123-4567 x 999.888.7777"
+    )
+    df = spark.createDataFrame([(1, s)], "doc_id int, text string")
+    row = df.select(
+        FL.redact_pii_expr("text").alias("red"),
+        FL.pii_count_expr("text", FL.PII_EMAIL).alias("ne"),
+        FL.pii_count_expr("text", FL.PII_IP).alias("ni"),
+        FL.pii_count_expr("text", FL.PII_PHONE).alias("np"),
+    ).collect()[0]
+    assert row["ne"] == 1 and row["ni"] == 1 and row["np"] == 2
+    assert row["red"] == "write <EMAIL> or <IP> call <PHONE> x <PHONE>"
+    # email local-part digits and IP dotted digits never half-match the
+    # phone pattern because of redaction order
+    assert "@" not in row["red"] and "555" not in row["red"]
