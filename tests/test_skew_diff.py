@@ -108,3 +108,70 @@ def test_snapshot_diff(spark, tmp_path):
     )
     got = {(r["key"], r["change"]) for r in out.collect()}
     assert got == {("100", "modified"), ("200", "removed"), ("300", "added")}
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (pipelines/incremental.py)
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal
+
+from hangarbay_spark.pipelines.incremental import (  # noqa: E402
+    build_agg,
+    delta_agg_update,
+    signed_delta,
+)
+
+_SPECS = {"s": ("v", 2)}
+
+
+def _agg_map(df):
+    return {r["g"]: (r["n"], Decimal(r["s"])) for r in df.collect()}
+
+
+def test_incremental_agg_composition_law(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "a", 2.50), (3, "b", 10.00), (4, "c", 7.00)],
+        "id int, g string, v double",
+    )
+    # id 2 modified, id 3 removed (group b vanishes), id 5 added (new
+    # group d), id 4 untouched
+    new = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "a", 9.75), (4, "c", 7.00), (5, "d", 3.00)],
+        "id int, g string, v double",
+    )
+    updated = delta_agg_update(
+        build_agg(old, ["g"], _SPECS),
+        signed_delta(old, new, "id"),
+        ["g"],
+        _SPECS,
+    )
+    assert _agg_map(updated) == _agg_map(build_agg(new, ["g"], _SPECS))
+    # group b hit count zero and was dropped
+    assert "b" not in _agg_map(updated)
+
+
+def test_incremental_agg_chained_updates(spark):
+    v1 = spark.createDataFrame([(1, "x", 1.10)], "id int, g string, v double")
+    v2 = spark.createDataFrame(
+        [(1, "x", 1.10), (2, "x", 2.20)], "id int, g string, v double"
+    )
+    v3 = spark.createDataFrame(
+        [(2, "x", 5.00), (3, "y", 0.50)], "id int, g string, v double"
+    )
+    agg = build_agg(v1, ["g"], _SPECS)
+    agg = delta_agg_update(agg, signed_delta(v1, v2, "id"), ["g"], _SPECS)
+    agg = delta_agg_update(agg, signed_delta(v2, v3, "id"), ["g"], _SPECS)
+    assert _agg_map(agg) == _agg_map(build_agg(v3, ["g"], _SPECS))
+
+
+def test_signed_delta_composite_key(spark):
+    old = spark.createDataFrame(
+        [(1, 1, "p"), (1, 2, "q")], "k1 int, k2 int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, 1, "p"), (1, 2, "q2"), (2, 1, "r")], "k1 int, k2 int, v string"
+    )
+    d = signed_delta(old, new, ["k1", "k2"])
+    got = {(r["k1"], r["k2"], r["v"], r["__sign"]) for r in d.collect()}
+    assert got == {(1, 2, "q", -1), (1, 2, "q2", 1), (2, 1, "r", 1)}
