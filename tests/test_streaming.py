@@ -247,3 +247,71 @@ def test_dedup_events_stream(spark, events_stream):
     )
     ev = _events_batch(spark)
     assert got.count() == ev.select("event_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Streaming materialized-view maintenance (streaming/maintenance.py)
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal
+
+from hangarbay_spark.pipelines.incremental import build_agg
+from hangarbay_spark.streaming import maintenance as SM
+
+_SPECS = {"total_value": ("value", 4)}
+_GROUPS = ["event_type"]
+
+
+def _agg_map(df):
+    return {
+        r["event_type"]: (r["n"], Decimal(r["total_value"]))
+        for r in df.collect()
+    }
+
+
+def test_maintained_agg_matches_batch(spark, tmp_path):
+    # several source files -> several micro-batches at 1 file/trigger
+    src = str(tmp_path / "ev")
+    _events_batch(spark).repartition(4).write.parquet(src)
+    agg_dir = str(tmp_path / "agg")
+    q = SM.maintain_agg_stream(
+        SE.read_events_stream(spark, src),
+        agg_dir,
+        _GROUPS,
+        _SPECS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = _agg_map(SM.read_maintained_agg(spark, agg_dir))
+    want = _agg_map(build_agg(_events_batch(spark), _GROUPS, _SPECS))
+    assert got == want  # decimal-exact across 4 incremental merges
+
+    # restart with the same checkpoint and no new data: no-op
+    q2 = SM.maintain_agg_stream(
+        SE.read_events_stream(spark, src),
+        agg_dir,
+        _GROUPS,
+        _SPECS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert _agg_map(SM.read_maintained_agg(spark, agg_dir)) == want
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    agg_dir = str(tmp_path / "agg")
+    import os as _os
+
+    _os.makedirs(agg_dir, exist_ok=True)
+    batch = spark.createDataFrame(
+        [("click", 1.5), ("view", 2.0)], "event_type string, value double"
+    )
+    assert SM.apply_delta_batch(spark, batch, 0, agg_dir, _GROUPS, _SPECS)
+    first = _agg_map(SM.read_maintained_agg(spark, agg_dir))
+    # crash-replay of the same batch_id must not double-count
+    assert not SM.apply_delta_batch(spark, batch, 0, agg_dir, _GROUPS, _SPECS)
+    assert _agg_map(SM.read_maintained_agg(spark, agg_dir)) == first
+    # the next batch does apply
+    assert SM.apply_delta_batch(spark, batch, 1, agg_dir, _GROUPS, _SPECS)
+    doubled = _agg_map(SM.read_maintained_agg(spark, agg_dir))
+    assert doubled["click"] == (2, Decimal("3.0000"))
