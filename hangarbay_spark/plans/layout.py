@@ -21,7 +21,8 @@ exactly the trade a B-tree makes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_sorted(
@@ -56,6 +57,52 @@ def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
     """Directory-partitioned parquet for partition pruning on ``keys``
     (low-cardinality columns only — snapshot_date, region, lang)."""
     df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def zorder_key_expr(cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) key over 2+ integer columns: each value is
+    clamped to ``bits`` bits, then the columns' bits are interleaved
+    (column 0 owns the lowest interleaved bit).
+
+    Sorting by this single key gives files LOCALITY IN EVERY DIMENSION
+    at once — the layout answer when queries filter on several columns
+    and :func:`write_sorted` can only serve the leading one. Pure
+    integer bit arithmetic (shiftright / % / *), JVM-side, zero shuffle;
+    the write itself range-partitions on the key.
+
+    Callers with non-integer dims quantize first (e.g. rank or
+    fixed-width binning — see agg_histogram_price for the binning
+    pattern). Built as ONE SQL expression string — bits*len(cols)
+    Column-object terms would cost hundreds of py4j round trips (see
+    CLAUDE.md invariants).
+    """
+    n = len(cols)
+    terms = [
+        f"shiftleft((shiftright(cast({c} as bigint), {b}) % 2), {b * n + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    partitions: int = 8,
+) -> None:
+    """Write parquet Z-ordered on ``cols``: range-partition + sort by
+    the interleaved key so every file's min/max box is tight in all
+    dimensions and a multi-column predicate prunes to few files."""
+    keyed = df.withColumn("__z", zorder_key_expr(cols, bits))
+    (
+        keyed.repartitionByRange(partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def scan_stats(spark: SparkSession, df: DataFrame) -> dict[str, bool]:

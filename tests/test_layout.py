@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hangarbay_spark.plans import layout
 from hangarbay_spark.plans.layout import (
     scan_stats,
     write_partitioned,
@@ -73,3 +74,59 @@ def test_scan_stats_broadcast(spark):
     b = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("d"))
     stats = scan_stats(spark, a.join(F.broadcast(b), "k"))
     assert stats["has_broadcast"]
+
+
+def _py_morton(vals, bits):
+    key = 0
+    n = len(vals)
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            key += ((v >> b) & 1) << (b * n + j)
+    return key
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(3, 5), (0, 0), (65535, 1), (1234, 4321)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", layout.zorder_key_expr(["x", "y"], bits=16)
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton((x, y), 16)
+
+
+def test_zorder_layout_prunes_in_both_dimensions(spark, tmp_path):
+    import itertools
+
+    # 64x64 grid of (x, y) points
+    pts = spark.createDataFrame(
+        list(itertools.product(range(64), range(64))), "x int, y int"
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "xsorted")
+    layout.write_zordered(pts, zpath, ["x", "y"], bits=6, partitions=16)
+    layout.write_sorted(pts, spath, "x", partitions=16)
+
+    def files_hit(path, lo, hi):
+        """Files whose (min,max) box intersects the query box — what
+        parquet row-group stats pruning would read."""
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        hit = 0
+        for f in Path(path).glob("*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            if min(xs) <= hi and max(xs) >= lo and min(ys) <= hi and max(ys) >= lo:
+                hit += 1
+        return hit
+
+    # small box query on BOTH dims: the z-ordered layout keeps it local;
+    # the x-sorted layout spreads every x-stripe across all y
+    z_hit = files_hit(zpath, 8, 15)
+    s_hit = files_hit(spath, 8, 15)
+    assert z_hit <= s_hit
+    assert z_hit <= 4  # 8x8 box in a 64x64 grid over 16 files
