@@ -22,6 +22,45 @@ from hangarbay_spark.queries.base import load_table, register
 
 O_TOKENS = r"str_split_regex(lower(trim(text)), '\s+')"
 
+
+def _o_toks(col: str) -> str:
+    return rf"str_split_regex(lower(trim({col})), '\s+')"
+
+
+_EN = "|".join(X.LANG_STOPWORDS["en"])
+
+
+def _o_quality(c: str) -> str:
+    """DuckDB twin of text.quality_score_expr over column ``c``."""
+    toks = _o_toks(c)
+    return f"""
+      0.4 * least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
+      + 0.2 * least(((CAST(LENGTH({c}) AS DOUBLE)
+                      - (CAST(len({toks}) AS DOUBLE) - 1.0))
+                     / CAST(len({toks}) AS DOUBLE)) / 8.0, 1.0)
+      + 0.2 * least((CAST(len(regexp_extract_all(lower({c}), '\\b({_EN})\\b')) AS DOUBLE)
+                     / CAST(len({toks}) AS DOUBLE)) * 3.0, 1.0)
+      + 0.2 * (1.0 - least((CAST(LENGTH({c})
+                             - LENGTH(regexp_replace({c}, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                            / CAST(LENGTH({c}) AS DOUBLE)) * 10.0, 1.0))
+    """
+
+
+def _o_lang_case(c: str) -> str:
+    """DuckDB twin of text.lang_id_expr over column ``c``."""
+    scores = {
+        lang: rf"len(regexp_extract_all(lower({c}), '\b({'|'.join(ws)})\b'))"
+        for lang, ws in X.LANG_STOPWORDS.items()
+    }
+    clauses = []
+    for lang in X.LANG_ORDER:
+        others = ", ".join(scores[o] for o in X.LANG_ORDER if o != lang)
+        clauses.append(
+            f"WHEN {scores[lang]} > 0 AND {scores[lang]} = "
+            f"greatest({scores[lang]}, {others}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
 # Gopher §A1.1 thresholds used for the keep flag.
 TOP_BIGRAM_MAX = 0.18
 DUP_BIGRAM_MAX = 0.30
@@ -233,4 +272,197 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FL.pii_count_expr(F.col("aug"), FL.PII_PHONE).alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
         (red.like("%<EMAIL>%") & ~red.like("%@%")).alias("email_gone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full composed cleaning pipeline: every filter stage in ONE plan
+# ---------------------------------------------------------------------------
+
+_O_PII_LINE = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' ph 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+QUALITY_MIN = 0.3
+
+
+def _o_corpus_clean_full() -> str:
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"array_to_string(clean, chr(10)), '{FL.PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{FL.PII_IP}', '<IP>', 'g'), '{FL.PII_PHONE}', '<PHONE>', 'g')"
+    )
+    n_pii = (
+        f"len(regexp_extract_all(array_to_string(clean, chr(10)), '{FL.PII_EMAIL}'))"
+        f" + len(regexp_extract_all(array_to_string(clean, chr(10)), '{FL.PII_IP}'))"
+        f" + len(regexp_extract_all(array_to_string(clean, chr(10)), '{FL.PII_PHONE}'))"
+    )
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    toks = _o_toks("ctext")
+    return f"""
+    WITH b AS (SELECT doc_id, substr(text, 1, 40) AS l1,
+                      substr(text, 41, 40) AS l2 FROM documents),
+    a AS (SELECT doc_id, ({_O_AUG_LINES}) || chr(10) || {_O_PII_LINE} AS aug
+          FROM b),
+    l AS (SELECT doc_id, str_split(aug, chr(10)) AS lines FROM a),
+    c AS (SELECT doc_id, lines,
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i)
+                   AS clean
+          FROM l),
+    s AS (SELECT doc_id,
+                 CAST(len(lines) - len(clean) AS BIGINT) AS n_dup_lines,
+                 CAST({n_pii} AS BIGINT) AS n_pii,
+                 {red} AS ctext
+          FROM c),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM s
+             GROUP BY md5(regexp_replace(lower(trim(ctext)), '\\s+', ' ', 'g'))),
+    sd AS (SELECT s.* FROM s JOIN surv USING (doc_id)),
+    t AS (SELECT doc_id, {toks} AS tk FROM sd),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 2 THEN
+                   list_transform(generate_series(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [array_to_string(tk, ' ')] END AS grams
+          FROM t),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    r AS (SELECT doc_id, SUM(cnt) AS total, MAX(cnt) AS top, COUNT(*) AS nd
+          FROM cg GROUP BY 1),
+    feats AS (
+      SELECT t.doc_id,
+             CAST(r.top AS DOUBLE) / CAST(r.total AS DOUBLE) AS topf,
+             CAST(r.total - r.nd AS DOUBLE) / CAST(r.total AS DOUBLE) AS dupf,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS alphaf,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) AS mwl
+      FROM t JOIN r USING (doc_id)),
+    gated AS (
+      SELECT sd.doc_id, sd.n_dup_lines, sd.n_pii, sd.ctext
+      FROM sd JOIN feats USING (doc_id)
+      WHERE feats.topf <= {TOP_BIGRAM_MAX} AND feats.dupf <= {DUP_BIGRAM_MAX}
+        AND feats.alphaf >= {ALPHA_WORD_MIN}
+        AND feats.mwl BETWEEN {MEAN_WORD_LEN_RANGE[0]} AND {MEAN_WORD_LEN_RANGE[1]}
+        AND ({_o_quality("sd.ctext")}) >= {QUALITY_MIN})
+    SELECT {_o_lang_case("ctext")} AS lang_pred,
+           CASE WHEN {o_hash_bucket("doc_id")} < 204 THEN 'train'
+                WHEN {o_hash_bucket("doc_id")} < 229 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({toks})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_dup_lines) AS BIGINT) AS dup_lines_removed,
+           CAST(SUM(n_pii) AS BIGINT) AS pii_redacted
+    FROM gated GROUP BY 1, 2
+    """
+
+
+@register(
+    "pipeline_corpus_clean_full",
+    _o_corpus_clean_full(),
+    "the FULL corpus-cleaning DAG in one declarative plan: line-level "
+    "dedup -> PII redaction -> exact near-dedup survivors -> Gopher "
+    "repetition gate + quality gate -> lang-ID -> deterministic split "
+    "-> per-(lang, split) cohort stats with dup-lines-removed and "
+    "pii-redacted audit sums. Input augmented deterministically (the "
+    "corpus is single-line and PII-free) so every stage does real, "
+    "oracle-checked work; the survivors subtree is localCheckpoint'd "
+    "(two differently-projected consumers)",
+    "pipeline composition (line dedup + PII + dedup + filters + split)",
+)
+def pipeline_corpus_clean_full(spark, sf_dir):
+    from hangarbay_spark.operators import dedup as D
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    l1 = F.substring("text", 1, 40)
+    l2 = F.substring("text", 41, 40)
+    base = F.concat_ws("\n", l1, l2, l1)
+    multiline = F.when(
+        F.col("doc_id") % 2 == 1, F.concat_ws("\n", base, l1)
+    ).otherwise(base)
+    pii_line = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" ph 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = F.concat_ws("\n", multiline, pii_line)
+
+    lined = docs.select("doc_id", FL.lines_expr(aug).alias("lines"))
+    clean = FL.dedup_lines_expr(F.col("lines"))
+    joined = F.array_join(clean, "\n")
+    n_pii = (
+        FL.pii_count_expr(joined, FL.PII_EMAIL)
+        + FL.pii_count_expr(joined, FL.PII_IP)
+        + FL.pii_count_expr(joined, FL.PII_PHONE)
+    )
+    staged = lined.select(
+        "doc_id",
+        (F.size("lines") - F.size(clean)).cast("bigint").alias("n_dup_lines"),
+        n_pii.cast("bigint").alias("n_pii"),
+        FL.redact_pii_expr(joined).alias("ctext"),
+    )
+    # survivors feed two differently-projected consumers (repetition
+    # aggregate + the gated join): materialize once
+    surv = D.exact_dedup(staged, "doc_id", "ctext").localCheckpoint()
+
+    toks = surv.select("doc_id", X.tokens_expr("ctext").alias("tk"))
+    rep = (
+        toks.select("doc_id", F.explode(FL.ngrams_expr(F.col("tk"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("total"),
+            F.max("count").alias("top"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    feats = toks.join(rep, "doc_id").select(
+        "doc_id",
+        (F.col("top").cast("double") / F.col("total").cast("double")).alias("topf"),
+        (
+            (F.col("total") - F.col("nd")).cast("double")
+            / F.col("total").cast("double")
+        ).alias("dupf"),
+        FL.alpha_word_fraction_expr(F.col("tk")).alias("alphaf"),
+        FL.mean_word_length_expr(F.col("tk")).alias("mwl"),
+    )
+    gated = (
+        surv.join(feats, "doc_id")
+        .filter(
+            (F.col("topf") <= TOP_BIGRAM_MAX)
+            & (F.col("dupf") <= DUP_BIGRAM_MAX)
+            & (F.col("alphaf") >= ALPHA_WORD_MIN)
+            & F.col("mwl").between(*MEAN_WORD_LEN_RANGE)
+            & (X.quality_score_expr("ctext") >= QUALITY_MIN)
+        )
+        .select("doc_id", "n_dup_lines", "n_pii", "ctext")
+    )
+    return (
+        gated.select(
+            X.lang_id_expr("ctext").alias("lang_pred"),
+            split_expr("doc_id").alias("split"),
+            X.token_count_expr("ctext").alias("n_tokens"),
+            "n_dup_lines",
+            "n_pii",
+        )
+        .groupBy("lang_pred", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_dup_lines").cast("bigint").alias("dup_lines_removed"),
+            F.sum("n_pii").cast("bigint").alias("pii_redacted"),
+        )
     )

@@ -135,3 +135,53 @@ def test_range_join_matches_bruteforce(spark, points, intervals):
         if pk == ik and s <= pt <= s + w
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: the composition law on random
+# version pairs (random adds / deletes / modifications per key)
+# ---------------------------------------------------------------------------
+
+version_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # id
+        st.sampled_from(("g1", "g2", "g3")),  # group
+        st.integers(min_value=-500, max_value=500),  # value in cents
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(old=version_strat, new=version_strat)
+@PROP_SETTINGS
+def test_incremental_agg_law_random_versions(spark, old, new):
+    from decimal import Decimal
+
+    from hangarbay_spark.pipelines.incremental import (
+        build_agg,
+        delta_agg_update,
+        signed_delta,
+    )
+
+    schema = "id int, g string, v double"
+    odf = spark.createDataFrame(
+        [(i, g, c / 100.0) for i, g, c in old] or [(None, None, None)], schema
+    ).filter("id is not null")
+    ndf = spark.createDataFrame(
+        [(i, g, c / 100.0) for i, g, c in new] or [(None, None, None)], schema
+    ).filter("id is not null")
+    specs = {"s": ("v", 2)}
+    updated = delta_agg_update(
+        build_agg(odf, ["g"], specs),
+        signed_delta(odf, ndf, "id"),
+        ["g"],
+        specs,
+    )
+    got = {r["g"]: (r["n"], Decimal(r["s"])) for r in updated.collect()}
+    fresh = {
+        r["g"]: (r["n"], Decimal(r["s"]))
+        for r in build_agg(ndf, ["g"], specs).collect()
+    }
+    assert got == fresh
