@@ -773,6 +773,32 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FFD_BUDGET = 512
+
+
+@register(
+    "text_pack_ffd",
+    None,  # bin packing is iterative — no SQL formulation exists
+    "first-fit-decreasing sequence packing via sharded applyInPandas "
+    "(operators/packing.py): per-pack doc count, tokens used, and "
+    "utilization. Rows-only by declared design; the operator is pinned "
+    "against a pure-Python FFD reference and packing invariants in "
+    "tests/test_operators.py",
+    "text-analysis extension (FFD bin packing, applyInPandas escape hatch)",
+)
+def text_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.packing import pack_sequences_ffd, pack_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", X.token_count_expr("text").alias("n_tokens")
+    )
+    packed = pack_sequences_ffd(
+        counts, "doc_id", "n_tokens", budget=FFD_BUDGET, n_shards=16
+    )
+    return pack_stats(packed, FFD_BUDGET).orderBy("pack_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -777,3 +777,70 @@ def test_pii_redaction_order_and_counts(spark):
     # email local-part digits and IP dotted digits never half-match the
     # phone pattern because of redaction order
     assert "@" not in row["red"] and "555" not in row["red"]
+
+
+# ---------------------------------------------------------------------------
+# FFD sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+
+from hangarbay_spark.operators import packing as PK
+
+
+def _py_shard(doc_id: int, n_shards: int) -> int:
+    # twin of sampling.hash_bucket_expr % n_shards
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % n_shards
+
+
+def test_ffd_matches_python_reference(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["id"]: (r["shard"], r["pack_id"])
+        for r in PK.pack_sequences_ffd(
+            df, "doc_id", "n_tokens", budget=100, n_shards=4
+        ).collect()
+    }
+    # recompute: shard assignment, then per-shard FFD
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, n in rows:
+        by_shard.setdefault(_py_shard(i, 4), []).append((i, n))
+    expect = {}
+    for shard, counts in by_shard.items():
+        assign = PK.ffd_pack(counts, 100)
+        for (i, _), a in zip(counts, assign):
+            expect[i] = (shard, shard * PK._SHARD_STRIDE + a)
+    assert got == expect
+
+
+def test_ffd_invariants_and_determinism(spark):
+    rows = [(i, 5 + (i * 13) % 200) for i in range(200)]
+    rows.append((999, 5000))  # oversized item -> its own pack
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 150
+    packed = PK.pack_sequences_ffd(df, "doc_id", "n_tokens", budget, n_shards=8)
+    out = packed.collect()
+    # every doc assigned exactly once
+    assert sorted(r["id"] for r in out) == sorted(i for i, _ in rows)
+    # no pack over budget except singleton oversized items
+    loads: dict[int, list[int]] = {}
+    for r in out:
+        loads.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for vals in loads.values():
+        assert sum(vals) <= budget or len(vals) == 1
+    # FFD quality: within 11/9*OPT + 1 per shard (8 shards)
+    total = sum(n for _, n in rows if n <= budget)
+    lower_bound = math.ceil(total / budget)
+    n_packs = len([v for v in loads.values() if sum(v) <= budget])
+    assert n_packs <= math.ceil(lower_bound * 11 / 9) + 8
+    # determinism under different input partitioning
+    again = {
+        r["id"]: r["pack_id"]
+        for r in PK.pack_sequences_ffd(
+            df.repartition(7), "doc_id", "n_tokens", budget, n_shards=8
+        ).collect()
+    }
+    assert again == {r["id"]: r["pack_id"] for r in out}
