@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -570,3 +572,65 @@ def hyperplane_pairs_from_signature_table(
     sigs = spark.read.parquet(path)
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
     return _cosine_verify(cand, corpus, id_col, vec_col, threshold)
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized twin of :func:`brute_force_topk` using a scalar Arrow
+    ``@pandas_udf`` — one numpy matmul against the normalized probe
+    matrix per batch instead of interpreted zip_with/aggregate lambdas.
+
+    The probe set is collected to the driver and shipped in the UDF
+    closure (the broadcast analog; probes are small by contract). The
+    kernel returns RAW cosines; rounding happens in Spark (`F.round`,
+    HALF_UP) so both paths share one rounding mode and agree except
+    when numpy's pairwise summation and sequential accumulation
+    straddle a 0.5e-9 rounding boundary — asserted equal on the test
+    corpora (tests/test_operators.py::test_pandas_udf_topk_matches_expr).
+
+    This is the completion of the engine's UDF taxonomy: native
+    column exprs (default), scalar Arrow pandas_udf (this), mapInPandas
+    (multimodal, signature builds), applyInPandas (FFD packing),
+    applyInPandasWithState (streaming totals).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    pr = probes.select(id_col, vec_col).collect()
+    probe_ids = [r[id_col] for r in pr]
+    P = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in pr])
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def cos_all(vecs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(list(Vn @ Pn.T))
+
+    probe_id_arr = F.array(*[F.lit(int(i)) for i in probe_ids])
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), cos_all(F.col(vec_col)).alias("cs")
+        )
+        .select(
+            "neighbor_id",
+            F.posexplode("cs").alias("pidx", "raw"),
+        )
+        .select(
+            F.element_at(probe_id_arr, F.col("pidx") + 1).alias("probe_id"),
+            "neighbor_id",
+            F.round(F.col("raw"), COSINE_SCALE).alias("cosine"),
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -844,3 +844,21 @@ def test_ffd_invariants_and_determinism(spark):
         ).collect()
     }
     assert again == {r["id"]: r["pack_id"] for r in out}
+
+
+def test_pandas_udf_topk_matches_expr(spark):
+    """The vectorized pandas_udf cosine path returns exactly the
+    expression path's rows on the driver corpus."""
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    a = {
+        (r["probe_id"], r["rk"]): (r["neighbor_id"], r["cosine"])
+        for r in S.brute_force_topk(emb, probes, k=5).collect()
+    }
+    b = {
+        (r["probe_id"], r["rk"]): (r["neighbor_id"], r["cosine"])
+        for r in S.brute_force_topk_pandas(emb, probes, k=5).collect()
+    }
+    assert a == b
