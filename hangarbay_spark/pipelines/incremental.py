@@ -46,6 +46,10 @@ def signed_delta(
 
     Two anti-joins on (key..., row-hash) — hashes computed map-side;
     both inputs are scanned once.
+
+    Contract: ``key`` is unique within each version (the standard CDC
+    assumption). Duplicate keys would make the anti-join drop whole
+    multiplicity classes instead of the count difference.
     """
     keys = [key] if isinstance(key, str) else list(key)
     cols = [c for c in new.columns if c not in keys]

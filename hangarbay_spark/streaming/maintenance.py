@@ -56,7 +56,11 @@ def apply_delta_batch(
     """Merge one micro-batch of appended rows into the maintained
     aggregate at ``agg_dir``. Returns False (no-op) for an
     already-applied ``batch_id`` — the idempotence that makes
-    foreachBatch exactly-once under replay."""
+    foreachBatch exactly-once under replay.
+
+    Single-writer contract: one maintenance stream per ``agg_dir``
+    (foreachBatch already serializes batches within a stream; two
+    streams would race the read-merge-overwrite)."""
     if batch_id <= _last_applied(agg_dir):
         return False
     path = os.path.join(agg_dir, AGG_SUBDIR)

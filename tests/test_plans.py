@@ -62,3 +62,33 @@ def test_no_nested_loop_joins(spark, name):
     # the one legitimate BNLJ shape is a broadcast cartesian against a
     # tiny probe/centroid set (sim_* queries) — none of these
     assert "BroadcastNestedLoopJoin" not in _plan(spark, name)
+
+
+def test_repetition_filter_single_gram_shuffle(spark):
+    """The bigram counting runs as explode -> partial agg -> exchange,
+    never an O(k^2) per-row scan; map-side combine present."""
+    plan = _plan(spark, "text_repetition_filter")
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_histogram_mapside_partial(spark):
+    plan = _plan(spark, "agg_histogram_price")
+    assert plan.count("HashAggregate") >= 2
+    # binning happens pre-aggregation in the same stage as the scan
+    assert "FLOOR" in plan.upper()
+
+
+def test_grouping_sets_expand(spark):
+    # Spark implements GROUPING SETS via Expand — one scan, not one per set
+    plan = _plan(spark, "agg_grouping_sets_explicit")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 2  # orders + customer, once each
+
+
+def test_incremental_maintenance_no_extra_scans(spark):
+    """The maintenance demo reads the base twice (old + new versions,
+    inherent to deriving both from one table) plus once per anti-join
+    side — but the MERGE itself must be hash joins, never nested-loop."""
+    plan = _plan(spark, "incremental_agg_maintenance")
+    assert "BroadcastNestedLoopJoin" not in plan
