@@ -914,3 +914,121 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
     )
+
+
+@register(
+    "join_returned_items_topk",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue per customer — 4-way join "
+    "with the returnflag/date filters pushed to the fact scans, nation "
+    "broadcast, tie-broken top-20",
+    "J7,A1,A5 (multi-join report)",
+)
+def join_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             n_name,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,4))) AS rev_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1, 2)
+    SELECT o_year, n_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE)
+             AS share
+    FROM rev
+    """,
+    "TPC-H Q8 shape: supplier-nation revenue share per year within a "
+    "region — star join, decimal-exact per-(year, nation) sums, and the "
+    "per-year total via an exact DECIMAL window sum (a double window "
+    "sum would be accumulation-order-dependent); doubles divide only at "
+    "the end",
+    "J7,A1 + 2.5 windows (market-share ratio)",
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dims = F.broadcast(
+        supp.join(
+            F.broadcast(
+                nation.join(region, nation.n_regionkey == region.r_regionkey)
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", "n_name")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, li.l_suppkey == dims.s_suppkey)
+    )
+    rev = joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        "n_name",
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(30,4)")
+        ).alias("rev_dec")
+    )
+    tot = F.sum("rev_dec").over(W.partitionBy("o_year"))
+    return rev.select(
+        "o_year",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / tot.cast("double")).alias("share"),
+    )
