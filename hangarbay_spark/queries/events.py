@@ -467,3 +467,46 @@ def events_user_activity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(20)
     )
+
+
+Z_THRESHOLD = 2.5
+
+
+@register(
+    "events_value_outliers",
+    f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)), 9) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs(round((e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)), 9))
+          > {Z_THRESHOLD}
+    """,
+    "per-type z-score anomaly detection: mean/variance from exact "
+    "decimal sums (value is 2 dp, value^2 is 4 dp — both exact), cast "
+    "to double only for the final scalar arithmetic so both engines "
+    "compute bit-identical z; tiny stats table broadcast back onto the "
+    "event scan",
+    "2.4 aggregations + analytics extension (anomaly detection)",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 9)
+    return j.select(
+        "event_id", "event_type", "value", z.alias("z")
+    ).filter(F.abs(F.col("z")) > Z_THRESHOLD)
