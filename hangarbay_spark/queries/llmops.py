@@ -1031,3 +1031,56 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
         max_bucket=NEAR_DUP_MAX_BUCKET,
     ).select("id_a", "id_b", "cosine")
+
+
+# Per-source mixing weights (The-Pile-style corpus rebalancing): heavy
+# sources downsampled, the rest kept whole. Quantized to the 1/256
+# bucket resolution of the deterministic sampler.
+MIX_DOWNSAMPLED = ("src0", "src1", "src2", "src3")
+MIX_RATE = 0.25
+
+
+def _o_mix_rebalance() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH flagged AS (
+      SELECT source,
+             CASE WHEN source IN {MIX_DOWNSAMPLED}
+                  THEN {int(MIX_RATE * 256)} ELSE 256 END AS thr,
+             {o_hash_bucket("doc_id")} AS bucket
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE bucket < thr) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+    """
+
+
+@register(
+    "sample_mix_rebalance",
+    _o_mix_rebalance(),
+    "corpus mixing / rebalancing: per-source deterministic downsampling "
+    "(content-hash buckets, stable under re-runs and repartitioning — "
+    "never df.sample) with per-source kept/total counts; the "
+    "The-Pile-style mixing-weights pass of a training-data pipeline",
+    "sampling extension (stratified corpus mixing)",
+)
+def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.when(
+        F.col("source").isin(*MIX_DOWNSAMPLED), F.lit(int(MIX_RATE * 256))
+    ).otherwise(F.lit(256))
+    flagged = docs.select(
+        "source",
+        thr.alias("thr"),
+        hash_bucket_expr("doc_id").alias("bucket"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("bucket") < F.col("thr"), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
