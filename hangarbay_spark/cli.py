@@ -121,12 +121,49 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("version", help="show version")
 
+    sub.add_parser("queries", help="list the declared query registry")
+
+    sp = sub.add_parser(
+        "run", help="run a declared registry query against a parquet dir"
+    )
+    sp.add_argument("name", help="registry query name (see `hangar queries`)")
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory of <table>.parquet inputs",
+    )
+    sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
+
     args = p.parse_args(argv)
 
     if args.cmd == "version":
         from hangarbay_spark import __version__
 
         print(f"hangarbay-spark version {__version__}")
+        return 0
+
+    if args.cmd == "queries":
+        from hangarbay_spark.queries import REGISTRY
+
+        for name in sorted(REGISTRY):
+            spec = REGISTRY[name]
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t[{oracle}]\t{spec.description.splitlines()[0]}")
+        return 0
+
+    if args.cmd == "run":
+        from hangarbay_spark.queries import REGISTRY
+        from hangarbay_spark.session import get_spark
+
+        if args.name not in REGISTRY:
+            print(
+                f"unknown query {args.name!r}; see `hangar queries`",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark(app_name=f"hangar_run_{args.name}")
+        df = REGISTRY[args.name].fn(spark, args.sf_dir.rstrip("/"))
+        _emit(df.toPandas(), args.output_format)
         return 0
 
     data_dir = get_data_dir(args.data_dir)

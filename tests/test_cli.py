@@ -163,3 +163,31 @@ def test_download_raises_after_all_attempts(tmp_path):
         download("http://example.invalid/x.zip", tmp_path / "y.zip",
                  opener=opener, sleep=lambda s: None)
     assert opener.calls == 3
+
+
+def test_cli_queries_and_run(capsys):
+    from hangarbay_spark.cli import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_pricing_summary" in out and "[oracle]" in out
+    assert "text_pack_ffd" in out and "rows-only" in out
+
+    assert (
+        main(
+            [
+                "run",
+                "topk_brands",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--output-format",
+                "json",
+            ]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 10
+    assert {"p_brand", "n"} <= set(rows[0])
+
+    assert main(["run", "no_such_query"]) == 2
