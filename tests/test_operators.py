@@ -862,3 +862,33 @@ def test_pandas_udf_topk_matches_expr(spark):
         for r in S.brute_force_topk_pandas(emb, probes, k=5).collect()
     }
     assert a == b
+
+
+def test_pii_spans_match_redaction_counts(spark):
+    """The UDTF's span counts per kind equal the column-expression
+    redaction counts, and excerpts sit exactly at their spans."""
+    from hangarbay_spark.operators import filters as _FL
+    from hangarbay_spark.operators.udtfs import register_udtfs
+
+    s = (
+        "mail a.b@c-d.org then 10.0.0.1 call 555-123-4567 "
+        "and 999.888.7777 again a.b@c-d.org"
+    )
+    df = spark.createDataFrame([(1, s)], "doc_id int, text string")
+    register_udtfs(spark)
+    df.createOrReplaceTempView("_udtf_docs")
+    spans = spark.sql(
+        "SELECT doc_id, s.* FROM _udtf_docs, LATERAL pii_spans(text) s"
+    ).collect()
+    by_kind = {}
+    for r in spans:
+        by_kind.setdefault(r["kind"], []).append(r)
+        assert s[r["start"] : r["end"]] == r["excerpt"]
+    counts = df.select(
+        _FL.pii_count_expr("text", _FL.PII_EMAIL).alias("e"),
+        _FL.pii_count_expr("text", _FL.PII_IP).alias("i"),
+        _FL.pii_count_expr("text", _FL.PII_PHONE).alias("p"),
+    ).collect()[0]
+    assert len(by_kind["email"]) == counts["e"] == 2
+    assert len(by_kind["ip"]) == counts["i"] == 1
+    assert len(by_kind["phone"]) == counts["p"] == 2
