@@ -56,6 +56,11 @@ def test_agg_has_mapside_partial(spark):
         "dedup_minhash_lsh",
         "events_range_join_purchase_window",
         "fts_match_all",
+        "join_returned_items_topk",
+        "join_market_share",
+        "events_value_outliers",
+        "pipeline_corpus_clean_full",
+        "incremental_agg_maintenance",
     ],
 )
 def test_no_nested_loop_joins(spark, name):
