@@ -466,3 +466,60 @@ def pipeline_corpus_clean_full(spark, sf_dir):
             F.sum("n_pii").cast("bigint").alias("pii_redacted"),
         )
     )
+
+
+# Benchmark-decontamination parameters. Production pipelines match
+# 8-13-token n-grams against eval benchmarks; this corpus's ~40-word
+# vocabulary makes 3-grams the statistically meaningful analog (longer
+# grams are near-unique per doc here).
+DECON_N = 3
+DECON_MOD = 50  # doc_id % DECON_MOD == 0 -> the held-out "benchmark" set
+
+
+def _o_decontaminate() -> str:
+    from hangarbay_spark.queries.llmops import o_shingles
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {o_shingles(DECON_N)} AS g FROM toks),
+    bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh
+           WHERE doc_id % {DECON_MOD} = 0),
+    cg AS (SELECT doc_id, unnest(g) AS gram FROM sh
+           WHERE doc_id % {DECON_MOD} != 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+    FROM cg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "text_decontaminate",
+    _o_decontaminate(),
+    "benchmark decontamination: flag corpus documents sharing >=1 "
+    "word n-gram with a held-out benchmark set (the eval-leakage scrub "
+    "of a training-data pipeline). Benchmark n-gram set is distinct-"
+    "deduped and broadcast; corpus postings join against it — cost "
+    "scales with corpus postings, never pairwise",
+    "LLM-pipeline extension (benchmark decontamination)",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.tokens_expr("text").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(X.shingles_from_tokens(F.col("t"), DECON_N)).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+    )
