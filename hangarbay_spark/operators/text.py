@@ -24,6 +24,11 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 # Fixed evaluation order for deterministic argmax tie-breaking.
 LANG_ORDER = ("en", "es", "de", "fr")
 
+# CJK Unified Ideographs — script detection precedes the stopword vote
+# (stopword lists are useless for unsegmented scripts). Literal char
+# range, identical bytes in the Java-regex and RE2 twins.
+CJK_PATTERN = "[一-鿿]"
+
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
@@ -60,7 +65,8 @@ def stopword_hits_expr(text: Column | str, words: list[str]) -> Column:
 
 
 def lang_id_expr(text: Column | str) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hits,
+    """Heuristic language ID: CJK script detection first (any CJK
+    ideograph -> 'zh'), then argmax of per-language stopword hits with
     deterministic tie-break in LANG_ORDER, 'und' when all scores are 0."""
     scores = {
         lang: stopword_hits_expr(text, LANG_STOPWORDS[lang]) for lang in LANG_ORDER
@@ -72,7 +78,10 @@ def lang_id_expr(text: Column | str) -> Column:
         others = [scores[o] for o in LANG_ORDER if o != lang]
         is_max = scores[lang] == F.greatest(scores[lang], *others)
         folded = F.when((scores[lang] > 0) & is_max, F.lit(lang)).otherwise(folded)
-    return folded
+    has_cjk = (
+        F.size(F.regexp_extract_all(_col(text), F.lit(CJK_PATTERN), 0)) > 0
+    )
+    return F.when(has_cjk, F.lit("zh")).otherwise(folded)
 
 
 def punct_count_expr(text: Column | str) -> Column:

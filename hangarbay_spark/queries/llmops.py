@@ -57,7 +57,9 @@ def _o_lang_case() -> str:
         lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
         for lang, ws in X.LANG_STOPWORDS.items()
     }
-    clauses = []
+    clauses = [
+        f"WHEN len(regexp_extract_all(text, '{X.CJK_PATTERN}')) > 0 THEN 'zh'"
+    ]
     for lang in X.LANG_ORDER:
         others = ", ".join(scores[o] for o in X.LANG_ORDER if o != lang)
         clauses.append(

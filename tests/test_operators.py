@@ -892,3 +892,22 @@ def test_pii_spans_match_redaction_counts(spark):
     assert len(by_kind["email"]) == counts["e"] == 2
     assert len(by_kind["ip"]) == counts["i"] == 1
     assert len(by_kind["phone"]) == counts["p"] == 2
+
+
+def test_lang_id_cjk_script_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is the best"),  # en stopwords
+            (2, "这是一个中文文档"),  # pure CJK
+            (3, "mixed the and 中文 content"),  # CJK wins over stopwords
+            (4, "zzz qqq xxx"),  # nothing -> und
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", X.lang_id_expr("text").alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "zh", 3: "zh", 4: "und"}
