@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 KEYS = ("u", "v")
 
@@ -185,3 +186,84 @@ def test_incremental_agg_law_random_versions(spark, old, new):
         for r in build_agg(ndf, ["g"], specs).collect()
     }
     assert got == fresh
+
+
+# ---------------------------------------------------------------------------
+# Corpus filters: randomized inputs vs Python references
+# ---------------------------------------------------------------------------
+
+_PII_ALPHABET = "ab1. @-\n"
+pii_text_strat = st.lists(
+    st.text(alphabet=_PII_ALPHABET, min_size=0, max_size=25),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(texts=pii_text_strat)
+@PROP_SETTINGS
+def test_pii_redaction_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): the placeholder tags contain no
+    characters the patterns can re-match."""
+    from hangarbay_spark.operators import filters as FL
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    once = df.select(
+        "id", FL.redact_pii_expr("text").alias("r1")
+    )
+    twice = once.select("id", FL.redact_pii_expr(F.col("r1")).alias("r2"))
+    j = once.join(twice, "id").collect()
+    for r in j:
+        assert r["r1"] == r["r2"]
+
+
+lines_strat = st.lists(
+    st.sampled_from(("a", "bb", "c c", "", "dd")), min_size=1, max_size=8
+)
+
+
+@given(lines=lines_strat)
+@PROP_SETTINGS
+def test_line_dedup_matches_python(spark, lines):
+    from hangarbay_spark.operators import filters as FL
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    out = df.select(
+        F.array_join(
+            FL.dedup_lines_expr(FL.lines_expr("text")), "\n"
+        ).alias("clean")
+    ).collect()[0]["clean"]
+    expect = "\n".join(dict.fromkeys(lines))  # first occurrence, ordered
+    assert out == expect
+
+
+ffd_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(items=ffd_strat)
+@PROP_SETTINGS
+def test_ffd_invariants_random(spark, items):
+    from hangarbay_spark.operators import packing as PK
+
+    budget = 30
+    df = spark.createDataFrame(
+        items or [(None, None)], "doc_id long, n_tokens long"
+    ).filter("doc_id is not null")
+    out = PK.pack_sequences_ffd(df, "doc_id", "n_tokens", budget, n_shards=3).collect()
+    assert sorted(r["id"] for r in out) == sorted(i for i, _ in items)
+    loads = {}
+    for r in out:
+        loads.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for vals in loads.values():
+        assert sum(vals) <= budget or len(vals) == 1
