@@ -97,3 +97,9 @@ def test_incremental_maintenance_no_extra_scans(spark):
     side — but the MERGE itself must be hash joins, never nested-loop."""
     plan = _plan(spark, "incremental_agg_maintenance")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
