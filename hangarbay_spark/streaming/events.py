@@ -233,3 +233,15 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension table. The static side is broadcast fresh per micro-batch
+    (Spark re-plans it each trigger, so a dim refresh between batches is
+    picked up automatically) and needs no watermark — only stream-stream
+    joins buffer state. The canonical lookup-enrichment shape for a
+    100 TB/day event feed against a small dimension."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -315,3 +315,26 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert SM.apply_delta_batch(spark, batch, 1, agg_dir, _GROUPS, _SPECS)
     doubled = _agg_map(SM.read_maintained_agg(spark, agg_dir))
     assert doubled["click"] == (2, Decimal("3.0000"))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream):
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("bigint").alias("cohort"),
+    )
+    enriched = SE.enrich_with_dim(events_stream, dim).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {
+        r["cohort"]: r["n"]
+        for r in SE.run_to_memory(enriched, "t_enrich", spark).collect()
+    }
+    batch = {
+        r["cohort"]: r["n"]
+        for r in _events_batch(spark)
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) == 3
