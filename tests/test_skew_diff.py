@@ -175,3 +175,38 @@ def test_signed_delta_composite_key(spark):
     d = signed_delta(old, new, ["k1", "k2"])
     got = {(r["k1"], r["k2"], r["v"], r["__sign"]) for r in d.collect()}
     assert got == {(1, 2, "q", -1), (1, 2, "q2", 1), (2, 1, "r", 1)}
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join config actually fires: a 90%-hot key
+    under forced thresholds yields SortMergeJoin(skew=true) with a
+    'coalesced and skewed' AQE shuffle read — the runtime safety net
+    behind salted_join for skew discovered only at execution time."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(0, 1000).select(F.col("id").alias("k"))
+        j = big.join(small, "k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()  # AQE finalizes the plan only after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "coalesced and skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
