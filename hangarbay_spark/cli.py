@@ -133,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
         help="directory of <table>.parquet inputs",
     )
     sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
+    sp.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the physical plan instead of executing",
+    )
 
     args = p.parse_args(argv)
 
@@ -163,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark(app_name=f"hangar_run_{args.name}")
         df = REGISTRY[args.name].fn(spark, args.sf_dir.rstrip("/"))
+        if args.explain:
+            df.explain("formatted")  # prints the plan to stdout
+            return 0
         _emit(df.toPandas(), args.output_format)
         return 0
 

@@ -235,3 +235,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
         .select("cohort_week", "week_offset", "active_users")
     )
+
+
+TRAILING_DAYS = 30
+
+
+@register(
+    "window_range_frame_trailing",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS od_s,
+             o_totalprice
+      FROM orders WHERE o_custkey % 40 = 1)
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+             AS trailing_spend
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od_s
+                 RANGE BETWEEN {TRAILING_DAYS * 86400} PRECEDING AND CURRENT ROW)
+    """,
+    "RANGE-frame window: per order, the customer's order count and "
+    "exact decimal spend in the trailing 30 days — value-based frames "
+    "(tie-safe: every row with the same timestamp joins the frame, "
+    "unlike ROWS), timestamps as epoch seconds for identical frame "
+    "arithmetic in both engines",
+    "2.5 window functions (RANGE frame / trailing aggregation)",
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 40 == 1
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("od_s"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_s")
+        .rangeBetween(-TRAILING_DAYS * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+    )

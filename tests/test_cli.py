@@ -191,3 +191,14 @@ def test_cli_queries_and_run(capsys):
     assert {"p_brand", "n"} <= set(rows[0])
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cli_run_explain(capsys):
+    from hangarbay_spark.cli import main
+
+    assert (
+        main(["run", "topk_brands", "--sf-dir", "/root/testdata/sf0.001", "--explain"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "TakeOrderedAndProject" in out

@@ -248,3 +248,36 @@ def test_helpers():
     assert rewrite_like_to_ilike("a LIKE 'x' AND unlike LIKEWISE like") == (
         "a ILIKE 'x' AND unlike LIKEWISE ILIKE"
     )
+
+
+def test_source_format_independence(spark, tmp_path):
+    """The same declarative agg over parquet, CSV, and JSONL copies of a
+    table produces identical results — source connectors change the
+    scan node, never the semantics."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+
+    def agg(df):
+        return {
+            r["p_brand"]: (r["n"], r["total"])
+            for r in df.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("p_retailprice").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        }
+
+    base = agg(src)
+    csv_df = spark.read.option("header", True).schema(src.schema).csv(csv_dir)
+    json_df = spark.read.schema(src.schema).json(json_dir)
+    assert agg(csv_df) == base
+    assert agg(json_df) == base
