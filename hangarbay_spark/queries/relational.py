@@ -1032,3 +1032,135 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         (F.col("rev_dec").cast("double") / tot.cast("double")).alias("share"),
     )
+
+
+@register(
+    "agg_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: distribution of customers by order count — LEFT "
+    "join with a non-key predicate in the ON clause (kept in the join, "
+    "NOT pushed to a WHERE: customers whose only orders are urgent must "
+    "still appear with count 0), then a second aggregation over the "
+    "first's results. Both aggs are map-side-partial counts; the join "
+    "shuffles on the customer key once",
+    "A1,J7 (double aggregation; ON-clause predicate semantics)",
+)
+def agg_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "join_nullsafe_balance_band",
+    """
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           COALESCE(a.band, -1) AS band
+    FROM (SELECT c_custkey,
+                 NULLIF(CAST(FLOOR(c_acctbal / 1000) AS BIGINT), 0) AS band
+          FROM customer WHERE c_custkey <= 200) a
+    JOIN (SELECT c_custkey,
+                 NULLIF(CAST(FLOOR(c_acctbal / 1000) AS BIGINT), 0) AS band
+          FROM customer WHERE c_custkey <= 200) b
+      ON a.band IS NOT DISTINCT FROM b.band
+     AND a.c_custkey < b.c_custkey
+    """,
+    "null-safe equality join (IS NOT DISTINCT FROM / eqNullSafe): NULL "
+    "band keys match each other — the semantics a plain equi-join "
+    "silently drops. Spark still plans this as a hash join (eqNullSafe "
+    "is an equi-condition, not a theta join); the NULLIF band exercises "
+    "the null-bucket path explicitly",
+    "J7 (null-safe variant; NULL-semantics battery)",
+)
+def join_nullsafe_balance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = F.nullif(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint"), F.lit(0)
+    ).alias("band")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", band)
+    )
+    a = cust.select(F.col("c_custkey").alias("cust_a"), F.col("band").alias("band_a"))
+    b = cust.select(F.col("c_custkey").alias("cust_b"), F.col("band").alias("band_b"))
+    return (
+        a.join(
+            b,
+            F.col("band_a").eqNullSafe(F.col("band_b"))
+            & (F.col("cust_a") < F.col("cust_b")),
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            F.coalesce("band_a", F.lit(-1)).cast("bigint").alias("band"),
+        )
+    )
+
+
+@register(
+    "subquery_rich_no_orders",
+    """
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(30,2)) * n > tot
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: high-balance customers with no orders — "
+    "uncorrelated scalar subquery (the positive-balance mean, broadcast "
+    "as a 1-row cross join) + anti join against orders + decimal-exact "
+    "balance sum. The above-average test is phrased bal*n > total in "
+    "exact decimals: an AVG of doubles is a parallel FP sum whose last "
+    "ulp is accumulation-order-dependent, and a boundary customer could "
+    "flip between engines. The anti join shuffles on the customer key; "
+    "the scalar is a broadcast, not a recompute-per-row",
+    "J7 (anti) + A7 (scalar subquery) — Q22 shape",
+)
+def subquery_rich_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,2)")).alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("decimal(30,2)") * F.col("n") > F.col("tot")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )

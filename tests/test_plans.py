@@ -61,6 +61,8 @@ def test_agg_has_mapside_partial(spark):
         "events_value_outliers",
         "pipeline_corpus_clean_full",
         "incremental_agg_maintenance",
+        "agg_order_count_distribution",
+        "join_nullsafe_balance_band",
     ],
 )
 def test_no_nested_loop_joins(spark, name):
