@@ -44,12 +44,33 @@ def write_bucketed(
     *keys: str,
     buckets: int = 32,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed catalog table: joins/aggregations on
-    ``keys`` between tables bucketed the same way run shuffle-free."""
-    writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    ``keys`` between tables bucketed the same way run shuffle-free
+    (and, with ``sort=True``, sort-free — the SMJ reads both sides
+    pre-sorted per bucket). ``path`` makes it an external table.
+
+    The pre-write ``repartition(buckets, *keys)`` uses the same Murmur3
+    hash as the bucket spec, so each task holds exactly one bucket and
+    writes ONE file per bucket — the layout under which Spark can trust
+    the write-time sort at read time (several files per bucket would
+    force a per-query re-sort). One shuffle at write, amortized over
+    every subsequent join. The shuffle elimination is unconditional;
+    eliding the per-query Sort additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (off by
+    default since Spark 3.0 because it is only sound one-file-per-bucket
+    — which this writer guarantees).
+    """
+    writer = (
+        df.repartition(buckets, *keys)
+        .write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+    )
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
@@ -118,3 +139,44 @@ def scan_stats(spark: SparkSession, df: DataFrame) -> dict[str, bool]:
         "has_broadcast": "Broadcast" in plan,
         "plan": simple,
     }
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of data files under ``path``, via the Hadoop
+    FileSystem API so any supported scheme (file://, hdfs://, s3a://)
+    works — a driver-side metadata listing, no data read."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = True,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes``-sized
+    files — the OPTIMIZE/small-file-compaction maintenance operator.
+
+    Streaming sinks, incremental ingests and over-parallel writes leave
+    thousands of KB-scale files; at 100 TB the resulting per-file open
+    (+ S3 request) overhead and undersized row groups dominate scan
+    cost, and driver-side file listings stop fitting in memory. The fix
+    is a metadata-driven rewrite: file count = ceil(input_bytes /
+    target) from the directory listing alone.
+
+    ``shuffle=True`` (default) uses round-robin ``repartition`` — one
+    full shuffle, but output files are near-uniform regardless of input
+    skew. ``shuffle=False`` uses ``coalesce``: shuffle-free, but a
+    coalesced partition inherits its inputs' skew and locality. Returns
+    the output file count. (Parquet's encoded size differs from the
+    input's, so file sizes track — not exactly hit — the target.)
+    """
+    n = max(1, -(-dir_bytes(spark, src) // target_file_bytes))
+    df = spark.read.parquet(src)
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n

@@ -69,6 +69,92 @@ def test_embedding_bucket_partition_pruning(spark, tmp_path):
     assert 0 < q.count() < emb.count()
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key with the same bucket
+    count join with NO Exchange and NO Sort — the join-index analog: the
+    shuffle is paid once at write time, every subsequent join is free.
+    At 100 TB this is the difference between re-shuffling both fact
+    tables per query and a purely local merge per bucket."""
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    layout.write_bucketed(
+        left, "bkt_l", "k", buckets=8, path=str(tmp_path / "bkt_l")
+    )
+    layout.write_bucketed(
+        right, "bkt_r", "k", buckets=8, path=str(tmp_path / "bkt_r")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucketing (not a broadcast)
+        # is what removes the exchanges; the legacy ordering flag lets
+        # the scan report the write-time sort (sound here: write_bucketed
+        # guarantees one file per bucket)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        # a Sort node prints as "Sort [key ..." — distinct from the
+        # SortMergeJoin node name
+        import re
+
+        assert not re.search(r"\bSort \[", plan)  # no per-query sort
+        assert j.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_l")
+        spark.sql("DROP TABLE IF EXISTS bkt_r")
+
+
+def test_compact_files_repartition(spark, tmp_path):
+    """compact_files rewrites a many-small-files directory into the
+    metadata-computed file count with no data change."""
+    import glob
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    size = layout.dir_bytes(spark, src)
+    assert size > 0
+    target = -(-size // 4)  # aim for ~4 output files
+    n = layout.compact_files(spark, src, dst, target_file_bytes=target)
+    assert n == -(-size // target)
+    assert len(glob.glob(f"{dst}/part-*")) == n
+    back = spark.read.parquet(dst)
+    assert back.count() == 20000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_compact_files_coalesce_mode(spark, tmp_path):
+    """shuffle=False compacts via coalesce: same file count contract,
+    zero shuffle (verified on the write plan by construction: coalesce
+    only narrows partitioning)."""
+    import glob
+
+    src, dst = str(tmp_path / "small2"), str(tmp_path / "compacted2")
+    spark.range(0, 5000).toDF("k").repartition(32).write.parquet(src)
+    size = layout.dir_bytes(spark, src)
+    n = layout.compact_files(
+        spark, src, dst, target_file_bytes=-(-size // 2), shuffle=False
+    )
+    assert len(glob.glob(f"{dst}/part-*")) == n == 2
+    assert spark.read.parquet(dst).count() == 5000
+
+
 def test_scan_stats_broadcast(spark):
     a = spark.range(0, 1000).select(F.col("id").alias("k"))
     b = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("d"))
