@@ -139,6 +139,22 @@ def main(argv: list[str] | None = None) -> int:
         help="print the physical plan instead of executing",
     )
 
+    sp = sub.add_parser(
+        "compact",
+        help="rewrite a parquet directory into target-sized files "
+        "(small-file maintenance, like OPTIMIZE)",
+    )
+    sp.add_argument("src", help="source parquet directory")
+    sp.add_argument("dst", help="destination directory (overwritten)")
+    sp.add_argument(
+        "--target-mb", type=int, default=128, help="target file size in MiB"
+    )
+    sp.add_argument(
+        "--no-shuffle",
+        action="store_true",
+        help="coalesce instead of repartition (no shuffle, skew-prone)",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "version":
@@ -172,6 +188,21 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")  # prints the plan to stdout
             return 0
         _emit(df.toPandas(), args.output_format)
+        return 0
+
+    if args.cmd == "compact":
+        from hangarbay_spark.plans.layout import compact_files
+        from hangarbay_spark.session import get_spark
+
+        spark = get_spark(app_name="hangar_compact")
+        n = compact_files(
+            spark,
+            args.src,
+            args.dst,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            shuffle=not args.no_shuffle,
+        )
+        print(f"compacted {args.src} -> {args.dst} ({n} files)")
         return 0
 
     data_dir = get_data_dir(args.data_dir)

@@ -215,6 +215,44 @@ def centroid_update(
     )
 
 
+def centroid_update_pandas(
+    assigned: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf`` twin of :func:`centroid_update`: one
+    numpy column-stack mean per cluster instead of the posexplode +
+    (cluster, dim) shuffle. Arrow ships each cluster's vectors to ONE
+    Python worker as a batch — a partial-agg-free full shuffle on the
+    cluster id, so prefer the native path when clusters are huge or
+    skewed; this path wins when dimensionality is high (the explode
+    multiplies rows by dim) and clusters are balanced.
+
+    Float caveat: numpy's pairwise summation differs from the native
+    path's decimal-exact sum in the last ulp; the test pins elementwise
+    agreement to 1e-6. Completes the UDF taxonomy's GROUPED_AGG slot
+    (see :func:`brute_force_topk_pandas` for the inventory).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def mean_vec(vecs: pd.Series) -> list:
+        return (
+            np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            .mean(axis=0)
+            .tolist()
+        )
+
+    j = assigned.select(F.col(id_col), cid_col).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    return j.groupBy(cid_col).agg(mean_vec(F.col(vec_col)).alias(vec_col))
+
+
 def kmeans(
     corpus: DataFrame,
     k: int = 8,
@@ -593,10 +631,11 @@ def brute_force_topk_pandas(
     straddle a 0.5e-9 rounding boundary — asserted equal on the test
     corpora (tests/test_operators.py::test_pandas_udf_topk_matches_expr).
 
-    This is the completion of the engine's UDF taxonomy: native
-    column exprs (default), scalar Arrow pandas_udf (this), mapInPandas
-    (multimodal, signature builds), applyInPandas (FFD packing),
-    applyInPandasWithState (streaming totals).
+    The engine's UDF taxonomy: native column exprs (default), scalar
+    Arrow pandas_udf (this), GROUPED_AGG pandas_udf
+    (:func:`centroid_update_pandas`), mapInPandas (multimodal,
+    signature builds), applyInPandas (FFD packing),
+    applyInPandasWithState (streaming totals), UDTF (PII span audit).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf

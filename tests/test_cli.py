@@ -202,3 +202,14 @@ def test_cli_run_explain(capsys):
     )
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "TakeOrderedAndProject" in out
+
+
+def test_cli_compact(capsys, spark, tmp_path):
+    from hangarbay_spark.cli import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(0, 5000).repartition(16).write.parquet(src)
+    assert main(["compact", src, dst, "--target-mb", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "(1 files)" in out  # 16 tiny files well under 1 MiB total
+    assert spark.read.parquet(dst).count() == 5000

@@ -492,6 +492,35 @@ def test_kmeans_recovers_clusters(spark):
     assert all(r["cosine"] > 0.9 for r in out)
 
 
+def test_grouped_agg_centroid_matches_native(spark):
+    """The GROUPED_AGG pandas_udf centroid path agrees elementwise with
+    the decimal-exact native path (1e-6: numpy pairwise summation vs
+    exact decimal differ only in the last float ulp)."""
+    import numpy as np
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(90)],
+        "vec_id int, embedding array<float>",
+    )
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "vec_id int, centroid_id int"
+    )
+    native = {
+        r["centroid_id"]: r["embedding"]
+        for r in S.centroid_update(assigned, corpus).collect()
+    }
+    gagg = {
+        r["centroid_id"]: r["embedding"]
+        for r in S.centroid_update_pandas(assigned, corpus).collect()
+    }
+    assert native.keys() == gagg.keys() == {0, 1, 2}
+    for c in native:
+        assert np.allclose(native[c], gagg[c], atol=1e-6)
+
+
 def test_hyperplane_signature_table_roundtrip(spark, tmp_path):
     """pairs-from-persisted-hyperplane-signatures == inline pairs."""
     from hangarbay_spark.operators import similarity as S
