@@ -17,5 +17,6 @@ from hangarbay_spark.queries import llmops  # noqa: E402,F401
 from hangarbay_spark.queries import search  # noqa: E402,F401
 from hangarbay_spark.queries import filters  # noqa: E402,F401
 from hangarbay_spark.queries import analytics  # noqa: E402,F401
+from hangarbay_spark.queries import reports  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "load_table", "register"]

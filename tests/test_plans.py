@@ -63,6 +63,12 @@ def test_agg_has_mapside_partial(spark):
         "incremental_agg_maintenance",
         "agg_order_count_distribution",
         "join_nullsafe_balance_band",
+        "join_volume_shipping",
+        "join_top_supplier_revenue",
+        "agg_supplier_count_by_part",
+        "join_large_volume_customers",
+        "filter_disjunctive_join",
+        "join_waiting_suppliers",
     ],
 )
 def test_no_nested_loop_joins(spark, name):
