@@ -1086,3 +1086,63 @@ def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+@register(
+    "text_lm_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nt FROM toks),
+    sc AS (SELECT doc_id, round(ln(CAST(nt AS DOUBLE) / c), 6) AS s
+           FROM toks JOIN cnt USING (token), n)
+    SELECT doc_id,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS sum_surprisal,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_surprisal
+    FROM sc GROUP BY doc_id
+    ORDER BY mean_surprisal DESC, doc_id
+    LIMIT 30
+    """,
+    "CCNet-style unigram-LM perplexity filter (Wenzek et al. 2020): "
+    "train token unigram stats on the corpus itself, score each doc by "
+    "mean token surprisal -ln(c/N), surface the most surprising "
+    "(gibberish/outlier) docs. Parity: each token surprisal is rounded "
+    "to 6dp (libm last-ulp ln drift cannot cross a 6dp boundary), the "
+    "per-doc sum is an exact decimal, and the mean is one "
+    "deterministic double division — no order-dependent double "
+    "accumulation anywhere",
+    "text-analysis extension (LM perplexity quality filter)",
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    post = _token_postings(spark, sf_dir)
+    # Vocabulary counts join back onto the postings by token: a shuffle
+    # join on purpose — at 100 TB the vocabulary is itself huge (no
+    # broadcast). The corpus total comes from re-aggregating the
+    # vocab-sized counts (not a second postings scan), and the counts
+    # are localCheckpoint'd because they feed both the total and the
+    # join (ReuseExchange would not dedup the two consumers).
+    cnt = post.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    nt = cnt.agg(F.sum("c").alias("nt"))
+    s = F.round(
+        F.log(F.col("nt").cast("double") / F.col("c")), 6
+    ).alias("s")
+    scored = post.join(cnt, "token").crossJoin(F.broadcast(nt)).select(
+        "doc_id", s
+    )
+    sum_dec = F.sum(F.col("s").cast("decimal(30,6)"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            sum_dec.cast("double").alias("sum_surprisal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (sum_dec.cast("double") / F.count(F.lit(1))).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy(F.desc("mean_surprisal"), "doc_id")
+        .limit(30)
+    )
