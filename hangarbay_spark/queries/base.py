@@ -71,13 +71,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_ns_ts(df: DataFrame, *cols: str) -> DataFrame:
-    """ns-since-epoch longs (see session.py nanosAsLong) -> TimestampType
-    (µs, truncating). No-op for columns already timestamp-typed."""
+    """TIMESTAMP(NANOS) parquet columns -> TimestampType (µs).
+
+    Two reader behaviors exist for nanos parquet across Spark versions /
+    writer metadata: ``nanosAsLong`` surfaces the raw ns-since-epoch
+    bigint (convert via integral div — a double division would round at
+    ns scale), newer readers surface TIMESTAMP_NTZ directly (cast to the
+    session-zone timestamp; the session is pinned UTC so the instant is
+    unchanged). No-op for columns already TimestampType.
+    """
     out = df
     for c in cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            # integral `div` — a double division would round at ns scale
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             out = out.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            out = out.withColumn(c, F.col(c).cast("timestamp"))
     return out
 
 
