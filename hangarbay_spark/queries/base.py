@@ -95,9 +95,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sets ``nanosAsLong`` defensively — the driver's harness may hand us
     a session built without it, and the events parquet is
-    TIMESTAMP(NANOS) which Spark otherwise refuses to read.
+    TIMESTAMP(NANOS) which Spark otherwise refuses to read. Also pins
+    the session timezone to UTC: the NTZ branch of
+    :func:`normalize_ns_ts` casts via the session zone, and a
+    driver-built session on a non-UTC host would otherwise shift every
+    instant and break epoch-ms oracle parity.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return normalize_ns_ts(load_table(spark, sf_dir, "events"), "ts")
 
 

@@ -320,16 +320,18 @@ def events_funnel_view_click_purchase(
     "events_quality_flags",
     """
     SELECT COUNT(*) AS total,
-           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
-           SUM(CASE WHEN event_type NOT IN
-                 ('view','click','purchase','signup','error')
-               THEN 1 ELSE 0 END) AS unknown_type,
-           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_value,
-           SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
-                      OR ts >= TIMESTAMP '2024-02-01'
-               THEN 1 ELSE 0 END) AS ts_out_of_range,
-           SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
-             AS empty_props
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_event_id,
+           CAST(SUM(CASE WHEN event_type NOT IN
+                      ('view','click','purchase','signup','error')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unknown_type,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS negative_value,
+           CAST(SUM(CASE WHEN epoch_ms(ts) < 1704067200000
+                      OR epoch_ms(ts) >= 1706745600000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+           CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_props
     FROM events
     """,
     "data-quality rule pass (pipelines/verify.py pattern on the "
@@ -350,8 +352,8 @@ def events_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unknown_type"),
         flag(F.col("value") < 0).alias("negative_value"),
         flag(
-            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
-            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
+            (F.unix_millis("ts") < F.lit(1704067200000))
+            | (F.unix_millis("ts") >= F.lit(1706745600000))
         ).alias("ts_out_of_range"),
         flag(
             F.col("props").isNull() | (F.col("props") == "")
