@@ -327,7 +327,7 @@ def join_topk_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer is the small side after the segment filter -> broadcast it
     # into orders; the orders->lineitem join shuffles on the order key.
     joined = li.join(
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -376,7 +376,7 @@ def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -409,7 +409,7 @@ def join_decode_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
         .select("o_orderkey", "o_orderstatus", "c_name", "n_name", "r_name")
@@ -902,7 +902,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     piv = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -1004,14 +1004,15 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
     )
-    dims = F.broadcast(
-        supp.join(
-            F.broadcast(
-                nation.join(region, nation.n_regionkey == region.r_regionkey)
-            ),
-            supp.s_nationkey == nation.n_nationkey,
-        ).select("s_suppkey", "n_name")
-    )
+    # nation⋈region is fixed-size -> safe to hint; the supplier side
+    # grows with SF, so AQE decides broadcast-vs-shuffle from runtime
+    # sizes rather than a forced hint.
+    dims = supp.join(
+        F.broadcast(
+            nation.join(region, nation.n_regionkey == region.r_regionkey)
+        ),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "n_name")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(dims, li.l_suppkey == dims.s_suppkey)

@@ -73,9 +73,9 @@ def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     joined = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -166,7 +166,7 @@ def agg_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(30,4)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -225,7 +225,7 @@ def join_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -268,11 +268,11 @@ def agg_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(excl),
+            excl,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -387,7 +387,7 @@ def filter_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(branch)
         .agg(
             dsum(
@@ -457,7 +457,7 @@ def join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        base.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

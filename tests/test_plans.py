@@ -69,12 +69,40 @@ def test_agg_has_mapside_partial(spark):
         "join_large_volume_customers",
         "filter_disjunctive_join",
         "join_waiting_suppliers",
+        "agg_promo_revenue_ratio",
+        "join_decode_wide",
+        "pivot_segment_status",
     ],
 )
 def test_no_nested_loop_joins(spark, name):
     # the one legitimate BNLJ shape is a broadcast cartesian against a
     # tiny probe/centroid set (sim_* queries) — none of these
     assert "BroadcastNestedLoopJoin" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_volume_shipping",
+        "agg_promo_revenue_ratio",
+        "join_top_supplier_revenue",
+        "agg_supplier_count_by_part",
+        "join_waiting_suppliers",
+        "join_topk_shipping_priority",
+        "join_decode_wide",
+        "pivot_segment_status",
+        "join_market_share",
+    ],
+)
+def test_unhinted_dims_still_broadcast_when_small(spark, name):
+    """customer/supplier/part joins carry NO forced F.broadcast hint
+    (those tables grow with scale factor — a forced hint is a driver-OOM
+    risk at 100×); at small SF the planner's size statistics must still
+    pick a broadcast join on its own, proving the hint was redundant
+    where it was safe and AQE/static thresholds govern at scale."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_repetition_filter_single_gram_shuffle(spark):
