@@ -296,33 +296,30 @@ def hyperplane_topk(
     nbits: int = 64,
     bands: int = 8,
     seed: str = "hplsh",
+    fast: bool = False,
 ) -> DataFrame:
     """Multi-probe ANN: candidates = corpus vectors sharing >=1 of the
     probe's hyperplane band values, scored with exact cosine, per-probe
     top-k. Recall is far higher than single-bucket IVF (a neighbor is
     missed only if it disagrees on ALL ``bands`` bands) at a cost of
     ~bands matched buckets per probe — still a tiny fraction of a corpus
-    scan. Probe-side band rows are broadcast (probe sets are small)."""
-    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+    scan. Probe-side band rows are broadcast (probe sets are small).
+    ``fast=True`` computes signatures with the Arrow matmul kernel
+    (see :func:`hyperplane_signatures`)."""
 
-    def buckets(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("blk"), bv.alias("val")
-                        )
-                        for b, bv in enumerate(band_vals)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(out_id, F.col("bk.blk"), F.col("bk.val"))
+    def buckets(df: DataFrame, out_id: str, use_fast: bool) -> DataFrame:
+        sigs = hyperplane_signatures(
+            df, id_col, vec_col, dim, nbits, bands, seed, fast=use_fast
+        )
+        return _bucket_rows(sigs, id_col, bands).withColumnRenamed(
+            id_col, out_id
+        )
 
+    # Probe sets are small by contract: the expr path skips a second
+    # Python-worker roundtrip (band values are pinned equal either way).
     cand = (
-        buckets(corpus, "neighbor_id")
-        .join(F.broadcast(buckets(probes, "probe_id")), ["blk", "val"])
+        buckets(corpus, "neighbor_id", fast)
+        .join(F.broadcast(buckets(probes, "probe_id", False)), ["blk", "val"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select("probe_id", "neighbor_id")
         .distinct()
@@ -339,7 +336,9 @@ def hyperplane_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+            _cosine_pair_col(
+                F.col("probe_vec"), F.col("vec"), fast
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -413,6 +412,47 @@ def hyperplane_band_cols(
     return out
 
 
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    fast: bool = False,
+) -> DataFrame:
+    """(id, b0..b{bands-1}) hyperplane signature rows.
+
+    ``fast=False`` (default): the oracle-exact expression path —
+    sequential array-order double accumulation, sign behavior identical
+    to the DuckDB twin. ``fast=True``: the Arrow ``mapInPandas`` kernel
+    (one BLAS matmul per batch instead of interpreted HOF lambdas —
+    Spark does not codegen lambda bodies, so every row on the expr path
+    pays nbits×dim interpreted ops). The two are asserted band-for-band
+    equal on the test corpora
+    (tests/test_operators.py::test_hyperplane_fast_kernel_matches_expr);
+    they can differ only when a projection lands exactly at the float64
+    summation-order boundary of 0 — measure-zero for real embeddings.
+    """
+    if fast:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [df.schema[id_col]]
+            + [T.StructField(f"b{b}", T.IntegerType()) for b in range(bands)]
+        )
+        return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            hyperplane_band_kernel(id_col, vec_col, dim, nbits, bands, seed),
+            schema,
+        )
+    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
+    return df.select(
+        F.col(id_col),
+        *[band_vals[b].alias(f"b{b}") for b in range(bands)],
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -423,6 +463,7 @@ def embedding_near_dup_pairs(
     bands: int = HYPERPLANE_BANDS,
     seed: str = HYPERPLANE_SEED,
     max_bucket: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -432,29 +473,26 @@ def embedding_near_dup_pairs(
     2^(nbits/bands) (256 at the defaults), so the within-bucket
     self-join is near-linear; ``max_bucket`` drops degenerate buckets
     (e.g. a zero-vector pile-up) before they go quadratic — the
-    embedding twin of ``dedup.prune_frequent``.
+    embedding twin of ``dedup.prune_frequent``. ``fast`` selects the
+    Arrow matmul signature kernel (:func:`hyperplane_signatures`).
     """
-    band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
-    # Materialize the (id, band0..bandN) signature rows once: the
-    # 64-projection subtree has three consumers (hot-bucket counts, join
-    # side a, join side b) and ReuseExchange does not dedup across
-    # differently-projected consumers — without this the projections run
-    # 3x. localCheckpoint holds only nbits/8 bytes-ish per row; the
-    # durable variant is write_hyperplane_signature_table.
-    sigs = corpus.select(
-        F.col(id_col),
-        *[band_vals[b].alias(f"b{b}") for b in range(len(band_vals))],
-    ).localCheckpoint()
-    cand = _banded_candidate_pairs(sigs, id_col, len(band_vals), max_bucket)
-    return _cosine_verify(cand, corpus, id_col, vec_col, threshold)
+    # The signature subtree has a single consumer (the bucket pipeline:
+    # explode -> hot-bucket window -> grouped pair expansion), so the
+    # projections run exactly once per query — no checkpoint needed;
+    # the durable variant is write_hyperplane_signature_table.
+    sigs = hyperplane_signatures(
+        corpus, id_col, vec_col, dim, nbits, bands, seed, fast=fast
+    )
+    cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
+    return _cosine_verify(
+        cand, corpus, id_col, vec_col, threshold, fast=fast
+    )
 
 
-def _banded_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int, max_bucket: int | None
-) -> DataFrame:
-    """(id_a, id_b) pairs sharing >=1 band value, from a signature table
-    with columns b0..b{bands-1}; optional hot-bucket guard."""
-    buckets = sigs.select(
+def _bucket_rows(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """Explode a signature table (id, b0..b{bands-1}) into
+    (id, blk, val) bucket rows."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -467,22 +505,78 @@ def _banded_candidate_pairs(
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.blk"), F.col("bk.val"))
+
+
+def _banded_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int, max_bucket: int | None
+) -> DataFrame:
+    """(id_a, id_b) pairs sharing >=1 band value, from a signature table
+    with columns b0..b{bands-1}; optional hot-bucket guard.
+
+    One shuffle on (blk, val) + the output distinct: the hot-bucket
+    window filter and the per-bucket collect_list reuse the same hash
+    partitioning, and within-bucket pairs are expanded JVM-side from
+    the collected id list (bounded by ``max_bucket``, which drops
+    degenerate buckets BEFORE any list is built) — versus the previous
+    count-agg + anti-join + bucket self-join, which paid four
+    exchanges for the same pair set."""
+    buckets = _bucket_rows(sigs, id_col, bands)
     if max_bucket is not None:
-        hot = (
-            buckets.groupBy("blk", "val")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > max_bucket)
-            .select("blk", "val")
+        c = F.count(F.lit(1)).over(W.partitionBy("blk", "val"))
+        buckets = (
+            buckets.withColumn("c", c)
+            .filter(F.col("c") <= max_bucket)
+            .drop("c")
         )
-        buckets = buckets.join(F.broadcast(hot), ["blk", "val"], "left_anti")
-    a = buckets.select(F.col(id_col).alias("id_a"), "blk", "val")
-    b = buckets.select(F.col(id_col).alias("id_b"), "blk", "val")
+    grouped = (
+        buckets.groupBy("blk", "val")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS id_a, "
+                    "greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def cosine_pair_udf():
+    """Scalar Arrow ``pandas_udf`` computing the RAW rowwise cosine of
+    two equal-length array columns — one einsum per batch instead of
+    interpreted zip_with/aggregate lambdas. Rounding stays in Spark
+    (``F.round``, HALF_UP) so the fast and expr paths share one
+    rounding mode; they agree except when numpy's pairwise summation
+    and sequential accumulation straddle a 0.5e-9 rounding boundary —
+    asserted equal on the test corpora
+    (tests/test_operators.py::test_cosine_pair_udf_matches_expr)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos_pair
+
+
+def _cosine_pair_col(a: Column, b: Column, fast: bool) -> Column:
+    if fast:
+        return F.round(cosine_pair_udf()(a, b), COSINE_SCALE)
+    return cosine_expr(a, b)
 
 
 def _cosine_verify(
@@ -491,6 +585,7 @@ def _cosine_verify(
     id_col: str,
     vec_col: str,
     threshold: float,
+    fast: bool = False,
 ) -> DataFrame:
     """Exact-cosine verification of candidate pairs; vectors fetched
     per-candidate by id join — wide arrays never ride the bucket
@@ -507,7 +602,9 @@ def _cosine_verify(
         .select(
             "id_a",
             "id_b",
-            cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            _cosine_pair_col(
+                F.col("vec_a"), F.col("vec_b"), fast
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -572,23 +669,9 @@ def write_hyperplane_signature_table(
     expression path is the oracle-exact one: numpy's pairwise-summed
     dot can, in principle, flip a sign on a projection that is exactly
     0 under sequential summation."""
-    if fast:
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [corpus.schema[id_col]]
-            + [T.StructField(f"b{b}", T.IntegerType()) for b in range(bands)]
-        )
-        sigs = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            hyperplane_band_kernel(id_col, vec_col, dim, nbits, bands, seed),
-            schema,
-        )
-    else:
-        band_vals = hyperplane_band_cols(vec_col, dim, nbits, bands, seed)
-        sigs = corpus.select(
-            F.col(id_col),
-            *[band_vals[b].alias(f"b{b}") for b in range(bands)],
-        )
+    sigs = hyperplane_signatures(
+        corpus, id_col, vec_col, dim, nbits, bands, seed, fast=fast
+    )
     sigs.repartition(buckets, F.col(id_col)).write.mode(
         "overwrite"
     ).parquet(path)
@@ -603,13 +686,16 @@ def hyperplane_pairs_from_signature_table(
     threshold: float = 0.95,
     bands: int = HYPERPLANE_BANDS,
     max_bucket: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from persisted hyperplane signatures: candidates
     from the signature parquet only (no projection recompute), exact
     cosine fetched per-candidate from ``corpus``."""
     sigs = spark.read.parquet(path)
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
-    return _cosine_verify(cand, corpus, id_col, vec_col, threshold)
+    return _cosine_verify(
+        cand, corpus, id_col, vec_col, threshold, fast=fast
+    )
 
 
 def brute_force_topk_pandas(

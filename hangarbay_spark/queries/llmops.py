@@ -978,9 +978,11 @@ def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
 def sim_hplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
-    return S.hyperplane_topk(emb, probes, k=5, dim=EMB_DIM).select(
-        "probe_id", "neighbor_id", "cosine", "rk"
-    )
+    # fast=True: Arrow matmul signature kernel, asserted band-equal to
+    # the oracle-exact expr path (similarity.hyperplane_signatures).
+    return S.hyperplane_topk(
+        emb, probes, k=5, dim=EMB_DIM, fast=True
+    ).select("probe_id", "neighbor_id", "cosine", "rk")
 
 
 @register(
@@ -1027,11 +1029,14 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # fast=True: Arrow matmul signature kernel, asserted band-equal to
+    # the oracle-exact expr path (similarity.hyperplane_signatures).
     return S.embedding_near_dup_pairs(
         emb,
         threshold=0.4,
         dim=EMB_DIM,
         max_bucket=NEAR_DUP_MAX_BUCKET,
+        fast=True,
     ).select("id_a", "id_b", "cosine")
 
 

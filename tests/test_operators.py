@@ -569,6 +569,28 @@ def test_hyperplane_fast_kernel_matches_expr(spark, tmp_path):
     print(f"expr={t_expr:.2f}s fast={t_fast:.2f}s")
 
 
+def test_cosine_pair_udf_matches_expr(spark):
+    """The einsum pair-cosine kernel and the sequential-accumulation
+    expression path produce identical 9-dp cosines (and hence identical
+    near-dup pair sets) on the sf0.01 corpus."""
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    expr = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.4, dim=64, max_bucket=100
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.4, dim=64, max_bucket=100, fast=True
+        ).collect()
+    }
+    assert fast == expr and len(expr) > 0
+
+
 def test_simhash_hamming_pigeonhole(spark):
     """Pin the block-pigeonhole machinery on hand-built fingerprints:
     a 1-bit-different pair is caught, a far pair is not, and the
