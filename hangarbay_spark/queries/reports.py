@@ -10,6 +10,9 @@ and a global-share HAVING threshold (Q11). The testdata lacks
 ``partsupp``/``l_shipmode``/``l_commitdate``, so those shapes are
 re-targeted onto available columns with the plan structure preserved —
 the point is the operator/plan coverage, not the TPC-H literal text.
+Round 3 adds a deterministic derived partsupp (:func:`derived_partsupp`)
+so the three partsupp-dependent shapes — Q2 correlated min-per-group,
+Q9 profit, Q20 nested semi-joins — are exercised too.
 
 Also: a higher-order array-function battery and DataFrame.unpivot
 (melt), the two Spark-surface families not yet exercised by a declared
@@ -593,4 +596,254 @@ def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["n_customers", "total_acctbal"],
         variableColumnName="metric",
         valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp battery (round 3).
+#
+# The testdata ships no partsupp table, so the three TPC-H shapes that
+# need one (Q2 correlated min-cost, Q9 profit, Q20 nested semi-joins)
+# derive it deterministically at query time: the distinct
+# (l_partkey, l_suppkey) pairs that actually traded, plus integer
+# supply-cost cents and availqty computed with pure integer arithmetic
+# — bit-identical across engines, no float in any key or filter.
+# Reference parity target: the reference's report queries over its
+# published tables (/root/reference/pipelines/publish.py query surface);
+# the partsupp math itself is synthetic by necessity.
+
+_PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST((l_partkey * 31 + l_suppkey * 7) % 10000 + 100
+                AS BIGINT) AS ps_cost_cents,
+           CAST((l_partkey * 13 + l_suppkey * 17) % 9999 + 1
+                AS BIGINT) AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def derived_partsupp(
+    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+) -> DataFrame:
+    """partsupp synthesized from lineitem: one distinct-pairs shuffle,
+    then pure projections. At scale this is a map-side-combined
+    distinct over the fact table — the same cost class as any
+    per-(part,supp) aggregate. ``part_keys`` (a p_partkey DataFrame)
+    semi-prunes the fact scan BEFORE the distinct — per-part derived
+    rows are independent, so any per-part downstream consumer can push
+    its part filter into the derivation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % 10000 + 100)
+        .cast("bigint")
+        .alias("ps_cost_cents"),
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 17) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "join_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+           CAST(ps_cost_cents AS DOUBLE) / 100 AS supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY' AND p_size <= 10
+      AND ps_cost_cents = (SELECT MIN(ps2.ps_cost_cents) FROM ps ps2
+                           WHERE ps2.ps_partkey = ps.ps_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape: cheapest supplier(s) per qualifying part — the "
+    "correlated scalar MIN-per-group subquery runs as a partition "
+    "window over the derived partsupp (one shuffle on ps_partkey), "
+    "never a per-row re-scan; part filter applied before the join, "
+    "unique (p_partkey, s_suppkey) tie-break under LIMIT",
+    "J7,A5 + correlated scalar subquery per group (Q2)",
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    # The min is per-part, so the part filter commutes with the window:
+    # semi-pruning the derivation first shrinks both the distinct and
+    # the window shuffle to qualifying parts only (the oracle keeps the
+    # textbook correlated form over the unfiltered ps — same rows).
+    ps = derived_partsupp(spark, sf_dir, part_keys=part_keys)
+    mn = F.min("ps_cost_cents").over(W.partitionBy("ps_partkey"))
+    cheapest = (
+        ps.withColumn("min_cents", mn)
+        .filter(F.col("ps_cost_cents") == F.col("min_cents"))
+        .drop("min_cents")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        part.join(cheapest, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("ps_cost_cents").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "agg_nation_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {o_dsum(
+               "l_extendedprice * (1 - l_discount)"
+               " - CAST((l_partkey * 31 + l_suppkey * 7) % 10000 + 100"
+               "        AS DOUBLE) / 100 * l_quantity",
+               "profit",
+           )}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q9 shape: per-nation per-year profit = revenue minus supply "
+    "cost; the synthetic cost is a pure function of the composite key, "
+    "so it is computed inline on the fact row — at scale you never "
+    "shuffle the fact table to join a value you can compute (the "
+    "derived-ps composite-key join shape itself is exercised by "
+    "join_excess_inventory_suppliers); per-row arithmetic in double, "
+    "decimal-exact aggregation (base.py parity rule)",
+    "J7,A1 (Q9 profit battery)",
+)
+def agg_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cost = (
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % 10000 + 100)
+        .cast("double")
+        / 100
+    )
+    profit_row = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - cost * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit_row, "profit"))
+    )
+
+
+@register(
+    "join_excess_inventory_suppliers",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT ps_suppkey
+      FROM ps
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE '%widget%')
+        AND CAST(2 * ps_availqty AS DECIMAL(30,2)) > qty)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+    """,
+    "TPC-H Q20 shape: suppliers holding excess inventory (availqty > "
+    "half the year's shipped quantity) of widget parts — two nested "
+    "IN-subqueries become left-semi joins (part filter semi-joined "
+    "into partsupp, excess set semi-joined into supplier); the "
+    "quantity comparison is decimal-exact on both sides",
+    "2.3 semi-join chain + HAVING-style threshold (Q20)",
+)
+def join_excess_inventory_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    widget_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty"))
+    )
+    excess = (
+        ps.join(
+            widget_parts,
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            (F.lit(2) * F.col("ps_availqty")).cast("decimal(30,2)")
+            > F.col("qty")
+        )
+        .select("ps_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
     )

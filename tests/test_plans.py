@@ -72,6 +72,9 @@ def test_agg_has_mapside_partial(spark):
         "agg_promo_revenue_ratio",
         "join_decode_wide",
         "pivot_segment_status",
+        "join_min_cost_supplier",
+        "agg_nation_profit",
+        "join_excess_inventory_suppliers",
     ],
 )
 def test_no_nested_loop_joins(spark, name):
