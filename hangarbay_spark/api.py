@@ -136,6 +136,19 @@ class Hangarbay:
             out = out.limit(limit)
         return out.toPandas() if collect else out
 
+    def fts_search(self, query: str, mode: str = "all", collect: bool = True):
+        """Token search over the publish-time owners FTS index (the
+        reference's FTS5 intent, publish.py:286-304): per-term postings
+        lookups against the ``owners_fts`` parquet artifact, semi-joined
+        back to owners — the owners text columns are never re-scanned."""
+        from hangarbay_spark.operators import fts
+
+        self._ensure_data()
+        idx = self.spark.table("owners_fts")
+        owners = self.spark.table("owners")
+        out = fts.search(owners, idx, "owner_id", query, mode=mode)
+        return out.toPandas() if collect else out
+
     def query(self, sql: str, ilike: bool = False, collect: bool = True):
         """Ad-hoc SQL over the published catalog (reference api.py:274-305):
         parse/optimize/execute are Spark SQL + Catalyst + AQE."""

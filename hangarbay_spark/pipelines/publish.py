@@ -180,11 +180,30 @@ def build_owners_summary(owners: DataFrame) -> DataFrame:
     )
 
 
+# The reference's FTS5 virtual table indexes exactly these four owner
+# search fields (/root/reference/pipelines/publish.py:286-304).
+OWNERS_FTS_COLUMNS = (
+    "owner_name_std",
+    "address_all_std",
+    "city_std",
+    "state_std",
+)
+OWNERS_FTS_BUCKETS = 16
+
+
+def build_owners_fts_index(owners: DataFrame) -> DataFrame:
+    """(token, owner_id) postings over the four FTS5 search fields."""
+    from hangarbay_spark.operators import fts
+
+    return fts.build_inverted_index(owners, "owner_id", *OWNERS_FTS_COLUMNS)
+
+
 def publish(
     spark: SparkSession,
     parquet_dir: str | Path,
     write_meta: bool = True,
     sort_point_lookup_keys: bool = True,
+    build_fts: bool = True,
 ) -> dict[str, int]:
     """Register the published database in the Spark session.
 
@@ -225,10 +244,36 @@ def publish(
     spark.sql(f"CREATE OR REPLACE TEMP VIEW aircraft_decoded AS {AIRCRAFT_DECODED_SQL}")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW owners_clean AS {OWNERS_CLEAN_SQL}")
 
+    indexes_meta: dict[str, dict] = {}
+    if build_fts:
+        # Durable FTS artifact in the warehouse — the reference builds
+        # its FTS5 index at publish time (publish.py:286-304); ours is
+        # token-bucketed postings parquet, registered as a view so
+        # `SELECT ... FROM owners_fts` works immediately.
+        from hangarbay_spark.operators import fts
+
+        fts_path = parquet_dir / "_indexes" / "owners_fts.parquet"
+        fts.save_index(
+            build_owners_fts_index(owners),
+            str(fts_path),
+            buckets=OWNERS_FTS_BUCKETS,
+        )
+        idx_df = fts.load_index(spark, str(fts_path))
+        idx_df.createOrReplaceTempView("owners_fts")
+        counts["owners_fts"] = idx_df.count()
+        indexes_meta["owners_fts"] = {
+            "path": str(fts_path),
+            "key": "owner_id",
+            "columns": list(OWNERS_FTS_COLUMNS),
+            "buckets": OWNERS_FTS_BUCKETS,
+            "postings": counts["owners_fts"],
+        }
+
     if write_meta:
         meta = {
             "tables": counts,
             "views": ["aircraft_decoded", "owners_clean"],
+            "indexes": indexes_meta,
             "elapsed_sec": round(time.time() - t0, 2),
         }
         meta_path = parquet_dir / "_meta"

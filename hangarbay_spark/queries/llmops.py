@@ -313,14 +313,9 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup extension (MinHash+LSH, persisted signatures)",
 )
 def dedup_minhash_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from hangarbay_spark.pipelines import indexes
 
-    path = _MINHASH_SIG_PATHS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="hb_minhash_sigs_")
-        docs = load_table(spark, sf_dir, "documents")
-        D.write_minhash_signature_table(docs, "doc_id", "text", path)
-        _MINHASH_SIG_PATHS[sf_dir] = path
+    path = indexes.ensure_minhash_sigs(spark, sf_dir)
     return D.minhash_pairs_from_signature_table(
         spark, path, "doc_id", threshold=0.8
     )
@@ -1035,6 +1030,33 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         threshold=0.4,
         dim=EMB_DIM,
+        max_bucket=NEAR_DUP_MAX_BUCKET,
+        fast=True,
+    ).select("id_a", "id_b", "cosine")
+
+
+@register(
+    "sim_near_dup_persisted",
+    _o_hyperplane_near_dup(0.4, NEAR_DUP_MAX_BUCKET),
+    "embedding near-dup pairs from the PERSISTED hyperplane signature "
+    "table (durable under $HANGARBAY_INDEX_DIR via "
+    "pipelines.indexes.publish_corpus_indexes, else built once per "
+    "process): candidates come from fixed-width signature parquet — "
+    "the 64 projections never recompute at query time; exact-cosine "
+    "verification on candidates only, results identical to the inline "
+    "sim_embedding_near_dup, same oracle",
+    "dedup extension (embedding near-dup, persisted signatures)",
+)
+def sim_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    path = indexes.ensure_hyperplane_sigs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hyperplane_pairs_from_signature_table(
+        spark,
+        path,
+        emb,
+        threshold=0.4,
         max_bucket=NEAR_DUP_MAX_BUCKET,
         fast=True,
     ).select("id_a", "id_b", "cosine")

@@ -19,30 +19,20 @@ from pyspark.sql import functions as F
 
 from hangarbay_spark.operators import fts
 from hangarbay_spark.operators import multimodal as M
+from hangarbay_spark.pipelines import indexes
 from hangarbay_spark.queries.base import load_events, load_table, register
 
 O_TOKENS_FTS = r"str_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')"
 
-# Build-once/query-many: the persisted index path per sf_dir (process-
-# lifetime cache — the warehouse analog of the reference's one-time FTS5
-# build at publish time, /root/reference/pipelines/publish.py:286-304).
-_FTS_INDEX_PATHS: dict[str, str] = {}
-
 
 def persisted_fts_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The token-bucketed on-disk postings index for ``sf_dir``,
-    building and saving it on first use. Queries against the returned
-    DataFrame scan ONLY the index parquet — the documents table is
-    touched once at build time, never at query time."""
-    path = _FTS_INDEX_PATHS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="hb_fts_idx_")
-        docs = load_table(spark, sf_dir, "documents")
-        fts.save_index(
-            fts.build_inverted_index(docs, "doc_id", "text"), path, buckets=16
-        )
-        _FTS_INDEX_PATHS[sf_dir] = path
-    return fts.load_index(spark, path)
+    """The token-bucketed on-disk postings index for ``sf_dir`` —
+    durable under ``$HANGARBAY_INDEX_DIR`` (publish-time build,
+    ``pipelines.indexes.publish_corpus_indexes``), else built once per
+    process into a tempdir. Queries against the returned DataFrame scan
+    ONLY the index parquet — the documents table is touched once at
+    build time, never at query time."""
+    return indexes.ensure_fts(spark, sf_dir)
 
 
 @register(
@@ -80,19 +70,8 @@ def fts_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def persisted_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once (token, id, pos) positional index — the phrase-search
-    counterpart of :func:`persisted_fts_index`."""
-    key = f"{sf_dir}|positional"
-    path = _FTS_INDEX_PATHS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="hb_fts_pos_idx_")
-        docs = load_table(spark, sf_dir, "documents")
-        fts.save_index(
-            fts.build_positional_index(docs, "doc_id", "text"),
-            path,
-            buckets=16,
-        )
-        _FTS_INDEX_PATHS[key] = path
-    return fts.load_index(spark, path)
+    counterpart of :func:`persisted_fts_index`, same durable root."""
+    return indexes.ensure_fts_pos(spark, sf_dir)
 
 
 @register(

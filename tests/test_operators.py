@@ -569,6 +569,38 @@ def test_hyperplane_fast_kernel_matches_expr(spark, tmp_path):
     print(f"expr={t_expr:.2f}s fast={t_fast:.2f}s")
 
 
+def test_publish_corpus_indexes_durable(spark, tmp_path, monkeypatch):
+    """publish_corpus_indexes builds all four artifacts durably; with
+    HANGARBAY_INDEX_DIR set, the persisted-index queries resolve to the
+    published parquet (no rebuild, no corpus scan for candidates)."""
+    import json
+
+    from hangarbay_spark.pipelines import indexes
+    from hangarbay_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = tmp_path / "warehouse_idx"
+    meta = indexes.publish_corpus_indexes(spark, sf_dir, out)
+    root = out / "sf0.001"
+    for sub in indexes.ARTIFACTS.values():
+        assert (root / sub / "_SUCCESS").exists(), sub
+    on_disk = json.loads((root / "_meta" / "indexes.json").read_text())
+    assert on_disk["artifacts"].keys() == indexes.ARTIFACTS.keys()
+    assert all(a["rows"] > 0 for a in on_disk["artifacts"].values())
+    assert meta["source"] == sf_dir
+
+    monkeypatch.setenv("HANGARBAY_INDEX_DIR", str(out))
+    for qname, artifact in [
+        ("fts_match_all", "fts.parquet"),
+        ("fts_match_phrase", "fts_pos.parquet"),
+        ("dedup_minhash_lsh_persisted", "minhash_sigs.parquet"),
+        ("sim_near_dup_persisted", "hyperplane_sigs.parquet"),
+    ]:
+        df = REGISTRY[qname].fn(spark, sf_dir)
+        assert any(artifact in f for f in df.inputFiles()), qname
+        df.collect()
+
+
 def test_cosine_pair_udf_matches_expr(spark):
     """The einsum pair-cosine kernel and the sequential-accumulation
     expression path produce identical 9-dp cosines (and hence identical

@@ -183,6 +183,41 @@ def test_decode_views(spark, published):
     assert oc[("ZERO1", "")]["owner_type"] == "Government"
 
 
+def test_publish_fts_index_durable(spark, published, data_dir):
+    import json
+
+    *_, out = published
+    # artifact on disk, inside the warehouse
+    idx_dir = out / "_indexes" / "owners_fts.parquet"
+    assert (idx_dir / "_SUCCESS").exists()
+    # registered and queryable
+    idx = spark.table("owners_fts")
+    assert set(idx.columns) == {"owner_id", "token"}
+    assert idx.count() > 0
+    # provenance recorded for `status`
+    meta = json.loads((out / "_meta" / "publish.json").read_text())
+    fts_meta = meta["indexes"]["owners_fts"]
+    assert fts_meta["columns"] == [
+        "owner_name_std",
+        "address_all_std",
+        "city_std",
+        "state_std",
+    ]
+    assert fts_meta["postings"] == idx.count()
+
+    # FTS search resolves via the index artifact, not an owners re-scan
+    hb = Hangarbay(data_dir=data_dir, spark=spark)
+    hb._published = True
+    res = hb.fts_search("smith austin")
+    assert list(res["owner_name_std"]) == ["SMITH AVIATION LLC"]
+    lazy = hb.fts_search("smith austin", collect=False)
+    assert any("owners_fts" in f for f in lazy.inputFiles())
+    # AND semantics: tokens from different owners match nothing
+    assert len(hb.fts_search("smith acme")) == 0
+    # OR semantics
+    assert len(hb.fts_search("smith acme", mode="any")) == 2
+
+
 def test_api_surface(spark, published, data_dir):
     hb = Hangarbay(data_dir=data_dir, spark=spark)
     hb._published = True  # views registered by the `published` fixture
