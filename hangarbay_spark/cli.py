@@ -119,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output-format", choices=("table", "json", "csv"), default="table")
     sp.add_argument("--export-csv", default=None, help="write results to a CSV file")
 
+    sub.add_parser(
+        "verify",
+        help="data-quality rule pass over the published tables "
+        "(exit 1 on hard-rule failure, 0 otherwise)",
+    )
+
     sub.add_parser("version", help="show version")
 
     sub.add_parser("queries", help="list the declared query registry")
@@ -232,6 +238,27 @@ def main(argv: list[str] | None = None) -> int:
         snap = fetch_snapshot(data_dir, snapshot=args.snapshot, zip_path=args.zip_path)
         normalize_snapshot(hb.spark, snap, parquet_dir(data_dir))
         print(json.dumps(hb.load_data(force=True), indent=2))
+    elif args.cmd == "verify":
+        # the reference planned this stage (`make verify`,
+        # /root/reference/Makefile:26-27, PLANNING.md:167-182) but left
+        # it a stub; here the rules run distributed (pipelines/verify.py)
+        from hangarbay_spark.pipelines.verify import run_all
+
+        hb.load_data()
+        results = run_all(hb.spark)
+        hard_failed = False
+        for r in results:
+            if r.ok:
+                mark = "PASS"
+            elif r.severity == "hard":
+                mark, hard_failed = "FAIL", True
+            else:
+                mark = "WARN"
+            print(
+                f"{mark}\t[{r.severity}]\t{r.name}\t"
+                f"{r.violations}/{r.total} violations"
+            )
+        return 1 if hard_failed else 0
     elif args.cmd == "status":
         print(json.dumps(hb.status(), indent=2, default=str))
     elif args.cmd == "tables":

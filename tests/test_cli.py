@@ -213,3 +213,29 @@ def test_cli_compact(capsys, spark, tmp_path):
     out = capsys.readouterr().out
     assert "(1 files)" in out  # 16 tiny files well under 1 MiB total
     assert spark.read.parquet(dst).count() == 5000
+
+
+def test_cli_verify(capsys, warehouse):
+    """`hangar verify` runs the distributed rule pass, prints one
+    PASS/WARN/FAIL line per rule, and exits 1 on a hard-rule failure —
+    which the fixture warehouse triggers by design (duplicate n_number
+    757AF, the same duplicate test_aircraft_conventions pins)."""
+    rc = main(["--data-dir", str(warehouse), "verify"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "\t" in ln]
+    names = {ln.split("\t")[2] for ln in lines}
+    assert {
+        "unique_n_number",
+        "owner_id_present",
+        "zip5_format",
+        "make_model_fk_coverage",
+    } <= names
+    assert rc == 1
+    assert any(
+        ln.startswith("FAIL\t[hard]\tunique_n_number") for ln in lines
+    )
+    # soft rules never FAIL, hard rules never WARN
+    for ln in lines:
+        mark, sev = ln.split("\t")[0], ln.split("\t")[1]
+        assert (mark, sev) != ("FAIL", "[soft]")
+        assert (mark, sev) != ("WARN", "[hard]")
