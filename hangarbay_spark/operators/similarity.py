@@ -759,3 +759,78 @@ def brute_force_topk_pandas(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def quantize_int8_expr(vec_col: Column | str) -> Column:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    q_i = floor(x_i*scale + 0.5). ``floor(x+0.5)`` (not ``round``) so
+    the halfway rule is identical across engines — every quantized
+    value, and hence every downstream integer dot product, is exact
+    cross-engine. The zero vector quantizes to zeros via the epsilon
+    guard."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sc = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * sc + F.lit(0.5)).cast("int")
+    )
+
+
+def _q_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (bigint accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+
+
+def quantized_cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine of two int8-quantized vectors: integer dot and norms
+    (exact), one double divide + sqrt rounded to COSINE_SCALE — the
+    only float ops are the final scalar ones."""
+    raw = _q_dot(a, b).cast("double") / (
+        F.sqrt(_q_dot(a, a).cast("double")) * F.sqrt(_q_dot(b, b).cast("double"))
+    )
+    return F.round(raw, COSINE_SCALE)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — the quantized
+    ANN memory path (4x smaller vectors than float32; at 10^9-vector
+    scale the quantized corpus fits where the float one does not).
+    Same join shape as :func:`brute_force_topk`; all pairwise
+    arithmetic is integer-exact, so the oracle twin matches bit for
+    bit rather than modulo float summation order."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        quantize_int8_expr(vec_col).alias("probe_q"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_int8_expr(vec_col).alias("q"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            quantized_cosine_expr(
+                F.col("probe_q"), F.col("q")
+            ).alias("qcosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("qcosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

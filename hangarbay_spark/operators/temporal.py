@@ -141,3 +141,97 @@ def range_join(
         .drop("__bin")
     )
     return out
+
+
+def as_of_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Cogrouped-``applyInPandas`` twin of :func:`as_of_join`: both
+    sides are cogrouped on the key and each key's (left, right) frames
+    are ``pd.merge_asof``-ed in one Arrow batch — the canonical cogroup
+    use case, completing that slot of the engine's UDF taxonomy.
+
+    Same semantics as the window formulation (inclusive ``<=`` match;
+    among equal-ts right rows the max ``tie_break`` wins) and pinned
+    row-equal to it in tests. One shuffle per side on the key — the
+    same exchange count as the union-tag plan — but per-key groups
+    materialize in Python-worker memory, so prefer :func:`as_of_join`
+    when a single key's rows can be huge; this path wins when per-row
+    width is large (struct carry-forward of wide rows is expensive
+    JVM-side) or downstream logic is already pandas-shaped.
+
+    Unlike :func:`as_of_join`, the matched right timestamp is always
+    exported as ``asof_{right_ts}`` (``merge_asof`` yields it for
+    free).
+    """
+    import pandas as pd
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    # Both sides often derive from ONE source DataFrame (e.g. two
+    # filters of the same events table), so left and right columns can
+    # share exprIds; Catalyst's self-cogroup dedup then points the
+    # right frame's duplicates at the LEFT's attributes and column
+    # pruning drops them from the right child — the Python kernel
+    # would receive a right frame missing those columns. Re-aliasing
+    # every column mints fresh exprIds and makes the frames disjoint.
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [
+            T.StructField(f"asof_{c}", right.schema[c].dataType, True)
+            for c in right_cols
+        ]
+        + [
+            T.StructField(
+                f"asof_{right_ts}", right.schema[right_ts].dataType, True
+            )
+        ]
+    )
+    left_cols = list(left.columns)
+    asof_cols = [f"asof_{c}" for c in right_cols] + [f"asof_{right_ts}"]
+    # pandas upcasts int columns with misses to float64; convert to the
+    # nullable Int64 extension dtype so Arrow hands Spark proper NULLs
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    int_asof = {
+        f"asof_{c}"
+        for c in right_cols + [right_ts]
+        if isinstance(right.schema[c].dataType, int_types)
+    }
+
+    def kernel(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty:
+            return pd.DataFrame(columns=left_cols + asof_cols)
+        r2 = rf.sort_values(
+            [right_ts] + ([tie_break] if tie_break else [])
+        )
+        if tie_break is not None:
+            r2 = r2.drop_duplicates(subset=[right_ts], keep="last")
+        r2 = r2[[right_ts] + right_cols].rename(
+            columns={c: f"asof_{c}" for c in right_cols}
+        )
+        r2 = r2.rename(columns={right_ts: "__rts"})
+        merged = pd.merge_asof(
+            lf.sort_values(left_ts),
+            r2,
+            left_on=left_ts,
+            right_on="__rts",
+            direction="backward",
+        ).rename(columns={"__rts": f"asof_{right_ts}"})
+        for c in int_asof:
+            merged[c] = merged[c].astype("Int64")
+        return merged
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(kernel, out_schema)
+    )

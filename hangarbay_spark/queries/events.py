@@ -196,6 +196,55 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_cogrouped",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r0 AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'signup'),
+    r AS (SELECT user_id, ts, MAX(event_id) AS sid FROM r0 GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           epoch_ms(l.ts) AS purchase_ms,
+           r.sid AS signup_id,
+           epoch_ms(l.ts) - epoch_ms(r.ts) AS signup_lag_ms
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "as-of join through the cogrouped-applyInPandas path (one "
+    "pd.merge_asof per key batch — the canonical cogroup use case, "
+    "completing that UDF-taxonomy slot); identical semantics and "
+    "oracle to events_asof_purchase_signup",
+    "temporal-join extension (as-of join, cogroup twin)",
+)
+def events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join_cogrouped
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("sid"))
+    )
+    # the matched signup ts comes back as asof_ts automatically — never
+    # pass an alias-copy of it through right_cols (see the operator
+    # docstring: Catalyst dedups equal attributes under cogroup)
+    joined = as_of_join_cogrouped(
+        purchases, signups, on="user_id", right_cols=["sid"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("asof_sid").alias("signup_id"),
+        (F.unix_millis("ts") - F.unix_millis("asof_ts")).alias(
+            "signup_lag_ms"
+        ),
+    )
+
+
+@register(
     "events_funnel_view_click_purchase",
     f"""
     WITH ordered AS (

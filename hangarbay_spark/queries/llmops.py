@@ -1173,3 +1173,68 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal"), "doc_id")
         .limit(30)
     )
+
+
+_O_QUANT = """
+    qs AS (
+      SELECT vec_id,
+             127.0 / greatest(
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE)))), 1e-30) AS sc,
+             embedding
+      FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS BIGINT))
+               AS qv
+      FROM qs)
+"""
+
+
+def _o_qdot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _o_qcosine(a: str, b: str) -> str:
+    dot = _o_qdot(a, b)
+    na = "sqrt(CAST(" + _o_qdot(a, a) + " AS DOUBLE))"
+    nb = "sqrt(CAST(" + _o_qdot(b, b) + " AS DOUBLE))"
+    return f"round(CAST({dot} AS DOUBLE) / (({na}) * ({nb})), 9)"
+
+
+@register(
+    "sim_quantized_topk",
+    f"""
+    WITH {_O_QUANT},
+    p AS (SELECT vec_id AS probe_id, qv AS pq FROM q
+          WHERE vec_id IN {PROBE_IDS}),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             {_o_qcosine("p.pq", "c.qv")} AS qcosine
+      FROM q c CROSS JOIN p
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, qcosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY qcosine DESC, neighbor_id)
+        AS BIGINT) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    "int8-quantized brute-force ANN top-k: per-vector symmetric "
+    "quantization (scale 127/max|x|, floor(x*s+0.5) so the halfway "
+    "rule is engine-identical), then integer dot products — the "
+    "4x-memory scale path for 10^9-vector corpora; all pairwise "
+    "arithmetic is integer-exact, only the final cosine divide is "
+    "float (rounded 9 dp)",
+    "similarity-search extension (int8 quantized ANN)",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.quantized_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "qcosine", "rk"
+    )

@@ -384,7 +384,7 @@ def test_fts_persisted_index_no_corpus_scan(spark):
     df = fts_match_all(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "documents" not in plan  # only the index parquet is scanned
-    assert "hb_fts_idx_" in plan
+    assert "fts.parquet" in plan  # the durable index artifact
     # the term filter reaches the index scan (partition-local lookup)
     assert "PushedFilters: [In(token" in plan
     # and the persisted-index result equals the inline-index result
@@ -994,3 +994,69 @@ def test_lang_id_cjk_script_detection(spark):
         ).collect()
     }
     assert got == {1: "en", 2: "zh", 3: "zh", 4: "und"}
+
+
+def test_as_of_join_cogrouped_matches_window_path(spark):
+    """The cogrouped-applyInPandas as-of twin returns exactly the
+    window formulation's rows on real events data, and pins the same
+    tie/whole-row-carry semantics on the hand-built fixtures."""
+    from hangarbay_spark.operators.temporal import (
+        as_of_join,
+        as_of_join_cogrouped,
+    )
+    from hangarbay_spark.queries.base import load_events
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("sid"))
+    )
+    a = {
+        tuple(r)
+        for r in as_of_join(
+            purchases, signups, on="user_id", right_cols=["sid"]
+        ).collect()
+    }
+    bg = as_of_join_cogrouped(
+        purchases, signups, on="user_id", right_cols=["sid"]
+    )
+    # the cogroup path additionally exports asof_ts; compare on the
+    # window path's columns and separately pin asof_ts == matched ts
+    b = {
+        tuple(r)
+        for r in bg.select("event_id", "user_id", "ts", "asof_sid").collect()
+    }
+    assert a == b and len(a) > 0
+    assert (
+        bg.filter(
+            F.col("asof_sid").isNotNull() & (F.col("asof_ts") > F.col("ts"))
+        ).count()
+        == 0
+    )
+
+    # tie + whole-row-carry fixtures (mirror of test_as_of_join_ties)
+    left = spark.createDataFrame(
+        [(1, "u", 200)], "eid int, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(20, "u", 100, "a"), (21, "u", 100, None)],
+        "rid int, k string, ts long, tag string",
+    )
+    row = as_of_join_cogrouped(
+        left, right, on="k", right_cols=["rid", "tag"], tie_break="rid"
+    ).collect()[0]
+    assert row["asof_rid"] == 21
+    assert row["asof_tag"] is None
+    # left key with no right rows at all -> null asof columns
+    left2 = spark.createDataFrame(
+        [(9, "nobody", 5)], "eid int, k string, ts long"
+    )
+    row2 = as_of_join_cogrouped(
+        left2, right, on="k", right_cols=["rid", "tag"]
+    ).collect()[0]
+    assert row2["asof_rid"] is None and row2["asof_tag"] is None
