@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "index",
+        help="build ALL durable corpus index artifacts (FTS postings, "
+        "positional postings, MinHash + hyperplane signatures) into an "
+        "index root; later sessions set HANGARBAY_INDEX_DIR to query "
+        "them without rebuilding",
+    )
+    sp.add_argument("corpus_dir", help="directory of <table>.parquet inputs")
+    sp.add_argument("out_dir", help="index root to build into")
+
+    sp = sub.add_parser(
         "compact",
         help="rewrite a parquet directory into target-sized files "
         "(small-file maintenance, like OPTIMIZE)",
@@ -194,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")  # prints the plan to stdout
             return 0
         _emit(df.toPandas(), args.output_format)
+        return 0
+
+    if args.cmd == "index":
+        from hangarbay_spark.pipelines.indexes import publish_corpus_indexes
+        from hangarbay_spark.session import get_spark
+
+        spark = get_spark(app_name="hangar_index")
+        meta = publish_corpus_indexes(
+            spark, args.corpus_dir.rstrip("/"), args.out_dir
+        )
+        print(json.dumps(meta, indent=2))
         return 0
 
     if args.cmd == "compact":

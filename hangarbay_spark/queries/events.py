@@ -196,7 +196,7 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_asof_cogrouped",
+    "events_asof_arrow",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'purchase'),
@@ -209,14 +209,15 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(l.ts) - epoch_ms(r.ts) AS signup_lag_ms
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
-    "as-of join through the cogrouped-applyInPandas path (one "
-    "pd.merge_asof per key batch — the canonical cogroup use case, "
-    "completing that UDF-taxonomy slot); identical semantics and "
-    "oracle to events_asof_purchase_signup",
-    "temporal-join extension (as-of join, cogroup twin)",
+    "as-of join through the partition-batched Arrow path (tag+union, "
+    "one shuffle on the key, ONE vectorized pd.merge_asof(by=key) per "
+    "partition — not per key: the per-key cogroup twin pays ~20K "
+    "kernel calls on this corpus and runs 7x slower); identical "
+    "semantics and oracle to events_asof_purchase_signup",
+    "temporal-join extension (as-of join, Arrow partition-batched twin)",
 )
-def events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hangarbay_spark.operators.temporal import as_of_join_cogrouped
+def events_asof_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join_arrow
 
     ev = load_events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -227,10 +228,7 @@ def events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("sid"))
     )
-    # the matched signup ts comes back as asof_ts automatically — never
-    # pass an alias-copy of it through right_cols (see the operator
-    # docstring: Catalyst dedups equal attributes under cogroup)
-    joined = as_of_join_cogrouped(
+    joined = as_of_join_arrow(
         purchases, signups, on="user_id", right_cols=["sid"]
     )
     return joined.select(

@@ -239,3 +239,21 @@ def test_cli_verify(capsys, warehouse):
         mark, sev = ln.split("\t")[0], ln.split("\t")[1]
         assert (mark, sev) != ("FAIL", "[soft]")
         assert (mark, sev) != ("WARN", "[hard]")
+
+
+def test_cli_index(capsys, tmp_path):
+    """`hangar index` builds every corpus index artifact durably and
+    prints the provenance metadata."""
+    out_dir = tmp_path / "idx_root"
+    rc = main(["index", "/root/testdata/sf0.001", str(out_dir)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    meta = json.loads(out)
+    assert set(meta["artifacts"]) == {
+        "fts",
+        "fts_pos",
+        "minhash_sigs",
+        "hyperplane_sigs",
+    }
+    assert all(a["rows"] > 0 for a in meta["artifacts"].values())
+    assert (out_dir / "sf0.001" / "_meta" / "indexes.json").exists()

@@ -1032,6 +1032,18 @@ def test_as_of_join_cogrouped_matches_window_path(spark):
         for r in bg.select("event_id", "user_id", "ts", "asof_sid").collect()
     }
     assert a == b and len(a) > 0
+    # the partition-batched Arrow path returns the same rows too
+    from hangarbay_spark.operators.temporal import as_of_join_arrow
+
+    c = {
+        tuple(r)
+        for r in as_of_join_arrow(
+            purchases, signups, on="user_id", right_cols=["sid"]
+        )
+        .select("event_id", "user_id", "ts", "asof_sid")
+        .collect()
+    }
+    assert a == c
     assert (
         bg.filter(
             F.col("asof_sid").isNotNull() & (F.col("asof_ts") > F.col("ts"))
