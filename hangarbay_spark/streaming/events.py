@@ -162,6 +162,41 @@ def purchase_signup_window_join(
     )
 
 
+def purchase_signup_window_join_outer(
+    purchases: DataFrame,
+    signups: DataFrame,
+    window: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the variant the inner
+    join can't express: purchases with NO qualifying signup still emit
+    (with null signup columns) once the watermark passes their
+    eviction horizon. Matched rows stream out exactly like the inner
+    join; the null rows are held in state until Spark can PROVE no
+    future signup can match (watermark + interval), which is why both
+    watermarks are mandatory here rather than just state-bounding.
+    Rows near the end of a drained finite stream may stay unflushed —
+    the watermark never advances past them; the test asserts exact
+    parity for every purchase older than the final eviction horizon.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    s = signups.withWatermark("ts", watermark).alias("s")
+    return p.join(
+        s,
+        F.expr(
+            f"p.user_id = s.user_id AND p.ts >= s.ts "
+            f"AND p.ts <= s.ts + INTERVAL {window}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.unix_millis("p.ts").alias("purchase_ms"),
+        F.col("s.event_id").alias("signup_id"),
+        (F.unix_millis("p.ts") - F.unix_millis("s.ts")).alias("lag_ms"),
+    )
+
+
 USER_TOTALS_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double"
 )

@@ -338,3 +338,69 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream):
         .collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_stream_stream_outer_join_matches_batch(spark, events_dir):
+    """LEFT OUTER stream-stream interval join: for every purchase the
+    final watermark can prove closed, the drained stream equals the
+    batch left join exactly — matched rows with their signup, unmatched
+    with nulls. (Rows inside the final eviction horizon may legally be
+    withheld; they are excluded from the comparison on both sides.)"""
+    stream = SE.read_events_stream(spark, events_dir, max_files_per_trigger=8)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    signups = stream.filter(F.col("event_type") == "signup")
+    got = SE.run_to_memory(
+        SE.purchase_signup_window_join_outer(purchases, signups),
+        "t_ssjoin_outer",
+        spark,
+        output_mode="append",
+    )
+    ev = _events_batch(spark)
+    # Closed horizon: the joint watermark is min(max purchase ts, max
+    # signup ts) - 2h (each filtered side tracks its own watermark),
+    # and left-state eviction subtracts the 2h join interval again;
+    # 1h slack covers the one-batch watermark lag.
+    side_max = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_millis("ts")).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    horizon = side_max - (5 * 3600 * 1000)
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    bs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_uid"),
+        F.col("event_id").alias("signup_id"),
+        F.unix_millis("ts").alias("signup_ms"),
+    )
+    batch = bp.join(
+        bs,
+        (F.col("user_id") == F.col("s_uid"))
+        & (F.col("purchase_ms") >= F.col("signup_ms"))
+        & (F.col("purchase_ms") <= F.col("signup_ms") + 2 * 3600 * 1000),
+        "left",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ms",
+        "signup_id",
+        (F.col("purchase_ms") - F.col("signup_ms")).alias("lag_ms"),
+    )
+    key = lambda r: (  # noqa: E731
+        r["purchase_id"],
+        r["user_id"],
+        r["signup_id"],
+        r["lag_ms"],
+    )
+    g = {key(r) for r in got.filter(F.col("purchase_ms") < horizon).collect()}
+    b = {
+        key(r) for r in batch.filter(F.col("purchase_ms") < horizon).collect()
+    }
+    assert g == b and len(b) > 0
+    # the outer join genuinely adds null rows beyond the inner join
+    assert any(k[2] is None for k in b)
