@@ -834,3 +834,33 @@ def quantized_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def jl_project_expr(
+    vec_col: Column | str,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: str = "jlproj",
+) -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims via
+    a seeded Rademacher (±1) matrix — the standard reduction step
+    before large-scale ANN (Achlioptas 2001 shows ±1 entries satisfy
+    the JL lemma). Cosine is scale-invariant so the 1/sqrt(out_dim)
+    factor is omitted; each output component is the same sequential
+    array-order double accumulation as :func:`hyperplane_band_cols`,
+    so projected vectors are bit-identical across engines. Built as
+    one SQL string (the wide-literal driver-time rule)."""
+    vec_sql = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    coefs = rademacher_coefs(out_dim, dim, seed)
+
+    def proj(h: int) -> str:
+        arr = ", ".join(f"{c}D" for c in coefs[h])
+        return (
+            f"aggregate(zip_with({vec_sql}, array({arr}), "
+            f"(x, c) -> cast(x as double) * c), "
+            f"cast(0.0 as double), (acc, p) -> acc + p)"
+        )
+
+    return F.expr(
+        "array(" + ", ".join(proj(h) for h in range(out_dim)) + ")"
+    )
