@@ -280,3 +280,65 @@ def enrich_with_dim(
     joins buffer state. The canonical lookup-enrichment shape for a
     100 TB/day event feed against a small dimension."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`running_user_totals` — Spark 4's arbitrary-state API
+    (StatefulProcessor + typed state handles, the successor to
+    applyInPandasWithState, adding list/map state and timers for
+    custom eviction). Same per-user (count, decimal-exact total)
+    semantics, pinned equal to both the old-API stream and the batch
+    aggregate in tests. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``), which is how
+    a 100 TB-keyspace deployment would run it anyway — state spills
+    to disk instead of living on the JVM heap. Runtime requirement:
+    ``google.protobuf`` (the TWS Python driver worker's state-server
+    protocol) — absent in minimal containers, so the test skips
+    rather than fails there; ``running_user_totals`` is the
+    dependency-free fallback."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # decimal total carried as a string: exact, schema-stable
+            self._state = handle.getValueState(
+                "totals", "n bigint, total string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total_s = self._state.get()
+                total = Decimal(total_s)
+            else:
+                n, total = 0, Decimal("0.0000")
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    total += Decimal(str(v)).quantize(
+                        Decimal("0.0001"), rounding=ROUND_HALF_UP
+                    )
+            self._state.update((n, str(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Totals(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
