@@ -146,6 +146,22 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "check",
+        help="differential-check declared queries against their DuckDB "
+        "oracles over a parquet dir (exit 1 on any mismatch)",
+    )
+    sp.add_argument(
+        "names",
+        nargs="*",
+        help="registry query names (default: every query)",
+    )
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory of <table>.parquet inputs",
+    )
+
+    sp = sub.add_parser(
         "index",
         help="build ALL durable corpus index artifacts (FTS postings, "
         "positional postings, MinHash + hyperplane signatures) into an "
@@ -205,6 +221,40 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         _emit(df.toPandas(), args.output_format)
         return 0
+
+    if args.cmd == "check":
+        from hangarbay_spark.queries import REGISTRY
+        from hangarbay_spark.queries.compare import (
+            compare_query,
+            duckdb_connection,
+        )
+        from hangarbay_spark.session import get_spark
+
+        names = args.names or sorted(REGISTRY)
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="hangar_check")
+        con = duckdb_connection(args.sf_dir.rstrip("/"))
+        failed = 0
+        try:
+            for n in names:
+                r = compare_query(spark, n, args.sf_dir.rstrip("/"), con=con)
+                if r.oracle_rows is None:
+                    print(f"ROWS-ONLY\t{n}\t{r.spark_rows} rows")
+                elif r.ok:
+                    print(f"MATCH\t{n}\t{r.spark_rows} rows")
+                else:
+                    failed += 1
+                    print(
+                        f"MISMATCH\t{n}\tspark={r.spark_rows} "
+                        f"oracle={r.oracle_rows} schema={r.schema_match} "
+                        f"values={r.values_match} diffs={r.first_diffs}"
+                    )
+        finally:
+            con.close()
+        return 1 if failed else 0
 
     if args.cmd == "index":
         from hangarbay_spark.pipelines.indexes import publish_corpus_indexes

@@ -257,3 +257,22 @@ def test_cli_index(capsys, tmp_path):
     }
     assert all(a["rows"] > 0 for a in meta["artifacts"].values())
     assert (out_dir / "sf0.001" / "_meta" / "indexes.json").exists()
+
+
+def test_cli_check(capsys):
+    """`hangar check` differential-checks queries against their DuckDB
+    oracles: MATCH for oracle-twinned, ROWS-ONLY for oracle-less."""
+    rc = main(
+        [
+            "check",
+            "topk_brands",
+            "agg_approx_sketches",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "MATCH\ttopk_brands" in out
+    assert "ROWS-ONLY\tagg_approx_sketches" in out
+    assert main(["check", "nope"]) == 2

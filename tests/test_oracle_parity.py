@@ -1,74 +1,39 @@
 """Local twin of the driver's correctness gate: run every declared query
 on Spark AND its oracle SQL on DuckDB over the same parquet, compare
 row count, column names, and order-insensitive canonicalized values.
+The comparison itself lives in ``hangarbay_spark.queries.compare``
+(also exposed as ``hangar check``).
 """
 
 from __future__ import annotations
 
-import math
 import os
 
-import duckdb
 import pytest
 
 from hangarbay_spark.queries import REGISTRY
-from hangarbay_spark.queries.base import TABLES
+from hangarbay_spark.queries.compare import compare_query, duckdb_connection
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    con = duckdb_connection(SF_DIR)
     yield con
     con.close()
 
 
-def _canon_cell(v):
-    if v is None:
-        return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<nan>"
-        # repr of the exact double — engines must agree bit-for-bit
-        return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v))
-    return str(v)
-
-
-def _canon_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon_cell(r[i]) for i in idx) for r in rows)
-
-
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, duck, name):
-    spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
-
-    if spec.oracle is None:
-        assert len(spark_rows) >= 0  # rows-only smoke
+    r = compare_query(spark, name, SF_DIR, con=duck)
+    if r.oracle_rows is None:
+        assert r.spark_rows >= 0  # rows-only smoke
         return
-
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert r.schema_match, f"{name}: column mismatch"
+    assert r.rows_match, (
+        f"{name}: row count {r.spark_rows} vs {r.oracle_rows}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert r.values_match, (
+        f"{name}: value mismatch; first diffs: {r.first_diffs}"
     )
-    a = _canon_rows(spark_cols, spark_rows)
-    b = _canon_rows(duck_cols, duck_rows)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
-        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
