@@ -64,3 +64,48 @@ def deterministic_sample(
     """Stable ~frac sample: keeps rows whose bucket falls below the
     quantized threshold. Same rows survive any re-run or repartition."""
     return df.filter(hash_bucket_expr(key, salt) < int(frac * N_BUCKETS))
+
+
+def epoch_mixture(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """LLaMA-style epoch-weighted corpus mixing: each source is seen
+    ``weights[source]`` epochs per training pass — rows are emitted
+    ``floor(w)`` times plus one more for a deterministic
+    hash-bucketed ``frac(w)`` of the source (quantized to 1/256, same
+    bucket discipline as :func:`deterministic_sample`, so membership
+    in the fractional epoch is stable across runs/engines/partitions).
+
+    Output = input rows with ``repeat_idx`` (0-based copy number);
+    rows whose copy count is 0 (w < 1 and outside the kept fraction)
+    are dropped. The explode is a zero-shuffle row expansion — at
+    100 TB the emitted corpus streams straight to the sink with cost
+    proportional to output rows.
+    """
+    src = F.col(source_col)
+    base = None
+    thr = None
+    for s, w in weights.items():
+        b, t = int(w), round((w - int(w)) * N_BUCKETS)
+        base = (F.when(src == s, b) if base is None else base.when(src == s, b))
+        thr = (F.when(src == s, t) if thr is None else thr.when(src == s, t))
+    db, dt = int(default), round((default - int(default)) * N_BUCKETS)
+    base = F.lit(db) if base is None else base.otherwise(db)
+    thr = F.lit(dt) if thr is None else thr.otherwise(dt)
+    n_copies = base + F.when(
+        hash_bucket_expr(key, salt) < thr, 1
+    ).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+        )
+        .drop("__n")
+    )

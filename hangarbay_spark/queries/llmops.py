@@ -1295,3 +1295,49 @@ def sim_jl_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(projected, probes, vec_col="pv", k=5).select(
         "probe_id", "neighbor_id", "cosine", "rk"
     )
+
+
+# Per-source epoch factors (LLaMA-style: high-quality sources repeated,
+# low-quality subsampled). Fractions quantize to the 1/256 bucket
+# resolution of the deterministic sampler.
+EPOCH_WEIGHTS = {"src0": 0.25, "src2": 2.0, "src3": 3.5}
+
+
+def _o_epoch_mixture() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    base = "CASE source WHEN 'src0' THEN 0 WHEN 'src2' THEN 2 WHEN 'src3' THEN 3 ELSE 1 END"
+    thr = "CASE source WHEN 'src0' THEN 64 WHEN 'src2' THEN 0 WHEN 'src3' THEN 128 ELSE 0 END"
+    return f"""
+    WITH w AS (
+      SELECT source,
+             {base} + CASE WHEN {o_hash_bucket("doc_id", "epoch")} < {thr}
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents)
+    SELECT source,
+           CAST(SUM(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_emitted,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_emitted
+    FROM w GROUP BY source
+    """
+
+
+@register(
+    "sample_epoch_mixture",
+    _o_epoch_mixture(),
+    "epoch-weighted corpus mixing (LLaMA-style): each source emitted "
+    "floor(epochs) times plus a deterministic hash-bucketed fractional "
+    "epoch (stable membership across runs/engines/partitions); the "
+    "query aggregates the emitted mixture per source — distinct docs "
+    "surviving and total rows emitted",
+    "sampling extension (epoch-weighted mixing)",
+)
+def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    emitted = epoch_mixture(docs, "doc_id", "source", EPOCH_WEIGHTS)
+    return emitted.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_emitted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_emitted"),
+    )

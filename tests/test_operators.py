@@ -1072,3 +1072,48 @@ def test_as_of_join_cogrouped_matches_window_path(spark):
         left2, right, on="k", right_cols=["rid", "tag"]
     ).collect()[0]
     assert row2["asof_rid"] is None and row2["asof_tag"] is None
+
+
+def test_epoch_mixture_deterministic_and_weighted(spark):
+    """Epoch mixing: integer epochs emit exactly floor(w) copies per
+    row, fractional epochs keep a stable ~frac subset (same rows under
+    any repartitioning), and weight<1 drops the complement."""
+    from hangarbay_spark.operators.sampling import epoch_mixture
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+    weights = {"src0": 0.25, "src2": 2.0, "src3": 3.5}
+    out = epoch_mixture(df, "k", "source", weights)
+    per = {
+        r["source"]: (r["n_rows"], r["n_docs"])
+        for r in out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_docs"),
+        )
+        .collect()
+    }
+    # src1 (default 1.0): every row exactly once
+    assert per["src1"] == (500, 500)
+    # src2 (2.0): every row exactly twice
+    assert per["src2"] == (1000, 500)
+    # src0 (0.25): ~125 of 500 rows, once each
+    assert per["src0"][0] == per["src0"][1]
+    assert 80 < per["src0"][0] < 170
+    # src3 (3.5): every row 3 times + ~half a 4th time
+    assert per["src3"][1] == 500
+    assert 1600 < per["src3"][0] < 1900
+    # repeat_idx is a dense 0..n-1 per row
+    mx = out.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("repeat_idx").alias("m")
+    )
+    assert mx.filter(F.col("m") != F.col("n") - 1).count() == 0
+    # deterministic under repartition
+    out2 = epoch_mixture(df.repartition(13), "k", "source", weights)
+    a = {(r["k"], r["repeat_idx"]) for r in out.collect()}
+    b = {(r["k"], r["repeat_idx"]) for r in out2.collect()}
+    assert a == b
