@@ -151,22 +151,67 @@ def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
-    "exact interpolated percentiles per group (full-sort semantics; "
-    "the approx/sketch variant for 100 TB is agg_approx_sketches). "
+    "exact interpolated percentiles per group via distributed two-pass "
+    "interpolation: window row_number over a spillable external sort + "
+    "per-group count, filter to the <=4 boundary rows per group, then "
+    "v_lo + frac*(v_hi - v_lo) — the same (n-1)*p double formula Spark's "
+    "percentile() and DuckDB's quantile_cont use, so cross-engine parity "
+    "is unchanged. Unlike the builtin percentile() (which buffers a "
+    "value->count map per group in ONE aggregation buffer and OOMs when "
+    "a group holds tens of millions of near-unique doubles), this plan's "
+    "only per-group state is Spark's external sort, which spills. The "
+    "constant-memory sketch twin for 100 TB remains agg_approx_sketches. "
     "Rounded to 6 dp: both engines interpolate the same sorted doubles "
     "and only the last multiply can drift 1 ulp",
     "A1 (+exact percentile aggregation)",
 )
 def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
-            "median_price"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
-            "p90_price"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    grp = W.partitionBy("l_returnflag")
+    # 0-indexed position within the group's sorted values. row_number and
+    # the unordered count share one hash-partitioning on l_returnflag —
+    # a single shuffle; the final groupBy reuses that partitioning.
+    ranked = li.select("l_returnflag", "l_extendedprice").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.row_number().over(grp.orderBy("l_extendedprice")) - 1).alias("idx"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+
+    def pos(p: float):  # Spark Percentile.getPercentile: (count-1)*p
+        return (F.col("n") - 1).cast("double") * F.lit(p)
+
+    lo50, hi50 = F.floor(pos(0.5)), F.ceil(pos(0.5))
+    lo90, hi90 = F.floor(pos(0.9)), F.ceil(pos(0.9))
+    idx = F.col("idx")
+    boundary = (
+        (idx == lo50) | (idx == hi50) | (idx == lo90) | (idx == hi90)
+    )
+
+    def pick(cond):  # each boundary index matches exactly one row
+        return F.max(F.when(cond, F.col("l_extendedprice")))
+
+    agg = ranked.filter(boundary).groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        pick(idx == lo50).alias("v_lo50"),
+        pick(idx == hi50).alias("v_hi50"),
+        pick(idx == lo90).alias("v_lo90"),
+        pick(idx == hi90).alias("v_hi90"),
+    )
+
+    def interp(p: float, v_lo: str, v_hi: str):
+        # v_lo + (pos - floor(pos)) * (v_hi - v_lo): the exact operation
+        # order of Spark's builtin percentile() and DuckDB quantile_cont.
+        frac = pos(p) - F.floor(pos(p)).cast("double")
+        return F.round(
+            F.col(v_lo) + frac * (F.col(v_hi) - F.col(v_lo)), 6
+        )
+
+    return agg.select(
+        "l_returnflag",
+        interp(0.5, "v_lo50", "v_hi50").alias("median_price"),
+        interp(0.9, "v_lo90", "v_hi90").alias("p90_price"),
+        F.col("n").alias("n"),
     )
 
 
