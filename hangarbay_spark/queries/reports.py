@@ -634,8 +634,12 @@ def derived_partsupp(
     its part filter into the derivation."""
     li = load_table(spark, sf_dir, "lineitem")
     if part_keys is not None:
+        # Unhinted: part_keys grows linearly with SF (filtered part), so
+        # the broadcast decision belongs to AQE's runtime size estimate,
+        # consistent with the round-3 policy of hinting only fixed-size
+        # dims (nation/region/lookups) and 1-row scalars.
         li = li.join(
-            F.broadcast(part_keys),
+            part_keys,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
