@@ -624,8 +624,27 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return out.withColumn("simhash", hex_str)
 
 
+def write_simhash_fingerprint_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    buckets: int = 32,
+) -> None:
+    """One-time SimHash fingerprint build: (id, w0..w3, simhash)
+    persisted to parquet, id-bucketed — the SimHash twin of
+    :func:`write_minhash_signature_table`. The 64 per-token vote sums
+    are the expensive stage (one shuffle over the token postings);
+    persisting the 4 16-bit words turns every later Hamming search into
+    reads of 5-int rows, text never touched again."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    fp.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(
+        path
+    )
+
+
 def simhash_pairs_from_fingerprints(
-    fp: DataFrame, id_col: str, max_hamming: int = 3
+    fp: DataFrame, id_col: str, max_hamming: int = 3, checkpoint: bool = True
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` bits, from a
     fingerprint table with word columns ``w0..w3``.
@@ -646,8 +665,12 @@ def simhash_pairs_from_fingerprints(
     # The fingerprint subtree (64 vote sums over token postings) has two
     # consumers (join sides a and b); materialize it once — rows are 4
     # small ints + the id, the scale analog of a persisted fingerprint
-    # table.
-    fp = fp.select(F.col(id_col), *wcols).localCheckpoint()
+    # table. A parquet-backed fp (write_simhash_fingerprint_table) is
+    # already materialized: pass checkpoint=False and consumers re-read
+    # the fixed-width parquet instead of copying it again.
+    fp = fp.select(F.col(id_col), *wcols)
+    if checkpoint:
+        fp = fp.localCheckpoint()
     blocks = fp.select(
         F.col(id_col),
         *wcols,

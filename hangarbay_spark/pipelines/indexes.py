@@ -21,8 +21,10 @@ pre-published root turns all first-query build costs into plain reads.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import tempfile
 import time
 from pathlib import Path
@@ -48,18 +50,69 @@ ARTIFACTS = {
     "fts_pos": "fts_pos.parquet",
     "minhash_sigs": "minhash_sigs.parquet",
     "hyperplane_sigs": "hyperplane_sigs.parquet",
+    "simhash_sigs": "simhash_sigs.parquet",
 }
+
+# corpus tables the artifacts are derived from: the staleness scope.
+_SOURCE_TABLES = ("documents", "embeddings")
 
 _TEMP_ROOTS: dict[str, str] = {}
 
 
+def _corpus_fingerprint(corpus_dir: str) -> dict:
+    """Cheap provenance fingerprint of the tables the artifacts derive
+    from: per data file (relpath, size, mtime_ns). A regenerated corpus
+    changes mtimes/sizes even when the path is identical."""
+    fp: dict[str, list] = {}
+    for tbl in _SOURCE_TABLES:
+        p = Path(corpus_dir) / f"{tbl}.parquet"
+        if not p.exists():
+            continue
+        files = sorted(f for f in p.rglob("*") if f.is_file()) if p.is_dir() else [p]
+        fp[tbl] = [
+            [str(f.relative_to(p.parent)), f.stat().st_size, f.stat().st_mtime_ns]
+            for f in files
+        ]
+    return fp
+
+
+def _validate_root(root: Path, abs_corpus: str) -> None:
+    """Guard against serving stale artifacts: the root records which
+    corpus (path + file fingerprint) built it in ``_meta/source.json``;
+    any mismatch wipes the artifact dirs so ensure_* rebuilds. Without
+    this, two corpus dirs sharing a basename — or one regenerated
+    in place — would silently reuse each other's signatures (wrong
+    results, not a failure)."""
+    meta = root / "_meta" / "source.json"
+    current = {"source": abs_corpus, "fingerprint": _corpus_fingerprint(abs_corpus)}
+    if meta.exists():
+        try:
+            recorded = json.loads(meta.read_text())
+        except (OSError, ValueError):
+            recorded = None
+        if recorded == current:
+            return
+        for sub in ARTIFACTS.values():
+            shutil.rmtree(root / sub, ignore_errors=True)
+    meta.parent.mkdir(parents=True, exist_ok=True)
+    meta.write_text(json.dumps(current, indent=2))
+
+
 def index_root(corpus_dir: str) -> str:
-    """The index root for ``corpus_dir`` (see module docstring)."""
+    """The index root for ``corpus_dir`` (see module docstring).
+
+    Keyed by basename PLUS a hash of the absolute path so distinct
+    corpus dirs with equal basenames (e.g. two sf0.1 copies) can never
+    collide under one ``HANGARBAY_INDEX_DIR``; reuse is additionally
+    gated on a source fingerprint (see :func:`_validate_root`)."""
     env = os.environ.get("HANGARBAY_INDEX_DIR")
     if env:
-        root = str(Path(env) / Path(corpus_dir.rstrip("/")).name)
-        Path(root).mkdir(parents=True, exist_ok=True)
-        return root
+        abs_corpus = str(Path(corpus_dir.rstrip("/")).resolve())
+        digest = hashlib.sha256(abs_corpus.encode()).hexdigest()[:12]
+        root = Path(env) / f"{Path(abs_corpus).name}-{digest}"
+        root.mkdir(parents=True, exist_ok=True)
+        _validate_root(root, abs_corpus)
+        return str(root)
     root = _TEMP_ROOTS.get(corpus_dir)
     if root is None:
         root = tempfile.mkdtemp(prefix="hb_indexes_")
@@ -122,6 +175,18 @@ def ensure_hyperplane_sigs(spark: SparkSession, corpus_dir: str) -> str:
     return path
 
 
+def ensure_simhash_sigs(spark: SparkSession, corpus_dir: str) -> str:
+    """SimHash fingerprint table (id, w0..w3, simhash) for documents;
+    returns its path. The 64 vote-sums over token postings are the
+    expensive stage of every Hamming search — build-once parity with
+    the MinHash and hyperplane signature tables."""
+    path = artifact_path(corpus_dir, "simhash_sigs")
+    if not _is_built(path):
+        docs = load_table(spark, corpus_dir, "documents")
+        D.write_simhash_fingerprint_table(docs, "doc_id", "text", path)
+    return path
+
+
 def publish_corpus_indexes(
     spark: SparkSession, corpus_dir: str, out_dir: str | Path
 ) -> dict:
@@ -141,6 +206,7 @@ def publish_corpus_indexes(
         ensure_fts_pos(spark, corpus_dir)
         ensure_minhash_sigs(spark, corpus_dir)
         ensure_hyperplane_sigs(spark, corpus_dir)
+        ensure_simhash_sigs(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
         meta = {
             "source": str(corpus_dir),
@@ -156,6 +222,8 @@ def publish_corpus_indexes(
                 "emb_dim": EMB_DIM,
                 "hyperplane_bits": S.HYPERPLANE_BITS,
                 "hyperplane_bands": S.HYPERPLANE_BANDS,
+                "simhash_bits": D.SIMHASH_BITS,
+                "simhash_blocks": D.SIMHASH_BLOCKS,
             },
             "elapsed_sec": round(time.time() - t0, 2),
         }

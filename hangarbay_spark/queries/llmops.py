@@ -426,6 +426,27 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "dedup_simhash_persisted",
+    _o_simhash_hamming(3),
+    "SimHash Hamming<=3 pairs from a PERSISTED fingerprint table "
+    "(build-once: the 64 per-token vote sums — the expensive stage — "
+    "are paid at publish; the timed search reads 5-int parquet rows, "
+    "text never rescanned; results identical to the inline "
+    "dedup_simhash_hamming, same oracle). Build-once parity with "
+    "dedup_minhash_lsh_persisted and sim_near_dup_persisted",
+    "dedup extension (SimHash, persisted fingerprints)",
+)
+def dedup_simhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    path = indexes.ensure_simhash_sigs(spark, sf_dir)
+    fp = spark.read.parquet(path)
+    return D.simhash_pairs_from_fingerprints(
+        fp, "doc_id", max_hamming=3, checkpoint=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # Term statistics / sampling
 # ---------------------------------------------------------------------------

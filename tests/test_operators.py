@@ -570,18 +570,22 @@ def test_hyperplane_fast_kernel_matches_expr(spark, tmp_path):
 
 
 def test_publish_corpus_indexes_durable(spark, tmp_path, monkeypatch):
-    """publish_corpus_indexes builds all four artifacts durably; with
+    """publish_corpus_indexes builds all five artifacts durably; with
     HANGARBAY_INDEX_DIR set, the persisted-index queries resolve to the
     published parquet (no rebuild, no corpus scan for candidates)."""
     import json
+    from pathlib import Path
 
     from hangarbay_spark.pipelines import indexes
     from hangarbay_spark.queries import REGISTRY
 
     sf_dir = "/root/testdata/sf0.001"
     out = tmp_path / "warehouse_idx"
+    monkeypatch.setenv("HANGARBAY_INDEX_DIR", str(out))
     meta = indexes.publish_corpus_indexes(spark, sf_dir, out)
-    root = out / "sf0.001"
+    root = Path(indexes.index_root(sf_dir))
+    # root is basename + abs-path digest (collision-proof, ADVICE r3)
+    assert root.parent == out and root.name.startswith("sf0.001-")
     for sub in indexes.ARTIFACTS.values():
         assert (root / sub / "_SUCCESS").exists(), sub
     on_disk = json.loads((root / "_meta" / "indexes.json").read_text())
@@ -589,16 +593,72 @@ def test_publish_corpus_indexes_durable(spark, tmp_path, monkeypatch):
     assert all(a["rows"] > 0 for a in on_disk["artifacts"].values())
     assert meta["source"] == sf_dir
 
-    monkeypatch.setenv("HANGARBAY_INDEX_DIR", str(out))
     for qname, artifact in [
         ("fts_match_all", "fts.parquet"),
         ("fts_match_phrase", "fts_pos.parquet"),
         ("dedup_minhash_lsh_persisted", "minhash_sigs.parquet"),
         ("sim_near_dup_persisted", "hyperplane_sigs.parquet"),
+        ("dedup_simhash_persisted", "simhash_sigs.parquet"),
     ]:
         df = REGISTRY[qname].fn(spark, sf_dir)
         assert any(artifact in f for f in df.inputFiles()), qname
         df.collect()
+
+
+def test_simhash_persisted_no_vote_recompute(spark, tmp_path, monkeypatch):
+    """dedup_simhash_persisted's timed plan reads ONLY the fingerprint
+    parquet — no documents scan, no 64-vote-sum recompute — and its
+    pairs equal the inline dedup_simhash_hamming's (same oracle)."""
+    from hangarbay_spark.pipelines import indexes
+    from hangarbay_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setenv("HANGARBAY_INDEX_DIR", str(tmp_path / "idx"))
+    df = REGISTRY["dedup_simhash_persisted"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # text never rescanned
+    assert "md5" not in plan  # vote-sum stage absent from the search
+    # every scanned file is the durable artifact
+    assert df.inputFiles() and all(
+        "simhash_sigs.parquet" in f for f in df.inputFiles()
+    )
+    inline = REGISTRY["dedup_simhash_hamming"].fn(spark, sf_dir)
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in inline.collect()
+    } != set()
+
+
+def test_index_root_provenance(spark, tmp_path, monkeypatch):
+    """Same-basename corpus dirs get distinct roots, and a corpus
+    regenerated in place invalidates its artifacts (ADVICE r3: stale
+    signatures must rebuild, not silently serve)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from hangarbay_spark.pipelines import indexes
+
+    src = "/root/testdata/sf0.001"
+    corpus_a = tmp_path / "a" / "sfx"
+    corpus_b = tmp_path / "b" / "sfx"
+    for c in (corpus_a, corpus_b):
+        c.mkdir(parents=True)
+        for t in ("documents", "embeddings"):
+            shutil.copy(f"{src}/{t}.parquet", c / f"{t}.parquet")
+    monkeypatch.setenv("HANGARBAY_INDEX_DIR", str(tmp_path / "idx"))
+    ra = indexes.index_root(str(corpus_a))
+    rb = indexes.index_root(str(corpus_b))
+    assert ra != rb  # equal basenames cannot collide
+
+    path = indexes.ensure_simhash_sigs(spark, str(corpus_a))
+    assert (Path(path) / "_SUCCESS").exists()
+    # "regenerate" corpus_a (mtime bump) -> next resolution wipes stale
+    os.utime(corpus_a / "documents.parquet")
+    indexes.index_root(str(corpus_a))
+    assert not (Path(path) / "_SUCCESS").exists()
+    # and ensure_* rebuilds from the new corpus
+    rebuilt = indexes.ensure_simhash_sigs(spark, str(corpus_a))
+    assert (Path(rebuilt) / "_SUCCESS").exists()
 
 
 def test_cosine_pair_udf_matches_expr(spark):
