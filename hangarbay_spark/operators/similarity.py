@@ -297,6 +297,7 @@ def hyperplane_topk(
     bands: int = 8,
     seed: str = "hplsh",
     fast: bool = False,
+    fast_cosine: bool = False,
 ) -> DataFrame:
     """Multi-probe ANN: candidates = corpus vectors sharing >=1 of the
     probe's hyperplane band values, scored with exact cosine, per-probe
@@ -305,7 +306,12 @@ def hyperplane_topk(
     ~bands matched buckets per probe — still a tiny fraction of a corpus
     scan. Probe-side band rows are broadcast (probe sets are small).
     ``fast=True`` computes signatures with the Arrow matmul kernel
-    (see :func:`hyperplane_signatures`)."""
+    (see :func:`hyperplane_signatures`) — safe for oracle-compared
+    queries (band values are pinned equal). ``fast_cosine=True`` also
+    scores with the einsum kernel, whose pairwise summation can differ
+    from the oracle's sequential accumulation at a 9-dp rounding
+    boundary — keep it off when the cosine column feeds a hash-compared
+    result (ADVICE r3)."""
 
     def buckets(df: DataFrame, out_id: str, use_fast: bool) -> DataFrame:
         sigs = hyperplane_signatures(
@@ -337,7 +343,7 @@ def hyperplane_topk(
             "probe_id",
             "neighbor_id",
             _cosine_pair_col(
-                F.col("probe_vec"), F.col("vec"), fast
+                F.col("probe_vec"), F.col("vec"), fast_cosine
             ).alias("cosine"),
         )
     )
@@ -464,6 +470,7 @@ def embedding_near_dup_pairs(
     seed: str = HYPERPLANE_SEED,
     max_bucket: int | None = None,
     fast: bool = False,
+    fast_cosine: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -474,7 +481,11 @@ def embedding_near_dup_pairs(
     self-join is near-linear; ``max_bucket`` drops degenerate buckets
     (e.g. a zero-vector pile-up) before they go quadratic — the
     embedding twin of ``dedup.prune_frequent``. ``fast`` selects the
-    Arrow matmul signature kernel (:func:`hyperplane_signatures`).
+    Arrow matmul signature kernel (:func:`hyperplane_signatures`;
+    band-exact, safe under an oracle); ``fast_cosine`` additionally
+    scores verification with the einsum kernel — off by default so the
+    oracle-compared cosine keeps sequential-accumulation parity
+    (ADVICE r3).
     """
     # The signature subtree has a single consumer (the bucket pipeline:
     # explode -> hot-bucket window -> grouped pair expansion), so the
@@ -485,7 +496,7 @@ def embedding_near_dup_pairs(
     )
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
     return _cosine_verify(
-        cand, corpus, id_col, vec_col, threshold, fast=fast
+        cand, corpus, id_col, vec_col, threshold, fast=fast_cosine
     )
 
 
@@ -507,6 +518,14 @@ def _bucket_rows(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
     ).select(F.col(id_col), F.col("bk.blk"), F.col("bk.val"))
 
 
+# Largest bucket the collect_list expansion may materialize in one task:
+# the expanded struct array is ~n^2/2 entries, so 2048 ids ≈ 2M pairs ≈
+# tens of MB — comfortably inside an executor task. Bigger buckets fall
+# back to the join-based expansion, which shuffles/spills instead of
+# building the whole O(n^2) array in task memory (ADVICE r3).
+_COLLECT_BUCKET_CAP = 2048
+
+
 def _banded_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int, max_bucket: int | None
 ) -> DataFrame:
@@ -516,25 +535,27 @@ def _banded_candidate_pairs(
     One shuffle on (blk, val) + the output distinct: the hot-bucket
     window filter and the per-bucket collect_list reuse the same hash
     partitioning, and within-bucket pairs are expanded JVM-side from
-    the collected id list (bounded by ``max_bucket``, which drops
-    degenerate buckets BEFORE any list is built) — versus the previous
-    count-agg + anti-join + bucket self-join, which paid four
-    exchanges for the same pair set."""
+    the collected id list — versus the previous count-agg + anti-join +
+    bucket self-join, which paid four exchanges for the same pair set.
+    The collect_list path is capped at ``_COLLECT_BUCKET_CAP`` ids per
+    bucket: when ``max_bucket`` doesn't bound buckets below that (or is
+    None), oversized buckets — e.g. a zero-vector pile-up — are expanded
+    via an equi-self-join instead, preserving completeness without a
+    single-task O(n^2) array."""
     buckets = _bucket_rows(sigs, id_col, bands)
+    capped = max_bucket is not None and max_bucket <= _COLLECT_BUCKET_CAP
+    c = F.count(F.lit(1)).over(W.partitionBy("blk", "val"))
+    buckets = buckets.withColumn("c", c)
     if max_bucket is not None:
-        c = F.count(F.lit(1)).over(W.partitionBy("blk", "val"))
-        buckets = (
-            buckets.withColumn("c", c)
-            .filter(F.col("c") <= max_bucket)
-            .drop("c")
+        buckets = buckets.filter(F.col("c") <= max_bucket)
+
+    def _collect_expand(b: DataFrame) -> DataFrame:
+        grouped = (
+            b.groupBy("blk", "val")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-    grouped = (
-        buckets.groupBy("blk", "val")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    return (
-        grouped.select(
+        return grouped.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> "
@@ -543,10 +564,24 @@ def _banded_candidate_pairs(
                     "greatest(x, y) AS id_b))))"
                 )
             ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        ).select("p.id_a", "p.id_b")
+
+    if capped:
+        # every bucket is provably small: single-path plan, unchanged
+        # from the pre-guard formulation
+        return _collect_expand(buckets.drop("c")).distinct()
+    small = _collect_expand(
+        buckets.filter(F.col("c") <= _COLLECT_BUCKET_CAP).drop("c")
     )
+    big = buckets.filter(F.col("c") > _COLLECT_BUCKET_CAP).drop("c")
+    a = big.select(F.col(id_col).alias("id_a"), "blk", "val")
+    b = big.select(F.col(id_col).alias("id_b"), "blk", "val")
+    big_pairs = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return small.unionByName(big_pairs).distinct()
 
 
 def cosine_pair_udf():
@@ -573,10 +608,49 @@ def cosine_pair_udf():
     return cos_pair
 
 
+def cosine_pair_seq_udf():
+    """Arrow ``pandas_udf`` computing the RAW rowwise cosine with
+    SEQUENTIAL accumulation: one fused ``acc += A[:,j]*B[:,j]`` pass
+    per dimension, so every element's dot/norm folds left-to-right in
+    array order — the identical IEEE-754 op sequence to
+    :func:`cosine_expr`'s ``aggregate`` fold and the DuckDB oracle
+    (mul, add, sqrt, div are all correctly rounded; numpy applies them
+    as separate array ops, no FMA contraction). Bit-identical to the
+    expr path by construction — not merely within rounding noise like
+    the pairwise-summing einsum kernel — at ~dim vectorized passes per
+    batch instead of per-row interpreted lambdas (Spark does not
+    codegen HOF lambda bodies). Asserted equal on the test corpora
+    (tests/test_operators.py::test_cosine_seq_udf_matches_expr)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        n, dim = A.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(dim):  # left-to-right: the expr fold's op order
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_seq
+
+
 def _cosine_pair_col(a: Column, b: Column, fast: bool) -> Column:
+    # Both paths round in Spark (one rounding mode). The default scorer
+    # is the sequential-exact kernel: oracle-parity of the expr path,
+    # Arrow-batch speed of the einsum one (ADVICE r3).
     if fast:
         return F.round(cosine_pair_udf()(a, b), COSINE_SCALE)
-    return cosine_expr(a, b)
+    return F.round(cosine_pair_seq_udf()(a, b), COSINE_SCALE)
 
 
 def _cosine_verify(
@@ -686,15 +760,17 @@ def hyperplane_pairs_from_signature_table(
     threshold: float = 0.95,
     bands: int = HYPERPLANE_BANDS,
     max_bucket: int | None = None,
-    fast: bool = False,
+    fast_cosine: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from persisted hyperplane signatures: candidates
     from the signature parquet only (no projection recompute), exact
-    cosine fetched per-candidate from ``corpus``."""
+    cosine fetched per-candidate from ``corpus``. ``fast_cosine`` uses
+    the einsum scoring kernel — off by default for oracle parity
+    (ADVICE r3)."""
     sigs = spark.read.parquet(path)
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
     return _cosine_verify(
-        cand, corpus, id_col, vec_col, threshold, fast=fast
+        cand, corpus, id_col, vec_col, threshold, fast=fast_cosine
     )
 
 

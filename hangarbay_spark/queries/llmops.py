@@ -995,7 +995,9 @@ def sim_hplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
     # fast=True: Arrow matmul signature kernel, asserted band-equal to
-    # the oracle-exact expr path (similarity.hyperplane_signatures).
+    # the oracle-exact expr path. The cosine column stays on the expr
+    # path (fast_cosine defaults off) so the hash-compared score keeps
+    # sequential-accumulation parity with DuckDB (ADVICE r3).
     return S.hyperplane_topk(
         emb, probes, k=5, dim=EMB_DIM, fast=True
     ).select("probe_id", "neighbor_id", "cosine", "rk")
@@ -1046,7 +1048,8 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # fast=True: Arrow matmul signature kernel, asserted band-equal to
-    # the oracle-exact expr path (similarity.hyperplane_signatures).
+    # the oracle-exact expr path. Verification cosine stays on the expr
+    # path (fast_cosine defaults off) for oracle parity (ADVICE r3).
     return S.embedding_near_dup_pairs(
         emb,
         threshold=0.4,
@@ -1079,7 +1082,6 @@ def sim_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         threshold=0.4,
         max_bucket=NEAR_DUP_MAX_BUCKET,
-        fast=True,
     ).select("id_a", "id_b", "cosine")
 
 
@@ -1325,10 +1327,24 @@ EPOCH_WEIGHTS = {"src0": 0.25, "src2": 2.0, "src3": 3.5}
 
 
 def _o_epoch_mixture() -> str:
-    from hangarbay_spark.operators.sampling import o_hash_bucket
+    """DuckDB twin of operators.sampling.epoch_mixture + the per-source
+    rollup. CASE arms are GENERATED from EPOCH_WEIGHTS with the same
+    floor/round(frac*N_BUCKETS) quantization the operator uses (no
+    hand-copied literals to drift, ADVICE r3); the HAVING drops sources
+    whose every doc got 0 copies — the Spark side aggregates emitted
+    rows only, so a fully-subsampled source must vanish on both sides.
+    """
+    from hangarbay_spark.operators.sampling import N_BUCKETS, o_hash_bucket
 
-    base = "CASE source WHEN 'src0' THEN 0 WHEN 'src2' THEN 2 WHEN 'src3' THEN 3 ELSE 1 END"
-    thr = "CASE source WHEN 'src0' THEN 64 WHEN 'src2' THEN 0 WHEN 'src3' THEN 128 ELSE 0 END"
+    base_arms = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in EPOCH_WEIGHTS.items()
+    )
+    thr_arms = " ".join(
+        f"WHEN '{s}' THEN {round((w - int(w)) * N_BUCKETS)}"
+        for s, w in EPOCH_WEIGHTS.items()
+    )
+    base = f"CASE source {base_arms} ELSE 1 END"
+    thr = f"CASE source {thr_arms} ELSE 0 END"
     return f"""
     WITH w AS (
       SELECT source,
@@ -1340,6 +1356,7 @@ def _o_epoch_mixture() -> str:
              AS n_docs_emitted,
            CAST(SUM(n_copies) AS BIGINT) AS n_rows_emitted
     FROM w GROUP BY source
+    HAVING SUM(n_copies) > 0
     """
 
 

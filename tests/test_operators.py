@@ -628,6 +628,54 @@ def test_simhash_persisted_no_vote_recompute(spark, tmp_path, monkeypatch):
     } != set()
 
 
+def test_cosine_seq_udf_matches_expr(spark):
+    """The sequential-accumulation Arrow kernel must be bit-identical
+    to cosine_expr (same IEEE-754 op order), so the oracle-compared
+    cosine can use the kernel without parity risk (ADVICE r3)."""
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    diff = pairs.select(
+        S.cosine_expr(F.col("va"), F.col("vb")).alias("expr"),
+        F.round(
+            S.cosine_pair_seq_udf()(F.col("va"), F.col("vb")),
+            S.COSINE_SCALE,
+        ).alias("seq"),
+    ).filter(F.col("expr") != F.col("seq"))
+    assert diff.count() == 0
+    assert pairs.count() > 10_000  # the comparison actually covered pairs
+
+
+def test_banded_pairs_big_bucket_fallback(spark, monkeypatch):
+    """Buckets above _COLLECT_BUCKET_CAP expand via the equi-self-join
+    (shuffle/spill-bound) instead of a single-task O(n^2) collect_list
+    array, with an identical pair set (ADVICE r3)."""
+    from hangarbay_spark.operators import similarity as S
+
+    n = 30
+    sigs = spark.createDataFrame(
+        [(i, 7, i % 3) for i in range(n)], "vec_id int, b0 int, b1 int"
+    )
+    want = {
+        tuple(r)
+        for r in S._banded_candidate_pairs(sigs, "vec_id", 2, None).collect()
+    }
+    assert len(want) > n  # bucket b0=7 alone contributes n*(n-1)/2 pairs
+    monkeypatch.setattr(S, "_COLLECT_BUCKET_CAP", 5)
+    got = {
+        tuple(r)
+        for r in S._banded_candidate_pairs(sigs, "vec_id", 2, None).collect()
+    }
+    assert got == want
+
+
 def test_index_root_provenance(spark, tmp_path, monkeypatch):
     """Same-basename corpus dirs get distinct roots, and a corpus
     regenerated in place invalidates its artifacts (ADVICE r3: stale
@@ -677,7 +725,8 @@ def test_cosine_pair_udf_matches_expr(spark):
     fast = {
         (r["id_a"], r["id_b"], r["cosine"])
         for r in S.embedding_near_dup_pairs(
-            emb, threshold=0.4, dim=64, max_bucket=100, fast=True
+            emb, threshold=0.4, dim=64, max_bucket=100, fast=True,
+            fast_cosine=True
         ).collect()
     }
     assert fast == expr and len(expr) > 0
