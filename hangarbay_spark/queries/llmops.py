@@ -1085,6 +1085,88 @@ def sim_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine")
 
 
+def _o_ann_recall() -> str:
+    """Recall@k oracle composed from the three ANN queries' own oracle
+    SQL (each runs as a derived-table CTE): no re-derivation to drift.
+    """
+    from hangarbay_spark.queries.base import REGISTRY
+
+    bf = REGISTRY["sim_bruteforce_topk"].oracle
+
+    def arm(method: str, ann_sql: str) -> str:
+        return f"""
+    SELECT '{method}' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM ({bf}) e
+    LEFT JOIN ({ann_sql}) a
+      ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id"""
+
+    hp = REGISTRY["sim_hplsh_topk"].oracle
+    iv = REGISTRY["sim_ivf_topk"].oracle
+    return arm("hplsh", hp) + "\n    UNION ALL\n" + arm("ivf", iv)
+
+
+@register(
+    "sim_ann_recall_report",
+    _o_ann_recall(),
+    "ANN quality gate: recall@5 of the multi-probe hyperplane and "
+    "single-bucket IVF searches against the brute-force exact top-k on "
+    "the same probes — turns the 'recall < 1 by design' caveat into a "
+    "measured, oracle-checked, regression-guarded number. On this "
+    "corpus the absolute recall is low BY DESIGN: the embeddings are "
+    "near-random, so exact neighbors sit at cosine ~0.4 where "
+    "hyperplane collision probability is ~0.18/band-set; the >=0.9 "
+    "near-dup regime (cosine >=0.95) is asserted on a planted fixture "
+    "(tests/test_operators.py::test_ann_recall_floor_near_dup_regime). "
+    "The oracle is composed from the three ANN queries' own oracle SQL",
+    "similarity-search extension (recall@k report)",
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    exact = S.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    methods = {
+        "hplsh": S.hyperplane_topk(
+            emb, probes, k=5, dim=EMB_DIM, fast=True
+        ),
+        "ivf": S.ivf_topk(emb, probes, k=5, nbits=4),
+    }
+    outs = []
+    for m, ann in methods.items():
+        hits = ann.select("probe_id", "neighbor_id").withColumn(
+            "__hit", F.lit(1)
+        )
+        agg = exact.join(hits, ["probe_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias(
+                "n_hits"
+            ),
+        )
+        outs.append(
+            agg.select(
+                F.lit(m).alias("method"),
+                "n_exact",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # Per-source mixing weights (The-Pile-style corpus rebalancing): heavy
 # sources downsampled, the rest kept whole. Quantized to the 1/256
 # bucket resolution of the deterministic sampler.

@@ -628,6 +628,71 @@ def test_simhash_persisted_no_vote_recompute(spark, tmp_path, monkeypatch):
     } != set()
 
 
+def test_ann_recall_report_shape(spark):
+    """The oracle-checked recall report yields one row per method with
+    recall in [0,1] and the full exact count. (The absolute recall on
+    the driver corpus is LOW by design: its embeddings are near-random,
+    so exact top-5 neighbors sit at cosine ~0.4, where hyperplane-LSH
+    collision probability is ~0.18 — the >=0.9 regime is near-dup
+    cosine >=0.95, asserted on a planted fixture below.)"""
+    from hangarbay_spark.queries import REGISTRY
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["sim_ann_recall_report"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(rows) == {"hplsh", "ivf"}
+    for r in rows.values():
+        assert r["n_exact"] == 15  # 3 probes x k=5
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] == round(r["recall"] * 15)
+
+
+def test_ann_recall_floor_near_dup_regime(spark):
+    """Regression guard on ANN quality where the LSH is designed to
+    operate: planted near-dup clusters (cosine >=0.97). Multi-probe
+    hyperplane recall@k must stay >=0.9 — a miss requires the probe and
+    a true neighbor to disagree on ALL 8 bands, probability ~(1-p^8)^8
+    with p ~ 1 - arccos(0.97)/pi ~ 0.92."""
+    import numpy as np
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(40):  # 40 clusters x (1 base + 4 near-copies)
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        rows.append((vid, [float(x) for x in base]))
+        vid += 1
+        for _ in range(4):
+            # noise norm ~0.03*sqrt(64)=0.24 -> cosine ~1/sqrt(1+0.24^2)~0.97
+            pert = base + 0.03 * rng.standard_normal(64)
+            pert /= np.linalg.norm(pert)
+            rows.append((vid, [float(x) for x in pert]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    probes = emb.filter(F.col("vec_id").isin(0, 5, 10))  # 3 cluster bases
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, probes, k=4).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.hyperplane_topk(
+            emb, probes, k=4, dim=64, fast=True
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert len(exact) == 12  # 3 probes x k=4
+    assert recall >= 0.9
+
+
 def test_cosine_seq_udf_matches_expr(spark):
     """The sequential-accumulation Arrow kernel must be bit-identical
     to cosine_expr (same IEEE-754 op order), so the oracle-compared
