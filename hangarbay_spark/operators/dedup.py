@@ -721,6 +721,87 @@ def simhash_pairs_from_fingerprints(
     )
 
 
+def simhash_pairs_incremental(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fp_path: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming<=d pairs involving a NEW batch against an existing
+    persisted-fingerprint corpus — the SimHash twin of
+    :func:`minhash_pairs_incremental`: old text is never re-tokenized
+    and old vote sums never recompute; the corpus is touched only
+    through its 5-int-per-doc fingerprint table. Returns new-vs-old and
+    new-vs-new pairs (old-vs-old were found at corpus build). Id spaces
+    must be disjoint across batches."""
+    if max_hamming >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"block pigeonhole with {SIMHASH_BLOCKS} blocks is complete "
+            f"only for max_hamming <= {SIMHASH_BLOCKS - 1}"
+        )
+    wcols = [f"w{j}" for j in range(SIMHASH_BLOCKS)]
+    new_fp = (
+        simhash_fingerprints(new_df, id_col, text_col)
+        .select(F.col(id_col), *wcols)
+        .localCheckpoint()  # two consumers: block rows + verify join
+    )
+    old_fp = spark.read.parquet(fp_path).select(F.col(id_col), *wcols)
+
+    def blocks(fp: DataFrame, is_new: bool) -> DataFrame:
+        return fp.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("blk"), F.col(f"w{j}").alias("val")
+                        )
+                        for j in range(SIMHASH_BLOCKS)
+                    ]
+                )
+            ).alias("bk"),
+            F.lit(is_new).alias("is_new"),
+        ).select(F.col(id_col), F.col("bk.blk"), F.col("bk.val"), "is_new")
+
+    new_b = blocks(new_fp, True)
+    all_b = new_b.unionByName(blocks(old_fp, False))
+    cand = (
+        new_b.select(F.col(id_col).alias("id_a"), "blk", "val")
+        .join(
+            all_b.select(F.col(id_col).alias("id_b"), "blk", "val", "is_new"),
+            ["blk", "val"],
+        )
+        # new-new pairs once (ordered); new-old pairs regardless of order
+        .filter((~F.col("is_new")) | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    all_fp = new_fp.unionByName(old_fp)
+    fa = all_fp.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(w).alias(f"{w}_a") for w in wcols],
+    )
+    fb = all_fp.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(w).alias(f"{w}_b") for w in wcols],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")).cast("bigint")
+        )
+        for w in wcols
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

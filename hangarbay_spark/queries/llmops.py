@@ -426,6 +426,53 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+_SIMHASH_FP_PATHS: dict[str, str] = {}
+
+
+def _o_simhash_incremental() -> str:
+    """Oracle: the full-corpus Hamming search restricted to pairs that
+    touch the new batch (doc_id % 10 == 0) — old-vs-old pairs are
+    exactly the ones the incremental path deliberately skips."""
+    return f"""
+    SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b,
+           hamming
+    FROM ({_o_simhash_hamming(3)})
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """
+
+
+@register(
+    "dedup_simhash_incremental",
+    _o_simhash_incremental(),
+    "incremental SimHash ingest: a new batch (doc_id % 10 == 0) "
+    "Hamming-searched against the persisted fingerprint corpus of the "
+    "remaining docs — old text never re-tokenized, old vote sums never "
+    "recomputed, cost scales with the batch plus matched blocks, not "
+    "the corpus; returns new-vs-old and new-vs-new pairs",
+    "dedup extension (incremental SimHash ingest)",
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    key = f"{sf_dir}|incremental_corpus"
+    path = _SIMHASH_FP_PATHS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hb_simhash_corpus_")
+        old = docs.filter(F.col("doc_id") % 10 != 0)
+        D.write_simhash_fingerprint_table(old, "doc_id", "text", path)
+        _SIMHASH_FP_PATHS[key] = path
+    pairs = D.simhash_pairs_incremental(
+        spark, new, "doc_id", "text", path, max_hamming=3
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "hamming",
+    )
+
+
 @register(
     "dedup_simhash_persisted",
     _o_simhash_hamming(3),
@@ -1129,7 +1176,11 @@ def _o_ann_recall() -> str:
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
-    exact = S.brute_force_topk(emb, probes, k=5).select(
+    # The Arrow-matmul brute-force twin: only (probe_id, neighbor_id)
+    # membership feeds the report, and the twin is pinned row-equal to
+    # the expr path (test_pandas_udf_topk_matches_expr), so the cheaper
+    # kernel cannot move the oracle-compared counts.
+    exact = S.brute_force_topk_pandas(emb, probes, k=5).select(
         "probe_id", "neighbor_id"
     )
     methods = {

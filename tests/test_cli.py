@@ -249,14 +249,13 @@ def test_cli_index(capsys, tmp_path):
     out = capsys.readouterr().out
     assert rc == 0
     meta = json.loads(out)
-    assert set(meta["artifacts"]) == {
-        "fts",
-        "fts_pos",
-        "minhash_sigs",
-        "hyperplane_sigs",
-    }
+    from hangarbay_spark.pipelines import indexes
+
+    assert set(meta["artifacts"]) == set(indexes.ARTIFACTS)
     assert all(a["rows"] > 0 for a in meta["artifacts"].values())
-    assert (out_dir / "sf0.001" / "_meta" / "indexes.json").exists()
+    # root is basename + abs-path digest (provenance-keyed)
+    roots = list(out_dir.glob("sf0.001-*/_meta/indexes.json"))
+    assert len(roots) == 1
 
 
 def test_cli_check(capsys):
