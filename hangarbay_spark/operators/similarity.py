@@ -599,11 +599,19 @@ def cosine_pair_udf():
 
     @pandas_udf(DoubleType())
     def cos_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
+        # x/0 must be NULL, not IEEE inf/nan: both Spark and DuckDB
+        # return NULL for double division by zero, and a NaN cosine
+        # would (unlike NULL) PASS >= filters under Spark's NaN-is-
+        # largest ordering — a silent cross-engine divergence.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            res = num / den
+        return pd.Series(pd.arrays.FloatingArray(res, den == 0.0))
 
     return cos_pair
 
@@ -639,7 +647,12 @@ def cosine_pair_seq_udf():
             dot += A[:, j] * B[:, j]
             na += A[:, j] * A[:, j]
             nb += B[:, j] * B[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        den = np.sqrt(na) * np.sqrt(nb)
+        # x/0 -> NULL (Spark/DuckDB double-division semantics), never
+        # IEEE inf/nan — see cosine_pair_udf.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            res = dot / den
+        return pd.Series(pd.arrays.FloatingArray(res, den == 0.0))
 
     return cos_seq
 
@@ -806,13 +819,31 @@ def brute_force_topk_pandas(
     pr = probes.select(id_col, vec_col).collect()
     probe_ids = [r[id_col] for r in pr]
     P = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in pr])
-    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    pnorm = np.linalg.norm(P, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Pn = P / pnorm
+    p_zero = pnorm.ravel() == 0.0
 
     @pandas_udf(ArrayType(DoubleType()))
     def cos_all(vecs: pd.Series) -> pd.Series:
         V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.Series(list(Vn @ Pn.T))
+        vnorm = np.linalg.norm(V, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M = (V / vnorm) @ Pn.T
+        v_zero = vnorm.ravel() == 0.0
+        if not v_zero.any() and not p_zero.any():
+            return pd.Series(list(M))
+        # zero-norm on either side -> NULL element (Spark/DuckDB
+        # double-div-by-zero semantics; see cosine_pair_udf)
+        out = []
+        for i, row in enumerate(M):
+            out.append(
+                [
+                    None if (v_zero[i] or p_zero[j]) else float(x)
+                    for j, x in enumerate(row)
+                ]
+            )
+        return pd.Series(out)
 
     probe_id_arr = F.array(*[F.lit(int(i)) for i in probe_ids])
     scored = (

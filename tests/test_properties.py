@@ -267,3 +267,70 @@ def test_ffd_invariants_random(spark, items):
         loads.setdefault(r["pack_id"], []).append(r["n_tokens"])
     for vals in loads.values():
         assert sum(vals) <= budget or len(vals) == 1
+
+
+vec_strat = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=2,
+    max_size=96,
+)
+
+
+@given(a=vec_strat, b=vec_strat)
+@settings(max_examples=200, deadline=None)
+def test_prop_seq_cosine_bitexact(a, b):
+    """The sequential-accumulation Arrow cosine kernel must be
+    BIT-identical (==, not approx) to a pure left-to-right Python fold
+    — the same op order cosine_expr and the DuckDB oracle execute.
+    No Spark round-trip: the kernel function is exercised directly."""
+    import math
+
+    import pandas as pd
+
+    from hangarbay_spark.operators.similarity import cosine_pair_seq_udf
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):  # the expr fold: strict left-to-right
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    kernel = cosine_pair_seq_udf().func
+    got = kernel(pd.Series([a]), pd.Series([b])).iloc[0]
+    if denom == 0.0:
+        # division by zero is NULL in both Spark and DuckDB (never
+        # IEEE inf/nan — a NaN would pass >= filters Spark-side only)
+        assert got is pd.NA or got is None
+    else:
+        assert got == dot / denom  # bitwise: same IEEE-754 op sequence
+
+
+fp_strat = st.integers(min_value=0, max_value=(1 << 64) - 1)
+flip_strat = st.lists(
+    st.integers(min_value=0, max_value=63), min_size=0, max_size=3
+)
+
+
+@given(fp=fp_strat, flips=flip_strat)
+@settings(max_examples=300, deadline=None)
+def test_prop_simhash_pigeonhole_complete(fp, flips):
+    """Completeness of the block-pigeonhole candidate generation: ANY
+    pair of 64-bit fingerprints within Hamming distance 3 shares at
+    least one of the four 16-bit blocks exactly — so the (block, value)
+    equi-join can never miss a true pair."""
+    other = fp
+    for bit in flips:
+        other ^= 1 << bit
+    hamming = bin(fp ^ other).count("1")
+    assert hamming <= 3
+    blocks_a = [(fp >> (16 * j)) & 0xFFFF for j in range(4)]
+    blocks_b = [(other >> (16 * j)) & 0xFFFF for j in range(4)]
+    assert any(x == y for x, y in zip(blocks_a, blocks_b))
