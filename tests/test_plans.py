@@ -142,3 +142,15 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = _plan(spark, "text_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentiles_no_buffering_agg(spark):
+    """agg_percentiles_by_flag must use the two-pass window
+    interpolation, never the builtin percentile() whose per-group
+    value->count buffer OOMs on near-unique doubles at scale: exactly
+    one exchange (the window partitioning, reused by the final agg),
+    a Window with row_number, and no Percentile aggregate."""
+    plan = _plan(spark, "agg_percentiles_by_flag")
+    assert "percentile(" not in plan
+    assert "row_number()" in plan
+    assert plan.count("Exchange") == 1
