@@ -337,6 +337,64 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _o_dedup_survivors() -> str:
+    """Recursive-CTE twin of the end-to-end near-dedup: LSH pairs ->
+    reachability closure -> min-label clusters -> drop every non-min
+    member -> per-source kept/dropped counts."""
+    ctes, select = _o_minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+    dropped AS (SELECT id AS doc_id FROM lab WHERE id <> cluster)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM documents LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY source
+    """
+
+
+@register(
+    "dedup_survivors_summary",
+    _o_dedup_survivors(),
+    "END-TO-END near-dedup output: MinHash-LSH pairs -> connected "
+    "components (iterative min-label) -> keep the min-id member per "
+    "cluster plus all unclustered docs -> per-source kept/dropped "
+    "counts — the step that turns pair finding into the deduplicated "
+    "training corpus (oracle: recursive-CTE reachability + anti-join)",
+    "dedup extension (end-to-end survivor selection)",
+)
+def dedup_survivors_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    kept = D.near_dedup_survivors(
+        docs, pairs.select("id_a", "id_b"), "doc_id"
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return tot.join(k, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 def _o_simhash_word(j: int) -> str:
     """DuckDB twin of one 16-bit simhash word (bits 16j .. 16j+15)."""
     hexd = D.HEX_DIGITS
