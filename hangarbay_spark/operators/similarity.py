@@ -787,6 +787,67 @@ def hyperplane_pairs_from_signature_table(
     )
 
 
+def hyperplane_topk_from_signature_table(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+) -> DataFrame:
+    """Multi-probe ANN against a PERSISTED corpus signature table: the
+    corpus-side band buckets come from fixed-width parquet rows (the 64
+    projections per vector — the dominant cost of
+    :func:`hyperplane_topk` — never recompute at query time); probe
+    signatures are computed inline on the expr path (probe sets are
+    small by contract) and broadcast. Scoring fetches candidate vectors
+    by id join and uses the sequential-exact cosine kernel — results
+    identical to the inline formulation, same oracle."""
+    sigs = spark.read.parquet(path)
+    corpus_b = _bucket_rows(sigs, id_col, bands).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    probe_sigs = hyperplane_signatures(
+        probes, id_col, vec_col, dim, nbits, bands, seed, fast=False
+    )
+    probe_b = _bucket_rows(probe_sigs, id_col, bands).withColumnRenamed(
+        id_col, "probe_id"
+    )
+    cand = (
+        corpus_b.join(F.broadcast(probe_b), ["blk", "val"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_pair_col(F.col("probe_vec"), F.col("vec"), False).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     probes: DataFrame,

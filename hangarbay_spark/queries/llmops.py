@@ -1276,6 +1276,37 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _hplsh_topk_oracle() -> str:
+    from hangarbay_spark.queries.base import REGISTRY
+
+    # identical results by construction -> identical oracle
+    return REGISTRY["sim_hplsh_topk"].oracle
+
+
+@register(
+    "sim_hplsh_persisted_topk",
+    _hplsh_topk_oracle(),
+    "multi-probe hyperplane ANN top-k from the PERSISTED corpus "
+    "signature table: the 64 projections per corpus vector — the "
+    "dominant cost of the inline sim_hplsh_topk — are paid once at "
+    "publish; the timed search reads fixed-width signature parquet, "
+    "computes only the 3 probe signatures inline, and rescores "
+    "candidates with the sequential-exact cosine. Results identical "
+    "to sim_hplsh_topk, same oracle — the ANN twin of "
+    "dedup_minhash_lsh_persisted/sim_near_dup_persisted",
+    "similarity-search extension (persisted-signature ANN top-k)",
+)
+def sim_hplsh_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    path = indexes.ensure_hyperplane_sigs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.hyperplane_topk_from_signature_table(
+        spark, path, emb, probes, k=5, dim=EMB_DIM
+    ).select("probe_id", "neighbor_id", "cosine", "rk")
+
+
 # Per-source mixing weights (The-Pile-style corpus rebalancing): heavy
 # sources downsampled, the rest kept whole. Quantized to the 1/256
 # bucket resolution of the deterministic sampler.
