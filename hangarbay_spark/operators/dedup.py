@@ -305,6 +305,24 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def minhash_signature_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_MINHASH_K
+) -> DataFrame:
+    """(id, mh0..mh{k-1}, sh) signature rows — the shared build step of
+    the persisted table, the incremental path, and the streaming
+    ingest."""
+    post = shingle_postings(df, id_col, text_col)
+    return post.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(k)
+        ],
+        F.collect_list("shingle").alias("sh"),
+    )
+
+
 def write_minhash_signature_table(
     df: DataFrame,
     id_col: str,
@@ -320,16 +338,7 @@ def write_minhash_signature_table(
     signature rows, and the banded bucket shuffle carries no shingle
     arrays at all (see :func:`minhash_pairs_from_signature_table`).
     """
-    post = shingle_postings(df, id_col, text_col)
-    sigs = post.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
-                f"mh{i}"
-            )
-            for i in range(k)
-        ],
-        F.collect_list("shingle").alias("sh"),
-    )
+    sigs = minhash_signature_frame(df, id_col, text_col, k)
     sigs.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(
         path
     )
@@ -428,15 +437,8 @@ def minhash_pairs_incremental(
     disjoint across batches (they are, for snapshot ingest).
     """
     rows_per_band = k // bands
-    post = shingle_postings(new_df, id_col, text_col)
-    new_sigs = post.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
-                f"mh{i}"
-            )
-            for i in range(k)
-        ],
-        F.collect_list("shingle").alias("sh"),
+    new_sigs = minhash_signature_frame(
+        new_df, id_col, text_col, k
     ).localCheckpoint()
     old_sigs = spark.read.parquet(sig_path)
 

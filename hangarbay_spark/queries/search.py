@@ -187,3 +187,64 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SE.read_events_stream(spark, stage_dir, max_files_per_trigger=8)
     name = "q_streaming_hourly_rollup"
     return SE.run_to_memory(SE.hourly_rollup(stream), name, spark)
+
+
+_DEDUP_INGEST_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_dedup_ingest",
+    None,  # genuinely non-SQL-expressible (stateful multi-batch admission)
+    "streaming near-dup-rejecting ingest: documents staged as 4 "
+    "micro-batch files, drained with availableNow through "
+    "foreachBatch; each batch is MinHash-checked against the persisted "
+    "signature table of everything admitted so far (old text never "
+    "re-shingled) and survivors append rows + signatures. Returns "
+    "per-source admitted counts; greedy admission semantics + "
+    "exactly-once replay are pinned in "
+    "tests/test_streaming.py::test_streaming_dedup_ingest",
+    "streaming §2.7 extension (ingest-time dedup)",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.streaming import dedup_ingest as DI
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"{sf_dir}|dedup_ingest"
+    dirs = _DEDUP_INGEST_DIRS.get(key)
+    if dirs is None:
+        import os as _os
+        import time as _time
+
+        stage = tempfile.mkdtemp(prefix="hb_ingest_src_")
+        # 4 deterministic micro-batches (one file each); the file
+        # source orders by (modTime, path), so pin strictly increasing
+        # mtimes to make batch order — and thus greedy admission —
+        # reproducible across filesystems
+        t0 = _time.time()
+        for b in range(4):
+            docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
+                f"{stage}/b{b}"
+            )
+            for root, _, files in _os.walk(f"{stage}/b{b}"):
+                for fn in files:
+                    _os.utime(
+                        _os.path.join(root, fn), (t0 + b, t0 + b)
+                    )
+        corpus_dir = tempfile.mkdtemp(prefix="hb_ingest_corpus_")
+        ckpt = tempfile.mkdtemp(prefix="hb_ingest_ckpt_")
+        _DEDUP_INGEST_DIRS[key] = f"{stage}|{corpus_dir}|{ckpt}"
+    stage, corpus_dir, ckpt = _DEDUP_INGEST_DIRS[key].split("|")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    q = DI.dedup_ingest_stream(stream, corpus_dir, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    # replays of already-applied batches no-op (exactly-once), so
+    # repeat executions return the identical admitted corpus
+    return (
+        DI.read_admitted(spark, corpus_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
+    )

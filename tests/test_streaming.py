@@ -465,3 +465,65 @@ def test_running_user_totals_tws_matches_old_api(spark, events_stream):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Near-dup-rejecting ingest: batch 1 admits one of two near-dups;
+    batch 2 rejects a near-dup of an ALREADY-ADMITTED doc (cross-batch,
+    via the signature table only) and admits a novel one; restart with
+    the same checkpoint is a no-op."""
+    from hangarbay_spark.streaming import dedup_ingest as DI
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the deep green forest tonight"
+    )
+    novel = (
+        "completely different subject matter entirely about spark "
+        "query engines and distributed columnar analytics at scale"
+    )
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(3, base + " more"), (4, novel)], "doc_id int, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    corpus_dir = str(tmp_path / "admitted")
+    q = DI.dedup_ingest_stream(
+        stream, corpus_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    admitted = {
+        r["doc_id"] for r in DI.read_admitted(spark, corpus_dir).collect()
+    }
+    # 2 rejected in-batch (near-dup of 1); 3 rejected cross-batch
+    # (near-dup of admitted 1, found via signatures only); 4 novel
+    assert admitted == {1, 4}
+    sigs = spark.read.parquet(f"{corpus_dir}/{DI.SIGS_SUBDIR}")
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 4}
+
+    # restart, same checkpoint, no new files: nothing re-applied
+    q2 = DI.dedup_ingest_stream(
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        corpus_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert {
+        r["doc_id"] for r in DI.read_admitted(spark, corpus_dir).collect()
+    } == {1, 4}
+
+    # crash-replay of an already-applied batch_id is a no-op
+    batch = spark.createDataFrame([(9, novel)], "doc_id int, text string")
+    assert not DI.ingest_batch(spark, batch, 0, corpus_dir)
