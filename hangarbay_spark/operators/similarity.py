@@ -856,16 +856,19 @@ def brute_force_topk_pandas(
     k: int = 5,
 ) -> DataFrame:
     """Vectorized twin of :func:`brute_force_topk` using a scalar Arrow
-    ``@pandas_udf`` — one numpy matmul against the normalized probe
-    matrix per batch instead of interpreted zip_with/aggregate lambdas.
+    ``@pandas_udf`` — one fused vector op per dimension per batch
+    instead of interpreted zip_with/aggregate lambdas, accumulated
+    SEQUENTIALLY in index order so every cosine is bit-identical to
+    the expression path and the DuckDB oracle (the same op-order
+    guarantee as :func:`cosine_pair_seq_udf`; a pairwise-summed matmul
+    could flip a 9-dp rounding boundary and change a top-k rank).
 
     The probe set is collected to the driver and shipped in the UDF
     closure (the broadcast analog; probes are small by contract). The
     kernel returns RAW cosines; rounding happens in Spark (`F.round`,
-    HALF_UP) so both paths share one rounding mode and agree except
-    when numpy's pairwise summation and sequential accumulation
-    straddle a 0.5e-9 rounding boundary — asserted equal on the test
-    corpora (tests/test_operators.py::test_pandas_udf_topk_matches_expr).
+    HALF_UP) so both paths share one rounding mode — asserted equal on
+    the test corpora
+    (tests/test_operators.py::test_pandas_udf_topk_matches_expr).
 
     The engine's UDF taxonomy: native column exprs (default), scalar
     Arrow pandas_udf (this), GROUPED_AGG pandas_udf
@@ -880,18 +883,31 @@ def brute_force_topk_pandas(
     pr = probes.select(id_col, vec_col).collect()
     probe_ids = [r[id_col] for r in pr]
     P = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in pr])
-    pnorm = np.linalg.norm(P, axis=1, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        Pn = P / pnorm
-    p_zero = pnorm.ravel() == 0.0
+    # probe norms: sequential fold in index order (matches _norm_exact)
+    p_sq = np.zeros(len(pr))
+    for d in range(P.shape[1] if len(pr) else 0):
+        p_sq += P[:, d] * P[:, d]
+    p_norm = np.sqrt(p_sq)
+    p_zero = p_norm == 0.0
 
     @pandas_udf(ArrayType(DoubleType()))
     def cos_all(vecs: pd.Series) -> pd.Series:
         V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        vnorm = np.linalg.norm(V, axis=1, keepdims=True)
+        n, dim = V.shape
+        # sequential left-to-right accumulation per dimension — the
+        # exact IEEE-754 op order of cosine_expr / the DuckDB oracle
+        # (see cosine_pair_seq_udf); a pairwise-summed matmul could
+        # flip a 9-dp rounding boundary and change a top-k rank the
+        # hash-compared twin doesn't.
+        dots = np.zeros((n, len(probe_ids)))
+        v_sq = np.zeros(n)
+        for d in range(dim):
+            dots += V[:, d : d + 1] * P[:, d][None, :]
+            v_sq += V[:, d] * V[:, d]
+        v_norm = np.sqrt(v_sq)
         with np.errstate(divide="ignore", invalid="ignore"):
-            M = (V / vnorm) @ Pn.T
-        v_zero = vnorm.ravel() == 0.0
+            M = dots / (v_norm[:, None] * p_norm[None, :])
+        v_zero = v_norm == 0.0
         if not v_zero.any() and not p_zero.any():
             return pd.Series(list(M))
         # zero-norm on either side -> NULL element (Spark/DuckDB
