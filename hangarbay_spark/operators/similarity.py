@@ -707,10 +707,18 @@ def hyperplane_band_kernel(
 ):
     """Arrow-batched numpy twin of :func:`hyperplane_band_cols` for
     ``mapInPandas`` — one BLAS matmul per batch instead of interpreted
-    per-element lambdas (~100× faster per vector). Bit-for-bit equal to
-    the expression path except when a projection lands exactly at the
-    boundary of float64 summation order — measure-zero for real
-    embeddings and asserted equal on the test corpora."""
+    per-element lambdas (~100× faster per vector), with CERTIFIED
+    signs: every sign bit (hence every band value and candidate set)
+    is guaranteed equal to the expression path's sequential
+    ``aggregate`` fold and the DuckDB oracle, not merely asserted on
+    the test corpora. The matmul's pairwise summation could in
+    principle flip a projection that lands exactly on the 0 boundary
+    (real for quantized/sparse embeddings with dyadic values); a
+    rigorous forward-error bound identifies every entry whose sign the
+    matmul cannot certify — |proj| within gamma_dim * sum|v_i c_i| of
+    0 — and only those rows are recomputed with the exact sequential
+    fold (zero rows on continuous data, so the fast path keeps matmul
+    cost)."""
     import numpy as np
     import pandas as pd
 
@@ -718,12 +726,31 @@ def hyperplane_band_kernel(
     rpb = nbits // bands
     weights = (1 << np.arange(rpb)).astype(np.int64)
 
+    # forward-error bound for a dim-term float64 dot product under ANY
+    # summation order: |fl(x.y) - exact| <= gamma_dim * sum|x_i y_i|
+    # with gamma_dim = dim*eps/(1-dim*eps) (Higham, Accuracy and
+    # Stability of Numerical Algorithms, eq. 3.5). 4x covers matmul and
+    # sequential fold drifting to opposite sides, with slack.
+    eps = np.finfo(np.float64).eps
+    guard = 4.0 * dim * eps
+
     def kernel(batches):
         for pdf in batches:
             V = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            bits = (V @ C.T) >= 0  # n x nbits
+            proj = V @ C.T  # fast path: one BLAS matmul
+            # certify signs: an entry can disagree with the sequential
+            # fold only if |proj| is within the error bound of 0
+            risky = np.abs(proj) <= guard * (np.abs(V) @ np.abs(C).T)
+            if risky.any():
+                rows = np.unique(np.nonzero(risky)[0])
+                Vr = V[rows]
+                sub = np.zeros((len(rows), nbits))
+                for d in range(dim):  # left-to-right: the expr fold
+                    sub += Vr[:, d : d + 1] * C[:, d][None, :]
+                proj[rows] = sub
+            bits = proj >= 0  # n x nbits
             out = {id_col: pdf[id_col]}
             for b in range(bands):
                 out[f"b{b}"] = (
