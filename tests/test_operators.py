@@ -628,6 +628,33 @@ def test_simhash_persisted_no_vote_recompute(spark, tmp_path, monkeypatch):
     } != set()
 
 
+def test_hyperplane_kernel_certifies_zero_vector(spark):
+    """The certified signature kernel must agree with the expression
+    path even on exact-zero projections (a zero vector makes every
+    projection exactly 0 -> all sign bits true): the forward-error
+    bound flags those entries and the sequential recompute path runs."""
+    import numpy as np
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    rows = [(0, [0.0] * 64)] + [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    expr = {
+        tuple(r)
+        for r in S.hyperplane_signatures(emb, "vec_id", "embedding").collect()
+    }
+    fast = {
+        tuple(r)
+        for r in S.hyperplane_signatures(
+            emb, "vec_id", "embedding", fast=True
+        ).collect()
+    }
+    assert fast == expr and len(expr) == 40
+
+
 def test_ann_recall_report_shape(spark):
     """The oracle-checked recall report yields one row per method with
     recall in [0,1] and the full exact count. (The absolute recall on
