@@ -538,6 +538,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        # least(old, nbr) differs from old iff nbr < old, so the
+        # convergence flag rides the same select — probing it on the
+        # checkpointed frame costs a filter+limit over materialized
+        # rows, not a second labels join per round.
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -545,17 +549,14 @@ def connected_components(
                 F.least(
                     F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
                 ).alias("cluster"),
+                F.coalesce(
+                    F.col("nbr_cluster") < F.col("cluster"), F.lit(False)
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("chg")).limit(1).count()
+        labels = updated.drop("chg")
         if changed == 0:
             break
     return labels

@@ -376,22 +376,27 @@ def _o_dedup_survivors() -> str:
 def dedup_survivors_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
-    kept = D.near_dedup_survivors(
-        docs, pairs.select("id_a", "id_b"), "doc_id"
+    comp = D.connected_components(pairs.select("id_a", "id_b"))
+    # Non-min cluster members are the dropped set; one broadcast-able
+    # left join + conditional sums gives all three counts in a single
+    # scan of documents (the two-aggregate join formulation scanned the
+    # corpus twice and shuffled three times).
+    drop = (
+        comp.filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("is_dup", F.lit(1))
     )
-    tot = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-    k = kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept")
-    )
-    return tot.join(k, "source", "left").select(
-        "source",
-        "n_docs",
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_dropped"),
+    return (
+        docs.select("doc_id", "source")
+        .join(drop, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
     )
 
 
