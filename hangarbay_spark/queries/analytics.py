@@ -287,3 +287,83 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_spend"),
     )
+
+
+def _stats_formula_sql() -> dict[str, str]:
+    """Shared double-arithmetic formulas over the exact decimal moments
+    (nd, sx, sy, sxx, syy, sxy) — the SAME text is compiled by Spark
+    (F.expr) and DuckDB so every IEEE op runs in the same order and the
+    doubles match bit for bit; round() guards the residual risk of
+    compiler FMA contraction differences (cosine-oracle precedent,
+    llmops._o_cosine). Ratio-scale corr rounds at 9 dp; the larger-
+    magnitude covariance/stddev/slope at 6 dp (farther from the
+    rounding boundary relative to their ulp)."""
+    return {
+        "corr_qty_price": (
+            "round((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx)"
+            " * sqrt(nd * syy - sy * sy)), 9)"
+        ),
+        "covar_samp_qty_price": "round((sxy - sx * sy / nd) / (nd - 1.0), 6)",
+        "stddev_samp_qty": "round(sqrt((sxx - sx * sx / nd) / (nd - 1.0)), 6)",
+        "stddev_samp_price": "round(sqrt((syy - sy * sy / nd) / (nd - 1.0)), 6)",
+        "regr_slope_price_on_qty": (
+            "round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)"
+        ),
+    }
+
+
+_STATS_SELECT = ",\n           ".join(
+    f"{expr} AS {alias}" for alias, expr in _stats_formula_sql().items()
+)
+
+
+@register(
+    "agg_stats_battery",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+           {_STATS_SELECT}
+    FROM m
+    """,
+    "statistical aggregate battery (corr / covar_samp / stddev_samp / "
+    "regression slope) derived from exact decimal moment sums — the "
+    "builtin corr()/stddev() aggregates merge partial states in "
+    "nondeterministic float order on both engines, so the parity-safe "
+    "(and shuffle-identical: one pass, map-side partials) formulation "
+    "is moments-then-formula, with both engines compiling the same "
+    "arithmetic text",
+    "2.4 aggregation extension (statistical aggregates)",
+)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(q.cast("decimal(30,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(30,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(30,4)")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            F.expr(expr).alias(alias)
+            for alias, expr in _stats_formula_sql().items()
+        ],
+    )

@@ -559,3 +559,61 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "event_type", "value", z.alias("z")
     ).filter(F.abs(F.col("z")) > Z_THRESHOLD)
+
+
+@register(
+    "events_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY event_type),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1, 2)
+    SELECT grid.event_type,
+           epoch_ms(grid.h) AS hour_ms,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           COALESCE(c.tv, 0.0) AS total_value
+    FROM grid LEFT JOIN c
+      ON grid.event_type = c.event_type AND grid.h = c.h
+    """,
+    "time-series gap fill / densification: per-type hourly counts with "
+    "EMPTY hours materialized as zero rows — the dense grid comes from "
+    "sequence() over each type's [min,max] hour exploded per key (grid "
+    "size is bounded by time span, never row count, so the explode is "
+    "safe at any corpus scale), then a left join re-attaches the "
+    "sparse aggregates",
+    "2.5 extension (time-series densification / gap fill)",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    counts = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("tv"),
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        F.unix_millis("h").alias("hour_ms"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )

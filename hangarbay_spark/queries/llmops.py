@@ -1054,23 +1054,31 @@ def _o_hyperplane_buckets() -> str:
     buckets AS ({band_rows})"""
 
 
-def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
-    """DuckDB twin of the banded hyperplane LSH near-dup pipeline,
-    including the hot-bucket guard."""
-    return f"""
-    WITH {_o_hyperplane_buckets()},
+def _o_hyperplane_pair_ctes(threshold: float, max_bucket: int) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, cosine)`` — the DuckDB
+    twin of the banded hyperplane LSH near-dup pipeline including the
+    hot-bucket guard; shared by the pair query and the semantic-dedup
+    survivor closure."""
+    return f"""{_o_hyperplane_buckets()},
     cnt AS (SELECT blk, val, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
     bk AS (SELECT b.* FROM buckets b JOIN cnt USING (blk, val)
            WHERE cnt.c <= {max_bucket}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bk a JOIN bk b
-               ON a.blk = b.blk AND a.val = b.val AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b,
-           {_o_cosine("ea.embedding", "eb.embedding")} AS cosine
-    FROM cand
-    JOIN embeddings ea ON ea.vec_id = id_a
-    JOIN embeddings eb ON eb.vec_id = id_b
-    WHERE {_o_cosine("ea.embedding", "eb.embedding")} >= {threshold}
+               ON a.blk = b.blk AND a.val = b.val AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             {_o_cosine("ea.embedding", "eb.embedding")} AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
+      WHERE {_o_cosine("ea.embedding", "eb.embedding")} >= {threshold})"""
+
+
+def _o_hyperplane_near_dup(threshold: float, max_bucket: int) -> str:
+    return f"""
+    WITH {_o_hyperplane_pair_ctes(threshold, max_bucket)}
+    SELECT id_a, id_b, cosine FROM pairs
     """
 
 
@@ -1611,4 +1619,72 @@ def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("source").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs_emitted"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows_emitted"),
+    )
+
+
+def _o_semantic_dedup() -> str:
+    """Recursive-CTE twin of SemDeDup-style embedding-space dedup:
+    hyperplane-LSH cosine pairs -> reachability closure -> min-label
+    clusters -> drop non-min members -> per-label kept/dropped counts
+    (same closure shape as ``_o_dedup_survivors``)."""
+    return f"""
+    WITH RECURSIVE {_o_hyperplane_pair_ctes(0.4, NEAR_DUP_MAX_BUCKET)},
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+    dropped AS (SELECT id AS vec_id FROM lab WHERE id <> cluster)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM embeddings LEFT JOIN dropped dr USING (vec_id)
+    GROUP BY label
+    """
+
+
+@register(
+    "sim_semantic_dedup",
+    _o_semantic_dedup(),
+    "SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "embedding-cosine near-dup pairs via banded hyperplane LSH -> "
+    "connected components (iterative min-label) -> keep one "
+    "representative per semantic-duplicate cluster -> per-label "
+    "kept/dropped counts — the embedding-space twin of "
+    "dedup_survivors_summary, turning pairwise similarity into the "
+    "deduplicated corpus (oracle: recursive-CTE reachability)",
+    "dedup extension (semantic dedup over embeddings)",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        dim=EMB_DIM,
+        max_bucket=NEAR_DUP_MAX_BUCKET,
+        fast=True,
+    )
+    comp = D.connected_components(pairs.select("id_a", "id_b"))
+    drop = (
+        comp.filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(drop, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.coalesce("is_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
     )
