@@ -154,3 +154,33 @@ def test_percentiles_no_buffering_agg(spark):
     assert "percentile(" not in plan
     assert "row_number()" in plan
     assert plan.count("Exchange") == 1
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# a cross join against a BOUNDED small side — a 1-row scalar aggregate
+# (global total / average / threshold) or a by-contract-small probe or
+# centroid set. Bounded means independent of corpus scale, so the
+# broadcast never grows with data size.
+BNLJ_ALLOWED = {
+    "agg_global_share_threshold",   # 1-row global threshold scalar
+    "subquery_rich_no_orders",      # 1-row avg-balance scalar
+    "subquery_scalar_above_avg",    # 1-row global average scalar
+    "text_lm_surprisal",            # 1-row corpus token total
+    "tfidf_top_terms",              # 1-row corpus doc count
+    "sim_bruteforce_topk",          # fixed probe set (3 vectors)
+    "sim_centroid_assign",          # fixed centroid table (8 vectors)
+    "sim_jl_project_topk",          # fixed probe set
+    "sim_quantized_topk",           # fixed probe set
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_wide_no_unbounded_nested_loops(spark, name):
+    """EVERY registered query: no CartesianProduct ever, and
+    BroadcastNestedLoopJoin only where the broadcast side is a bounded
+    scalar/probe set (allowlist above). A new query that accidentally
+    plans a scale-growing cross join fails here before it ships."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unbounded BNLJ"
