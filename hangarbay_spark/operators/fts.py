@@ -133,6 +133,84 @@ def match_all(index: DataFrame, query: str, id_col: str) -> DataFrame:
     )
 
 
+def build_tf_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, id, tf) postings with term frequency — the ranked-search
+    index (FTS5 stores the same per-(term,doc) counts for its bm25()).
+    One explode + one groupBy shuffle on (token, id)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokenize_expr(text_col)).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def build_doclen(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl) total token count per document — BM25's length
+    normalization table, built once alongside the tf postings."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokenize_expr(text_col)).cast("bigint").alias("dl"),
+    )
+
+
+# BM25 per-term score over columns (tf BIGINT, dl BIGINT, df DOUBLE,
+# nd DOUBLE, sdl DOUBLE): Lucene-style positive idf, k1=1.2, b=0.75.
+# This exact text is compiled by BOTH Spark (F.expr) and the DuckDB
+# oracle so every IEEE op runs in the same order; the transcendental
+# ln() and the final product are rounded at 6 dp (cross-engine libm /
+# FMA-contraction guard — same convention as text_lm_surprisal).
+BM25_TERM_SCORE = (
+    "round(round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)), 6)"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE)"
+    "    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd))), 6)"
+)
+
+
+def bm25_topk(
+    tf_index: DataFrame,
+    doclen: DataFrame,
+    query: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """BM25-ranked top-k docs for ``query`` — the FTS5 ``ORDER BY rank``
+    analog, entirely index-driven: per-term postings resolve via
+    pushdown on the token-bucketed tf parquet (never a corpus scan),
+    document frequencies come from those same filtered postings, the
+    two corpus scalars (doc count, total length) are one tiny aggregate
+    of the doclen table broadcast to every scored row, and per-doc
+    scores sum exactly in DECIMAL before the top-k window."""
+    from pyspark.sql.window import Window
+
+    toks = list(dict.fromkeys(tokenize_query(query)))
+    if not toks:
+        return tf_index.select(id_col).limit(0)
+    t = tf_index.filter(F.col("token").isin(toks))
+    df_ = t.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dl").cast("double").alias("sdl"),
+    )
+    scored = (
+        t.join(doclen, id_col)
+        .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.expr(BM25_TERM_SCORE))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(F.col("s").cast("decimal(20,6)")).cast("double").alias("bm25")
+    )
+    # Distributed top-k (TakeOrderedAndProject) first; the rank window
+    # then runs over only k rows — a global row_number over ALL matched
+    # docs would funnel them through one task.
+    top = per_doc.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
 def search(
     df: DataFrame,
     index: DataFrame,

@@ -48,6 +48,8 @@ EMB_DIM = 64
 ARTIFACTS = {
     "fts": "fts.parquet",
     "fts_pos": "fts_pos.parquet",
+    "fts_tf": "fts_tf.parquet",
+    "fts_doclen": "fts_doclen.parquet",
     "minhash_sigs": "minhash_sigs.parquet",
     "hyperplane_sigs": "hyperplane_sigs.parquet",
     "simhash_sigs": "simhash_sigs.parquet",
@@ -154,6 +156,32 @@ def ensure_fts_pos(spark: SparkSession, corpus_dir: str) -> DataFrame:
     return fts.load_index(spark, path)
 
 
+def ensure_fts_tf(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """(token, doc_id, tf) term-frequency postings — the ranked-search
+    (BM25) index, built once per root."""
+    path = artifact_path(corpus_dir, "fts_tf")
+    if not _is_built(path):
+        docs = load_table(spark, corpus_dir, "documents")
+        fts.save_index(
+            fts.build_tf_index(docs, "doc_id", "text"),
+            path,
+            buckets=FTS_BUCKETS,
+        )
+    return fts.load_index(spark, path)
+
+
+def ensure_fts_doclen(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """(doc_id, dl) document token lengths — BM25's length-normalization
+    table, built once per root."""
+    path = artifact_path(corpus_dir, "fts_doclen")
+    if not _is_built(path):
+        docs = load_table(spark, corpus_dir, "documents")
+        fts.build_doclen(docs, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def ensure_minhash_sigs(spark: SparkSession, corpus_dir: str) -> str:
     """MinHash signature table for documents; returns its path."""
     path = artifact_path(corpus_dir, "minhash_sigs")
@@ -204,6 +232,8 @@ def publish_corpus_indexes(
         t0 = time.time()
         ensure_fts(spark, corpus_dir)
         ensure_fts_pos(spark, corpus_dir)
+        ensure_fts_tf(spark, corpus_dir)
+        ensure_fts_doclen(spark, corpus_dir)
         ensure_minhash_sigs(spark, corpus_dir)
         ensure_hyperplane_sigs(spark, corpus_dir)
         ensure_simhash_sigs(spark, corpus_dir)

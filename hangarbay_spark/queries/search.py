@@ -93,6 +93,61 @@ def fts_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.match_phrase(idx, "table hash", "doc_id").select("doc_id")
 
 
+BM25_TERMS = ("spark", "hash", "window")
+
+
+@register(
+    "fts_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter({O_TOKENS_FTS}, t -> t != '') AS ts
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(len(ts)) AS DOUBLE) AS sdl
+      FROM tok),
+    q AS (SELECT unnest({list(BM25_TERMS)}) AS term),
+    tf_rows AS (
+      SELECT t.doc_id, q.term,
+             CAST(len(list_filter(t.ts, x -> x = q.term)) AS BIGINT) AS tf,
+             CAST(len(t.ts) AS BIGINT) AS dl
+      FROM tok t CROSS JOIN q
+      WHERE len(list_filter(t.ts, x -> x = q.term)) > 0),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      FROM tf_rows GROUP BY term),
+    scored AS (
+      SELECT tf_rows.doc_id, {fts.BM25_TERM_SCORE} AS s
+      FROM tf_rows JOIN dfreq USING (term) CROSS JOIN stats),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(20,6))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, bm25, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+      FROM per_doc) t
+    WHERE rk <= 20
+    """,
+    "BM25-ranked search (the FTS5 `ORDER BY rank` analog the boolean "
+    "match_* queries lacked): per-term tf postings resolve by pushdown "
+    "on the PERSISTED token-bucketed tf index, document frequencies "
+    "come from those filtered postings, corpus scalars (doc count, "
+    "total length) broadcast from the build-once doclen table, and the "
+    "identical score-formula text compiles on both engines (ln and "
+    "final product 6dp-rounded, per-doc sum decimal-exact) — no corpus "
+    "scan at query time",
+    "Q5 (FTS substitute: ranked retrieval)",
+)
+def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfi = indexes.ensure_fts_tf(spark, sf_dir)
+    dls = indexes.ensure_fts_doclen(spark, sf_dir)
+    return fts.bm25_topk(
+        tfi, dls, " ".join(BM25_TERMS), "doc_id", k=20
+    ).select("doc_id", "bm25", "rk")
+
+
 @register(
     "multimodal_text_features",
     """

@@ -599,10 +599,24 @@ def test_publish_corpus_indexes_durable(spark, tmp_path, monkeypatch):
         ("dedup_minhash_lsh_persisted", "minhash_sigs.parquet"),
         ("sim_near_dup_persisted", "hyperplane_sigs.parquet"),
         ("dedup_simhash_persisted", "simhash_sigs.parquet"),
+        ("fts_bm25_topk", "fts_tf.parquet"),
     ]:
         df = REGISTRY[qname].fn(spark, sf_dir)
         assert any(artifact in f for f in df.inputFiles()), qname
         df.collect()
+
+
+def test_bm25_persisted_index_no_corpus_scan(spark):
+    """fts_bm25_topk's plan touches only index artifacts (tf postings +
+    doclen), never the documents table, and the term filter is pushed
+    to the bucketed postings scan."""
+    from hangarbay_spark.queries.search import fts_bm25_topk
+
+    df = fts_bm25_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "fts_tf.parquet" in plan and "fts_doclen.parquet" in plan
+    assert "PushedFilters: [In(token" in plan
 
 
 def test_simhash_persisted_no_vote_recompute(spark, tmp_path, monkeypatch):
