@@ -594,6 +594,18 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2.5 extension (time-series densification / gap fill)",
 )
 def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly_dense_grid(spark, sf_dir).select(
+        "event_type",
+        F.unix_millis("h").alias("hour_ms"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )
+
+
+def _hourly_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly grid (event_type, h, n, tv) with NULL
+    n/tv on empty hours — shared by the gap-fill and fill-forward
+    queries. Grid size is bounded by time span, never row count."""
     ev = load_events(spark, sf_dir).select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
@@ -611,9 +623,54 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    return grid.join(counts, ["event_type", "h"], "left").select(
+    return grid.join(counts, ["event_type", "h"], "left")
+
+
+@register(
+    "events_fill_forward_hourly",
+    """
+    WITH b AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY event_type),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_ms, is_gap, filled_value FROM (
+      SELECT grid.event_type,
+             epoch_ms(grid.h) AS hour_ms,
+             (c.tv IS NULL) AS is_gap,
+             last_value(c.tv IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+      FROM grid LEFT JOIN c
+        ON grid.event_type = c.event_type AND grid.h = c.h) t
+    """,
+    "fill-forward imputation (last-observation-carried-forward) over "
+    "the densified hourly grid: empty hours inherit the most recent "
+    "observed hourly total per type via last_value IGNORE NULLS with "
+    "a running ROWS frame — one window shuffle on the type key, "
+    "carried values bit-identical because the observed totals are "
+    "decimal-exact sums",
+    "2.5 extension (imputation / LOCF)",
+)
+def events_fill_forward_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_dense_grid(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
         "event_type",
         F.unix_millis("h").alias("hour_ms"),
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
-        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        F.col("tv").isNull().alias("is_gap"),
+        F.last("tv", ignorenulls=True).over(w).alias("filled_value"),
     )
