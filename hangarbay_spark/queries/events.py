@@ -674,3 +674,59 @@ def events_fill_forward_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv").isNull().alias("is_gap"),
         F.last("tv", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "events_rolling_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             user_id
+      FROM events),
+    b AS (SELECT event_type, MAX(d) AS d1 FROM du GROUP BY event_type),
+    contrib AS (
+      SELECT event_type, user_id,
+             CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                    CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                    INTERVAL 1 DAY)) AS DATE) AS report_day
+      FROM du)
+    SELECT c.event_type, c.report_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN b ON c.event_type = b.event_type
+    WHERE c.report_day <= b.d1
+    GROUP BY c.event_type, c.report_day
+    """,
+    "EXACT rolling 7-day active users per event type — windowed COUNT "
+    "DISTINCT cannot merge partial states, so the distributed "
+    "formulation explodes each (type, day, user) observation into the "
+    "7 report days it contributes to (a bounded 7x row fan-out, "
+    "postings-style) and runs one ordinary distinct-count shuffle; the "
+    "100 TB alternative when 7x fan-out is too hot is the HLL sketch "
+    "path (agg_approx_sketches)",
+    "2.5 extension (sliding-window distinct / rolling actives)",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = du.groupBy("event_type").agg(F.max("d").alias("d1"))
+    contrib = du.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence("d", F.date_add("d", 6), F.expr("interval 1 day"))
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(bounds, "event_type")
+        .filter(F.col("report_day") <= F.col("d1"))
+        .groupBy("event_type", "report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )

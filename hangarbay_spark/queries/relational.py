@@ -1210,3 +1210,45 @@ def subquery_rich_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n_occ FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n_occ DESC, o_orderpriority) AS rk
+      FROM c) t
+    WHERE rk = 1
+    """,
+    "MODE aggregate (most frequent value per group): count sub-"
+    "aggregation + deterministic argmax window (ties break on the "
+    "value itself) — the merge-safe distributed formulation of an "
+    "aggregate whose naive per-group value map cannot merge partial "
+    "states",
+    "2.4 aggregation extension (mode / most-frequent)",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "orders")
+    c = li.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n_occ").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_occ",
+        )
+    )
