@@ -125,6 +125,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed near-containment pairs: containment(src→dst) =
+    |shingles(src) ∩ shingles(dst)| / |shingles(src)| >= threshold.
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs` — a short
+    document quoted wholesale inside a long one has high containment
+    but low Jaccard, the doc-in-doc duplication shape of web scrapes.
+    Same inverted-index join asymptotics: intersections are computed
+    ONCE per unordered pair, then both directions are derived by
+    dividing by the respective source size (no second postings join).
+    The ``prune_frequent`` df-guard applies identically at scale.
+    """
+    post = shingle_postings(df, id_col, text_col, n)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = post.select(F.col(id_col).alias("id_a"), "shingle")
+    b = post.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def prune_frequent(postings: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df`` — the
     skew guard for the inverted-index join at scale (a stopword shingle

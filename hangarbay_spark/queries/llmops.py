@@ -1688,3 +1688,38 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    post AS (SELECT doc_id, unnest({o_shingles(3)}) AS shingle FROM toks),
+    {O_JACCARD_TAIL},
+    pairsz AS (
+      SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT src_id, dst_id, containment FROM (
+      SELECT id_a AS src_id, id_b AS dst_id,
+             CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment
+      FROM pairsz
+      UNION ALL
+      SELECT id_b, id_a,
+             CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)
+      FROM pairsz) t
+    WHERE containment >= 0.9
+    """,
+    "directed n-gram CONTAINMENT near-dup pairs (|A∩B|/|A| >= 0.9): "
+    "the asymmetric doc-in-doc duplication detector Jaccard misses "
+    "(short doc quoted inside a long one) — intersections computed "
+    "once per unordered pair via the inverted-index join, both "
+    "directions derived by dividing by the source size",
+    "dedup extension (n-gram containment / doc-in-doc)",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9
+    ).select("src_id", "dst_id", "containment")
