@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from hangarbay_spark.operators import dedup as D
 from hangarbay_spark.operators import similarity as S
 from hangarbay_spark.operators import text as X
-from hangarbay_spark.queries.base import load_table, register
+from hangarbay_spark.queries.base import REGISTRY, load_table, register
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL fragments (DuckDB dialect)
@@ -1723,3 +1723,60 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.9
     ).select("src_id", "dst_id", "containment")
+
+
+def _o_lsh_recall() -> str:
+    """Recall oracle composed from the exact-Jaccard and MinHash-LSH
+    queries' own oracle SQL (derived-table CTE scopes are independent
+    in DuckDB): no re-derivation to drift."""
+    ex = REGISTRY["dedup_ngram_jaccard"].oracle
+    lsh = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN l.id_a IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN l.id_a IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM ({ex}) e
+    LEFT JOIN ({lsh}) l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+
+
+@register(
+    "dedup_lsh_recall_report",
+    _o_lsh_recall(),
+    "dedup quality gate: recall of the MinHash-LSH banding against the "
+    "EXACT n-gram Jaccard pairs at the same >=0.8 threshold (both "
+    "verify with true Jaccard over identical 3-gram shingles, so LSH "
+    "output is a subset and the only losses are pairs whose bands all "
+    "disagree) — turns the banding parameters' miss probability into a "
+    "measured, oracle-checked, regression-guarded number (companion of "
+    "sim_ann_recall_report)",
+    "dedup extension (LSH recall report)",
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    lsh = (
+        D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "n_exact",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -1332,3 +1332,18 @@ def test_epoch_mixture_deterministic_and_weighted(spark):
     a = {(r["k"], r["repeat_idx"]) for r in out.collect()}
     b = {(r["k"], r["repeat_idx"]) for r in out2.collect()}
     assert a == b
+
+
+def test_lsh_recall_floor(spark):
+    """MinHash banding must keep recall >= 0.9 against the exact
+    Jaccard pairs at the 0.8 threshold on the planted-duplicate corpus
+    (currently 1.0: every exact pair shares at least one band). A
+    parameter change (fewer bands, shorter signatures) that breaks
+    recall fails here before the registry ships it."""
+    from hangarbay_spark.queries import REGISTRY
+
+    row = REGISTRY["dedup_lsh_recall_report"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_exact > 0
+    assert row.recall >= 0.9
