@@ -303,3 +303,78 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
     )
+
+
+# Reciprocal-rank fusion of a missing arm contributes 0.0; constant 60
+# is the standard RRF damping (Cormack et al. 2009). Identical formula
+# text compiles on both engines.
+RRF_EXPR = (
+    "round(COALESCE(1.0 / (60.0 + CAST(rk_lex AS DOUBLE)), 0.0)"
+    " + COALESCE(1.0 / (60.0 + CAST(rk_sem AS DOUBLE)), 0.0), 9)"
+)
+
+
+def _o_hybrid_rrf() -> str:
+    """Hybrid-retrieval oracle composed from the BM25 query's own
+    oracle SQL plus a k=20 brute-force cosine arm for probe vector 0."""
+    from hangarbay_spark.queries.base import REGISTRY
+    from hangarbay_spark.queries.llmops import _o_cosine
+
+    lex = REGISTRY["fts_bm25_topk"].oracle
+    cos = _o_cosine("c.embedding", "p.pv")
+    return f"""
+    WITH lex AS (SELECT doc_id, rk AS rk_lex FROM ({lex}) t0),
+    p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id, rk AS rk_sem FROM (
+        SELECT c.vec_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY {cos} DESC, c.vec_id) AS BIGINT) AS rk
+        FROM embeddings c CROSS JOIN p WHERE c.vec_id <> 0) t1
+      WHERE rk <= 20),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             {RRF_EXPR} AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, rrf, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+      FROM fused) t2
+    WHERE rk <= 10
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    _o_hybrid_rrf(),
+    "HYBRID retrieval with reciprocal-rank fusion: the BM25 lexical "
+    "top-20 (persisted tf/doclen artifacts) fused with an exact-cosine "
+    "semantic top-20 (probe vector 0 standing in for the encoded "
+    "query) via 1/(60+rank) RRF — the standard lexical+vector fusion "
+    "a RAG retrieval stack runs; arms join full-outer on doc id, a "
+    "missing arm contributes 0, distributed top-10 before the rank "
+    "window; oracle composed from the BM25 query's own SQL",
+    "Q5 extension (hybrid lexical+semantic retrieval, RRF)",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.queries.search import BM25_TERMS  # noqa: PLW0127
+
+    tfi = indexes.ensure_fts_tf(spark, sf_dir)
+    dls = indexes.ensure_fts_doclen(spark, sf_dir)
+    lex = fts.bm25_topk(
+        tfi, dls, " ".join(BM25_TERMS), "doc_id", k=20
+    ).select("doc_id", F.col("rk").alias("rk_lex"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    sem = S.brute_force_topk(emb, probe, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rk_sem")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", F.expr(RRF_EXPR).alias("rrf"))
+    )
+    from pyspark.sql.window import Window
+
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
