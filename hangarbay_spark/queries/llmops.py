@@ -1780,3 +1780,76 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks),
+    c2t AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY b),
+    c1t AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    sc AS (
+      SELECT doc_id, round(ln(CAST(c1 AS DOUBLE) / c2), 6) AS s
+      FROM bg JOIN c2t USING (b) JOIN c1t USING (w1))
+    SELECT doc_id,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS sum_surprisal,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_surprisal
+    FROM sc GROUP BY doc_id
+    ORDER BY mean_surprisal DESC, doc_id
+    LIMIT 30
+    """,
+    "bigram-LM surprisal (conditional MLE: s = ln(c(w1)/c(w1,w2)), the "
+    "order-2 upgrade of the CCNet-style unigram filter — flags "
+    "locally-implausible word SEQUENCES, not just rare words): one "
+    "bigram explode feeds both the context and bigram count shuffles, "
+    "counts join back by key (no broadcast — the vocabulary is huge at "
+    "100 TB), ln 6dp-rounded and per-doc sums decimal-exact",
+    "text-analysis extension (bigram LM surprisal)",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens_expr("text")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ).alias("b"),
+        ),
+    )
+    bg = (
+        toks.select("doc_id", F.explode(g).alias("g"))
+        .select("doc_id", "g.w1", "g.b")
+        .localCheckpoint(eager=False)
+    )
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    sc = (
+        bg.join(c2, "b")
+        .join(c1, "w1")
+        .select("doc_id", F.expr("round(ln(CAST(c1 AS DOUBLE) / c2), 6)").alias("s"))
+    )
+    sum_dec = F.sum(F.col("s").cast("decimal(30,6)"))
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            sum_dec.cast("double").alias("sum_surprisal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (sum_dec.cast("double") / F.count(F.lit(1))).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy(F.desc("mean_surprisal"), "doc_id")
+        .limit(30)
+    )

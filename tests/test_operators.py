@@ -1347,3 +1347,29 @@ def test_lsh_recall_floor(spark):
     ).collect()[0]
     assert row.n_exact > 0
     assert row.recall >= 0.9
+
+
+def test_bm25_ranking_behavior(spark):
+    """BM25 semantics on a tiny controlled corpus: a doc matching both
+    query terms outranks single-term docs; among equal-length docs
+    matching the same term set, higher tf ranks higher; non-matching
+    docs never appear."""
+    rows = [
+        (1, "spark engine spark engine spark engine"),  # tf(spark)=3
+        (2, "spark engine motor diesel rotor blade"),   # tf(spark)=1
+        (3, "spark window motor diesel rotor blade"),   # both terms
+        (4, "motor diesel rotor blade crank shaft"),    # no terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    tfi = fts.build_tf_index(df, "doc_id", "text")
+    dls = fts.build_doclen(df, "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in fts.bm25_topk(tfi, dls, "spark window", "doc_id", k=10).collect()
+    }
+    assert 4 not in out
+    assert set(out) == {1, 2, 3}
+    # both-term doc beats every single-term doc
+    assert out[3]["bm25"] > out[1]["bm25"] > out[2]["bm25"]
+    # ranks are dense and consistent with scores
+    assert [out[i]["rk"] for i in (3, 1, 2)] == [1, 2, 3]
