@@ -91,6 +91,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -98,9 +99,13 @@ def ngram_jaccard_pairs(
     least one shingle, intersections come from a count over the join —
     never a |docs|² loop. At scale, hot shingles should be df'd away
     (drop shingles with document frequency > cutoff) — see
-    ``prune_frequent``.
+    ``prune_frequent``. ``postings`` lets a caller that also runs the
+    MinHash pipeline share one (checkpointed) shingle scan.
     """
-    post = shingle_postings(df, id_col, text_col, n).alias("p")
+    post = (
+        postings if postings is not None
+        else shingle_postings(df, id_col, text_col, n)
+    ).alias("p")
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = post.select(F.col(id_col).alias("id_a"), "shingle")
     b = post.select(F.col(id_col).alias("id_b"), "shingle")
@@ -281,6 +286,7 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.8,
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded buckets
     -> candidate pairs -> exact-Jaccard verification >= threshold.
@@ -301,7 +307,10 @@ def minhash_lsh_dedup_pairs(
       co-occurring pair; LSH exists precisely to avoid that).
     """
     rows_per_band = k // bands
-    post = shingle_postings(df, id_col, text_col)
+    post = (
+        postings if postings is not None
+        else shingle_postings(df, id_col, text_col)
+    )
     # one pass: K minhash mins + the shingle set for verification,
     # materialized once — the banded bucket rows feed BOTH self-join
     # sides, and ReuseExchange does not dedup differently-projected

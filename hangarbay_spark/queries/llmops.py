@@ -1757,6 +1757,11 @@ def _o_lsh_recall() -> str:
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Each arm builds its own postings DELIBERATELY: checkpointing the
+    # exploded (id, shingle) rows to share them measured SLOWER at sf1
+    # (94 s vs 71 s) — materializing the wide explode costs more than
+    # two narrow scans that pipeline straight into their map-side
+    # partial aggregations.
     exact = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).select("id_a", "id_b")
