@@ -658,33 +658,61 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     Bit g (0..63) is the majority vote over distinct tokens of bit
     ``g%4`` of md5 hex digit ``g//4`` — each token hashed ONCE, all 64
-    signed votes derived from the single digest, then groupBy-sum: one
-    shuffle on the doc id with map-side partial aggregation. (A pure
-    per-row expression with 64 nested higher-order ``aggregate`` calls
-    analyzes/codegens pathologically and recomputes md5 64× per token;
-    the exploded form is both the fast and the 100 TB-honest design.)
+    vote counters derived from the single digest and carried packed
+    (four 16-bit fields per long, see inline comment), then
+    groupBy-sum: one shuffle on the doc id with map-side partial
+    aggregation over 17 narrow columns. (A pure per-row expression
+    with 64 nested higher-order ``aggregate`` calls analyzes/codegens
+    pathologically and recomputes md5 64× per token; 64 UNPACKED sum
+    columns codegen a pathological first compile.)
     Words stay under 2^16 so no signed-64 overflow games are needed,
     and the (block, value) pair IS the Hamming-search bucket key.
     Primitives (md5, strpos, >>, %) match DuckDB bit-for-bit.
     """
     toks = shingle_postings(df, id_col, text_col, n=1)
     h = F.md5(F.col("shingle"))
-    votes = []
-    for g in range(SIMHASH_BITS):
-        d = F.instr(F.lit(HEX_DIGITS), F.substring(h, g // 4 + 1, 1)) - 1
-        bit = F.shiftright(d, g % 4) % 2
-        votes.append((bit * 2 - 1).alias(f"v{g}"))
+    # The 64 per-gram bit-counters ride PACKED, four 16-bit fields per
+    # long (16 sum aggregates + a count instead of 64): per-token rows
+    # contribute bit<<16f, and summing packed longs adds each field
+    # independently as long as no field overflows — sound for up to
+    # 65,535 DISTINCT tokens per document (the postings are distinct;
+    # beyond that a document is not a document). Majority vote
+    # 'sum(±1) > 0' is equivalently '2*count_ones > n_tokens'.
+    # Measured: 1.0 s vs 1.7 s warm at sf0.1, and the narrow aggregate
+    # fixes the pathological first-compile cost of 64 codegen'd sum
+    # columns (5.4 s -> 1.2 s cold).
+    packed = []
+    fields_per_long = 4
+    n_longs = SIMHASH_BITS // fields_per_long
+    for blk in range(n_longs):
+        expr = F.lit(0).cast("long")
+        for f in range(fields_per_long):
+            g = blk * fields_per_long + f
+            d = F.instr(F.lit(HEX_DIGITS), F.substring(h, g // 4 + 1, 1)) - 1
+            bit = (F.shiftright(d, g % 4) % 2).cast("long")
+            expr = expr + F.shiftleft(bit, 16 * f)
+        packed.append(expr.alias(f"p{blk}"))
     summed = (
-        toks.select(F.col(id_col), *votes)
+        toks.select(F.col(id_col), *packed)
         .groupBy(id_col)
-        .agg(*[F.sum(f"v{g}").alias(f"s{g}") for g in range(SIMHASH_BITS)])
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(f"p{b}").alias(f"s{b}") for b in range(n_longs)],
+        )
     )
     words = []
     for j in range(SIMHASH_BLOCKS):
         w = F.lit(0)
         for i in range(SIMHASH_BLOCK_BITS):
             g = j * SIMHASH_BLOCK_BITS + i
-            w = w + F.when(F.col(f"s{g}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            cnt = (
+                F.shiftright(F.col(f"s{g // fields_per_long}"),
+                             16 * (g % fields_per_long))
+                % (1 << 16)
+            )
+            w = w + F.when(2 * cnt > F.col("__n"), F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
         words.append(w.cast("int").alias(f"w{j}"))
     out = summed.select(F.col(id_col), *words)
     hex_str = F.lower(
