@@ -1373,3 +1373,44 @@ def test_bm25_ranking_behavior(spark):
     assert out[3]["bm25"] > out[1]["bm25"] > out[2]["bm25"]
     # ranks are dense and consistent with scores
     assert [out[i]["rk"] for i in (3, 1, 2)] == [1, 2, 3]
+
+
+def test_simhash_matches_python_reference(spark):
+    """The packed-counter fingerprint equals a direct Python SimHash
+    over the same md5 bit votes — exercised on edge shapes (single
+    token, repeated token, unicode, long doc) that corpus parity may
+    not isolate. Guards the 16-bit field packing/unpacking."""
+    import hashlib
+    import re
+
+    docs = [
+        (1, "solo"),
+        (2, "dup dup dup dup"),          # one distinct token
+        (3, "naïve café über tokens"),   # unicode
+        (4, " ".join(f"t{i}" for i in range(300))),  # wide vote counts
+        (5, "Mixed CASE Tokens mixed case tokens"),
+    ]
+
+    def py_simhash(text):
+        toks = {t for t in re.split(r"\s+", text.lower().strip()) if t}
+        words = []
+        for j in range(4):
+            w = 0
+            for i in range(16):
+                g = j * 16 + i
+                ones = 0
+                for t in toks:
+                    d = int(hashlib.md5(t.encode()).hexdigest()[g // 4], 16)
+                    ones += (d >> (g % 4)) & 1
+                if 2 * ones > len(toks):
+                    w |= 1 << i
+            words.append(w)
+        return words
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: [r["w0"], r["w1"], r["w2"], r["w3"]]
+        for r in D.simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == py_simhash(text), doc_id
