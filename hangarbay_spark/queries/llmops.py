@@ -1858,3 +1858,39 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal"), "doc_id")
         .limit(30)
     )
+
+
+@register(
+    "sample_fixed_per_source",
+    """
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+    "fixed-SIZE deterministic sample per stratum (exactly 20 docs per "
+    "source): rank by content hash within each source and keep the "
+    "first k — the distributed, rerun-stable substitute for reservoir "
+    "sampling (one window shuffle on the stratum key; fraction-based "
+    "twins live in operators/sampling.py)",
+    "sampling extension (fixed-size stratified sample)",
+)
+def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
