@@ -9,6 +9,8 @@ operator is oracle-checkable (see queries/llmops.py).
 
 from __future__ import annotations
 
+import pandas  # module-level: pandas_udf type hints resolve in globals
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -152,3 +154,103 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     projection via :func:`shingles_from_tokens` in hot paths (see its
     docstring for why)."""
     return shingles_from_tokens(tokens_expr(text), n)
+
+
+def char_run_starts_expr(sorted_chars: Column) -> Column:
+    """1-based positions where an ALREADY-MATERIALIZED **sorted**
+    char-array column changes value (run starts) — counts in O(n)
+    lambda evaluations instead of the O(distinct * n) nested
+    filter-per-distinct-char. ``sorted_chars`` MUST be a plain column
+    reference (project ``array_sort`` first): complex expressions
+    inside higher-order lambdas are re-evaluated per element (see
+    shingles_from_tokens). CASE WHEN for the first-position test so
+    ``element_at(.., 0)`` is never evaluated (ANSI raises on index 0;
+    OR does not short-circuit). sequence(1, 0) counts DOWN — guard the
+    empty array."""
+    positions = F.when(
+        F.size(sorted_chars) > 0,
+        F.sequence(F.lit(1), F.size(sorted_chars)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.filter(
+        positions,
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(sorted_chars, i)
+            != F.element_at(sorted_chars, i - 1)
+        ),
+    )
+
+
+def char_entropy_from_starts(starts: Column, n: Column) -> Column:
+    """Shannon entropy (nats) of a character distribution given the
+    run-start positions of the sorted char array (``starts``, a
+    MATERIALIZED column — see :func:`char_run_starts_expr`) and the
+    total char count ``n``. Zero shuffle — streams through a 100 TB
+    scan (the explode + groupBy(doc, char) alternative would shuffle
+    |text| rows per doc).
+
+    Cross-engine parity: H = ln(n) - (1/n) * sum_c k_c * ln(k_c) with
+    every transcendental pinned to integer MICROS (round(ln(k)*1e6) is
+    an exact bigint both engines agree on unless ln lands within an ulp
+    of a .5 micro boundary), summed exactly as bigints, and the final
+    float division/round compiled from the same formula text as the
+    DuckDB oracle. NULL for empty texts.
+    """
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    counts = F.zip_with(starts, ends, lambda s, e: e - s)
+    s_micros = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, k: acc
+        + k.cast("bigint")
+        * F.round(F.log(k.cast("double")) * F.lit(1e6)).cast("bigint"),
+    )
+    h = F.round(
+        (
+            F.round(F.log(n.cast("double")) * F.lit(1e6)).cast("bigint")
+            - s_micros / n.cast("double")
+        )
+        / F.lit(1e6),
+        6,
+    )
+    return F.when(n > 0, h)
+
+
+def chars_expr(s: Column | str) -> Column:
+    """Character array of a string column via 1-indexed substring —
+    textually parallel to the DuckDB oracle's
+    ``list_transform(generate_series(1, length(s)), i -> s[i])``.
+    Explicitly empty for empty strings: Spark's ``sequence(1, 0)``
+    counts DOWN (yielding [1, 0]) where DuckDB's generate_series is
+    empty, so the guard is required for parity."""
+    c = F.col(s) if isinstance(s, str) else s
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
+    )
+    return F.when(F.length(c) > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression-ratio kernel: compressed bytes /
+    raw UTF-8 bytes of the text (level 6, the zlib default). The
+    classic cheap redundancy signal of web-scale cleaning pipelines
+    (highly repetitive boilerplate compresses far below prose).
+    Deterministic for a fixed zlib — but not SQL-expressible, so its
+    query is declared rows-only. NULL for empty/NULL texts."""
+    import zlib
+
+    def one(t):
+        if t is None or len(t) == 0:
+            return None
+        raw = t.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    @F.pandas_udf("double")
+    def _ratio(s: pandas.Series) -> pandas.Series:
+        return s.map(one)
+
+    return _ratio

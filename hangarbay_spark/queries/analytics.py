@@ -367,3 +367,44 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             for alias, expr in _stats_formula_sql().items()
         ],
     )
+
+
+@register(
+    "agg_hll_mergeable_rollup",
+    None,  # sketch binaries have no SQL twin — rows-only; error bound tested
+    "MERGEABLE distinct-count rollup: one Datasketches HLL sketch per "
+    "(event_type, day) via hll_sketch_agg, then hll_union_agg collapses "
+    "the daily sketches into the per-type total WITHOUT rescanning "
+    "events — the re-aggregation pattern exact COUNT DISTINCT "
+    "fundamentally cannot do (distinct partials don't merge), and the "
+    "backbone of any 100 TB cube: persist daily sketches once, answer "
+    "weekly/monthly/all-time rollups by union alone. exact_users is "
+    "computed alongside to surface the sketch error (rel_err asserted "
+    "< 5% in tests)",
+    "2.4 aggregation extension (mergeable HLL sketch rollup)",
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "est_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -730,3 +730,91 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+def _group_median(df: DataFrame, val_col: str) -> DataFrame:
+    """Exact interpolated per-event_type median of ``val_col`` via the
+    distributed two-pass boundary-row interpolation of
+    agg_percentiles_by_flag (queries/relational.py) — per-group state
+    is Spark's spillable external sort, never a value buffer. Returns
+    (event_type, med) with the same (n-1)*p double formula DuckDB's
+    quantile_cont uses, rounded 6 dp."""
+    grp = W.partitionBy("event_type")
+    ranked = df.select("event_type", val_col).select(
+        "event_type",
+        F.col(val_col).alias("__v"),
+        (F.row_number().over(grp.orderBy(val_col)) - 1).alias("__idx"),
+        F.count(F.lit(1)).over(grp).alias("__n"),
+    )
+    pos = (F.col("__n") - 1).cast("double") * F.lit(0.5)
+    lo, hi = F.floor(pos), F.ceil(pos)
+    idx = F.col("__idx")
+
+    def pick(cond):
+        return F.max(F.when(cond, F.col("__v")))
+
+    agg = (
+        ranked.filter((idx == lo) | (idx == hi))
+        .groupBy("event_type")
+        .agg(
+            F.max("__n").alias("__n"),
+            pick(idx == lo).alias("__vlo"),
+            pick(idx == hi).alias("__vhi"),
+        )
+    )
+    p = (F.col("__n") - 1).cast("double") * F.lit(0.5)
+    frac = p - F.floor(p).cast("double")
+    med = F.round(F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo")), 6)
+    return agg.select("event_type", med.alias("med"))
+
+
+@register(
+    "events_robust_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL),
+    md AS (
+      SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+      FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           round(0.6745 * (d.value - d.med) / md.mad, 6) AS rz
+    FROM d JOIN md USING (event_type)
+    WHERE md.mad > 0
+      AND abs(round(0.6745 * (d.value - d.med) / md.mad, 6)) > 3.5
+    """,
+    "ROBUST anomaly detection via median/MAD (modified z-score "
+    "0.6745*(x-med)/MAD > 3.5, Iglewicz-Hoaglin): immune to the "
+    "masking that inflates the mean/stddev z-score when outliers are "
+    "heavy. Medians are exact distributed two-pass interpolations "
+    "(spillable external sort, no per-group buffer — the "
+    "agg_percentiles_by_flag plan), per-type med/MAD broadcast back "
+    "onto the scan; both engines compile the identical score text, "
+    "6 dp rounded",
+    "analytics extension (robust MAD outlier detection)",
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    med = _group_median(ev, "value")
+    withmed = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _group_median(withmed, "dev").withColumnRenamed("med", "mad")
+    rz = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", rz.alias("rz"))
+        .filter(F.abs(F.col("rz")) > 3.5)
+    )

@@ -1894,3 +1894,130 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+@register(
+    "text_char_entropy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(s)), i -> s[i])
+               AS chars
+      FROM (SELECT doc_id, {O_NORM} AS s FROM documents)),
+    cnt AS (
+      SELECT doc_id, chars,
+             list_transform(list_distinct(chars),
+                            c -> len(list_filter(chars, x -> x = c)))
+               AS counts
+      FROM ch)
+    SELECT doc_id,
+           CAST(len(chars) AS BIGINT) AS n_chars,
+           CAST(len(counts) AS BIGINT) AS n_distinct,
+           CASE WHEN len(chars) > 0 THEN
+             ROUND((CAST(round(ln(CAST(len(chars) AS DOUBLE)) * 1e6)
+                         AS BIGINT)
+                    - CAST(list_sum(list_transform(counts,
+                        k -> k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6)
+                                      AS BIGINT))) AS BIGINT)
+                      / CAST(len(chars) AS DOUBLE))
+                   / 1e6, 6)
+           END AS char_entropy
+    FROM cnt
+    """,
+    "character-distribution Shannon entropy (nats) as a quality signal "
+    "(low entropy = repeated-char spam, high = encoding noise): "
+    "computed entirely WITHIN each row by higher-order functions — "
+    "zero shuffle, streams through a 100 TB scan; transcendentals "
+    "pinned to integer micros so both engines sum exactly "
+    "(operators/text.py:char_entropy_expr)",
+    "text-analysis extension (char-distribution entropy)",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    # Staged projections: every array consumed inside a higher-order
+    # lambda is materialized as a plain column first — lambdas re-run
+    # complex argument expressions PER ELEMENT (the
+    # shingles_from_tokens pitfall; the unstaged form measured 4x
+    # slower here).
+    s = docs.select("doc_id", norm.alias("s"))
+    chars = s.select("doc_id", X.chars_expr("s").alias("chars"))
+    staged = chars.select(
+        "doc_id",
+        F.size("chars").alias("n"),
+        F.array_sort("chars").alias("sc"),
+    )
+    runs = staged.select(
+        "doc_id",
+        "n",
+        X.char_run_starts_expr(F.col("sc")).alias("starts"),
+    )
+    return runs.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("starts").cast("bigint").alias("n_distinct"),
+        X.char_entropy_from_starts(F.col("starts"), F.col("n")).alias(
+            "char_entropy"
+        ),
+    )
+
+
+@register(
+    "dedup_prefix_groups",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice({O_TOKENS}, 1, 20), ' '))
+               AS prefix_hash
+      FROM documents)
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM p GROUP BY prefix_hash HAVING COUNT(*) > 1
+    """,
+    "prefix-duplicate detection: documents sharing their first 20 "
+    "normalized tokens (the boilerplate/mirror pattern exact-hash "
+    "dedup misses when tails differ — truncation, pagination, appended "
+    "footers). One map-side-combinable shuffle on a 128-bit prefix "
+    "hash; keeper = min doc_id per group, same convention as "
+    "dedup_exact_groups",
+    "dedup extension (prefix-duplicate groups)",
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens_expr("text").alias("t"))
+    key = F.md5(F.array_join(F.slice("t", 1, 20), " "))
+    return (
+        toks.select("doc_id", key.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "text_compression_ratio",
+    None,  # zlib has no SQL twin — rows-only; invariants pinned in tests
+    "zlib compression ratio per document (compressed/raw UTF-8 bytes, "
+    "level 6): the classic cheap redundancy filter of web-scale "
+    "cleaning pipelines (RefinedWeb/Gopher lineage) — repetitive "
+    "boilerplate compresses far below prose. Arrow-batched pandas_udf "
+    "(operators/text.py:compression_ratio_udf), embarrassingly "
+    "parallel, zero shuffle before the final low-ratio top-k",
+    "text-analysis extension (compression-ratio redundancy filter)",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = X.compression_ratio_udf()(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.round(ratio, 6).alias("compression_ratio"),
+        )
+        .orderBy("compression_ratio", "doc_id")
+        .limit(30)
+    )

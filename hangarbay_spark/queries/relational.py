@@ -1252,3 +1252,37 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occ",
         )
     )
+
+
+@register(
+    "join_fuzzy_deletion_pairs",
+    """
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, length(c_name)),
+                              i -> substr(c_name, 1, i - 1)
+                                   || substr(c_name, i + 1)),
+               c_name))) AS var
+      FROM customer),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS na, b.c_name AS nb
+      FROM v a JOIN v b ON a.var = b.var AND a.c_custkey < b.c_custkey)
+    SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 1
+    """,
+    "pairwise fuzzy self-join at scale (entity resolution): all "
+    "customer-name pairs within Levenshtein distance 1 via FastSS "
+    "deletion neighborhoods (operators/fuzzy.py — each string explodes "
+    "into itself + its 1-deletions; lev<=1 pairs MUST share a variant, "
+    "so one equi-join on short variant strings replaces the O(n^2) "
+    "distance matrix) with exact DP verification of candidates only — "
+    "the pairwise upgrade of scalar_levenshtein_fuzzy's probe filter",
+    "F-battery extension (fuzzy pairwise join / entity resolution)",
+)
+def join_fuzzy_deletion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.fuzzy import deletion_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return deletion_join(cust, "c_custkey", "c_name", max_dist=1)

@@ -1414,3 +1414,135 @@ def test_simhash_matches_python_reference(spark):
     }
     for doc_id, text in docs:
         assert got[doc_id] == py_simhash(text), doc_id
+
+
+def test_char_entropy_matches_python_reference(spark):
+    """char_entropy_expr pinned to a pure-Python twin of the
+    micros-pinned formula (H = ln n - (1/n) sum k ln k)."""
+    import collections
+    import math
+
+    from hangarbay_spark.operators.text import (
+        char_entropy_from_starts,
+        char_run_starts_expr,
+        chars_expr,
+    )
+
+    texts = ["aab", "", "hello world", "aaaaaaa", "abcdefg", "ab ab ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "s"]
+    )
+    runs = (
+        df.select("id", chars_expr("s").alias("chars"))
+        .select(
+            "id",
+            F.size("chars").alias("n"),
+            F.array_sort("chars").alias("sc"),
+        )
+        .select(
+            "id", "n", char_run_starts_expr(F.col("sc")).alias("starts")
+        )
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in runs.select(
+            "id",
+            char_entropy_from_starts(F.col("starts"), F.col("n")).alias("h"),
+        ).collect()
+    }
+
+    def pyent(s):
+        if not s:
+            return None
+        n = len(s)
+        c = collections.Counter(s)
+        smic = sum(k * round(math.log(k) * 1e6) for k in c.values())
+        return round((round(math.log(n) * 1e6) - smic / n) / 1e6, 6)
+
+    for i, t in enumerate(texts):
+        assert got[i] == pyent(t), (t, got[i], pyent(t))
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """zlib ratio: repetitive text compresses far below prose; NULL for
+    empty/NULL; deterministic across invocations."""
+    from hangarbay_spark.operators.text import compression_ratio_udf
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "The quick brown fox jumps over the lazy dog. " * 5),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    ratio = compression_ratio_udf()(df["text"])
+    got = {r["id"]: r["r"] for r in df.select("id", ratio.alias("r")).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1 < got[2] < 1.0
+    again = {
+        r["id"]: r["r"] for r in df.select("id", ratio.alias("r")).collect()
+    }
+    assert got == again
+
+
+def test_deletion_join_complete_vs_brute_force(spark):
+    """FastSS deletion-neighborhood join returns EXACTLY the lev<=1
+    pairs a brute-force O(n^2) scan finds (completeness + no false
+    positives after verification)."""
+    import itertools
+    import random
+
+    from hangarbay_spark.operators.fuzzy import deletion_join
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    words = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(60)
+        }
+    )
+    rows = [(i, w) for i, w in enumerate(sorted(words))]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    )
+    df = spark.createDataFrame(rows, ["k", "s"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in deletion_join(df, "k", "s").collect()
+    )
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises pairs
+
+
+def test_hll_rollup_error_bound(spark):
+    """Union-of-daily-sketches estimate stays within 5% of the exact
+    distinct count, and merges without rescanning events."""
+    import os
+
+    from hangarbay_spark.queries.base import REGISTRY
+
+    SF_DIR = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+
+    df = REGISTRY["agg_hll_mergeable_rollup"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
+        assert r["n_days"] >= 1
