@@ -219,17 +219,14 @@ def char_entropy_from_starts(starts: Column, n: Column) -> Column:
 
 
 def chars_expr(s: Column | str) -> Column:
-    """Character array of a string column via 1-indexed substring —
-    textually parallel to the DuckDB oracle's
-    ``list_transform(generate_series(1, length(s)), i -> s[i])``.
-    Explicitly empty for empty strings: Spark's ``sequence(1, 0)``
-    counts DOWN (yielding [1, 0]) where DuckDB's generate_series is
-    empty, so the guard is required for parity."""
+    """Character array of a string column — same value as the DuckDB
+    oracle's ``list_transform(generate_series(1, length(s)), i ->
+    s[i])``. Uses ``split(s, '')`` (JVM regex split, ~4x faster than a
+    per-char substring transform: higher-order lambdas are
+    interpreted); the guard maps the empty string to [] where split
+    yields ['']."""
     c = F.col(s) if isinstance(s, str) else s
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
-    )
-    return F.when(F.length(c) > 0, grams).otherwise(
+    return F.when(F.length(c) > 0, F.split(c, "")).otherwise(
         F.array().cast("array<string>")
     )
 
