@@ -61,35 +61,88 @@ def deletion_join(
     """
     if max_dist != 1:
         raise ValueError("deletion_join supports max_dist=1 only")
-    # Join on the 64-bit hash of the variant, not the string: an 8-byte
-    # shuffle key instead of |s|-byte strings. Hash collisions can only
-    # ADD candidates, and every candidate is verified with the exact DP
-    # distance — completeness and exactness are both preserved. (A
-    # positioned-FastSS variant — join also on deletion position — was
-    # measured SLOWER here: dropping the array_union dedup to keep
-    # positions inflates postings on equal-character runs more than the
-    # position predicate prunes.)
-    posts = df.select(
+    # POSITIONED FastSS: candidates come from two composite-key
+    # equi-joins instead of one join on the bare variant. A lev<=1 pair
+    # is always found by one of them:
+    #   - substitution at p (or equal strings): both 1-deletions at the
+    #     SAME position p are equal -> join deletions on (hash, pos);
+    #   - insertion/deletion: the longer string's 1-deletion equals the
+    #     shorter string itself -> join identities against deletions on
+    #     the hash alone.
+    # The position in the key is what makes this linear in corpus size:
+    # a (variant, pos) bucket holds only strings that reconstruct by
+    # inserting SOME character at pos — at most |alphabet| of them — so
+    # candidates are O(n * L * |alphabet|), where bare-variant buckets
+    # grow with the corpus (sequential zero-padded keys measured 218M
+    # candidate enumerations at sf1 vs ~22M positioned). Hashing the
+    # variant keeps the shuffle key 8 bytes; collisions only add
+    # candidates and the DP verify removes them.
+    c = F.col(text_col)
+    # sequence(1, 0) counts DOWN — guard empty strings (they have no
+    # deletions; the identity side still posts them, so ""-vs-"x"
+    # pairs are found through "x"'s deletion).
+    positioned = F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.struct(
+                F.concat(
+                    c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))
+                ).alias("var"),
+                i.alias("pos"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<var:string,pos:int>>"))
+    dels = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__s"),
-        F.explode(deletion_neighborhood_expr(text_col)).alias("__var"),
-    ).select("__id", "__s", F.xxhash64("__var").alias("__vh"))
-    a, b = posts.alias("a"), posts.alias("b")
-    # Thresholded levenshtein (Spark 3.5+): banded DP with early
-    # termination, O(k*n) per candidate instead of O(n^2) — measured 2x
-    # faster than the unbounded DP on ~1M candidates. Returns -1 above
-    # the threshold, the exact distance (<= max_dist) otherwise.
-    dist = F.levenshtein(F.col("a.__s"), F.col("b.__s"), max_dist)
-    # Verify BEFORE the distinct: the DP on candidate multiplicity is
-    # codegen'd and cheap, and the dedup shuffle then carries only the
-    # verified (id_a, id_b, dist) triples instead of full name pairs.
-    return (
-        a.join(b, F.col("a.__vh") == F.col("b.__vh"))
-        .filter((F.col("a.__id") < F.col("b.__id")) & (dist >= 0))
+        F.explode(positioned).alias("__v"),
+    ).select(
+        "__id",
+        "__s",
+        F.xxhash64("__v.var").alias("__vh"),
+        F.col("__v.pos").alias("__pos"),
+    )
+    idents = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.xxhash64(text_col).alias("__vh"),
+    )
+
+    def verified(cand: DataFrame) -> DataFrame:
+        # Thresholded levenshtein (Spark 3.5+): banded DP with early
+        # termination, O(k*n) per candidate — returns -1 above the
+        # threshold, the exact distance otherwise. Verify BEFORE the
+        # distinct so the dedup shuffle carries bare id/dist triples.
+        dist = F.levenshtein("__sa", "__sb", max_dist)
+        return cand.filter(dist >= 0).select(
+            "id_a", "id_b", dist.cast("bigint").alias("dist")
+        )
+
+    a, b = dels.alias("a"), dels.alias("b")
+    subs = (
+        a.join(
+            b,
+            (F.col("a.__vh") == F.col("b.__vh"))
+            & (F.col("a.__pos") == F.col("b.__pos")),
+        )
+        .filter(F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            dist.cast("bigint").alias("dist"),
+            F.col("a.__s").alias("__sa"),
+            F.col("b.__s").alias("__sb"),
         )
-        .distinct()
     )
+    i, d = idents.alias("i"), dels.alias("d")
+    indels = (
+        i.join(d, F.col("i.__vh") == F.col("d.__vh"))
+        .filter(F.col("i.__id") != F.col("d.__id"))
+        .select(
+            F.least("i.__id", "d.__id").alias("id_a"),
+            F.greatest("i.__id", "d.__id").alias("id_b"),
+            F.col("i.__s").alias("__sa"),
+            F.col("d.__s").alias("__sb"),
+        )
+    )
+    return verified(subs).unionByName(verified(indels)).distinct()

@@ -88,6 +88,20 @@ def main() -> None:
                     exprs.append(f"{c} + {i * offsets[FAMILY[c]]} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
                     exprs.append(f"text || ' c{i}' AS text")
+                elif t == "customer" and c == "c_name" and i > 0:
+                    # Copy-distinct names at Levenshtein distance >= 3
+                    # from every other copy (triple-digit tag):
+                    # otherwise each name exists 10x verbatim and the
+                    # fuzzy deletion-join's sf1 run measures a
+                    # quadratic output explosion (26.9M pairs vs the
+                    # linear 2.6M), not plan scaling — the same
+                    # rationale as the doc-text ' c{i}' suffix. The
+                    # tag also keeps scalar_levenshtein_fuzzy's <=2
+                    # probe matching copy 0 only.
+                    exprs.append(
+                        f"replace(c_name, 'Customer#', "
+                        f"'Customer{str(i) * 3}#') AS c_name"
+                    )
                 elif t == "events" and c == "ts":
                     # ns-since-epoch BIGINT, like the driver's
                     # TIMESTAMP(NANOS) testdata under nanosAsLong —

@@ -1502,6 +1502,9 @@ def test_deletion_join_complete_vs_brute_force(spark):
             for _ in range(60)
         }
     )
+    # Duplicates (dist-0 pairs) and the empty string are the edge
+    # cases of the positioned candidate generator.
+    words += [words[0], words[1], ""]
     rows = [(i, w) for i, w in enumerate(sorted(words))]
 
     def lev(a, b):
