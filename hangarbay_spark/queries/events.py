@@ -818,3 +818,63 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", rz.alias("rz"))
         .filter(F.abs(F.col("rz")) > 3.5)
     )
+
+
+@register(
+    "events_ewma_hourly",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, hour_ms,
+             list(tv) OVER (PARTITION BY event_type ORDER BY hour_ms
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS lst
+      FROM h)
+    SELECT event_type, hour_ms,
+           ROUND(list_reduce(lst, (acc, x) -> acc * 0.5 + x * 0.5), 6)
+             AS ewma
+    FROM l
+    """,
+    "exponentially-weighted moving average of hourly value totals "
+    "(alpha = 0.5 over a trailing 12-hour frame): the recursive "
+    "y = a*x + (1-a)*y_prev fold runs over a windowed collect_list in "
+    "frame order — alpha 0.5 makes every multiply an exact halving, so "
+    "the sequential IEEE fold is bit-identical across engines (the "
+    "in-row array-sum parity rule of queries/base.py). Bounded frame = "
+    "bounded per-row state; one window sort shuffle, same partitioning "
+    "as the rollup it smooths",
+    "analytics extension (EWMA smoothing)",
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("tv")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ms")
+        .rowsBetween(-11, W.currentRow)
+    )
+    lst = hourly.select(
+        "event_type", "hour_ms", F.collect_list("tv").over(w).alias("lst")
+    )
+    # DuckDB's list_reduce seeds the fold with the first element;
+    # emulate with aggregate(tail, head, ...). lst is a materialized
+    # column, so the lambda touches only its own element.
+    ewma = F.aggregate(
+        F.slice(F.col("lst"), 2, F.greatest(F.size("lst") - 1, F.lit(0))),
+        F.element_at("lst", 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return lst.select(
+        "event_type", "hour_ms", F.round(ewma, 6).alias("ewma")
+    )

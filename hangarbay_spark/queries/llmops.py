@@ -2021,3 +2021,50 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("compression_ratio", "doc_id")
         .limit(30)
     )
+
+
+@register(
+    "sample_epoch_shuffle",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents)
+    SELECT CAST(ascii(substr(k, 1, 1)) % 8 AS BIGINT) AS shard,
+           doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ascii(substr(k, 1, 1)) % 8
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM sh
+    """,
+    "deterministic EPOCH SHUFFLE into training shards: every document "
+    "gets a shard and an in-shard position from a SEEDED content hash "
+    "('ep1:' prefix — change the seed string to reshuffle per epoch), "
+    "so the training order (shard, pos) is identical on reruns and "
+    "under any input partitioning. Scale-correct by construction: "
+    "per-SHARD windows, never a global row_number (a global window "
+    "serializes through one partition); at 100 TB each shard sorts "
+    "independently and maps 1:1 onto an output file. md5 is the "
+    "engine-portable hash (Spark xxhash64/hash have no DuckDB twin); "
+    "shard = ascii of the first hex char mod 8",
+    "sampling extension (deterministic epoch shuffle / training order)",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    shard = F.ascii(F.substring("k", 1, 1)) % 8
+    w = Window.partitionBy(shard).orderBy("k", "doc_id")
+    return keyed.select(
+        shard.cast("bigint").alias("shard"),
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
