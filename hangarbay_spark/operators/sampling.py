@@ -109,3 +109,40 @@ def epoch_mixture(
         )
         .drop("__n")
     )
+
+
+def es_key_expr(key: Column | str, weight: Column | str, seed: str = "ws1") -> Column:
+    """Efraimidis-Spirakis A-ES ranking key: ln(u)/w with u drawn
+    uniformly from a seeded md5 of the key (first 8 hex chars + 1, so
+    u is in (0, 1] and ln never sees 0). The global top-k by this key
+    (descending) is an exact weighted sample without replacement —
+    heavier rows win proportionally more often — computed as one
+    distributed TakeOrderedAndProject: no global sort, rerun-stable,
+    reseedable via ``seed``. ln is pinned to integer micros so the key
+    is cross-engine identical (see queries/llmops.py:
+    sample_weighted_topk for the DuckDB twin)."""
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), k.cast("string"))), 1, 8
+    )
+    v = F.conv(hex8, 16, 10).cast("bigint")
+    u = (v + 1) / F.lit(4294967297.0)
+    lnu_m = F.round(F.log(u) * F.lit(1e6)).cast("bigint")
+    return lnu_m / w.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Exact k-item weighted sample without replacement (A-ES): input
+    rows plus ``__es_key``, top-k by the key. Rows with non-positive
+    weight are excluded (they can never be drawn)."""
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "__es_key", es_key_expr(key_col, weight_col, seed)
+    )
+    return scored.orderBy(F.col("__es_key").desc(), key_col).limit(k)

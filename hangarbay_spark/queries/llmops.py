@@ -2068,3 +2068,43 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "sample_weighted_topk",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(ln(
+               (CAST(concat('0x', substr(
+                  md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1) / 4294967297.0) * 1e6) AS BIGINT) AS lnu_m
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS w,
+           ROUND(lnu_m / CAST(n_chars AS DOUBLE), 9) AS score
+    FROM s
+    ORDER BY lnu_m / CAST(n_chars AS DOUBLE) DESC, doc_id
+    LIMIT 50
+    """,
+    "deterministic WEIGHTED sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): each doc draws u from a seeded md5 "
+    "(first 8 hex chars -> uniform in (0,1]) and ranks by ln(u)/w "
+    "(equivalent to u^(1/w)); the global top-k IS an exact weighted "
+    "sample — here w = n_chars, the standard by-length corpus "
+    "weighting. One distributed TakeOrderedAndProject, no global "
+    "sort, rerun-stable, reseedable via the key prefix. ln pinned to "
+    "integer micros; the ranking division is the same IEEE op on both "
+    "engines (doc_id tie-break)",
+    "sampling extension (weighted sampling / A-ES)",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 50, seed="ws1").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.round("__es_key", 9).alias("score"),
+    )

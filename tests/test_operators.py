@@ -1549,3 +1549,35 @@ def test_hll_rollup_error_bound(spark):
     for r in rows:
         assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
         assert r["n_days"] >= 1
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES weighted sampling: heavier rows dominate the sample in
+    proportion to weight; same seed -> identical sample; different
+    seed -> different order."""
+    from hangarbay_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 9 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picks = {}
+    for seed in ("s0", "s1", "s2"):
+        got = [r["id"] for r in weighted_sample(df, "id", "w", 50, seed).collect()]
+        assert len(got) == 50 and len(set(got)) == 50
+        heavy = sum(1 for i in got if i < 100)
+        # E[heavy] ~ 45 of 50 (9:1 weights, 100 of each): far above the
+        # unweighted 25; 35 is > 6 sigma below the weighted mean.
+        assert heavy > 35, (seed, heavy)
+        picks[seed] = got
+    again = [r["id"] for r in weighted_sample(df, "id", "w", 50, "s0").collect()]
+    assert again == picks["s0"]
+    assert picks["s0"] != picks["s1"]
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from hangarbay_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, 1)], ["id", "w"]
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 4}
