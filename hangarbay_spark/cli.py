@@ -172,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("out_dir", help="index root to build into")
 
     sp = sub.add_parser(
+        "export",
+        help="materialize the training corpus: exact dedup + length "
+        "gate -> deterministic epoch shuffle -> order-preserving "
+        "sharded parquet + manifest (re-export with a new --seed for "
+        "the next epoch)",
+    )
+    sp.add_argument("corpus_dir", help="directory of <table>.parquet inputs")
+    sp.add_argument("out_dir", help="destination (shard=K dirs + _meta)")
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--seed", default="ep1")
+    sp.add_argument("--min-chars", type=int, default=1)
+    sp.add_argument("--no-dedup", action="store_true")
+
+    sp = sub.add_parser(
         "compact",
         help="rewrite a parquet directory into target-sized files "
         "(small-file maintenance, like OPTIMIZE)",
@@ -265,6 +279,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.corpus_dir.rstrip("/"), args.out_dir
         )
         print(json.dumps(meta, indent=2))
+        return 0
+
+    if args.cmd == "export":
+        from hangarbay_spark.pipelines.export import export_training_shards
+        from hangarbay_spark.session import get_spark
+
+        spark = get_spark(app_name="hangar_export")
+        manifest = export_training_shards(
+            spark,
+            args.corpus_dir.rstrip("/"),
+            args.out_dir,
+            n_shards=args.shards,
+            seed=args.seed,
+            dedup_exact=not args.no_dedup,
+            min_chars=args.min_chars,
+        )
+        print(json.dumps(manifest, indent=2))
         return 0
 
     if args.cmd == "compact":

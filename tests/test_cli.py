@@ -275,3 +275,17 @@ def test_cli_check(capsys):
     assert "MATCH\ttopk_brands" in out
     assert "ROWS-ONLY\tagg_approx_sketches" in out
     assert main(["check", "nope"]) == 2
+
+
+def test_cli_export_training_shards(capsys, tmp_path):
+    out = str(tmp_path / "shards")
+    assert main(["export", "/root/testdata/sf0.001", out,
+                 "--shards", "2", "--seed", "epX"]) == 0
+    import json as _json
+
+    manifest = _json.loads(capsys.readouterr().out)
+    assert manifest["n_shards"] == 2
+    assert sum(manifest["per_shard_counts"].values()) == manifest[
+        "n_exported_docs"
+    ]
+    assert (tmp_path / "shards" / "_meta" / "export.json").exists()

@@ -316,3 +316,71 @@ def test_source_format_independence(spark, tmp_path):
     json_df = spark.read.schema(src.schema).json(json_dir)
     assert agg(csv_df) == base
     assert agg(json_df) == base
+
+
+def test_export_training_shards(spark, tmp_path):
+    """Sharded training export: deterministic (same seed -> identical
+    (shard, pos) -> doc mapping across runs), order-preserving within
+    each shard file, exact-dedup'd, manifest counts consistent."""
+    from hangarbay_spark.pipelines.export import export_training_shards
+
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    m1 = export_training_shards(
+        spark, "/root/testdata/sf0.001", out1, n_shards=4, seed="ep1"
+    )
+    m2 = export_training_shards(
+        spark, "/root/testdata/sf0.001", out2, n_shards=4, seed="ep1"
+    )
+    assert m1["per_shard_counts"] == m2["per_shard_counts"]
+    assert m1["n_exported_docs"] <= m1["n_input_docs"]
+    assert sum(m1["per_shard_counts"].values()) == m1["n_exported_docs"]
+
+    b1 = spark.read.parquet(out1).select("shard", "pos", "doc_id")
+    b2 = spark.read.parquet(out2).select("shard", "pos", "doc_id")
+    rows1 = sorted(map(tuple, b1.collect()))
+    rows2 = sorted(map(tuple, b2.collect()))
+    assert rows1 == rows2  # same seed -> identical training order
+
+    # per-shard positions are contiguous 1..n (order-preserving export)
+    import pyspark.sql.functions as F
+
+    for r in (
+        b1.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+             F.max("pos").alias("hi"))
+        .collect()
+    ):
+        assert (r["lo"], r["hi"]) == (1, r["n"])
+
+    # a different seed reorders
+    m3 = export_training_shards(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "e3"),
+        n_shards=4, seed="ep2"
+    )
+    b3 = spark.read.parquet(str(tmp_path / "e3")).select(
+        "shard", "pos", "doc_id"
+    )
+    assert sorted(map(tuple, b3.collect())) != rows1
+
+    # exact dedup: no two exported docs share a fingerprint
+    from hangarbay_spark.operators.text import fingerprint_expr
+
+    dup = (
+        spark.read.parquet(out1)
+        .groupBy(fingerprint_expr("text").alias("fp"))
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+    # each shard directory holds exactly one data file, rows stored in
+    # pos order (the trainer streams it sequentially)
+    import glob
+    import pyarrow.parquet as pq
+
+    for d in glob.glob(out1 + "/shard=*"):
+        files = [p for p in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1
+        pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+        assert pos == sorted(pos)
