@@ -408,3 +408,84 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+_PR_ITERS = 10
+_PR_DAMP = "0.85"
+_PR_JUMP = "0.15"
+
+
+def _o_pagerank() -> str:
+    """Unrolled-CTE PageRank oracle: r{k} is one power-iteration step
+    over the distinct co-purchase edge set. Float discipline per
+    queries/base.py: per-edge contribution rank/deg is one IEEE divide
+    (identical inputs -> identical double), the per-node sum
+    accumulates in DECIMAL(30,15) (order-independent; ~1e-4 values
+    keep 11+ significant digits, inside the double->decimal agreement
+    band), and each iteration rounds at 12 dp as the FMA guard."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey)",
+        "dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dg)",
+        "r0 AS (SELECT src AS node, 1.0 / n AS rank FROM dg, nn)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.dst AS node, "
+            f"round({_PR_JUMP} / nn.n + {_PR_DAMP} * "
+            f"CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(30,15))) AS DOUBLE)"
+            f", 12) AS rank "
+            f"FROM e JOIN r{k - 1} r ON e.src = r.node "
+            f"JOIN dg ON dg.src = e.src CROSS JOIN nn "
+            f"GROUP BY e.dst, nn.n)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, ROUND(rank, 9) AS rank
+    FROM r{_PR_ITERS} ORDER BY rank DESC, node LIMIT 25
+    """
+    )
+
+
+@register(
+    "graph_pagerank_copurchase",
+    _o_pagerank(),
+    "iterative PageRank (10 power iterations, damping 0.85) over the "
+    "part co-purchase graph (parts linked when they appear in one "
+    "order) — the join-agg-per-iteration shape of every distributed "
+    "graph algorithm: edges and degrees are built once and "
+    "localCheckpoint'd (reused by all iterations), each iteration is "
+    "one edge-rank hash join + one decimal-exact aggregation shuffled "
+    "on the SAME node key, and rank vectors stay distributed (the "
+    "only driver scalar is N). Oracle = the identical computation as "
+    "10 unrolled CTEs; 12 dp per-iteration rounding keeps both "
+    "engines' floats bit-identical. Companion of the connected-"
+    "components min-label loop (operators/dedup.py)",
+    "analytics extension (iterative graph algorithm / PageRank)",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(e, iters=_PR_ITERS, damping=float(_PR_DAMP))
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(25)
+        .select("node", F.round("rank", 9).alias("rank"))
+    )

@@ -1581,3 +1581,27 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert got == {1, 4}
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Exact small-graph pins: a directed cycle stays uniform; a
+    symmetrized star concentrates rank on the hub; ranks sum to ~1."""
+    from hangarbay_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(cycle, iters=5).collect()}
+    third = round(1.0 / 3.0, 12)
+    assert r == {1: third, 2: third, 3: third}
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)]
+        + [(i, 0) for i in range(1, 6)],
+        ["src", "dst"],
+    )
+    rs = {x["node"]: x["rank"] for x in pagerank(star, iters=20).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-6
+    assert rs[0] > 0.4 and all(rs[0] > rs[i] for i in range(1, 6))
+    leaf = {rs[i] for i in range(1, 6)}
+    assert len(leaf) == 1  # symmetric leaves tie exactly
