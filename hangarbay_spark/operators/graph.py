@@ -36,11 +36,24 @@ def pagerank(
     teleport mass (1-d)/n. Returns ``(node, rank)`` with rank rounded
     at 12 dp per iteration.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
-    dg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    ed = e.join(dg, "src").localCheckpoint(eager=True)
-    nodes = dg.select(F.col("src").alias("node")).localCheckpoint(eager=False)
-    n = float(dg.count())
+    from pyspark.sql.window import Window
+
+    # Degree via an unordered window over the deduped edges: one
+    # exchange on src, replacing the aggregate-then-join formulation's
+    # groupBy exchange PLUS edge-side join exchange (3 exchanges -> 2
+    # in the one-time build). Callers pass raw edge lists; the single
+    # distinct here dedups them.
+    e = edges.select("src", "dst").distinct()
+    ed = e.withColumn(
+        "deg",
+        F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = float(nodes.count())
     jump = 1.0 - damping
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(iters):

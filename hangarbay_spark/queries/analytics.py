@@ -469,10 +469,10 @@ def _o_pagerank() -> str:
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.operators.graph import pagerank
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # No pre-join distinct: pagerank() dedups the final edge set, and
+    # duplicate (order, part) line items only produce duplicate edges.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     e = (
         li.alias("a")
