@@ -1286,3 +1286,87 @@ def join_fuzzy_deletion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return deletion_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
+@register(
+    "setop_bag_semantics",
+    """
+    SELECT 'excess' AS side, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t1
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'common' AS side, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t2
+    GROUP BY o_orderpriority
+    """,
+    "BAG (multiset) set operations — EXCEPT ALL / INTERSECT ALL keep "
+    "per-row multiplicities (count-difference / count-min semantics), "
+    "unlike the distinct-set twins in setop_intersect_except; Spark "
+    "plans both as count-comparing aggregations, one shuffle each",
+    "setops (+bag semantics: EXCEPT ALL / INTERSECT ALL)",
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+
+    def counted(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit(side).alias("side"), "o_orderpriority", "n")
+
+    return counted(o.exceptAll(f), "excess").unionByName(
+        counted(o.intersectAll(f), "common")
+    )
+
+
+@register(
+    "sort_null_ordering",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS tp
+      FROM orders)
+    SELECT 'top_non_null' AS side, o_orderkey, tp FROM (
+      SELECT o_orderkey, tp FROM v
+      ORDER BY tp DESC NULLS LAST, o_orderkey LIMIT 10) a
+    UNION ALL
+    SELECT 'nulls_first' AS side, o_orderkey, tp FROM (
+      SELECT o_orderkey, tp FROM v
+      ORDER BY tp ASC NULLS FIRST, o_orderkey LIMIT 10) b
+    """,
+    "explicit NULL-ordering semantics under LIMIT: Spark's default "
+    "null order (NULLS FIRST ascending) and DuckDB's (NULLS LAST) "
+    "DISAGREE, so any cross-engine top-k over a nullable sort key "
+    "must pin the null position explicitly — this query pins both "
+    "directions and selects through the LIMIT where the ordering is "
+    "observable (row_number tie-broken; the harness hash is otherwise "
+    "order-insensitive)",
+    "2.5 sorts (+explicit NULLS FIRST/LAST)",
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tp = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    v = orders.select("o_orderkey", tp.alias("tp"))
+    top = (
+        v.orderBy(F.col("tp").desc_nulls_last(), "o_orderkey")
+        .limit(10)
+        .select(F.lit("top_non_null").alias("side"), "o_orderkey", "tp")
+    )
+    nf = (
+        v.orderBy(F.col("tp").asc_nulls_first(), "o_orderkey")
+        .limit(10)
+        .select(F.lit("nulls_first").alias("side"), "o_orderkey", "tp")
+    )
+    return top.unionByName(nf)
