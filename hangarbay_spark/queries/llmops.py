@@ -2108,3 +2108,46 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("w"),
         F.round("__es_key", 9).alias("score"),
     )
+
+
+@register(
+    "text_bpe_merge_candidates",
+    f"""
+    WITH toks AS (SELECT {O_TOKENS} AS t FROM documents),
+    w AS (SELECT unnest(list_filter(t, x -> length(x) >= 2)) AS w
+          FROM toks),
+    p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                        i -> w[i] || w[i+1])) AS pair
+          FROM w)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    "BPE tokenizer-training primitive: corpus-wide counts of adjacent "
+    "symbol pairs within words — the argmax IS the first BPE merge "
+    "(Sennrich et al. 2016); iterating re-counts after each merge. "
+    "Pairs are generated in-row by nested higher-order transforms "
+    "over lambda-local variables (no re-evaluated outer expressions), "
+    "then one map-side-combinable count shuffle + distributed top-k — "
+    "at 100 TB the shuffle carries only distinct pairs per partition",
+    "text-analysis extension (BPE merge candidates)",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(X.tokens_expr("text").alias("t"))
+    # length(w) >= 2 guard: sequence(1, 0) counts DOWN for 1-char words
+    pairs = F.flatten(
+        F.transform(
+            F.filter("t", lambda w: F.length(w) >= 2),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: F.concat(w.substr(i, F.lit(1)), w.substr(i + 1, F.lit(1))),
+            ),
+        )
+    )
+    return (
+        toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
