@@ -2151,3 +2151,26 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "sim_pq_topk",
+    None,  # PQ codebooks/codes have no tractable SQL twin — rows-only;
+    # recall vs the exact brute force is pinned in tests
+    "product-quantization ANN (Jegou et al. 2011, ADC with exact "
+    "re-rank): per-subspace L2 codebooks (broadcast-assign Lloyd "
+    "iterations, decimal-exact means), corpus stored as m=4 one-byte "
+    "codes + a norm — the memory path that fits a 100 TB corpus's "
+    "index in cluster RAM; probes score codes through m*16-entry "
+    "broadcast dot tables (the corpus-wide pass never touches "
+    "vectors), and only the top 4k ADC candidates are re-scored with "
+    "the exact cosine. Completes the ANN ladder: brute force / IVF / "
+    "hyperplane LSH / int8 / JL / PQ, all with the same output shape",
+    "similarity extension (product quantization / ADC)",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.pq_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )

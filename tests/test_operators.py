@@ -1605,3 +1605,27 @@ def test_pagerank_cycle_and_star(spark):
     assert rs[0] > 0.4 and all(rs[0] > rs[i] for i in range(1, 6))
     leaf = {rs[i] for i in range(1, 6)}
     assert len(leaf) == 1  # symmetric leaves tie exactly
+
+
+def test_pq_recall_floor(spark):
+    """PQ/ADC with exact re-rank recovers >=0.8 of the exact top-5 on
+    the sf0.001 embeddings (m=4 one-byte codes + norm per vector)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.operators.similarity import brute_force_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    bf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    pq = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.pq_topk(emb, probes, k=5).collect()
+    }
+    assert len(bf & pq) / len(bf) >= 0.8
