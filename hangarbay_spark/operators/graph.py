@@ -26,6 +26,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 10,
     damping: float = 0.85,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
@@ -35,6 +36,17 @@ def pagerank(
     mass is lost and ranks sum to 1. Nodes with no IN-edges keep the
     teleport mass (1-d)/n. Returns ``(node, rank)`` with rank rounded
     at 12 dp per iteration.
+
+    ``symmetric=True`` declares every node has at least one IN-edge
+    (true for any symmetrized/undirected graph, e.g. co-occurrence):
+    the per-iteration "re-attach zero-in-degree nodes" left join is
+    then provably a no-op and is skipped, so each iteration is exactly
+    one hash join + one aggregation. The edge frame is additionally
+    checkpointed pre-partitioned on ``src`` — the aggregation output
+    is already hash-partitioned on the node key, so with AQE's
+    partition coalescing off for the loop the join needs no new
+    exchange: ONE shuffle per iteration, the floor for message-passing
+    on a cluster.
     """
     from pyspark.sql.window import Window
 
@@ -47,7 +59,17 @@ def pagerank(
     ed = e.withColumn(
         "deg",
         F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
-    ).localCheckpoint(eager=True)
+    )
+    if symmetric:
+        # Pin the edge side to hashpartitioning(src, P) where P is the
+        # static shuffle-partition count (AQE coalescing would give the
+        # checkpointed RDD a data-dependent count that can never match
+        # the loop aggregates', forcing a re-shuffle of ed every
+        # iteration — the exact cost this path removes).
+        spark = edges.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ed = ed.repartition(p, "src")
+    ed = ed.localCheckpoint(eager=True)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .distinct()
@@ -66,16 +88,25 @@ def pagerank(
         sums = contrib.groupBy("node").agg(
             F.sum("c").cast("double").alias("s")
         )
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
+        if symmetric:
+            ranks = sums.select(
                 "node",
                 F.round(
-                    F.lit(jump) / F.lit(n)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                    F.lit(jump) / F.lit(n) + F.lit(damping) * F.col("s"),
                     12,
                 ).alias("rank"),
+            ).localCheckpoint(eager=False)
+        else:
+            ranks = (
+                nodes.join(sums, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(jump) / F.lit(n)
+                        + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                        12,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
     return ranks

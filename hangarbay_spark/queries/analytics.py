@@ -483,7 +483,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
     )
-    ranks = pagerank(e, iters=_PR_ITERS, damping=float(_PR_DAMP))
+    # symmetric=True: the co-purchase relation contains (a,b) iff it
+    # contains (b,a), so every node has an in-edge and the zero-in-
+    # degree re-attach join is skippable (one shuffle per iteration).
+    ranks = pagerank(
+        e, iters=_PR_ITERS, damping=float(_PR_DAMP), symmetric=True
+    )
     return (
         ranks.orderBy(F.col("rank").desc(), "node")
         .limit(25)

@@ -878,3 +878,229 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lst.select(
         "event_type", "hour_ms", F.round(ewma, 6).alias("ewma")
     )
+
+
+@register(
+    "events_scd2_user_tier",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ), chg AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, ts_ms, tier,
+               LAG(tier) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS prev_tier
+        FROM p)
+      WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier,
+           ts_ms AS valid_from_ms,
+           LEAD(ts_ms) OVER (PARTITION BY user_id
+                             ORDER BY ts_ms, event_id) AS valid_to_ms,
+           CAST(LEAD(ts_ms) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM chg
+    """,
+    "SCD Type-2 dimension build from a change log: per-user purchase "
+    "tier history compacted to contiguous validity intervals "
+    "(change-detect via lag, close intervals via lead, open interval "
+    "= current row) — the warehouse dimension-maintenance pattern. "
+    "One window shuffle on the entity key serves all three windows "
+    "(identical partitioning + ordering); at 100 TB the change log "
+    "shuffles once on user_id and each entity's history is tiny",
+    "warehouse extension (SCD2 dimension build; CDC family of "
+    "pipelines/diff.py)",
+)
+def events_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    chg = p.withColumn("prev_tier", F.lag("tier").over(w)).filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    return chg.select(
+        "user_id",
+        "tier",
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.lead("ts_ms").over(w).alias("valid_to_ms"),
+        F.lead("ts_ms").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events),
+    u AS (
+      SELECT user_id,
+             CAST((mx.max_ms - MAX(epoch_ms(ts))) // 86400000 AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS monetary
+      FROM events CROSS JOIN mx
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, mx.max_ms
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+                AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id)
+                AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id)
+                AS BIGINT) AS m_score
+    FROM u
+    """,
+    "RFM (recency/frequency/monetary) customer segmentation: one "
+    "exact-decimal aggregate per user, the reference max-date as a "
+    "broadcast 1-row scalar, and three NTILE(5) quintile scores with "
+    "unique tie-breaks (user_id) so bucket boundaries are "
+    "deterministic cross-engine. The global NTILE is a single-"
+    "partition window over the USER aggregate (cardinality = users, "
+    "not events) — at 100 TB score via windowed percent_rank over "
+    "range-partitioned sort or the GK sketch instead; the per-user "
+    "rollup stays one shuffle",
+    "analytics extension (RFM segmentation)",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase")
+    # Reference date = max over ALL events (matches the oracle's mx
+    # CTE) — not just purchases, so an inactive buyer's recency keeps
+    # growing with corpus time.
+    mx = ev.agg(F.max(F.unix_millis("ts")).alias("max_ms"))
+    u = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "max_ms")
+        .agg(
+            F.max(F.unix_millis("ts")).alias("u_max"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            ((F.col("max_ms") - F.col("u_max")) / F.lit(86400000))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").asc(), "user_id"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").asc(), "user_id"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+
+
+@register(
+    "events_funnel_paths",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ms
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts_ms,
+             CAST(SUM(CASE WHEN prev_ms IS NULL
+                             OR ts_ms - prev_ms > {SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    ), headed AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts_ms, event_id) AS rn
+      FROM sess
+    ), paths AS (
+      SELECT user_id, session_id,
+             STRING_AGG(event_type, '>' ORDER BY ts_ms, event_id) AS path
+      FROM headed WHERE rn <= 5
+      GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    "funnel path analysis: sessionize (30-min gap), truncate each "
+    "session to its first 5 events, concatenate the ordered "
+    "event-type path, count sessions per path, top-20. The ordered "
+    "concat is a collect_list over a running window (frame order = "
+    "collection order) sliced at the aggregation — all windows share "
+    "the one user_id sort shuffle; path cardinality is bounded by "
+    "5-grams of event types so the final count is a small agg",
+    "analytics extension (behavioral path / funnel mining)",
+)
+def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    order_w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(order_w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(order_w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(order_w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    sw = W.partitionBy("user_id", "session_id").orderBy("ts_ms", "event_id")
+    headed = sess.withColumn("rn", F.row_number().over(sw)).filter(
+        F.col("rn") <= 5
+    )
+    # Ordered concat: collect_list over the running frame of the same
+    # window, keep the full-frame row (rn = frame length) per session.
+    paths = (
+        headed.withColumn(
+            "path_arr",
+            F.collect_list("event_type").over(
+                sw.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.max(F.struct("rn", "path_arr")).alias("last"))
+        .select(F.concat_ws(">", F.col("last.path_arr")).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
