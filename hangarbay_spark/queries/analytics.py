@@ -494,3 +494,129 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("node", F.round("rank", 9).alias("rank"))
     )
+
+
+_COPURCHASE_SMALL_SQL = """
+    li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+           FROM lineitem l JOIN part p
+             ON l.l_partkey = p.p_partkey AND p.p_size <= 5),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey)
+"""
+
+
+def _copurchase_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (src < dst) co-purchase edges over small parts
+    (p_size <= 5): the part filter lands in the broadcast dim BEFORE
+    the fact join, so the quadratic per-order pair expansion only ever
+    sees qualifying items."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).distinct()
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src)
+    SELECT deg, COUNT(*) AS n_nodes
+    FROM deg GROUP BY deg ORDER BY deg
+    """,
+    "degree distribution of the (undirected) small-part co-purchase "
+    "graph: oriented edges mirrored with a zero-shuffle unionAll, one "
+    "groupBy per level — degree histograms are the first diagnostic "
+    "of any graph workload (skew = hub nodes = the rows that break "
+    "per-node joins). Both aggregations shuffle on integer keys; "
+    "output is bounded by the distinct-degree count",
+    "analytics extension (graph degree profile)",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+@register(
+    "graph_triangle_topk",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM e a JOIN e b ON a.dst = b.src
+            JOIN e c ON c.src = a.src AND c.dst = b.dst),
+    pernode AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM pernode GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+    "per-node triangle counts (top-20) on the small-part co-purchase "
+    "graph — the compact-forward algorithm: edges oriented src < dst "
+    "so each triangle is enumerated exactly once by a two-hop join "
+    "plus a closing-edge hash join (never the naive 3-way cycle join "
+    "that counts each triangle 6x). Triangle membership fans out via "
+    "unionAll (no shuffle) into one count per node. The closing-edge "
+    "join keys on (src, dst) pairs — at 100 TB orient by degree "
+    "(low->high) instead of id order to bound the two-hop fan-out by "
+    "sqrt(m) per edge",
+    "analytics extension (triangle counting / clustering structure)",
+)
+def graph_triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir).localCheckpoint(eager=True)
+    two_hop = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    tri = two_hop.join(
+        e.alias("c"),
+        (F.col("c.src") == F.col("x")) & (F.col("c.dst") == F.col("z")),
+        "left_semi",
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        pernode.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

@@ -1370,3 +1370,78 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("nulls_first").alias("side"), "o_orderkey", "tp")
     )
     return top.unionByName(nf)
+
+
+_BLOOM_BITS = 65536  # 1024 64-bit words; ~0.8% fpp at 3k keys, k=3
+_BLOOM_K = 3
+
+
+@register(
+    "join_bloom_prune",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_dsum("o_totalprice", "revenue", 2)}
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    "semi join behind a hand-built distributed Bloom filter (the "
+    "runtime-filter pattern Spark injects on clusters via "
+    "spark.sql.optimizer.runtime.bloomFilter): the dim keys fold into "
+    "a 65536-bit filter fully distributed-side (k=3 xxhash64 seeds -> "
+    "explode bit positions -> bit_or per 64-bit word -> one dense "
+    "array row, never a driver collect), the fact side drops "
+    "non-members with pure bitwise exprs BEFORE the shuffle, and the "
+    "exact left-semi join after it removes the ~0.8% false positives "
+    "— so results equal the plain IN-subquery oracle. At 100 TB the "
+    "win is shuffle-input reduction: the 8 KiB filter broadcasts for "
+    "free while the fact shuffle shrinks by the dim's selectivity",
+    "2.3 joins (+Bloom-filter runtime pruning)",
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k, nwords = _BLOOM_BITS, _BLOOM_K, _BLOOM_BITS // 64
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # Build: k bit positions per key, OR'd into 64-bit words, densified
+    # into one array<bigint> row (missing words -> 0).
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.groupBy((F.col("pos") / 64).cast("int").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits")
+    )
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.element_at("wm", i), F.lit(0).cast("bigint")),
+        ).alias("words")
+    )
+    checks = " AND ".join(
+        f"(element_at(words, cast(pmod(xxhash64(o_custkey, {i}), {m}) "
+        f"div 64 as int) + 1) & shiftleft(1L, cast(pmod(xxhash64("
+        f"o_custkey, {i}), {m}) % 64 as int))) != 0"
+        for i in range(k)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    pruned = orders.crossJoin(F.broadcast(dense)).filter(F.expr(checks))
+    exact = pruned.join(
+        keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", "revenue", 2),
+    )
