@@ -2174,3 +2174,84 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, probes, k=5).select(
         "probe_id", "neighbor_id", "cosine", "rk"
     )
+
+
+# Shared temperature-weight formula (compiled verbatim on both engines
+# so IEEE ops run in identical order — the _stats_formula_sql
+# convention). sqrt is IEEE-correctly-rounded (unlike pow), so T=2
+# temperature (exponent 1/2) needs no transcendental guard; the 6 dp
+# round keeps the double->decimal norm sum far from the noise floor.
+_TEMP_W = "round(sqrt(CAST(n_s AS DOUBLE)), 6)"
+_TEMP_P = (
+    "least(1.0, ((0.5 * CAST(n_total AS DOUBLE)) * (w / norm)) "
+    "/ CAST(n_s AS DOUBLE))"
+)
+
+
+def _o_temperature_mixture() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(CAST({_TEMP_W} AS DECIMAL(30,6))) AS DOUBLE)
+                   AS norm,
+                 SUM(n_s) AS n_total
+          FROM s),
+    p AS (SELECT source, n_s, {_TEMP_P} AS p
+          FROM (SELECT source, n_s, {_TEMP_W} AS w FROM s), t)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {o_hash_bucket("d.doc_id", "temp")}
+                           < CAST(floor(p.p * 256) AS INT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(p.p, 9) AS keep_rate
+    FROM documents d JOIN p ON d.source = p.source
+    GROUP BY d.source, p.p
+    """
+
+
+@register(
+    "sample_temperature_mixture",
+    _o_temperature_mixture(),
+    "temperature-scaled domain mixing (multilingual-LM style, T=2): "
+    "per-source keep probability proportional to sqrt(share) — "
+    "upweights small domains, downweights dominant ones — quantized "
+    "to 1/256 content-hash buckets so the sample is deterministic "
+    "under re-runs and repartitioning. Parity: sqrt is IEEE-correct "
+    "(exponent 1/2 needs no transcendental guard), the weight "
+    "normalizer sums 6 dp decimals exactly, and the keep formula is "
+    "ONE shared expression text on both engines. Scale: per-source "
+    "stats are a tiny broadcast; the corpus is touched once, "
+    "filter-only, no shuffle of document rows",
+    "sampling extension (temperature-scaled domain mixing)",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t = s.agg(
+        F.expr(f"CAST(SUM(CAST({_TEMP_W} AS DECIMAL(30,6))) AS DOUBLE)").alias(
+            "norm"
+        ),
+        F.sum("n_s").alias("n_total"),
+    )
+    p = (
+        s.withColumn("w", F.expr(_TEMP_W))
+        .crossJoin(F.broadcast(t))
+        .withColumn("p", F.expr(_TEMP_P))
+        .select("source", "p", F.expr("CAST(floor(p * 256) AS INT)").alias("thr"))
+    )
+    flagged = docs.join(F.broadcast(p), "source").select(
+        "source",
+        "p",
+        (hash_bucket_expr("doc_id", "temp") < F.col("thr")).alias("kept"),
+    )
+    return flagged.groupBy("source", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    ).select(
+        "source", "n_docs", "n_kept", F.round("p", 9).alias("keep_rate")
+    )

@@ -1445,3 +1445,33 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         dsum("o_totalprice", "revenue", 2),
     )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, s.s_name, s.s_acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey LIMIT 3) s
+"""
+
+
+@register(
+    "join_lateral_topk",
+    _LATERAL_SQL,
+    "correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
+    "(top-3 suppliers by balance per nation) — the modern SQL "
+    "formulation of top-k-per-group. Catalyst decorrelates the "
+    "lateral into a ranked window join (DecorrelateInnerQuery), so "
+    "the physical plan is the same one-shuffle row_number pattern as "
+    "window_top_orders_per_customer, never a per-outer-row rescan; "
+    "unique s_suppkey tie-break keeps the LIMIT row set identical "
+    "cross-engine",
+    "2.3/2.5 (+correlated LATERAL subquery surface)",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    # SQL path on purpose: LATERAL has no DataFrame-API equivalent;
+    # spark.sql builds the same Catalyst plan a DataFrame would.
+    return spark.sql(_LATERAL_SQL)
