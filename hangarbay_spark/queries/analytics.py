@@ -620,3 +620,68 @@ def graph_triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+    common AS (
+      SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src)
+    SELECT u, v, CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / (du.deg + dv.deg - c) AS jaccard
+    FROM common
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY jaccard DESC, u, v
+    LIMIT 20
+    """,
+    "link prediction via neighborhood Jaccard: wedge join through "
+    "shared neighbors (a.dst = b.dst, u < v orientation so each pair "
+    "counts once) -> common-neighbor counts -> |N(u) n N(v)| / "
+    "|N(u) u N(v)| from exact degrees — top-20 most-similar part "
+    "pairs. The wedge join's fan-out is sum-of-squared-degrees: at "
+    "100 TB cap hub degrees (or MinHash the neighbor sets — "
+    "operators/dedup.py) exactly like the LSH candidate generators; "
+    "jaccard is one divide of exact ints",
+    "analytics extension (graph link prediction / node similarity)",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    common = (
+        und.alias("a")
+        .join(
+            und.alias("b"),
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("bigint").alias("n_common"),
+            (
+                F.col("c").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
+    )

@@ -1104,3 +1104,48 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM pairs
+    """,
+    "first-order Markov transition matrix over per-user event "
+    "sequences: lag window (one user_id shuffle), pair counts, and "
+    "row-normalized probabilities via a partition-total window over "
+    "the TYPE-PAIR aggregate (25 rows — the window input is the "
+    "matrix, not the events). p is a single divide of exact counts, "
+    "bit-identical cross-engine",
+    "analytics extension (Markov chain / transition mining)",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_type"))
+        ).alias("p"),
+    )

@@ -2255,3 +2255,73 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", "n_docs", "n_kept", F.round("p", 9).alias("keep_rate")
     )
+
+
+def _o_ngram_novelty() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    grams AS (SELECT DISTINCT doc_id, unnest({o_shingles(3)}) AS gram
+              FROM toks),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams
+               GROUP BY gram),
+    novelty AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams g JOIN firsts f ON g.gram = f.gram
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_grams AS novelty
+    FROM novelty
+    ORDER BY novelty ASC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "text_ngram_novelty",
+    _o_ngram_novelty(),
+    "n-gram novelty scoring (memorization/forgetting diagnostics): "
+    "each doc's share of 3-gram shingles it introduces FIRST in "
+    "corpus order (min-doc_id per gram), surfacing the 20 least-novel "
+    "docs — near-total recombinations of earlier text. Two shuffles "
+    "(distinct per-doc grams; min per gram) then a postings-sized "
+    "join back; novelty is a ratio of exact counts. At 100 TB this is "
+    "the same postings-join cost class as TF-IDF — gram cardinality "
+    "scales sub-linearly and hot grams are bounded by the distinct "
+    "per-doc step",
+    "text-analysis extension (temporal n-gram novelty)",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.text import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles_expr("text", 3)).alias("gram")
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novelty = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        novelty.select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy(F.col("novelty").asc(), "doc_id")
+        .limit(20)
+    )
