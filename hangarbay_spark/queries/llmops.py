@@ -2294,24 +2294,37 @@ def _o_ngram_novelty() -> str:
     "text-analysis extension (temporal n-gram novelty)",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hangarbay_spark.operators.text import shingles_expr
+    from pyspark.sql.window import Window as W
 
+    from hangarbay_spark.operators.text import (
+        shingles_from_tokens,
+        tokens_expr,
+    )
+
+    # Single-pass shape: the raw (doc_id, gram) postings are consumed
+    # ONCE — first-doc attaches via a min window over the gram
+    # partition (same min with or without pre-distinct), then the
+    # per-doc distinct counts fold the dedup into the aggregate
+    # (countDistinct) instead of a separate distinct exchange + join
+    # back. Tokens are STAGED as a projected column before the shingle
+    # lambda (shingles_from_tokens docstring: inlining the regex split
+    # re-runs it per element — measured 8 s of the original 11 s here).
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(shingles_expr("text", 3)).alias("gram")
-    ).distinct()
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novelty = (
-        grams.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
+        "doc_id", tokens_expr("text").alias("__toks")
+    ).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), 3)).alias("gram")
+    )
+    firsts = grams.withColumn(
+        "first_doc", F.min("doc_id").over(W.partitionBy("gram"))
+    )
+    novelty = firsts.groupBy("doc_id").agg(
+        F.countDistinct("gram").cast("bigint").alias("n_grams"),
+        F.countDistinct(
+            F.when(F.col("first_doc") == F.col("doc_id"), F.col("gram"))
         )
+        .cast("bigint")
+        .alias("n_novel"),
     )
     return (
         novelty.select(
