@@ -1475,3 +1475,44 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL path on purpose: LATERAL has no DataFrame-API equivalent;
     # spark.sql builds the same Catalyst plan a DataFrame would.
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPARK_SQL = """
+    WITH RECURSIVE anc(node, ancestor) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT node, ancestor div 2 FROM anc WHERE ancestor > 1
+    )
+    SELECT ancestor,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS subtree_value
+    FROM anc JOIN part ON node = p_partkey
+    GROUP BY ancestor
+    ORDER BY n_desc DESC, ancestor
+    LIMIT 25
+"""
+
+
+@register(
+    "subquery_recursive_hierarchy",
+    _RECURSIVE_SPARK_SQL.replace(" div 2", " // 2"),
+    "recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): "
+    "hierarchical rollup over a derived binary-tree part hierarchy "
+    "(parent = key/2) — every part's ancestor chain is materialized "
+    "iteratively (~log2(n) recursion steps, rows = n*depth, no "
+    "explosion) and descendant counts + exact-decimal subtree values "
+    "aggregate per ancestor. Spark executes the recursion as an "
+    "iterative union loop; the oracle is DuckDB's native recursive "
+    "CTE (integer-division spelling differs: div vs //). The BFS/"
+    "transitive-closure family for real graphs lives in "
+    "operators/graph.py + operators/dedup.py connected components "
+    "(checkpointed loops — the scale path when recursion depth is "
+    "data-dependent)",
+    "2.3/2.5 (+recursive CTE / hierarchical query surface)",
+)
+def subquery_recursive_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_SPARK_SQL)
