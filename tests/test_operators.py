@@ -1629,3 +1629,121 @@ def test_pq_recall_floor(spark):
         for r in S.pq_topk(emb, probes, k=5).collect()
     }
     assert len(bf & pq) / len(bf) >= 0.8
+
+
+def test_pagerank_symmetric_path_matches_general(spark):
+    """symmetric=True must be a pure plan optimization: on a
+    symmetrized graph the skipped re-attach join is a no-op, so ranks
+    are row-identical to the general path."""
+    from hangarbay_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a in range(1, 7) for b in range(1, 7)
+             if a != b and (a + b) % 3 != 0]
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    general = {
+        (r["node"]): r["rank"] for r in pagerank(df, iters=6).collect()
+    }
+    fast = {
+        (r["node"]): r["rank"]
+        for r in pagerank(df, iters=6, symmetric=True).collect()
+    }
+    assert general == fast
+
+
+def test_triangle_query_matches_bruteforce_on_clique_plus_path(spark):
+    """K4 + pendant path: per-node triangle counts are known exactly —
+    every K4 node sits on C(3,2)=3 triangles, path nodes on none."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    path = [(4, 5), (5, 6)]
+    e = spark.createDataFrame(k4 + path, ["src", "dst"])
+    two_hop = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    tri = two_hop.join(
+        e.alias("c"),
+        (F.col("c.src") == F.col("x")) & (F.col("c.dst") == F.col("z")),
+        "left_semi",
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    counts = {
+        r["node"]: r["n"]
+        for r in pernode.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bloom_words_have_no_false_negatives(spark):
+    """Every inserted key must pass the bitwise membership check —
+    Bloom filters may false-positive, never false-negative."""
+    from pyspark.sql import functions as F
+
+    m, k, nwords = 65536, 3, 1024
+    keys = spark.range(1, 501).select(F.col("id").alias("c_custkey"))
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.groupBy((F.col("pos") / 64).cast("int").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits")
+    )
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at("wm", i), F.lit(0).cast("bigint")
+            ),
+        ).alias("words")
+    )
+    checks = " AND ".join(
+        f"(element_at(words, cast(pmod(xxhash64(c_custkey, {i}), {m}) "
+        f"div 64 as int) + 1) & shiftleft(1L, cast(pmod(xxhash64("
+        f"c_custkey, {i}), {m}) % 64 as int))) != 0"
+        for i in range(k)
+    )
+    survivors = (
+        keys.crossJoin(F.broadcast(dense)).filter(F.expr(checks)).count()
+    )
+    assert survivors == 500
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """T=2 mixing must give smaller sources a strictly higher keep
+    rate, every rate in (0, 1], and kept counts <= totals."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    from hangarbay_spark.queries import REGISTRY
+
+    rows = REGISTRY["sample_temperature_mixture"].fn(
+        spark, SF_DIR_ORACLE
+    ).collect()
+    assert rows
+    by_size = sorted(rows, key=lambda r: r["n_docs"])
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    rates = [r["keep_rate"] for r in by_size]
+    # monotone non-increasing in source size (sqrt-share weighting)
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
