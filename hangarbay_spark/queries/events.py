@@ -1149,3 +1149,104 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("prev_type"))
         ).alias("p"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             SUM(CAST(value AS DECIMAL(30,4))) AS tv
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(round(CAST(SUM(tv) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(30,6)) AS mean_tv
+      FROM h GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, hour_ms,
+             CAST(tv AS DECIMAL(30,6)) - mean_tv AS dev
+      FROM h JOIN m ON h.event_type = m.event_type),
+    c1 AS (
+      SELECT event_type, hour_ms,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY hour_ms
+                            ROWS UNBOUNDED PRECEDING) AS cs
+      FROM d),
+    c2 AS (
+      SELECT event_type, hour_ms, cs,
+             MIN(cs) OVER (PARTITION BY event_type ORDER BY hour_ms
+                           ROWS UNBOUNDED PRECEDING) AS lo
+      FROM c1),
+    s AS (
+      SELECT event_type, hour_ms,
+             CAST(cs - LEAST(lo, 0) AS DOUBLE) AS cusum
+      FROM c2),
+    r AS (
+      SELECT event_type, hour_ms, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cusum DESC, hour_ms) AS rk
+      FROM s)
+    SELECT event_type, hour_ms AS peak_hour_ms, cusum AS max_cusum
+    FROM r WHERE rk = 1
+    """,
+    "CUSUM changepoint detection per event type: upward drift "
+    "statistic s_t = cumsum_t - min(0, running-min of cumsum) over "
+    "hourly deviations from the per-type mean — the window-closed-form "
+    "of the max(0, s+d) recurrence, so the whole detector is two "
+    "stacked windows on ONE event_type sort shuffle (no per-row fold, "
+    "no O(n^2) lambda — scale-safe where a collect_list fold is not). "
+    "All arithmetic is exact decimal (mean rounded at 6 dp then cast "
+    "back), the only doubles are the final cast",
+    "analytics extension (CUSUM drift / changepoint detection)",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+    ).agg(F.sum(F.col("value").cast("decimal(30,4)")).alias("tv"))
+    m = h.groupBy("event_type").agg(
+        F.round(F.sum("tv").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(30,6)")
+        .alias("mean_tv")
+    )
+    d = h.join(m, "event_type").select(
+        "event_type",
+        "hour_ms",
+        (F.col("tv").cast("decimal(30,6)") - F.col("mean_tv")).alias("dev"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ms")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "event_type",
+        "hour_ms",
+        F.sum("dev").over(w).alias("cs"),
+    ).select(
+        "event_type",
+        "hour_ms",
+        "cs",
+        F.min("cs").over(w).alias("lo"),
+    )
+    s = c.select(
+        "event_type",
+        "hour_ms",
+        (F.col("cs") - F.least(F.col("lo"), F.lit(0).cast("decimal(30,6)")))
+        .cast("double")
+        .alias("cusum"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("cusum").desc(), "hour_ms"
+            )
+        ),
+    )
+    return s.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("hour_ms").alias("peak_hour_ms"),
+        F.col("cusum").alias("max_cusum"),
+    )

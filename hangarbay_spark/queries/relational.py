@@ -1516,3 +1516,53 @@ def subquery_recursive_hierarchy(
 ) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_SPARK_SQL)
+
+
+@register(
+    "join_skew_salted",
+    f"""
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 7
+    GROUP BY s_name
+    ORDER BY revenue DESC, s_name
+    LIMIT 15
+    """,
+    "explicitly salted fact-to-medium-dim join (plans/skew.py:"
+    "salted_join): the fact side gets a seeded random salt, the dim "
+    "side replicates salt-x, and the join keys on (key, salt) — each "
+    "hot key's shuffle partition shrinks by the salt factor. Results "
+    "are salt-invariant (the salt only routes rows), so the oracle is "
+    "the plain join. This testdata's l_suppkey is uniform; the plan "
+    "is registered for the 100 TB power-law case AQE's sort-merge "
+    "skew split can't fix (medium dim: too big to broadcast, hot "
+    "partitions too large to split)",
+    "2.3 joins (+explicit salting for skew; AQE-resistant shapes)",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    joined = salted_join(li, supp, "l_suppkey", salt=8, how="inner")
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "s_name")
+        .limit(15)
+    )
