@@ -35,14 +35,21 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row: columns of the latest right row with
     ``right.ts <= left.ts`` and the same key (null if none precede it).
+
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    with ``right.ts >= left.ts`` (time-to-next-event joins) — same
+    single-shuffle carry plan, scanning the key's timeline in reverse.
 
     Right columns come back prefixed ``asof_``. ``tie_break`` (a right
     column; required if (key, ts) isn't unique on the right) picks the
     winner among equal-ts right rows — the max survives.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, not {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -77,10 +84,16 @@ def as_of_join(
     )
     # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
     # an exactly-simultaneous right row IS visible to the left row
-    # (inclusive <=, matching DuckDB ASOF JOIN semantics).
+    # (inclusive <=/>= matching DuckDB ASOF JOIN semantics). Forward
+    # mode scans the timeline in reverse: descending ts, rights first.
+    order = (
+        [F.col("__ts").asc(), F.col("__is_left").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__is_left").asc()]
+    )
     w = (
         W.partitionBy(on)
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -1250,3 +1250,56 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_ms").alias("peak_hour_ms"),
         F.col("cusum").alias("max_cusum"),
     )
+
+
+@register(
+    "events_asof_forward_error",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r0 AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+    r AS (SELECT user_id, ts, MAX(event_id) AS eid FROM r0 GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           epoch_ms(l.ts) AS purchase_ms,
+           r.eid AS error_id,
+           epoch_ms(r.ts) - epoch_ms(l.ts) AS ms_to_error
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    "FORWARD as-of join (time-to-next-event): each purchase matched "
+    "to the user's earliest at-or-after error — the mirror of the "
+    "backward carry (operators/temporal.py:as_of_join "
+    "direction='forward'): same tag-union + ordered carry over ONE "
+    "user_id shuffle, timeline scanned descending. Oracle = DuckDB "
+    "native ASOF with the inequality flipped (l.ts <= r.ts)",
+    "temporal-join extension (forward as-of / time-to-event)",
+)
+def events_asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("eid"))
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = as_of_join(
+        purchases,
+        errors,
+        on="user_id",
+        right_cols=["eid", "rts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("asof_eid").alias("error_id"),
+        (F.unix_millis("asof_rts") - F.unix_millis("ts")).alias(
+            "ms_to_error"
+        ),
+    )

@@ -1747,3 +1747,24 @@ def test_temperature_mixture_upweights_small_sources(spark):
     rates = [r["keep_rate"] for r in by_size]
     # monotone non-increasing in source size (sqrt-share weighting)
     assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
+
+
+def test_as_of_join_forward_direction(spark):
+    """Forward as-of picks the EARLIEST right row at-or-after each
+    left ts; equal timestamps match (inclusive), later lefts with no
+    following right get null."""
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 25, "b"), (1, 30, "c")], ["k", "ts", "v"]
+    )
+    out = {
+        r["ts"]: r["asof_v"]
+        for r in as_of_join(
+            left, right, on="k", right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {10: "b", 25: "b", 40: None}
