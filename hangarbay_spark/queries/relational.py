@@ -1514,6 +1514,14 @@ _RECURSIVE_SPARK_SQL = """
 def subquery_recursive_hierarchy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Materialized recursion rows = n_parts * log2(max key): ~3.6M at
+    # sf1, over Spark's 1M default backstop. The limit is a guard
+    # against unbounded recursion, not a memory bound — each iteration
+    # is a distributed union step — so raise it for the log-depth
+    # hierarchy (100 GB-scale hierarchies stay log-bounded; data-
+    # dependent-depth graphs belong to the checkpointed loops in
+    # operators/graph.py instead).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_SPARK_SQL)
 
