@@ -685,3 +685,50 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(20)
     )
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_ms(date_trunc('week', ts)) AS week_ms,
+             user_id
+      FROM events)
+    SELECT event_type, week_ms,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d GROUP BY 1, 2
+    """,
+    "EXACT mergeable COUNT DISTINCT via bitmap words (the roaring-"
+    "bitmap warehouse pattern, exact complement of the HLL rollup): "
+    "per (type, day, id div 63) partial bitmaps build with "
+    "bit_or(shiftleft) — map-side combinable — then roll up to weeks "
+    "by OR-ing WORDS (never rescanning events), and popcount "
+    "(bit_count) sums give the exact distinct. Bit index stays in "
+    "0..62 so the sign bit never enters popcount semantics. Scale: "
+    "partials merge like any sum — the re-aggregation is "
+    "words-per-group-sized, not rows — the pattern exact COUNT "
+    "DISTINCT can't do (its partials aren't mergeable without the "
+    "full value set)",
+    "2.4 aggregations (+exact mergeable distinct via bitmaps)",
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 63).cast("bigint").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+        )
+        .groupBy("event_type", "day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    weekly = daily.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("week", "day")).alias("week_ms"),
+        "word",
+    ).agg(F.expr("bit_or(bits)").alias("bits"))
+    return weekly.groupBy("event_type", "week_ms").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )

@@ -2338,3 +2338,81 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("novelty").asc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "text_lang_confusion",
+    f"""
+    SELECT lang AS labeled, {_o_lang_case()} AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY labeled, predicted
+    """,
+    "language-ID evaluation: confusion matrix of the n-gram/stopword "
+    "heuristic (operators/text.py:lang_id_expr) against the corpus's "
+    "labeled lang column — the quality-eval loop every production "
+    "classifier needs. Pure expression + one tiny matrix-sized "
+    "aggregate; at 100 TB this is a filter-free single scan with "
+    "map-side combine",
+    "text-analysis extension (classifier evaluation / confusion matrix)",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("labeled"),
+            X.lang_id_expr("text").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+def _o_cross_source_overlap() -> str:
+    return f"""
+    WITH digests AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice({O_TOKENS}, 1, 20), ' ')) AS d
+      FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM digests a JOIN digests b
+      ON a.d = b.d AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, source_a, source_b
+    """
+
+
+@register(
+    "dedup_cross_source_overlap",
+    _o_cross_source_overlap(),
+    "cross-source contamination matrix: 20-token-prefix digests "
+    "(the dedup_prefix_groups key — catches truncation/mirror copies "
+    "whose tails differ) self-joined across source pairs — how much "
+    "of each domain is shared with another. The join keys on digest "
+    "(the dedup shuffle), pair counts are source-matrix-sized; "
+    "distinct-per-source first so multi-copies within one source "
+    "don't inflate the overlap",
+    "dedup extension (cross-source exact overlap audit)",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", X.tokens_expr("text").alias("t"))
+    digests = toks.select(
+        "source", F.md5(F.array_join(F.slice("t", 1, 20), " ")).alias("d")
+    ).distinct()
+    return (
+        digests.alias("a")
+        .join(
+            digests.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
+    )
