@@ -1204,13 +1204,35 @@ def pq_topk(
     point at 100 TB: the full-precision vectors are read for
     ``rerank*k`` rows per probe only. Output matches the other ANN
     paths: (probe_id, neighbor_id, cosine, rk)."""
-    sub = dim // m
     # Codebooks train on a bounded deterministic sample (the FAISS
     # convention): training cost is CONSTANT in corpus size; only
     # encode touches every vector, and it reads codes-worth of data.
     train = corpus.orderBy(id_col).limit(2048)
     books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
     codes = pq_encode(corpus, books, id_col, vec_col, dim).localCheckpoint()
+    return pq_topk_from_codes(
+        codes, books, corpus, probes, id_col, vec_col, k, dim, rerank
+    )
+
+
+def pq_topk_from_codes(
+    codes: DataFrame,
+    books: list[DataFrame],
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    rerank: int = 20,
+) -> DataFrame:
+    """ADC scoring + exact re-rank over PREBUILT codes/codebooks — the
+    steady-state search path shared by the inline trainer
+    (:func:`pq_topk`) and the persisted index
+    (:func:`pq_topk_from_index`). ``corpus`` supplies full-precision
+    vectors for the rerank*k candidate rows per probe only."""
+    m = len(books)
+    sub = dim // m
 
     # Per-probe dot tables: dot(q_j, c_{j,cid}) for every (j, cid).
     tables = None
@@ -1276,4 +1298,65 @@ def pq_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    codes_path: str,
+    books_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    train_n: int = 2048,
+    buckets: int = 32,
+) -> None:
+    """One-time PQ index build: codebooks (trained on the bounded
+    deterministic sample — identical to the inline :func:`pq_topk`
+    trainer, so persisted results match it row-for-row) written as one
+    (j, cid, cvec) parquet, and the corpus codes
+    (id, norm, code_0..code_{m-1}) written id-bucketed. The encode is
+    the only corpus-wide pass and it happens here, at publish — the
+    PQ twin of ``write_hyperplane_signature_table``."""
+    train = corpus.orderBy(id_col).limit(train_n)
+    books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
+    tagged = None
+    for j, cent in enumerate(books):
+        t = cent.select(F.lit(j).alias("j"), "cid", "cvec")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged.coalesce(1).write.mode("overwrite").parquet(books_path)
+    codes = pq_encode(corpus, books, id_col, vec_col, dim)
+    codes.repartition(buckets, F.col(id_col)).write.mode(
+        "overwrite"
+    ).parquet(codes_path)
+
+
+def pq_topk_from_index(
+    spark,
+    codes_path: str,
+    books_path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    rerank: int = 20,
+) -> DataFrame:
+    """PQ/ADC top-k from the PERSISTED index: the timed search reads
+    m-byte codes + tiny codebooks, never re-trains or re-encodes;
+    full-precision vectors are touched only for the exact re-rank of
+    rerank*k candidates per probe."""
+    books_df = spark.read.parquet(books_path)
+    m = books_df.agg(F.max("j")).collect()[0][0] + 1
+    books = [
+        books_df.filter(F.col("j") == j).select("cid", "cvec").localCheckpoint()
+        for j in range(m)
+    ]
+    codes = spark.read.parquet(codes_path)
+    return pq_topk_from_codes(
+        codes, books, corpus, probes, id_col, vec_col, k, dim, rerank
     )

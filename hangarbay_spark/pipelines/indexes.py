@@ -53,6 +53,8 @@ ARTIFACTS = {
     "minhash_sigs": "minhash_sigs.parquet",
     "hyperplane_sigs": "hyperplane_sigs.parquet",
     "simhash_sigs": "simhash_sigs.parquet",
+    "pq_books": "pq_books.parquet",
+    "pq_codes": "pq_codes.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -215,6 +217,20 @@ def ensure_simhash_sigs(spark: SparkSession, corpus_dir: str) -> str:
     return path
 
 
+def ensure_pq_index(spark: SparkSession, corpus_dir: str) -> tuple[str, str]:
+    """PQ codebooks + corpus code table for embeddings; returns
+    (codes_path, books_path). Training uses the same bounded
+    deterministic sample as the inline pq_topk trainer, so
+    persisted-index searches match the inline query row-for-row; the
+    corpus-wide encode pass is paid once here."""
+    codes_path = artifact_path(corpus_dir, "pq_codes")
+    books_path = artifact_path(corpus_dir, "pq_books")
+    if not (_is_built(codes_path) and _is_built(books_path)):
+        emb = load_table(spark, corpus_dir, "embeddings")
+        S.write_pq_index(emb, codes_path, books_path, dim=EMB_DIM)
+    return codes_path, books_path
+
+
 def publish_corpus_indexes(
     spark: SparkSession, corpus_dir: str, out_dir: str | Path
 ) -> dict:
@@ -237,6 +253,7 @@ def publish_corpus_indexes(
         ensure_minhash_sigs(spark, corpus_dir)
         ensure_hyperplane_sigs(spark, corpus_dir)
         ensure_simhash_sigs(spark, corpus_dir)
+        ensure_pq_index(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
         meta = {
             "source": str(corpus_dir),
@@ -254,6 +271,8 @@ def publish_corpus_indexes(
                 "hyperplane_bands": S.HYPERPLANE_BANDS,
                 "simhash_bits": D.SIMHASH_BITS,
                 "simhash_blocks": D.SIMHASH_BLOCKS,
+                "pq_m": 4,
+                "pq_ksub": 16,
             },
             "elapsed_sec": round(time.time() - t0, 2),
         }

@@ -2416,3 +2416,28 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
     )
+
+
+@register(
+    "sim_pq_persisted_topk",
+    None,  # rows-only like its inline twin (no SQL form for PQ)
+    "PQ/ADC ANN from the PERSISTED index: codebook training and the "
+    "corpus-wide encode — all of sim_pq_topk's dominant cost — are "
+    "paid once at publish (pipelines/indexes.py:ensure_pq_index); "
+    "the timed search reads 4-byte codes + tiny codebooks, scores "
+    "through broadcast dot tables, and touches full-precision "
+    "vectors only for the exact re-rank of 100 candidates/probe. "
+    "Same bounded training sample as the inline trainer, so results "
+    "are row-identical (pinned in tests) — completes the build-once "
+    "artifact family (MinHash / hyperplane / SimHash / FTS / PQ)",
+    "similarity extension (persisted product-quantization index)",
+)
+def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    codes_path, books_path = indexes.ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.pq_topk_from_index(
+        spark, codes_path, books_path, emb, probes, k=5
+    ).select("probe_id", "neighbor_id", "cosine", "rk")

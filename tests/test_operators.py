@@ -1768,3 +1768,23 @@ def test_as_of_join_forward_direction(spark):
         ).collect()
     }
     assert out == {10: "b", 25: "b", 40: None}
+
+
+def test_pq_persisted_matches_inline(spark):
+    """The persisted PQ index must reproduce the inline trainer's
+    results row-for-row (same bounded deterministic training sample,
+    same encode, same ADC + re-rank)."""
+    from hangarbay_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR_ORACLE
+
+    inline = sorted(
+        tuple(r)
+        for r in REGISTRY["sim_pq_topk"].fn(spark, SF_DIR_ORACLE).collect()
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in REGISTRY["sim_pq_persisted_topk"]
+        .fn(spark, SF_DIR_ORACLE)
+        .collect()
+    )
+    assert inline and inline == persisted
