@@ -251,3 +251,53 @@ def compression_ratio_udf():
         return s.map(one)
 
     return _ratio
+
+
+def wordpiece_pieces(text: str | None, vocab: frozenset, max_len: int = 12):
+    """Pure-Python greedy longest-match-first wordpiece segmentation of
+    one text: per whitespace word, repeatedly take the longest vocab
+    entry (<= max_len chars) matching the remaining prefix; a position
+    with no match emits one [UNK] and advances a character. Returns
+    (n_pieces, n_unk). Shared by the Arrow kernel and its reference
+    test so the distributed path is pinned to this exact definition."""
+    if text is None:
+        return None, None
+    pieces = 0
+    unk = 0
+    for w in text.lower().split():
+        i, n = 0, len(w)
+        while i < n:
+            j = min(n, i + max_len)
+            while j > i and w[i:j] not in vocab:
+                j -= 1
+            if j == i:  # no match, not even 1 char
+                unk += 1
+                pieces += 1
+                i += 1
+            else:
+                pieces += 1
+                i = j
+    return pieces, unk
+
+
+def wordpiece_encode_kernel(vocab: list[str], max_len: int = 12):
+    """mapInPandas kernel factory: (doc_id, text) batches ->
+    (doc_id, n_pieces, n_unk). The vocabulary travels once per task in
+    the closure (broadcast-sized: top tokens + alphabet); the greedy
+    matcher is pure Python per doc but Arrow-batched per partition —
+    the tokenizer-application slot of a training-data pipeline (the
+    counting twin is bpe_token_count_expr; this one applies a REAL
+    subword vocabulary)."""
+    vs = frozenset(vocab)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            res = pdf["text"].map(lambda t: wordpiece_pieces(t, vs, max_len))
+            out["n_pieces"] = res.map(lambda r: r[0]).astype("int64")
+            out["n_unk"] = res.map(lambda r: r[1]).astype("int64")
+            yield out
+
+    return run

@@ -732,3 +732,112 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.groupBy("event_type", "week_ms").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
     )
+
+
+# Shared A/B z-test formulas over exact per-arm decimal moments
+# (na, sa, qa / nb, sb, qb) — one text, both engines (Welch z; the
+# _stats_formula_sql convention, 6 dp FMA guard).
+_AB_FORMULAS = {
+    "mean_a": "round(sa / na, 6)",
+    "mean_b": "round(sb / nb, 6)",
+    "z_score": (
+        "round((sa / na - sb / nb) / "
+        "sqrt(((qa - sa * sa / na) / (na - 1.0)) / na"
+        " + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6)"
+    ),
+}
+_AB_SELECT = ",\n           ".join(
+    f"{expr} AS {alias}" for alias, expr in _AB_FORMULAS.items()
+)
+
+
+def _o_ab_test() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {o_hash_bucket("user_id", "ab")} < 128
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        CAST(SUM(CASE WHEN arm = 'A'
+                 THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN arm = 'B'
+                 THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN arm = 'A'
+                 THEN CAST(value * value AS DECIMAL(30,8)) END)
+             AS DOUBLE) AS qa,
+        CAST(SUM(CASE WHEN arm = 'B'
+                 THEN CAST(value * value AS DECIMAL(30,8)) END)
+             AS DOUBLE) AS qb
+      FROM assigned)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {_AB_SELECT}
+    FROM m
+    """
+
+
+@register(
+    "events_ab_test_ztest",
+    _o_ab_test(),
+    "A/B experiment analysis: deterministic 50/50 assignment by "
+    "content-hash of user_id (rerun- and repartition-stable — never "
+    "rand()), per-arm exact decimal moments in ONE conditional "
+    "aggregation pass, and a Welch z-statistic compiled from shared "
+    "formula text on both engines (exact moments -> identical "
+    "doubles; 6 dp round guards FMA contraction). At 100 TB this is "
+    "a single map-side-combined scan — experiment readouts never "
+    "shuffle raw events",
+    "analytics extension (A/B test / two-sample z readout)",
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    assigned = ev.select(
+        F.when(hash_bucket_expr("user_id", "ab") < 128, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    m = assigned.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("value").cast("decimal(30,4)")))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("value").cast("decimal(30,4)")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(
+            F.when(
+                F.col("arm") == "A",
+                (F.col("value") * F.col("value")).cast("decimal(30,8)"),
+            )
+        )
+        .cast("double")
+        .alias("qa"),
+        F.sum(
+            F.when(
+                F.col("arm") == "B",
+                (F.col("value") * F.col("value")).cast("decimal(30,8)"),
+            )
+        )
+        .cast("double")
+        .alias("qb"),
+    )
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        *[F.expr(expr).alias(alias) for alias, expr in _AB_FORMULAS.items()],
+    )

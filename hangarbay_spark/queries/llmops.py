@@ -2441,3 +2441,44 @@ def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_from_index(
         spark, codes_path, books_path, emb, probes, k=5
     ).select("probe_id", "neighbor_id", "cosine", "rk")
+
+
+@register(
+    "text_wordpiece_encode",
+    None,  # greedy subword segmentation has no SQL twin — rows-only;
+    # the kernel is pinned against its pure-Python reference in tests
+    "wordpiece tokenizer APPLICATION (greedy longest-match-first over "
+    "a real subword vocabulary): the vocab derives deterministically "
+    "from the corpus itself (top-200 whole tokens by count with "
+    "count/token tie-break, plus the ascii alphabet as fallback "
+    "units), broadcasts into an Arrow-batched mapInPandas kernel, and "
+    "every doc comes back with its piece/UNK counts — the "
+    "apply-tokenizer stage between vocabulary training "
+    "(text_bpe_merge_candidates) and sequence packing "
+    "(text_pack_sequences). One bounded collect for the vocab (top-k "
+    "of a word-count shuffle), one corpus pass for the encode",
+    "text-analysis extension (subword tokenizer application)",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(X.tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(200)
+        .collect()
+    )
+    vocab = [r["tok"] for r in top] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?'\"-")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_unk", T.LongType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(
+        X.wordpiece_encode_kernel(vocab), schema
+    )

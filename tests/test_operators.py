@@ -1788,3 +1788,41 @@ def test_pq_persisted_matches_inline(spark):
         .collect()
     )
     assert inline and inline == persisted
+
+
+def test_wordpiece_kernel_matches_reference(spark):
+    """Distributed wordpiece counts == the pure-Python reference on
+    every doc, and greedy segmentation is verified on hand cases."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.text import (
+        wordpiece_encode_kernel,
+        wordpiece_pieces,
+    )
+
+    vocab = frozenset(["the", "cat", "ca", "t", "s", "a"])
+    # greedy: "cats" -> "cat" + "s" (longest-first), "tact" -> t,a,ca?
+    # tact: i=0 longest match "t"; then "a"; then "ct" -> "ca"? no:
+    # remaining "ct": longest prefix in vocab is none for "ct", so
+    # j shrinks to "c" -> not in vocab -> UNK, advance; then "t".
+    assert wordpiece_pieces("cats", vocab) == (2, 0)
+    assert wordpiece_pieces("the cats", vocab) == (3, 0)
+    assert wordpiece_pieces("tact", vocab) == (4, 1)
+    assert wordpiece_pieces(None, vocab) == (None, None)
+
+    rows = [(i, txt) for i, txt in enumerate(
+        ["the cat", "cats cats", "tact", "", "zzz the"]
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pieces", T.LongType()),
+        T.StructField("n_unk", T.LongType()),
+    ])
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_unk"])
+        for r in df.mapInPandas(wordpiece_encode_kernel(list(vocab)), schema).collect()
+    }
+    for i, txt in rows:
+        assert got[i] == wordpiece_pieces(txt, vocab)
