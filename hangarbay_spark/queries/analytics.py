@@ -511,7 +511,10 @@ def _copurchase_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented (src < dst) co-purchase edges over small parts
     (p_size <= 5): the part filter lands in the broadcast dim BEFORE
     the fact join, so the quadratic per-order pair expansion only ever
-    sees qualifying items."""
+    sees qualifying items. localCheckpoint'd — every consumer mirrors
+    or re-joins the edge set (multiple-consumer invariant, CLAUDE.md):
+    unchecked, the degree query's union rebuilt the whole edge
+    derivation per branch (15 exchanges; 8 after)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -530,6 +533,7 @@ def _copurchase_small(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -594,7 +598,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics extension (triangle counting / clustering structure)",
 )
 def graph_triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_small(spark, sf_dir).localCheckpoint(eager=True)
+    e = _copurchase_small(spark, sf_dir)  # checkpointed by the builder
     two_hop = (
         e.alias("a")
         .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -609,10 +613,10 @@ def graph_triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c.src") == F.col("x")) & (F.col("c.dst") == F.col("z")),
         "left_semi",
     )
-    pernode = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
+    # One explode, not a 3-arm union: the union re-ran the wedge+semi
+    # join per branch (plan audit: 13 exchanges -> 7 after).
+    pernode = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return (
         pernode.groupBy("node")

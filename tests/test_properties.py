@@ -334,3 +334,49 @@ def test_prop_simhash_pigeonhole_complete(fp, flips):
     blocks_a = [(fp >> (16 * j)) & 0xFFFF for j in range(4)]
     blocks_b = [(other >> (16 * j)) & 0xFFFF for j in range(4)]
     assert any(x == y for x, y in zip(blocks_a, blocks_b))
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_prop_cusum_closed_form_equals_recurrence(devs):
+    """The window closed form used by events_cusum_changepoint
+    (cs_t - min(0, running-min of cs)) must equal the clamped CUSUM
+    recurrence s_t = max(0, s_{t-1} + d_t) at every position. Exact
+    integers so the algebraic identity is untouched by float order
+    (the query itself runs the same shape in exact decimals)."""
+    s = 0
+    cs = 0
+    lo = 0  # running min of cs, seeded at 0 (empty-prefix cumsum)
+    for d in devs:
+        s = max(0, s + d)
+        cs += d
+        lo = min(lo, cs)
+        assert s == cs - min(lo, 0)
+
+
+def test_scd2_intervals_partition_each_user(spark):
+    """SCD2 output invariants on real data: per user, intervals are
+    ordered, non-overlapping, chained (valid_to == next valid_from),
+    and exactly the last row is open/current."""
+    from collections import defaultdict
+
+    from hangarbay_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["events_scd2_user_tier"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from_ms"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert not a["is_current"]
+            assert a["tier"] != b["tier"]  # compaction: no no-op rows
+        assert rs[-1]["is_current"] and rs[-1]["valid_to_ms"] is None
