@@ -1303,3 +1303,65 @@ def events_asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ms_to_error"
         ),
     )
+
+
+@register(
+    "events_watermark_lateness",
+    """
+    WITH arr AS (
+      SELECT user_id,
+             epoch_ms(ts) AS ts_ms,
+             MAX(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS frontier_ms
+      FROM events),
+    late AS (SELECT frontier_ms - ts_ms AS late_ms FROM arr)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_10m,
+           CAST(SUM(CASE WHEN late_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_30m,
+           CAST(SUM(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_1h,
+           MAX(late_ms) AS max_late_ms
+    FROM late
+    """,
+    "watermark tuning report for the streaming surface: per-key "
+    "event-time lateness against the running arrival frontier "
+    "(event_id as arrival order, the keyed-stream model of "
+    "streaming/events.py), then drop counts for candidate watermarks "
+    "(10m/30m/1h) and the max observed lateness — the measurement "
+    "that justifies a withWatermark() choice instead of guessing it. "
+    "One keyed window shuffle + a scalar conditional aggregate; "
+    "exact integer arithmetic throughout",
+    "streaming §2.7 extension (watermark/lateness analysis)",
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    arr = ev.select(
+        F.unix_millis("ts").alias("ts_ms"),
+        F.max(F.unix_millis("ts")).over(w).alias("frontier_ms"),
+    )
+    late = arr.select((F.col("frontier_ms") - F.col("ts_ms")).alias("late_ms"))
+
+    def drops(th, alias):
+        return (
+            F.sum(F.when(F.col("late_ms") > th, 1).otherwise(0))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        drops(0, "n_out_of_order"),
+        drops(600000, "dropped_10m"),
+        drops(1800000, "dropped_30m"),
+        drops(3600000, "dropped_1h"),
+        F.max("late_ms").alias("max_late_ms"),
+    )
