@@ -1365,3 +1365,64 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         drops(3600000, "dropped_1h"),
         F.max("late_ms").alias("max_late_ms"),
     )
+
+
+@register(
+    "events_session_window_native",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ms
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ms IS NULL
+                       OR ts_ms - prev_ms >= {SESSION_GAP_MS} THEN 1 ELSE 0 END
+                  AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts_ms, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) + {SESSION_GAP_MS} AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    "NATIVE session_window sessionization in BATCH mode (the same "
+    "operator the streaming surface uses with state — here it runs "
+    "as a sort-based merge inside one groupBy): per-user 30-min-gap "
+    "sessions with Spark's exact boundary semantics (a gap of "
+    "EXACTLY the duration starts a new session, hence >= in the "
+    "gaps-and-islands oracle, vs > in events_sessionize; "
+    "session_end = last event + gap by definition). Cross-checks the "
+    "builtin operator against the explicit window formulation "
+    "cross-engine",
+    "streaming §2.7 extension (native session_window, batch mode)",
+)
+def events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "session_value",
+        )
+    )
