@@ -301,3 +301,103 @@ def wordpiece_encode_kernel(vocab: list[str], max_len: int = 12):
             yield out
 
     return run
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> list[tuple[str, str, str, int]]:
+    """Byte-pair-encoding merge TRAINING (Sennrich et al. 2016) as a
+    distributed loop: the corpus collapses once into a (word, count)
+    vocabulary table — every later pass is vocabulary-sized, the
+    classic BPE optimization — then each round counts adjacent symbol
+    pairs weighted by word count (one map-side-combined shuffle),
+    picks the max pair (count desc, pair asc tie-break:
+    deterministic), and applies it with a left-to-right greedy fold
+    inside the row (higher-order aggregate over the STAGED symbol
+    array — no Python in the loop). Only the 1-row winning pair is
+    collected per round (by-contract-small, probe-set precedent).
+
+    Returns [(a, b, merged, weighted_count), ...] in merge order —
+    the learned merge table a tokenizer would ship.
+    """
+    wc = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    syms = wc.select("c", F.split("w", "").alias("s"))
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = syms.select(
+            "c",
+            F.explode(
+                F.when(
+                    F.size("s") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("a"),
+                            F.element_at("s", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] <= 0:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merged = a + b
+        merges.append((a, b, merged, n))
+        fold = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("c", fold.alias("s")).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_reference(
+    words: dict[str, int], n_merges: int = 6
+) -> list[tuple[str, str, str, int]]:
+    """Pure-Python reference of :func:`bpe_train_merges` (same greedy
+    left-to-right apply, same count-desc/pair-asc selection) for
+    pinning the distributed loop in tests."""
+    sym = {w: list(w) for w in words}
+    out = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in sym.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        out.append((a, b, merged, n))
+        for w, s in sym.items():
+            ns = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = merged
+                else:
+                    ns.append(x)
+            sym[w] = ns
+    return out

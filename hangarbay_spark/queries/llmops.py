@@ -2482,3 +2482,31 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         X.wordpiece_encode_kernel(vocab), schema
     )
+
+
+@register(
+    "text_bpe_train_merges",
+    None,  # iterative argmax + rewrite loop has no SQL twin —
+    # rows-only; pinned against the pure-Python reference in tests
+    "BPE tokenizer TRAINING (Sennrich et al. 2016), the full "
+    "iterative loop — not just one merge-candidate count: corpus -> "
+    "(word, count) vocabulary ONCE, then 6 rounds of weighted "
+    "adjacent-pair counting (map-side-combined, vocabulary-sized), "
+    "deterministic max-pair selection, and in-row greedy merge "
+    "application via a higher-order fold over the staged symbol "
+    "arrays (no Python in the loop; the only collect is the 1-row "
+    "winner per round). Emits the learned merge table in rank order "
+    "— with text_wordpiece_encode this closes the train-vocabulary / "
+    "apply-tokenizer pair. At 100 TB every post-vocab pass touches "
+    "vocabulary rows, not corpus rows (the classic BPE optimization)",
+    "text-analysis extension (BPE tokenizer training loop)",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train_merges(docs, "text", n_merges=6)
+    rows = [
+        (i + 1, a, b, m, n) for i, (a, b, m, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, a string, b string, merged string, n bigint"
+    )

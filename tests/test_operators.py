@@ -1826,3 +1826,28 @@ def test_wordpiece_kernel_matches_reference(spark):
     }
     for i, txt in rows:
         assert got[i] == wordpiece_pieces(txt, vocab)
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE training loop must learn the identical
+    merge table (same pairs, same order, same weighted counts) as the
+    pure-Python reference on the same word counts."""
+    from hangarbay_spark.operators.text import (
+        bpe_train_merges,
+        bpe_train_reference,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+        "low low lower new new newest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    got = bpe_train_merges(docs, "text", n_merges=6)
+    want = bpe_train_reference(words, n_merges=6)
+    assert got == want and len(got) == 6
