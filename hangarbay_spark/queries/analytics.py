@@ -845,3 +845,79 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         *[F.expr(expr).alias(alias) for alias, expr in _AB_FORMULAS.items()],
     )
+
+
+_LPA_ITERS = 4
+
+
+def _o_lpa() -> str:
+    """Unrolled synchronous label-propagation oracle: l{k} = per node
+    the most frequent neighbor label from l{k-1} (count desc, label
+    asc tie-break — fully deterministic). l0 = node id."""
+    ctes = [
+        _COPURCHASE_SMALL_SQL.strip(),
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)",
+    ]
+    for k in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"c{k} AS (SELECT u.src AS node, p.label, COUNT(*) AS cnt "
+            f"FROM und u JOIN l{k - 1} p ON u.dst = p.node "
+            f"GROUP BY u.src, p.label)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label) AS rk FROM c{k}) WHERE rk = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ITERS} GROUP BY label
+    ORDER BY n_nodes DESC, community LIMIT 20
+    """
+    )
+
+
+@register(
+    "graph_label_propagation",
+    _o_lpa(),
+    "community detection by synchronous label propagation (4 "
+    "deterministic iterations: each node adopts its neighborhood's "
+    "most frequent label, count-desc/label-asc tie-break) on the "
+    "small-part co-purchase graph — the third iterative-algorithm "
+    "family member beside PageRank and connected components: one "
+    "edge-label join + one (node, label) count + one per-node argmax "
+    "window per round, label frames localCheckpoint'd, all shuffles "
+    "on node keys. Oracle = 4 unrolled CTE rounds. Top-20 community "
+    "sizes",
+    "analytics extension (label propagation / community detection)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(_LPA_ITERS):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(20)
+    )
