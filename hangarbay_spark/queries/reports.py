@@ -851,3 +851,49 @@ def join_excess_inventory_suppliers(
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+_TUPLE_IN_SQL = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE (l_partkey, l_suppkey) IN
+          (SELECT ps_partkey, ps_suppkey FROM ps WHERE ps_availqty <= 50)
+    GROUP BY l_returnflag
+"""
+
+
+_TUPLE_IN_ORACLE = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM ps
+                  WHERE ps_partkey = l.l_partkey
+                    AND ps_suppkey = l.l_suppkey
+                    AND ps_availqty <= 50)
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "subquery_tuple_in_lowstock",
+    _TUPLE_IN_ORACLE,  # DuckDB lacks bare tuple-IN; EXISTS is the
+    # same relation — the Spark side exercises the tuple-IN syntax
+    "multi-column (tuple) IN subquery — revenue from line items whose "
+    "(part, supplier) pair is low-stock in the derived partsupp: "
+    "Catalyst decorrelates the struct-valued IN into one left-semi "
+    "hash join on the composite key (never a per-row probe), the "
+    "same plan the DataFrame two-key semi join builds; completes the "
+    "subquery battery (scalar / correlated scalar / EXISTS-style / "
+    "NOT-IN anti / recursive / LATERAL / tuple-IN)",
+    "2.3 joins (+multi-column IN-subquery decorrelation)",
+)
+def subquery_tuple_in_lowstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TUPLE_IN_SQL)
