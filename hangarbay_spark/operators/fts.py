@@ -226,3 +226,43 @@ def search(
         else match_any(index, [query], id_col)
     )
     return df.join(ids, id_col, "left_semi")
+
+
+def append_to_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    *text_cols: str,
+    buckets: int = 64,
+    guard_existing: bool = True,
+) -> int:
+    """Incremental index maintenance: tokenize ONLY the new batch and
+    append its postings to the persisted index — the FTS analog of
+    ``dedup.minhash_pairs_incremental``'s build-once contract (old
+    documents are never re-tokenized; ingest cost scales with the
+    batch). ``guard_existing`` anti-joins the batch against the ids
+    already indexed (a column-pruned id read of the postings), making
+    re-ingest of the same batch a no-op — idempotent at-least-once
+    ingest. Appended files use the same token repartition +
+    within-partition sort as ``save_index``, so term locality and the
+    reader layout are preserved across appends (periodic ``hangar
+    compact`` merges small appended files). Returns the number of new
+    documents ingested."""
+    batch = new_docs
+    if guard_existing:
+        existing = load_index(batch.sparkSession, path).select(
+            F.col(id_col)
+        ).distinct()
+        batch = batch.join(existing, id_col, "left_anti")
+    batch = batch.localCheckpoint(eager=True)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    postings = build_inverted_index(batch, id_col, *text_cols)
+    (
+        postings.repartition(buckets, "token")
+        .sortWithinPartitions("token")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return n_new

@@ -1851,3 +1851,34 @@ def test_bpe_train_matches_reference(spark):
     got = bpe_train_merges(docs, "text", n_merges=6)
     want = bpe_train_reference(words, n_merges=6)
     assert got == want and len(got) == 6
+
+
+def test_fts_incremental_append_equals_rebuild(spark, tmp_path):
+    """Appending a new batch's postings to a persisted index must give
+    the same query results as a full rebuild, and re-ingesting the
+    same batch must be a no-op (idempotent at-least-once)."""
+    from hangarbay_spark.operators import fts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "fts_inc")
+    fts.save_index(
+        fts.build_inverted_index(old, "doc_id", "text"), path, buckets=4
+    )
+    n = fts.append_to_index(new, path, "doc_id", "text", buckets=4)
+    assert n == new.count()
+    # idempotent re-ingest
+    assert fts.append_to_index(new, path, "doc_id", "text", buckets=4) == 0
+
+    full = fts.build_inverted_index(docs, "doc_id", "text")
+    inc = fts.load_index(spark, path)
+    for q in ("the data", "model training"):
+        want = sorted(
+            r["doc_id"] for r in fts.match_all(full, q, "doc_id").collect()
+        )
+        got = sorted(
+            r["doc_id"] for r in fts.match_all(inc, q, "doc_id").collect()
+        )
+        assert got == want
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
