@@ -342,3 +342,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def purchase_signup_window_join_full(
+    purchases: DataFrame,
+    signups: DataFrame,
+    window: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both directions of the
+    left-outer variant: unmatched purchases AND unmatched signups each
+    emit with nulls once their own side's eviction horizon passes.
+    Surfaces both event times so consumers (and the batch-parity test)
+    can reason about which rows the final watermark has closed."""
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    s = signups.withWatermark("ts", watermark).alias("s")
+    return p.join(
+        s,
+        F.expr(
+            f"p.user_id = s.user_id AND p.ts >= s.ts "
+            f"AND p.ts <= s.ts + INTERVAL {window}"
+        ),
+        "fullOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.coalesce(F.col("p.user_id"), F.col("s.user_id")).alias("user_id"),
+        F.unix_millis("p.ts").alias("purchase_ms"),
+        F.col("s.event_id").alias("signup_id"),
+        F.unix_millis("s.ts").alias("signup_ms"),
+    )

@@ -527,3 +527,67 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     # crash-replay of an already-applied batch_id is a no-op
     batch = spark.createDataFrame([(9, novel)], "doc_id int, text string")
     assert not DI.ingest_batch(spark, batch, 0, corpus_dir)
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, events_dir):
+    """FULL OUTER stream-stream interval join: on rows the final
+    watermark can prove closed (either side's event time before the
+    joint horizon), the drained stream equals the batch full join —
+    matched rows, purchase-only rows, and signup-only rows alike."""
+    stream = SE.read_events_stream(spark, events_dir, max_files_per_trigger=8)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    signups = stream.filter(F.col("event_type") == "signup")
+    got = SE.run_to_memory(
+        SE.purchase_signup_window_join_full(purchases, signups),
+        "t_ssjoin_full",
+        spark,
+        output_mode="append",
+    )
+    ev = _events_batch(spark)
+    side_max = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_millis("ts")).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    horizon = side_max - (5 * 3600 * 1000)
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    bs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_uid"),
+        F.col("event_id").alias("signup_id"),
+        F.unix_millis("ts").alias("signup_ms"),
+    )
+    batch = bp.join(
+        bs,
+        (F.col("p_uid") == F.col("s_uid"))
+        & (F.col("purchase_ms") >= F.col("signup_ms"))
+        & (F.col("purchase_ms") <= F.col("signup_ms") + 2 * 3600 * 1000),
+        "full",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("p_uid"), F.col("s_uid")).alias("user_id"),
+        "purchase_ms",
+        "signup_id",
+        "signup_ms",
+    )
+    closed = F.coalesce(F.col("purchase_ms"), F.col("signup_ms")) < horizon
+
+    def key(r):
+        return (
+            r["purchase_id"],
+            r["user_id"],
+            r["purchase_ms"],
+            r["signup_id"],
+            r["signup_ms"],
+        )
+
+    g = {key(r) for r in got.filter(closed).collect()}
+    b = {key(r) for r in batch.filter(closed).collect()}
+    assert g == b and len(b) > 0
+    # both unmatched directions genuinely appear
+    assert any(k[0] is None for k in b) and any(k[3] is None for k in b)
