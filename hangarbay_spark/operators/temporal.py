@@ -369,3 +369,69 @@ def as_of_join_arrow(
         yield merged
 
     return unioned.mapInPandas(kernel, out_schema)
+
+
+def as_of_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of (pandas ``merge_asof
+    direction='nearest'``): per left row the closer of its backward
+    (latest at-or-before) and forward (earliest at-or-after) matches;
+    equal distances resolve to the BACKWARD match (documented, not
+    engine-dependent). Two carry passes over the same key shuffle
+    class; columns come back ``asof_``-prefixed like the directional
+    variants. Left rows must be unique across their full column set
+    (carry an id column) — the direction-combining join keys on all
+    left columns."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    rc = list(right_cols)
+    if right_ts not in rc:
+        # the chooser needs the matched row's timestamp
+        rc_b = rc + ["__rts"]
+        right = right.withColumn("__rts", F.col(right_ts))
+    else:
+        rc_b = rc
+    b = as_of_join(
+        left, right, on, left_ts, right_ts, rc_b, tie_break, "backward"
+    )
+    f = as_of_join(
+        left, right, on, left_ts, right_ts, rc_b, tie_break, "forward"
+    )
+    ts_col = "__rts" if right_ts not in rc else right_ts
+    join_keys = [on, left_ts] + [
+        c for c in left.columns if c not in (on, left_ts)
+    ]
+    fb = f.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"asof_{c}").alias(f"__f_{c}") for c in rc_b],
+    )
+    both = b.join(fb, join_keys)
+    d_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(
+        F.col(f"asof_{ts_col}")
+    )
+    d_f = F.unix_micros(F.col(f"__f_{ts_col}")) - F.unix_micros(
+        F.col(left_ts)
+    )
+    use_b = F.col(f"asof_{ts_col}").isNotNull() & (
+        F.col(f"__f_{ts_col}").isNull() | (d_b <= d_f)
+    )
+    out = both.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(use_b, F.col(f"asof_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"asof_{c}")
+            for c in rc_b
+        ],
+    )
+    if right_ts not in rc:
+        out = out.drop("asof___rts")
+    return out

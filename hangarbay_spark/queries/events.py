@@ -1426,3 +1426,69 @@ def events_session_window_native(
             "session_value",
         )
     )
+
+
+@register(
+    "events_asof_nearest_click",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r0 AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, MAX(event_id) AS cid FROM r0 GROUP BY 1, 2),
+    b AS (SELECT l.event_id, l.user_id, l.ts,
+                 r.cid AS b_id, r.ts AS b_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts),
+    f AS (SELECT l.event_id, r.cid AS f_id, r.ts AS f_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts <= r.ts),
+    j AS (SELECT b.*, f.f_id, f.f_ts FROM b JOIN f USING (event_id)),
+    pick AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                    OR epoch_us(ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(ts))
+                  THEN b_id ELSE f_id END AS click_id,
+             CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                    OR epoch_us(ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(ts))
+                  THEN b_ts ELSE f_ts END AS click_ts
+      FROM j)
+    SELECT event_id, user_id,
+           epoch_ms(ts) AS purchase_ms,
+           click_id,
+           epoch_ms(click_ts) - epoch_ms(ts) AS dt_ms
+    FROM pick
+    """,
+    "NEAREST-direction as-of (pandas merge_asof direction='nearest'): "
+    "each purchase matched to the user's closest click in either "
+    "direction, ties to the backward match — composes the backward "
+    "and forward carries (operators/temporal.py:as_of_join_nearest) "
+    "and completes the as-of family. Oracle = two native DuckDB ASOF "
+    "joins + the same deterministic chooser",
+    "temporal-join extension (nearest as-of)",
+)
+def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join_nearest
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cid"))
+        .withColumn("rts", F.col("ts"))
+    )
+    joined = as_of_join_nearest(
+        purchases, clicks, on="user_id", right_cols=["cid", "rts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("asof_cid").alias("click_id"),
+        (F.unix_millis("asof_rts") - F.unix_millis("ts")).alias("dt_ms"),
+    )

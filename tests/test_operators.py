@@ -1882,3 +1882,31 @@ def test_fts_incremental_append_equals_rebuild(spark, tmp_path):
         )
         assert got == want
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_as_of_join_nearest_direction(spark):
+    """Nearest as-of picks the closer match in either direction, ties
+    resolve backward, and one-sided cases fall back to the only
+    match."""
+    from hangarbay_spark.operators.temporal import as_of_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 21), (1, 3, 28), (1, 4, 100)],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 30, "b")], ["k", "ts", "v"]
+    )
+    out = {
+        r["lid"]: r["asof_v"]
+        for r in as_of_join_nearest(
+            left, right, on="k", right_cols=["v"]
+        ).collect()
+    }
+    # lid 1: only forward (a). lid 2: back a (d=1) vs fwd b (d=9) -> a.
+    # lid 3: back a (d=8) vs fwd b (d=2) -> b. lid 4: only backward b.
+    assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+    tie = spark.createDataFrame([(1, 9, 25)], ["k", "lid", "ts"])
+    got = as_of_join_nearest(tie, right, on="k", right_cols=["v"]).collect()
+    assert got[0]["asof_v"] == "a"  # equidistant -> backward
