@@ -414,12 +414,16 @@ def as_of_join_nearest(
         *[F.col(f"asof_{c}").alias(f"__f_{c}") for c in rc_b],
     )
     both = b.join(fb, join_keys)
-    d_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(
-        F.col(f"asof_{ts_col}")
-    )
-    d_f = F.unix_micros(F.col(f"__f_{ts_col}")) - F.unix_micros(
-        F.col(left_ts)
-    )
+    # distance works for timestamp AND numeric ts columns
+    ts_type = dict(both.dtypes)[f"asof_{ts_col}"]
+    if ts_type.startswith("timestamp"):
+        def _t(c):
+            return F.unix_micros(c)
+    else:
+        def _t(c):
+            return c.cast("double")
+    d_b = _t(F.col(left_ts)) - _t(F.col(f"asof_{ts_col}"))
+    d_f = _t(F.col(f"__f_{ts_col}")) - _t(F.col(left_ts))
     use_b = F.col(f"asof_{ts_col}").isNotNull() & (
         F.col(f"__f_{ts_col}").isNull() | (d_b <= d_f)
     )
