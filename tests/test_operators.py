@@ -1910,3 +1910,51 @@ def test_as_of_join_nearest_direction(spark):
     tie = spark.createDataFrame([(1, 9, 25)], ["k", "lid", "ts"])
     got = as_of_join_nearest(tie, right, on="k", right_cols=["v"]).collect()
     assert got[0]["asof_v"] == "a"  # equidistant -> backward
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-member keys pass the 65536-bit/k=3 filter at well under the
+    designed ~0.8% rate (500 inserted keys here, far below the 3k
+    design load, so observed fpp should be tiny)."""
+    from pyspark.sql import functions as F
+
+    m, k, nwords = 65536, 3, 1024
+    keys = spark.range(1, 501).select(F.col("id").alias("c_custkey"))
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.groupBy((F.col("pos") / 64).cast("int").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits")
+    )
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at("wm", i), F.lit(0).cast("bigint")
+            ),
+        ).alias("words")
+    )
+    checks = " AND ".join(
+        f"(element_at(words, cast(pmod(xxhash64(c_custkey, {i}), {m}) "
+        f"div 64 as int) + 1) & shiftleft(1L, cast(pmod(xxhash64("
+        f"c_custkey, {i}), {m}) % 64 as int))) != 0"
+        for i in range(k)
+    )
+    non_members = spark.range(100_000, 110_000).select(
+        F.col("id").alias("c_custkey")
+    )
+    fp = (
+        non_members.crossJoin(F.broadcast(dense))
+        .filter(F.expr(checks))
+        .count()
+    )
+    assert fp / 10_000 < 0.01

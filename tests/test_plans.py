@@ -189,3 +189,29 @@ def test_registry_wide_no_unbounded_nested_loops(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unbounded BNLJ"
+
+
+# Plan-shape regression pins for the round-4 queries whose audits
+# removed redundant work (multiple-consumer rebuilds). Counts are the
+# audited executedPlan Exchange totals at sf0.01; a regression above
+# the bound means a consumer started re-deriving a shared subtree.
+EXCHANGE_BOUNDS = {
+    "events_scd2_user_tier": 1,
+    "events_ab_test_ztest": 1,
+    "events_markov_transitions": 3,
+    "agg_bitmap_distinct_rollup": 3,
+    "graph_degree_distribution": 3,
+    "graph_triangle_topk": 5,
+    "graph_jaccard_neighbors": 7,
+    "text_ngram_novelty": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BOUNDS))
+def test_exchange_count_pins(spark, name):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange")
+    assert n <= EXCHANGE_BOUNDS[name], (
+        f"{name}: {n} exchanges (bound {EXCHANGE_BOUNDS[name]}) — "
+        "a shared subtree is probably being recomputed per consumer"
+    )
