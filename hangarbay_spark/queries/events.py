@@ -1492,3 +1492,72 @@ def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_cid").alias("click_id"),
         (F.unix_millis("asof_rts") - F.unix_millis("ts")).alias("dt_ms"),
     )
+
+
+@register(
+    "events_seasonal_outliers",
+    """
+    WITH h AS (
+      SELECT event_id, event_type, value,
+             CAST(hour(ts) AS BIGINT) AS hod
+      FROM events),
+    base AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+      FROM h GROUP BY event_type, hod),
+    z AS (
+      SELECT h.event_id, h.event_type, h.hod, h.value,
+             round((h.value - base.sx / base.nd)
+                   / sqrt((base.sxx - base.sx * base.sx / base.nd)
+                          / (base.nd - 1.0)), 6) AS zscore
+      FROM h JOIN base
+        ON h.event_type = base.event_type AND h.hod = base.hod)
+    SELECT event_id, event_type, hod, value, zscore
+    FROM z WHERE abs(zscore) > 3.0
+    ORDER BY abs(zscore) DESC, event_id
+    LIMIT 50
+    """,
+    "seasonality-adjusted anomaly detection: per (event_type, "
+    "hour-of-day) baselines from exact decimal moments, then "
+    "per-event z-scores against the OWN seasonal cell — catches "
+    "values normal globally but anomalous for 3 a.m. (the flaw of "
+    "the global z-score in events_value_outliers). The 120-cell "
+    "baseline broadcasts; z is one shared-text formula (6 dp FMA "
+    "guard); one map-side-combined aggregation + a filter-only "
+    "second pass",
+    "analytics extension (seasonal baseline anomaly detection)",
+)
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    h = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").cast("bigint").alias("hod"),
+    )
+    base = h.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    z = h.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value",
+        F.expr(
+            "round((value - sx / nd) / "
+            "sqrt((sxx - sx * sx / nd) / (nd - 1.0)), 6)"
+        ).alias("zscore"),
+    )
+    return (
+        z.filter(F.abs(F.col("zscore")) > 3.0)
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
+        .limit(50)
+    )
