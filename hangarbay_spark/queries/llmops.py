@@ -2510,3 +2510,74 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, a string, b string, merged string, n bigint"
     )
+
+
+@register(
+    "vocab_zipf_fit",
+    f"""
+    WITH toks AS (SELECT unnest({O_TOKENS}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk
+      FROM cnt),
+    pts AS (
+      SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS x,
+             round(ln(CAST(c AS DOUBLE)), 6) AS y
+      FROM ranked WHERE rk <= 1000),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+      FROM pts)
+    SELECT CAST(nd AS BIGINT) AS n_points,
+           round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+                 / nd, 6) AS intercept
+    FROM m
+    """,
+    "Zipf-law fit over the vocabulary: least-squares slope of "
+    "ln(freq) on ln(rank) for the top-1000 terms (a natural corpus "
+    "≈ -1; strong deviation flags synthetic/templated text — a "
+    "corpus-forensics diagnostic). Rank via one count-desc window "
+    "over the vocab, logs rounded at 6 dp (transcendental guard), "
+    "slope/intercept from exact decimal moments through shared "
+    "formula text; everything after the token count shuffle is "
+    "vocabulary-sized",
+    "text-analysis extension (Zipf distribution fit)",
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    post = _token_postings(spark, sf_dir)
+    cnt = post.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("c").desc(), "token"))
+    ).filter(F.col("rk") <= 1000)
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return m.select(
+        F.col("nd").cast("bigint").alias("n_points"),
+        F.expr(
+            "round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)"
+            " / nd, 6)"
+        ).alias("intercept"),
+    )
