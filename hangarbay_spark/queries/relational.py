@@ -1574,3 +1574,98 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "s_name")
         .limit(15)
     )
+
+
+@register(
+    "join_spatial_grid_pairs",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 61) % 1000 AS x,
+             (c_custkey * 97) % 1000 AS y
+      FROM customer WHERE c_mktsegment = 'MACHINERY'),
+    cells AS (
+      SELECT id, x, y, x // 5 AS cx, y // 5 AS cy FROM pts),
+    shifted AS (
+      SELECT a.id, a.x, a.y, a.cx + dx.d AS ncx, a.cy + dy.d AS ncy
+      FROM cells a,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy),
+    pairs AS (
+      SELECT s.id AS id_a, b.id AS id_b,
+             (s.x - b.x) * (s.x - b.x) + (s.y - b.y) * (s.y - b.y)
+               AS dist_sq
+      FROM shifted s JOIN cells b
+        ON s.ncx = b.cx AND s.ncy = b.cy AND s.id < b.id
+      WHERE (s.x - b.x) * (s.x - b.x) + (s.y - b.y) * (s.y - b.y) <= 25)
+    SELECT id_a, id_b, CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM pairs
+    ORDER BY dist_sq, id_a, id_b
+    LIMIT 100
+    """,
+    "2D spatial grid join (the geohash/S2 cell pattern): points on a "
+    "derived integer lattice, radius-5 neighbor pairs found by "
+    "bucketing into radius-sized cells and expanding ONE side into "
+    "its 3x3 neighborhood (9x fan-out of points, never of pairs) — "
+    "the equi-join on (cell_x, cell_y) replaces the quadratic "
+    "distance cross join exactly like range_join's 1D binning; the "
+    "exact distance check is pure integer arithmetic (zero float "
+    "drift). id_a < id_b dedups the symmetric pair; at 100 TB cell "
+    "ids double as write-time partition keys for spatial locality",
+    "2.3 joins (+2D spatial grid join)",
+)
+def join_spatial_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 61) % 1000).alias("x"),
+        ((F.col("c_custkey") * 97) % 1000).alias("y"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / 5).alias("cx"),
+        F.floor(F.col("y") / 5).alias("cy"),
+    ).localCheckpoint(eager=True)
+    shifted = (
+        cells.select(
+            "id", "x", "y", "cx", "cy",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "id", "x", "y", "cx", "cy", "dx",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dist_sq = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        shifted.join(
+            b,
+            (F.col("ncx") == F.col("cx"))
+            & (F.col("ncy") == F.col("cy"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .filter(dist_sq <= 25)
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            dist_sq.cast("bigint").alias("dist_sq"),
+        )
+        .orderBy("dist_sq", "id_a", "id_b")
+        .limit(100)
+    )
