@@ -1561,3 +1561,69 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "event_id")
         .limit(50)
     )
+
+
+@register(
+    "events_conversion_lag_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_ms(ts) END) AS first_view_ms,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_ms(ts) END) AS first_purchase_ms
+      FROM events GROUP BY user_id),
+    cohorts AS (
+      SELECT epoch_ms(date_trunc('week',
+                      make_timestamp(first_view_ms * 1000))) AS cohort_ms,
+             CASE WHEN first_purchase_ms >= first_view_ms
+                  THEN first_purchase_ms - first_view_ms END AS lag_ms
+      FROM firsts WHERE first_view_ms IS NOT NULL)
+    SELECT cohort_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(lag_ms) AS BIGINT) AS n_converted,
+           CAST(COUNT(lag_ms) AS DOUBLE) / COUNT(*) AS conversion_rate,
+           CAST(SUM(CAST(lag_ms AS DECIMAL(30,0))) AS DOUBLE)
+             / COUNT(lag_ms) AS mean_lag_ms
+    FROM cohorts GROUP BY cohort_ms
+    """,
+    "conversion-lag cohort analysis: per user the FIRST view and "
+    "FIRST at-or-after purchase fold out of ONE conditional-min "
+    "aggregation pass (no self-join), cohorted by first-view week — "
+    "users, converters, exact-ratio conversion rate, exact-decimal "
+    "mean lag. The funnel-metrics readout every growth team runs; "
+    "one user-key shuffle + a cohort-sized agg",
+    "analytics extension (conversion lag / cohort funnel metrics)",
+)
+def events_conversion_lag_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_millis("ts"))
+        ).alias("first_view_ms"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("first_purchase_ms"),
+    )
+    cohorts = firsts.filter(F.col("first_view_ms").isNotNull()).select(
+        F.unix_millis(
+            F.date_trunc("week", F.timestamp_millis("first_view_ms"))
+        ).alias("cohort_ms"),
+        F.when(
+            F.col("first_purchase_ms") >= F.col("first_view_ms"),
+            F.col("first_purchase_ms") - F.col("first_view_ms"),
+        ).alias("lag_ms"),
+    )
+    return cohorts.groupBy("cohort_ms").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("lag_ms").cast("bigint").alias("n_converted"),
+        (F.count("lag_ms").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+        (
+            F.sum(F.col("lag_ms").cast("decimal(30,0)")).cast("double")
+            / F.count("lag_ms")
+        ).alias("mean_lag_ms"),
+    )
