@@ -1087,24 +1087,89 @@ def _normsq_exact(a: Column) -> Column:
     return F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p)
 
 
-def _pq_assign(sv: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """L2 assignment of subvectors to subspace centroids:
-    argmin |x-c|^2 == argmax dot(x,c) - |c|^2/2 (x's own norm is
-    constant per row). Broadcast centroids, one scan, argmax window."""
-    scored = sv.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        "cid",
-        (
-            _dot_exact(F.col("sv"), F.col("cvec"))
-            - F.lit(0.5) * _normsq_exact(F.col("cvec"))
-        ).alias("score"),
+def _collect_codebook(cent: DataFrame) -> tuple[list[int], list[list[float]]]:
+    """Driver-side copy of one tiny codebook, cid-ascending. Bounded by
+    contract: ksub <= 256 rows of sub-dim floats — the same category as
+    the probe/vocab/argmax collects. Book frames built by
+    :func:`pq_train` / :func:`pq_topk_from_index` carry the literals as
+    an attribute so steady-state search launches no collect jobs."""
+    cached = getattr(cent, "_hb_lits", None)
+    if cached is not None:
+        return cached
+    rows = sorted(
+        cent.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("score"), "cid")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "cid")
-    )
+    cids = [int(r["cid"]) for r in rows]
+    cvecs = [[float(x) for x in r["cvec"]] for r in rows]
+    return cids, cvecs
+
+
+def _pq_codes_kernel(
+    lits: list[tuple[list[int], list[list[float]]]],
+    sub: int,
+    id_col: str,
+    vec_col: str,
+    with_norm: bool,
+    keep_vec: bool,
+):
+    """Arrow-batched PQ assignment kernel (mapInPandas): one vectorized
+    numpy call per PARTITION computes every subspace's argmin code (and
+    optionally the vector norm) — zero exchanges, no crossJoin row
+    expansion, no window.
+
+    Why not a literal-SQL projection: at m=4/ksub=16/sub=16 the inlined
+    codebooks are ~4k double literals; parsing that ``F.expr`` text
+    measured 2.9 s of driver time PER projection build (and Lloyd
+    training rebuilds it every iteration) — the parse dominates any
+    realistic corpus scan. The kernel closes over plain Python lists
+    instead and its per-row cost is a handful of fused numpy ops.
+
+    Bit-compatibility with the former broadcast-assign fold (and hence
+    with persisted indexes built by it): every accumulation below runs
+    SEQUENTIALLY over array order in float64 — ``acc = acc + x_i*c_i``
+    starting from 0.0 is the identical IEEE op sequence as the old
+    ``aggregate(zip_with(...))``; |c|^2/2 is folded the same way in
+    driver floats; ``np.argmax`` takes the FIRST max, matching the old
+    (desc score, cid asc) window tie-break since centroids are
+    cid-ascending."""
+    import numpy as np
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cols = {id_col: pdf[id_col].to_numpy()}
+            if with_norm:
+                acc = np.zeros(n)
+                for i in range(X.shape[1]):
+                    acc = acc + X[:, i] * X[:, i]
+                cols["norm"] = np.sqrt(acc)
+            for j, (cids, cvecs) in enumerate(lits):
+                Sj = X[:, j * sub : (j + 1) * sub]
+                C = np.asarray(cvecs, dtype=np.float64)  # (k, sub)
+                hs = []
+                for cv in cvecs:
+                    h = 0.0
+                    for c in cv:
+                        h += c * c
+                    hs.append(0.5 * h)
+                acc = np.zeros((n, len(cids)))
+                for i in range(sub):
+                    acc = acc + Sj[:, i : i + 1] * C[None, :, i]
+                scores = acc - np.asarray(hs)[None, :]
+                cols[f"code_{j}"] = np.asarray(cids, dtype=np.int32)[
+                    np.argmax(scores, axis=1)
+                ]
+            out = pd.DataFrame(cols)
+            if keep_vec:
+                out[vec_col] = pdf[vec_col].to_numpy()
+            yield out
+
+    return kernel
 
 
 def pq_train(
@@ -1119,34 +1184,116 @@ def pq_train(
     """Per-subspace product-quantizer codebooks (Jegou et al. 2011):
     slice vectors into ``m`` contiguous subspaces and run L2 Lloyd
     iterations in each — deterministic init (ksub smallest-id
-    subvectors), broadcast-assign, decimal-exact elementwise means
+    subvectors), zero-shuffle literal-argmax assignment, decimal-exact elementwise means
     (centroid_update). Returns ``m`` tiny (cid, cvec) DataFrames,
     each localCheckpoint'd. Corpus cost: one scan per subspace per
     iteration, no vector ever collected to the driver."""
     sub = dim // m
+    spark = corpus.sparkSession
+    idt = dict(corpus.dtypes)[id_col]
+    vt = dict(corpus.dtypes)[vec_col]
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+
+    # Deterministic init: the ksub smallest-id vectors, sliced
+    # driver-side — per subspace, the same ksub smallest-id subvectors
+    # the per-subspace init picked.
+    init = sorted(
+        base.orderBy(id_col).limit(ksub).collect(), key=lambda r: r[id_col]
+    )
+    lits = [
+        (
+            list(range(1, len(init) + 1)),
+            [
+                [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+                for r in init
+            ],
+        )
+        for j in range(m)
+    ]
+
+    code_schema = (
+        f"{id_col} {idt}, "
+        + ", ".join(f"code_{j} int" for j in range(m))
+        + f", {vec_col} {vt}"
+    )
+    for _ in range(iters):
+        # Assignment: all m argmins in ONE Arrow-batched kernel pass —
+        # every Lloyd step touches all subspaces in a single job
+        # instead of m separate per-subspace job chains (the m*iters
+        # tiny-job scheduler overhead dominated wall time on bounded
+        # training samples).
+        coded = base.mapInPandas(
+            _pq_codes_kernel(
+                lits, sub, id_col, vec_col, with_norm=False, keep_vec=True
+            ),
+            code_schema,
+        )
+        # Update: explode every (subspace, cluster, subvector) triple at
+        # once; decimal-exact per-(j, cid, dim) means — identical values
+        # to the per-subspace centroid_update (exact sums are
+        # associative), in ONE shuffle instead of m.
+        ex = coded.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"code_{j}").alias("cid"),
+                            F.slice(
+                                F.col(vec_col), j * sub + 1, sub
+                            ).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        pos = ex.select(
+            F.col("e.j").alias("j"),
+            F.col("e.cid").alias("cid"),
+            F.posexplode(F.col("e.sv")).alias("i", "x"),
+        )
+        means = pos.groupBy("j", "cid", "i").agg(
+            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
+            .cast("float")
+            .alias("mval")
+        )
+        rows = (
+            means.groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
+                    ),
+                    lambda s: s.getField("mval"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        lits = []
+        for j in range(m):
+            sel = sorted(
+                (r for r in rows if r["j"] == j), key=lambda r: r["cid"]
+            )
+            lits.append(
+                (
+                    [int(r["cid"]) for r in sel],
+                    [[float(x) for x in r["cvec"]] for r in sel],
+                )
+            )
+
+    # Materialize the trained books as tiny local DataFrames (the
+    # contract callers expect); values round-trip exactly (float-exact
+    # doubles back to float). The literal lists ride along so
+    # downstream encode/search never pays a collect job for them.
     books = []
-    for j in range(m):
-        sv = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
+    for cids, cvecs in lits:
+        b = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvecs)],
+            "cid int, cvec array<float>",
         )
-        cent = (
-            sv.orderBy(id_col)
-            .limit(ksub)
-            .select(
-                F.row_number().over(W.orderBy(id_col)).alias("cid"),
-                F.col("sv").alias("cvec"),
-            )
-            .localCheckpoint()
-        )
-        for _ in range(iters):
-            assigned = _pq_assign(sv, cent, id_col)
-            cent = (
-                centroid_update(assigned, sv, id_col, "sv", "cid")
-                .withColumnRenamed("sv", "cvec")
-                .localCheckpoint()
-            )
-        books.append(cent)
+        b._hb_lits = (cids, cvecs)
+        books.append(b)
     return books
 
 
@@ -1157,27 +1304,35 @@ def pq_encode(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Corpus -> (id, norm, code_1..code_m): each vector stored as m
+    """Corpus -> (id, norm, code_0..code_{m-1}): each vector stored as m
     small centroid ids (m bytes at ksub<=256 — the 4-byte-per-vector
     memory path that lets a 100 TB corpus's index fit a cluster) plus
-    its exact norm for cosine denominators. One broadcast-assign scan
-    per subspace, joined back on id."""
+    its exact norm for cosine denominators.
+
+    ONE corpus scan, ZERO exchanges: the m tiny codebooks are collected
+    driver-side (bounded: m*ksub rows) and closed over by an
+    Arrow-batched ``mapInPandas`` kernel that computes the norm and all
+    m argmins per partition in vectorized numpy
+    (:func:`_pq_codes_kernel` — see its docstring for why the kernel
+    beats an inlined-literal SQL projection and for the bit-identical
+    IEEE accumulation order). Replaces the former per-subspace
+    crossJoin(ksub-row expansion) + row_number window + m join-backs,
+    ~2m corpus-scale shuffles that dominated at 100 TB scale. Codes are
+    bit-identical to that path (same IEEE score fold, same tie-break),
+    so persisted indexes built before/after agree row-for-row."""
     m = len(books)
     sub = dim // m
-    out = corpus.select(
-        F.col(id_col),
-        F.sqrt(_normsq_exact(F.col(vec_col))).alias("norm"),
+    lits = [_collect_codebook(cent) for cent in books]
+    idt = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {idt}, norm double, " + ", ".join(
+        f"code_{j} int" for j in range(m)
     )
-    for j, cent in enumerate(books):
-        sv = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
-        )
-        a = _pq_assign(sv, cent, id_col).withColumnRenamed(
-            "cid", f"code_{j}"
-        )
-        out = out.join(a, id_col)
-    return out
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _pq_codes_kernel(
+            lits, sub, id_col, vec_col, with_norm=True, keep_vec=False
+        ),
+        schema,
+    )
 
 
 def pq_topk(
@@ -1207,7 +1362,7 @@ def pq_topk(
     # Codebooks train on a bounded deterministic sample (the FAISS
     # convention): training cost is CONSTANT in corpus size; only
     # encode touches every vector, and it reads codes-worth of data.
-    train = corpus.orderBy(id_col).limit(2048)
+    train = corpus.orderBy(id_col).limit(2048).localCheckpoint()
     books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
     codes = pq_encode(corpus, books, id_col, vec_col, dim).localCheckpoint()
     return pq_topk_from_codes(
@@ -1230,45 +1385,66 @@ def pq_topk_from_codes(
     steady-state search path shared by the inline trainer
     (:func:`pq_topk`) and the persisted index
     (:func:`pq_topk_from_index`). ``corpus`` supplies full-precision
-    vectors for the rerank*k candidate rows per probe only."""
+    vectors for the rerank*k candidate rows per probe only.
+
+    The corpus-wide ADC pass is ONE projection: each probe's m dot
+    tables are folded into a single (jk -> pdot) map broadcast with the
+    probe row, and the per-vector score is m ``element_at`` lookups
+    summed in fixed subspace order — no m-way posexplode, no
+    (probe, vector) groupBy shuffle. The only corpus-scale exchange
+    left is the per-probe top-rerank*k window. The tables themselves
+    are computed driver-side from the collected probes + codebooks
+    (both bounded by contract — nprobes * m * ksub dot products), so
+    building them launches one probe-collect job, not a per-subspace
+    crossJoin/union/groupBy chain."""
+    import math
+
     m = len(books)
     sub = dim // m
+    spark = codes.sparkSession
+    lits = [_collect_codebook(cent) for cent in books]
+    idt = dict(codes.dtypes)[id_col]
 
-    # Per-probe dot tables: dot(q_j, c_{j,cid}) for every (j, cid).
-    tables = None
-    for j, cent in enumerate(books):
-        pj = probes.select(
-            F.col(id_col).alias("probe_id"),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("qv"),
-            F.sqrt(_normsq_exact(F.col(vec_col))).alias("qnorm"),
-        )
-        t = pj.crossJoin(F.broadcast(cent)).select(
-            "probe_id",
-            "qnorm",
-            F.lit(j).alias("j"),
-            F.col("cid"),
-            _dot_exact(F.col("qv"), F.col("cvec")).alias("pdot"),
-        )
-        tables = t if tables is None else tables.unionByName(t)
-    tables = tables.localCheckpoint()
+    prows = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).collect()
+    # Per-probe ADC lookup map: key j*1024+cid -> dot(q_j, c_{j,cid}).
+    # Same 0.0-seeded sequential double folds as _dot_exact /
+    # _normsq_exact, evaluated in driver floats (identical IEEE ops).
+    pt = []
+    for r in prows:
+        q = [float(x) for x in r["probe_vec"]]
+        acc = 0.0
+        for x in q:
+            acc += x * x
+        qnorm = math.sqrt(acc)
+        tab = {}
+        for j, (cids, cvecs) in enumerate(lits):
+            qj = q[j * sub : (j + 1) * sub]
+            for cid, cv in zip(cids, cvecs):
+                d = 0.0
+                for a, b in zip(qj, cv):
+                    d += a * b
+                tab[j * 1024 + cid] = d
+        pt.append((r["probe_id"], qnorm, tab))
+    ptab = spark.createDataFrame(
+        pt, f"probe_id {idt}, qnorm double, tab map<int,double>"
+    )
 
-    # ADC: sum the m table lookups per (probe, vector).
-    coded = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        "norm",
-        F.posexplode(
-            F.array(*[F.col(f"code_{j}") for j in range(m)])
-        ).alias("j", "cid"),
+    # ADC: m map lookups per (vector, probe), summed in fixed j order
+    # (deterministic IEEE sequence — no aggregation order to defend).
+    lookup = " + ".join(
+        f"element_at(tab, {j} * 1024 + code_{j})" for j in range(m)
     )
     adc = (
-        coded.join(F.broadcast(tables), ["j", "cid"])
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .groupBy("probe_id", "neighbor_id", "norm", "qnorm")
-        .agg(F.sum(F.col("pdot").cast("decimal(30,12)")).cast("double").alias("adc"))
+        codes.crossJoin(F.broadcast(ptab))
+        .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id",
-            "neighbor_id",
-            (F.col("adc") / (F.col("qnorm") * F.col("norm"))).alias("approx_cos"),
+            F.col(id_col).alias("neighbor_id"),
+            (F.expr(f"(0.0D + {lookup})") / (F.col("qnorm") * F.col("norm"))).alias(
+                "approx_cos"
+            ),
         )
     )
     wa = W.partitionBy("probe_id").orderBy(F.desc("approx_cos"), "neighbor_id")
@@ -1278,15 +1454,20 @@ def pq_topk_from_codes(
         .select("probe_id", "neighbor_id")
     )
 
-    # Exact re-rank of the few surviving candidates.
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    # Exact re-rank of the few surviving candidates. cand is bounded by
+    # contract (rerank*k rows per probe, corpus-independent), so the
+    # broadcast hint is safe and keeps the corpus un-shuffled. The
+    # probe side reuses the collected rows (no second probe scan).
+    vt = dict(corpus.dtypes)[vec_col]
+    p = spark.createDataFrame(
+        [(r["probe_id"], r["probe_vec"]) for r in prows],
+        f"probe_id {idt}, probe_vec {vt}",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     )
     scored = (
-        cand.join(c, "neighbor_id")
+        c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(p), "probe_id")
         .select(
             "probe_id",
@@ -1321,7 +1502,7 @@ def write_pq_index(
     (id, norm, code_0..code_{m-1}) written id-bucketed. The encode is
     the only corpus-wide pass and it happens here, at publish — the
     PQ twin of ``write_hyperplane_signature_table``."""
-    train = corpus.orderBy(id_col).limit(train_n)
+    train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
     books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
     tagged = None
     for j, cent in enumerate(books):
@@ -1350,12 +1531,25 @@ def pq_topk_from_index(
     m-byte codes + tiny codebooks, never re-trains or re-encodes;
     full-precision vectors are touched only for the exact re-rank of
     rerank*k candidates per probe."""
-    books_df = spark.read.parquet(books_path)
-    m = books_df.agg(F.max("j")).collect()[0][0] + 1
-    books = [
-        books_df.filter(F.col("j") == j).select("cid", "cvec").localCheckpoint()
-        for j in range(m)
-    ]
+    # One collect of the tiny books parquet (m*ksub rows); rebuild the
+    # per-subspace book frames as local relations with the literal
+    # lists attached — steady-state search then launches exactly one
+    # probe-collect job before the corpus-wide ADC pass.
+    brows = spark.read.parquet(books_path).collect()
+    m = max(r["j"] for r in brows) + 1
+    books = []
+    for j in range(m):
+        sel = sorted(
+            (r for r in brows if r["j"] == j), key=lambda r: r["cid"]
+        )
+        cids = [int(r["cid"]) for r in sel]
+        cvecs = [[float(x) for x in r["cvec"]] for r in sel]
+        b = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvecs)],
+            "cid int, cvec array<float>",
+        )
+        b._hb_lits = (cids, cvecs)
+        books.append(b)
     codes = spark.read.parquet(codes_path)
     return pq_topk_from_codes(
         codes, books, corpus, probes, id_col, vec_col, k, dim, rerank

@@ -519,8 +519,12 @@ def _copurchase_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    # No broadcast hint: the filtered part side grows linearly with SF
+    # (~10% of part; ~2M keys at sf100), so a forced broadcast is a
+    # driver-OOM hazard at scale — the planner's size stats / AQE pick
+    # broadcast on their own while it is actually small.
     li = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     ).distinct()

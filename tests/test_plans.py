@@ -176,6 +176,8 @@ BNLJ_ALLOWED = {
     "events_rfm_segments",          # 1-row reference-max-date scalar
     "sample_temperature_mixture",   # 1-row weight-normalizer scalar
     "join_bloom_prune",             # 1-row 8 KiB Bloom word array
+    "sim_pq_topk",                  # per-probe ADC map (3 rows, m*ksub entries)
+    "sim_pq_persisted_topk",        # same bounded per-probe ADC map
 }
 
 
@@ -204,6 +206,13 @@ EXCHANGE_BOUNDS = {
     "graph_triangle_topk": 5,
     "graph_jaccard_neighbors": 7,
     "text_ngram_novelty": 3,
+    # PQ/ADC after the round-5 zero-shuffle encode rewrite: encode is a
+    # pure projection chain (0 exchanges); what remains is probe prep +
+    # the tiny ptab agg + the two per-probe top-k windows. The old
+    # crossJoin+window+join-back encode added ~2m corpus-scale
+    # exchanges — a regression above these bounds means it came back.
+    "sim_pq_topk": 5,
+    "sim_pq_persisted_topk": 5,
 }
 
 
