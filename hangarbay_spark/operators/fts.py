@@ -241,19 +241,41 @@ def append_to_index(
     ``dedup.minhash_pairs_incremental``'s build-once contract (old
     documents are never re-tokenized; ingest cost scales with the
     batch). ``guard_existing`` anti-joins the batch against the ids
-    already indexed (a column-pruned id read of the postings), making
-    re-ingest of the same batch a no-op — idempotent at-least-once
-    ingest. Appended files use the same token repartition +
-    within-partition sort as ``save_index``, so term locality and the
-    reader layout are preserved across appends (periodic ``hangar
-    compact`` merges small appended files). Returns the number of new
-    documents ingested."""
+    already indexed, making re-ingest of the same batch a no-op —
+    idempotent at-least-once ingest. The ingested-id set is tracked in
+    a per-append id MANIFEST (``<path>_ids``) independent of the
+    postings: a document whose text tokenizes to zero tokens produces
+    no postings rows but is still recorded as ingested, so it is not
+    re-counted as 'new' on every re-ingest (postings ids from
+    manifest-less pre-existing indexes are unioned in for backward
+    compatibility). A not-yet-created index path is treated as an
+    empty index rather than an error. Appended files use the same
+    token repartition + within-partition sort as ``save_index``, so
+    term locality and the reader layout are preserved across appends
+    (periodic ``hangar compact`` merges small appended files). Returns
+    the number of new documents ingested."""
+    from pyspark.errors import AnalysisException
+
+    spark = new_docs.sparkSession
+    ids_path = path.rstrip("/") + "_ids"
     batch = new_docs
     if guard_existing:
-        existing = load_index(batch.sparkSession, path).select(
-            F.col(id_col)
-        ).distinct()
-        batch = batch.join(existing, id_col, "left_anti")
+        existing = None
+        try:
+            existing = load_index(spark, path).select(F.col(id_col))
+        except AnalysisException:
+            pass  # no index yet -> nothing indexed
+        try:
+            manifest = spark.read.parquet(ids_path).select(F.col(id_col))
+            existing = (
+                manifest
+                if existing is None
+                else existing.unionByName(manifest)
+            )
+        except AnalysisException:
+            pass
+        if existing is not None:
+            batch = batch.join(existing.distinct(), id_col, "left_anti")
     batch = batch.localCheckpoint(eager=True)
     n_new = batch.count()
     if n_new == 0:
@@ -265,4 +287,5 @@ def append_to_index(
         .write.mode("append")
         .parquet(path)
     )
+    batch.select(F.col(id_col)).write.mode("append").parquet(ids_path)
     return n_new

@@ -388,7 +388,8 @@ def as_of_join_nearest(
     class; columns come back ``asof_``-prefixed like the directional
     variants. Left rows must be unique across their full column set
     (carry an id column) — the direction-combining join keys on all
-    left columns."""
+    left columns, with NULL-SAFE equality so rows containing NULLs
+    keep the left-join contract."""
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -413,7 +414,20 @@ def as_of_join_nearest(
         *[F.col(c) for c in left.columns],
         *[F.col(f"asof_{c}").alias(f"__f_{c}") for c in rc_b],
     )
-    both = b.join(fb, join_keys)
+    # Null-SAFE equality on every left column: a left row containing
+    # NULL anywhere must still pair its backward and forward matches
+    # (null-unsafe keys silently dropped it, breaking the left-join
+    # contract the directional variants honor). <=> keys still plan as
+    # a hash join.
+    ba, fa = b.alias("__asof_b"), fb.alias("__asof_f")
+    cond = None
+    for kcol in join_keys:
+        c = F.col(f"__asof_b.{kcol}").eqNullSafe(F.col(f"__asof_f.{kcol}"))
+        cond = c if cond is None else cond & c
+    both = ba.join(fa, cond).select(
+        *[F.col(f"__asof_b.{c}") for c in b.columns],
+        *[F.col(f"__asof_f.__f_{c}") for c in rc_b],
+    )
     # distance works for timestamp AND numeric ts columns
     ts_type = dict(both.dtypes)[f"asof_{ts_col}"]
     if ts_type.startswith("timestamp"):

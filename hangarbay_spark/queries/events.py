@@ -1513,7 +1513,8 @@ def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / sqrt((base.sxx - base.sx * base.sx / base.nd)
                           / (base.nd - 1.0)), 6) AS zscore
       FROM h JOIN base
-        ON h.event_type = base.event_type AND h.hod = base.hod)
+        ON h.event_type = base.event_type AND h.hod = base.hod
+      WHERE base.nd > 1.0 AND base.sxx - base.sx * base.sx / base.nd > 0.0)
     SELECT event_id, event_type, hod, value, zscore
     FROM z WHERE abs(zscore) > 3.0
     ORDER BY abs(zscore) DESC, event_id
@@ -1546,7 +1547,15 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxx"),
     )
-    z = h.join(F.broadcast(base), ["event_type", "hod"]).select(
+    # Degenerate-cell guard (same predicate text as the oracle): a
+    # single-row or zero-variance cell has a 0 denominator — Spark's
+    # non-ANSI divide yields NULL (row dropped) while DuckDB's IEEE
+    # mode yields NaN which passes abs(z) > 3 and sorts greatest, so
+    # without the shared guard such cells enter only the oracle's
+    # top-50 on sparse data.
+    z = h.join(F.broadcast(base), ["event_type", "hod"]).filter(
+        F.expr("nd > 1.0 AND sxx - sx * sx / nd > 0.0")
+    ).select(
         "event_id",
         "event_type",
         "hod",

@@ -1521,9 +1521,19 @@ def subquery_recursive_hierarchy(
     # hierarchy (100 GB-scale hierarchies stay log-bounded; data-
     # dependent-depth graphs belong to the checkpointed loops in
     # operators/graph.py instead).
+    # Scope the override: materialize under the raised limit, then
+    # restore the prior value so the runaway-recursion backstop stays
+    # armed for every later query on the shared session.
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_RECURSIVE_SPARK_SQL)
+    try:
+        load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+        return spark.sql(_RECURSIVE_SPARK_SQL).localCheckpoint()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
 
 
 @register(

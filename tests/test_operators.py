@@ -1912,6 +1912,52 @@ def test_as_of_join_nearest_direction(spark):
     assert got[0]["asof_v"] == "a"  # equidistant -> backward
 
 
+def test_as_of_join_nearest_keeps_null_left_rows(spark):
+    """A left row with NULL in a payload column must survive the
+    direction-combining join (null-safe keys) — the left-join contract
+    the directional variants honor."""
+    from hangarbay_spark.operators.temporal import as_of_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, None, 21), (1, 7, 28)],
+        "k int, payload int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 30, "b")], ["k", "ts", "v"]
+    )
+    out = {
+        r["payload"]: r["asof_v"]
+        for r in as_of_join_nearest(
+            left, right, on="k", right_cols=["v"]
+        ).collect()
+    }
+    assert out == {None: "a", 7: "b"}
+
+
+def test_fts_append_tokenless_docs_and_missing_path(spark, tmp_path):
+    """A document that tokenizes to zero tokens is still recorded as
+    ingested (id manifest) so re-ingest is a no-op; guard_existing
+    against a not-yet-created index treats it as empty instead of
+    throwing."""
+    from hangarbay_spark.operators import fts
+
+    path = str(tmp_path / "fts_fresh")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "...")], ["doc_id", "text"]
+    )
+    # missing path + guard_existing=True: no throw, everything is new
+    assert fts.append_to_index(batch, path, "doc_id", "text", buckets=2) == 2
+    # the tokenless doc (id 2) must not be re-counted as new
+    assert fts.append_to_index(batch, path, "doc_id", "text", buckets=2) == 0
+    got = sorted(
+        r["doc_id"]
+        for r in fts.match_all(
+            fts.load_index(spark, path), "alpha", "doc_id"
+        ).collect()
+    )
+    assert got == [1]
+
+
 def test_bloom_false_positive_rate_bounded(spark):
     """Non-member keys pass the 65536-bit/k=3 filter at well under the
     designed ~0.8% rate (500 inserted keys here, far below the 3k
