@@ -1111,6 +1111,7 @@ def _pq_codes_kernel(
     vec_col: str,
     with_norm: bool,
     keep_vec: bool,
+    cell_lits: tuple[list[int], list[list[float]]] | None = None,
 ):
     """Arrow-batched PQ assignment kernel (mapInPandas): one vectorized
     numpy call per PARTITION computes every subspace's argmin code (and
@@ -1148,6 +1149,25 @@ def _pq_codes_kernel(
                 for i in range(X.shape[1]):
                     acc = acc + X[:, i] * X[:, i]
                 cols["norm"] = np.sqrt(acc)
+            if cell_lits is not None:
+                # coarse-quantizer cell over the FULL vector (IVF
+                # routing) — same sequential score fold as the
+                # subspace assignment below.
+                ccids, ccvecs = cell_lits
+                C = np.asarray(ccvecs, dtype=np.float64)
+                hs = []
+                for cv in ccvecs:
+                    h = 0.0
+                    for c in cv:
+                        h += c * c
+                    hs.append(0.5 * h)
+                acc = np.zeros((n, len(ccids)))
+                for i in range(X.shape[1]):
+                    acc = acc + X[:, i : i + 1] * C[None, :, i]
+                scores = acc - np.asarray(hs)[None, :]
+                cols["cell"] = np.asarray(ccids, dtype=np.int32)[
+                    np.argmax(scores, axis=1)
+                ]
             for j, (cids, cvecs) in enumerate(lits):
                 Sj = X[:, j * sub : (j + 1) * sub]
                 C = np.asarray(cvecs, dtype=np.float64)  # (k, sub)
@@ -1482,6 +1502,29 @@ def pq_topk_from_codes(
     )
 
 
+def _load_books(spark, books_path: str) -> list[DataFrame]:
+    """One collect of the tiny (j, cid, cvec) books parquet (m*ksub
+    rows); rebuild the per-subspace book frames as local relations with
+    the literal lists attached — steady-state search/encode then
+    launches no codebook collect jobs."""
+    brows = spark.read.parquet(books_path).collect()
+    m = max(r["j"] for r in brows) + 1
+    books = []
+    for j in range(m):
+        sel = sorted(
+            (r for r in brows if r["j"] == j), key=lambda r: r["cid"]
+        )
+        cids = [int(r["cid"]) for r in sel]
+        cvecs = [[float(x) for x in r["cvec"]] for r in sel]
+        b = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvecs)],
+            "cid int, cvec array<float>",
+        )
+        b._hb_lits = (cids, cvecs)
+        books.append(b)
+    return books
+
+
 def write_pq_index(
     corpus: DataFrame,
     codes_path: str,
@@ -1531,26 +1574,267 @@ def pq_topk_from_index(
     m-byte codes + tiny codebooks, never re-trains or re-encodes;
     full-precision vectors are touched only for the exact re-rank of
     rerank*k candidates per probe."""
-    # One collect of the tiny books parquet (m*ksub rows); rebuild the
-    # per-subspace book frames as local relations with the literal
-    # lists attached — steady-state search then launches exactly one
-    # probe-collect job before the corpus-wide ADC pass.
-    brows = spark.read.parquet(books_path).collect()
-    m = max(r["j"] for r in brows) + 1
-    books = []
-    for j in range(m):
-        sel = sorted(
-            (r for r in brows if r["j"] == j), key=lambda r: r["cid"]
-        )
-        cids = [int(r["cid"]) for r in sel]
-        cvecs = [[float(x) for x in r["cvec"]] for r in sel]
-        b = spark.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvecs)],
-            "cid int, cvec array<float>",
-        )
-        b._hb_lits = (cids, cvecs)
-        books.append(b)
+    books = _load_books(spark, books_path)
     codes = spark.read.parquet(codes_path)
     return pq_topk_from_codes(
         codes, books, corpus, probes, id_col, vec_col, k, dim, rerank
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ (FAISS IVFADC layout): coarse quantizer routes probes to
+# nprobe of nlist cells; ADC scans only the probed cells' codes
+# ---------------------------------------------------------------------------
+
+
+def _probe_rows(probes: DataFrame, id_col: str, vec_col: str):
+    """Collect the bounded probe set once: (probe_id, vec-as-floats,
+    qnorm) with the same 0.0-seeded sequential norm fold as
+    ``_normsq_exact``."""
+    import math
+
+    out = []
+    for r in probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).collect():
+        q = [float(x) for x in r["probe_vec"]]
+        acc = 0.0
+        for x in q:
+            acc += x * x
+        out.append((r["probe_id"], q, math.sqrt(acc)))
+    return out
+
+
+def _adc_table(
+    q: list[float],
+    lits: list[tuple[list[int], list[list[float]]]],
+    sub: int,
+) -> dict[int, float]:
+    """Driver-side ADC lookup table for one probe: j*1024+cid ->
+    dot(q_j, c_{j,cid}), sequential double folds (identical IEEE ops to
+    ``_dot_exact``)."""
+    tab = {}
+    for j, (cids, cvecs) in enumerate(lits):
+        qj = q[j * sub : (j + 1) * sub]
+        for cid, cv in zip(cids, cvecs):
+            d = 0.0
+            for a, b in zip(qj, cv):
+                d += a * b
+            tab[j * 1024 + cid] = d
+    return tab
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    books: list[DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus -> (id, norm, cell, code_0..code_{m-1}): the IVF routing
+    cell (nearest coarse centroid over the full vector) plus the m PQ
+    codes, in the SAME single zero-exchange kernel scan as
+    :func:`pq_encode`. ``cell`` doubles as the partition key for a
+    cell-clustered codes layout at publish."""
+    m = len(books)
+    sub = dim // m
+    lits = [_collect_codebook(cent) for cent in books]
+    cell_lits = _collect_codebook(coarse)
+    idt = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {idt}, norm double, cell int, " + ", ".join(
+        f"code_{j} int" for j in range(m)
+    )
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _pq_codes_kernel(
+            lits,
+            sub,
+            id_col,
+            vec_col,
+            with_norm=True,
+            keep_vec=False,
+            cell_lits=cell_lits,
+        ),
+        schema,
+    )
+
+
+def ivfpq_topk_from_codes(
+    codes: DataFrame,
+    coarse: DataFrame,
+    books: list[DataFrame],
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 4,
+    rerank: int = 20,
+) -> DataFrame:
+    """IVFADC search over prebuilt cell-tagged codes: each probe routes
+    to its ``nprobe`` best coarse cells (scored driver-side on the
+    bounded probe set), and the ADC pass touches ONLY rows whose
+    ``cell`` matches — an equi broadcast-hash join, ~nprobe/nlist of
+    the flat :func:`pq_topk_from_codes` scan at scale. Exact re-rank of
+    rerank*k candidates per probe, same output shape as every ANN
+    path: (probe_id, neighbor_id, cosine, rk)."""
+    m = len(books)
+    sub = dim // m
+    spark = codes.sparkSession
+    lits = [_collect_codebook(cent) for cent in books]
+    ccids, ccvecs = _collect_codebook(coarse)
+    idt = dict(codes.dtypes)[id_col]
+    vt = dict(corpus.dtypes)[vec_col]
+
+    pt = []
+    prows = _probe_rows(probes, id_col, vec_col)
+    for pid, q, qnorm in prows:
+        # coarse routing: argmax dot(q,c) - |c|^2/2, top nprobe cells
+        # (desc score, cid asc — the assignment tie-break)
+        scores = []
+        for cid, cv in zip(ccids, ccvecs):
+            h = 0.0
+            for c in cv:
+                h += c * c
+            d = 0.0
+            for a, b in zip(q, cv):
+                d += a * b
+            scores.append((-(d - 0.5 * h), cid))
+        cells = [cid for _, cid in sorted(scores)[:nprobe]]
+        tab = _adc_table(q, lits, sub)
+        for cell in cells:
+            pt.append((pid, qnorm, cell, tab))
+    ptab = spark.createDataFrame(
+        pt, f"probe_id {idt}, qnorm double, cell int, tab map<int,double>"
+    )
+
+    lookup = " + ".join(
+        f"element_at(tab, {j} * 1024 + code_{j})" for j in range(m)
+    )
+    adc = (
+        codes.join(F.broadcast(ptab), "cell")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.expr(f"(0.0D + {lookup})")
+                / (F.col("qnorm") * F.col("norm"))
+            ).alias("approx_cos"),
+        )
+    )
+    wa = W.partitionBy("probe_id").orderBy(F.desc("approx_cos"), "neighbor_id")
+    cand = (
+        adc.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= rerank * k)
+        .select("probe_id", "neighbor_id")
+    )
+    p = spark.createDataFrame(
+        [(pid, q) for pid, q, _ in prows], f"probe_id {idt}, probe_vec {vt}"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(p), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    rerank: int = 20,
+) -> DataFrame:
+    """Composed IVF x PQ approximate top-k (the standard billion-vector
+    serving layout — FAISS IVFADC; Jegou et al. 2011 §V): a coarse
+    nlist-cell quantizer (trained as a 1-subspace product quantizer
+    over the full dimension) routes each probe to its nprobe nearest
+    cells, the flat PQ/ADC scan is restricted to those cells' codes,
+    and the surviving rerank*k candidates are exactly re-scored. Both
+    quantizers train on the same bounded deterministic sample —
+    constant cost in corpus size; the one corpus-wide pass is the
+    zero-exchange :func:`ivfpq_encode` kernel scan."""
+    train = corpus.orderBy(id_col).limit(2048).localCheckpoint()
+    coarse = pq_train(train, id_col, vec_col, dim, 1, nlist, iters)[0]
+    books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
+    codes = ivfpq_encode(
+        corpus, coarse, books, id_col, vec_col, dim
+    ).localCheckpoint()
+    return ivfpq_topk_from_codes(
+        codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
+        nprobe, rerank,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ index maintenance: frozen codebooks make appends a
+# batch-only encode (parity with minhash/simhash/FTS incremental twins)
+# ---------------------------------------------------------------------------
+
+
+def pq_encode_new_batch(
+    spark,
+    new: DataFrame,
+    books_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode ONLY a new batch against the PERSISTED frozen codebooks:
+    reads the tiny books parquet plus the batch — never the corpus,
+    never the existing codes. The plan is the same zero-exchange
+    kernel scan as :func:`pq_encode`, so ingest cost scales with the
+    batch alone."""
+    books = _load_books(spark, books_path)
+    return pq_encode(new, books, id_col, vec_col, dim)
+
+
+def pq_append_to_index(
+    spark,
+    new: DataFrame,
+    codes_path: str,
+    books_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    guard_existing: bool = True,
+) -> int:
+    """Append a new batch's codes to the persisted PQ index.
+    ``guard_existing`` anti-joins against ids already coded (a
+    column-pruned id read of the codes parquet), making re-ingest a
+    no-op — the idempotent at-least-once contract of
+    ``fts.append_to_index`` / ``dedup`` signature appends. Returns the
+    number of newly coded vectors."""
+    batch = new
+    if guard_existing:
+        existing = spark.read.parquet(codes_path).select(F.col(id_col))
+        batch = batch.join(existing, id_col, "left_anti")
+    batch = batch.localCheckpoint(eager=True)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    pq_encode_new_batch(
+        spark, batch, books_path, id_col, vec_col, dim
+    ).write.mode("append").parquet(codes_path)
+    return n_new

@@ -2444,6 +2444,113 @@ def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_topk",
+    None,  # kmeans cells + PQ codebooks have no tractable SQL twin —
+    # rows-only; recall vs exact brute force is regression-guarded in
+    # tests (test_ivfpq_recall_floor) and measured by sim_ivfpq_recall
+    "composed IVF x PQ ANN (the FAISS IVFADC billion-vector serving "
+    "layout): a 16-cell coarse quantizer routes each probe to its 4 "
+    "nearest cells, the PQ/ADC code scan is restricted to those "
+    "cells' rows via an equi broadcast-hash join on cell "
+    "(~nprobe/nlist of the flat sim_pq_topk scan at scale), and only "
+    "the surviving top-100 ADC candidates are exactly re-scored. Both "
+    "quantizers train on the same bounded 2048-row sample; the one "
+    "corpus-wide pass is a zero-exchange Arrow kernel scan emitting "
+    "cell + codes + norm together",
+    "similarity extension (IVF x PQ composed ANN)",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.ivfpq_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
+    "sim_ivfpq_recall",
+    None,  # composed from a rows-only arm — rows-only by construction
+    "recall@5 report for the composed IVF x PQ search against the "
+    "exact brute force on the same probes (the sim_ann_recall_report "
+    "pattern for the arm that has no SQL twin): routing misses — the "
+    "true neighbor living in an unprobed cell — become a measured, "
+    "regression-guarded number instead of a caveat",
+    "similarity extension (IVF x PQ recall gate)",
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    exact = S.brute_force_topk_pandas(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = (
+        S.ivfpq_topk(emb, probes, k=5)
+        .select("probe_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(hits, ["probe_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.lit("ivfpq").alias("method"),
+            "n_exact",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_PQ_OLD_PATHS: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "sim_pq_incremental",
+    None,  # codes have no SQL twin — rows-only; append/idempotency
+    # semantics are pinned in test_pq_append_idempotent_and_search
+    "incremental PQ ingest: a new batch (vec_id % 10 == 0) coded "
+    "against the PERSISTED frozen codebooks of the remaining corpus — "
+    "the timed run reads the tiny books parquet plus the batch only "
+    "(zero-exchange kernel scan; no corpus re-encode, plan-guarded in "
+    "tests), the codes-parquet append is idempotent via an id "
+    "anti-join (pq_append_to_index). Completes incremental parity "
+    "with minhash/simhash/hyperplane/FTS maintenance",
+    "similarity extension (incremental PQ index ingest)",
+)
+def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    key = f"{sf_dir}|pq_incremental_corpus"
+    paths = _PQ_OLD_PATHS.get(key)
+    if paths is None:
+        root = tempfile.mkdtemp(prefix="hb_pq_corpus_")
+        codes_path, books_path = f"{root}/codes", f"{root}/books"
+        old = emb.filter(F.col("vec_id") % 10 != 0)
+        S.write_pq_index(old, codes_path, books_path, dim=64)
+        _PQ_OLD_PATHS[key] = (codes_path, books_path)
+    else:
+        codes_path, books_path = paths
+    return S.pq_encode_new_batch(spark, new, books_path, dim=64).select(
+        "vec_id",
+        F.round("norm", 6).alias("norm_r"),
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+    )
+
+
+@register(
     "text_wordpiece_encode",
     None,  # greedy subword segmentation has no SQL twin — rows-only;
     # the kernel is pinned against its pure-Python reference in tests

@@ -1631,6 +1631,72 @@ def test_pq_recall_floor(spark):
     assert len(bf & pq) / len(bf) >= 0.8
 
 
+def test_ivfpq_recall_floor(spark):
+    """Composed IVF x PQ (cell routing + ADC + exact re-rank) recovers
+    >=0.8 of the exact top-5 on the sf0.001 embeddings — routing
+    misses (true neighbor in an unprobed cell) stay bounded at
+    nprobe=4 of nlist=16. Measured 0.867 at sf0.001 and sf0.01."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.operators.similarity import brute_force_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    bf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.ivfpq_topk(emb, probes, k=5).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.8
+
+
+def test_pq_append_idempotent_and_search(spark, tmp_path):
+    """Incremental PQ ingest: appending a new batch against frozen
+    codebooks codes exactly the missing vectors, re-ingest is a no-op,
+    and the appended index serves searches over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    codes_path = str(tmp_path / "codes")
+    books_path = str(tmp_path / "books")
+    S.write_pq_index(old, codes_path, books_path, dim=64)
+    n = S.pq_append_to_index(spark, new, codes_path, books_path, dim=64)
+    assert n == new.count()
+    assert (
+        S.pq_append_to_index(spark, new, codes_path, books_path, dim=64) == 0
+    )
+    assert spark.read.parquet(codes_path).count() == emb.count()
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    got = S.pq_topk_from_index(
+        spark, codes_path, books_path, emb, probes, k=5
+    )
+    assert got.count() == 15
+
+
+def test_pq_incremental_encode_zero_exchange_no_corpus_scan(spark):
+    """The timed incremental-encode plan reads the batch (pushed-down
+    vec_id filter) + tiny books only: ZERO exchanges, no codes-parquet
+    scan — ingest cost provably scales with the batch alone."""
+    from hangarbay_spark.queries import REGISTRY
+
+    df = REGISTRY["sim_pq_incremental"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "codes" not in plan
+    assert plan.count("Scan parquet") <= 1  # the batch scan only
+
+
 def test_pagerank_symmetric_path_matches_general(spark):
     """symmetric=True must be a pure plan optimization: on a
     symmetrized graph the skipped re-attach join is a no-op, so ranks

@@ -213,6 +213,10 @@ EXCHANGE_BOUNDS = {
     # exchanges — a regression above these bounds means it came back.
     "sim_pq_topk": 5,
     "sim_pq_persisted_topk": 5,
+    # IVFADC: cell-routed ADC join is an equi broadcast-hash join (no
+    # BNLJ at all); incremental encode is a pure batch-only kernel scan.
+    "sim_ivfpq_topk": 5,
+    "sim_pq_incremental": 0,
 }
 
 
