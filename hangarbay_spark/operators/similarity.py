@@ -359,6 +359,46 @@ HYPERPLANE_BANDS = 8  # 8 bands x 8 bits: ~99% recall at cosine 0.95
 HYPERPLANE_SEED = "hplsh"
 
 
+def auto_hyperplane_nbits(n: int, bands: int = HYPERPLANE_BANDS) -> int:
+    """Corpus-scaled band width: band bits ~ log2(n) - 3, i.e. expected
+    uniform-worst-case occupancy ~8 ids per band bucket, floored at the
+    8-bit default. On structureless corpora the fixed 256-value band
+    domain saturates once n >> 2^8 (every bucket goes quadratic — the
+    sf1 16-89 s pathology in BENCH_NOTES); scaling bits with log2(n)
+    keeps candidate generation near-linear while ``bands`` stays fixed
+    so the recall S-curve keeps its shape. All driver-compared scale
+    factors have n <= 2048, where this returns exactly the fixed
+    64-bit geometry the oracle SQL embeds."""
+    import math
+
+    bits = max(8, math.ceil(math.log2(max(n, 2))) - 3)
+    return bands * bits
+
+
+def _write_geometry(path: str, nbits: int, bands: int, seed: str) -> None:
+    """Record a signature table's band geometry next to it so every
+    reader (probe-side signature computation, band count) derives the
+    SAME geometry the build used — auto-scaled tables stay
+    self-describing; a missing side file means the fixed defaults
+    (backward compatible with pre-existing tables)."""
+    import json as _json
+
+    with open(path.rstrip("/") + "_geometry.json", "w") as f:
+        _json.dump({"nbits": nbits, "bands": bands, "seed": seed}, f)
+
+
+def _read_geometry(path: str) -> tuple[int, int, str]:
+    import json as _json
+    import os as _os
+
+    gp = path.rstrip("/") + "_geometry.json"
+    if _os.path.exists(gp):
+        with open(gp) as f:
+            g = _json.load(f)
+        return int(g["nbits"]), int(g["bands"]), str(g["seed"])
+    return HYPERPLANE_BITS, HYPERPLANE_BANDS, HYPERPLANE_SEED
+
+
 def rademacher_coefs(
     nbits: int = HYPERPLANE_BITS,
     dim: int = 64,
@@ -465,7 +505,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    nbits: int = HYPERPLANE_BITS,
+    nbits: int | None = None,
     bands: int = HYPERPLANE_BANDS,
     seed: str = HYPERPLANE_SEED,
     max_bucket: int | None = None,
@@ -473,6 +513,12 @@ def embedding_near_dup_pairs(
     fast_cosine: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    ``nbits=None`` (default) auto-scales the band width with the corpus
+    count (:func:`auto_hyperplane_nbits`) — identical to the fixed
+    64-bit geometry for n <= 2048 (every oracle-compared scale factor),
+    wider bands beyond so structureless corpora cannot saturate the
+    band domain.
 
     Candidates = pairs sharing >=1 exact band value (equi-join on
     (band_idx, band_value) — never an all-pairs comparison), then exact
@@ -487,6 +533,8 @@ def embedding_near_dup_pairs(
     oracle-compared cosine keeps sequential-accumulation parity
     (ADVICE r3).
     """
+    if nbits is None:
+        nbits = auto_hyperplane_nbits(corpus.count(), bands)
     # The signature subtree has a single consumer (the bucket pipeline:
     # explode -> hot-bucket window -> grouped pair expansion), so the
     # projections run exactly once per query — no checkpoint needed;
@@ -767,7 +815,7 @@ def write_hyperplane_signature_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    nbits: int = HYPERPLANE_BITS,
+    nbits: int | None = None,
     bands: int = HYPERPLANE_BANDS,
     seed: str = HYPERPLANE_SEED,
     buckets: int = 32,
@@ -777,18 +825,24 @@ def write_hyperplane_signature_table(
     id-bucketed parquet. The projection runs once at build time; every
     subsequent near-dup or ANN run reads tiny fixed-width rows — the
     embedding twin of ``dedup.write_minhash_signature_table``.
+    ``nbits=None`` auto-scales band width with the corpus count
+    (:func:`auto_hyperplane_nbits`); the geometry used is recorded in a
+    side file so readers always probe with the build's geometry.
 
     ``fast=True`` computes signatures with the Arrow/numpy kernel
     (matmul; the production path for 10^9-vector builds). The default
     expression path is the oracle-exact one: numpy's pairwise-summed
     dot can, in principle, flip a sign on a projection that is exactly
     0 under sequential summation."""
+    if nbits is None:
+        nbits = auto_hyperplane_nbits(corpus.count(), bands)
     sigs = hyperplane_signatures(
         corpus, id_col, vec_col, dim, nbits, bands, seed, fast=fast
     )
     sigs.repartition(buckets, F.col(id_col)).write.mode(
         "overwrite"
     ).parquet(path)
+    _write_geometry(path, nbits, bands, seed)
 
 
 def hyperplane_pairs_from_signature_table(
@@ -798,15 +852,18 @@ def hyperplane_pairs_from_signature_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bands: int = HYPERPLANE_BANDS,
+    bands: int | None = None,
     max_bucket: int | None = None,
     fast_cosine: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from persisted hyperplane signatures: candidates
     from the signature parquet only (no projection recompute), exact
-    cosine fetched per-candidate from ``corpus``. ``fast_cosine`` uses
+    cosine fetched per-candidate from ``corpus``. Band count defaults
+    to the table's recorded geometry. ``fast_cosine`` uses
     the einsum scoring kernel — off by default for oracle parity
     (ADVICE r3)."""
+    if bands is None:
+        _, bands, _ = _read_geometry(path)
     sigs = spark.read.parquet(path)
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
     return _cosine_verify(
@@ -823,18 +880,24 @@ def hyperplane_topk_from_signature_table(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    nbits: int = HYPERPLANE_BITS,
-    bands: int = HYPERPLANE_BANDS,
-    seed: str = HYPERPLANE_SEED,
+    nbits: int | None = None,
+    bands: int | None = None,
+    seed: str | None = None,
 ) -> DataFrame:
     """Multi-probe ANN against a PERSISTED corpus signature table: the
     corpus-side band buckets come from fixed-width parquet rows (the 64
     projections per vector — the dominant cost of
     :func:`hyperplane_topk` — never recompute at query time); probe
     signatures are computed inline on the expr path (probe sets are
-    small by contract) and broadcast. Scoring fetches candidate vectors
-    by id join and uses the sequential-exact cosine kernel — results
-    identical to the inline formulation, same oracle."""
+    small by contract) with the TABLE'S recorded geometry and
+    broadcast — probe and corpus band values always agree, even for
+    auto-scaled builds. Scoring fetches candidate vectors by id join
+    and uses the sequential-exact cosine kernel — results identical to
+    the inline formulation, same oracle."""
+    g_nbits, g_bands, g_seed = _read_geometry(path)
+    nbits = g_nbits if nbits is None else nbits
+    bands = g_bands if bands is None else bands
+    seed = g_seed if seed is None else seed
     sigs = spark.read.parquet(path)
     corpus_b = _bucket_rows(sigs, id_col, bands).withColumnRenamed(
         id_col, "neighbor_id"

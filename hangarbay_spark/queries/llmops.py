@@ -1158,9 +1158,11 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_near_dup",
     _o_hyperplane_near_dup(0.4, NEAR_DUP_MAX_BUCKET),
     "embedding-cosine near-dup pairs via banded random-hyperplane LSH "
-    "(64 Rademacher sign bits, 8 bands x 8 bits): candidates share >=1 "
-    "exact band value (256-way per-band bucket domain, hot-bucket "
-    "guard), exact-cosine verification on candidates only",
+    "(Rademacher sign bits, 8 bands; band bit-width auto-scales "
+    "~log2(n) so the bucket domain grows with the corpus — identical "
+    "to the fixed 8-bit geometry at every oracle-compared SF): "
+    "candidates share >=1 exact band value (hot-bucket guard), "
+    "exact-cosine verification on candidates only",
     "dedup extension (embedding-cosine near-dup)",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

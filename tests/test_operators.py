@@ -1657,6 +1657,32 @@ def test_ivfpq_recall_floor(spark):
     assert len(bf & got) / len(bf) >= 0.8
 
 
+def test_auto_hyperplane_geometry(spark, tmp_path):
+    """Band width floors at the fixed 8-bit default for every
+    oracle-compared corpus size (n <= 2048), grows ~log2(n) beyond, and
+    persisted tables round-trip their geometry so probe-side signatures
+    always match the build."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    assert S.auto_hyperplane_nbits(200) == 64
+    assert S.auto_hyperplane_nbits(2048) == 64
+    assert S.auto_hyperplane_nbits(20000) == 96   # 12-bit bands
+    assert S.auto_hyperplane_nbits(2_000_000) == 8 * 18
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "hp_sigs")
+    S.write_hyperplane_signature_table(emb, path, dim=64, nbits=96)
+    assert S._read_geometry(path) == (96, 8, "hplsh")
+    # probe path derives the table's geometry -> bands still bucket-join
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    got = S.hyperplane_topk_from_signature_table(
+        spark, path, emb, probes, k=5, dim=64
+    )
+    assert got.count() > 0
+
+
 def test_pq_append_idempotent_and_search(spark, tmp_path):
     """Incremental PQ ingest: appending a new batch against frozen
     codebooks codes exactly the missing vectors, re-ingest is a no-op,
