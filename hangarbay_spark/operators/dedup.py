@@ -589,8 +589,16 @@ def connected_components(
     # Materialize the edge list once: every iteration joins against it
     # (plus the convergence probe), and ``pairs`` is usually an entire
     # LSH pipeline — without this each of the O(diameter) rounds would
-    # re-execute candidate generation + verification from scratch.
-    edges = (
+    # re-execute candidate generation + verification from scratch. The
+    # pipeline runs under the CURRENT (adaptive) planner; the loop
+    # below then runs with AQE scoped OFF so the checkpointed frames
+    # keep their recorded partitioning (under AQE they report
+    # UnknownPartitioning and every round re-shuffles the full edge
+    # set — the pagerank() finding): edges pinned on dst, labels on
+    # id, so each round's two joins need NO new exchange and the only
+    # per-round shuffle is the neighbor-min groupBy on src.
+    spark = pairs.sparkSession
+    edges0 = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -598,39 +606,59 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-    )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nbr_cluster"))
-        )
-        # least(old, nbr) differs from old iff nbr < old, so the
-        # convergence flag rides the same select — probing it on the
-        # checkpointed frame costs a filter+limit over materialized
-        # rows, not a second labels join per round.
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-                ).alias("cluster"),
-                F.coalesce(
-                    F.col("nbr_cluster") < F.col("cluster"), F.lit(False)
-                ).alias("chg"),
-            )
+    from hangarbay_spark.operators.graph import loop_partitions
+
+    p = loop_partitions(edges0.count(), spark)
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if p >= conf_p:
+        # cluster-scale pair graph: pin the loop (see comment above)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            edges0.repartition(p, "dst")
+            .sortWithinPartitions("dst")
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("chg")).limit(1).count()
-        labels = updated.drop("chg")
-        if changed == 0:
-            break
-    return labels
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("cluster", F.col("id"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nbr_cluster"))
+            )
+            # least(old, nbr) differs from old iff nbr < old, so the
+            # convergence flag rides the same select — probing it on
+            # the checkpointed frame costs a filter+limit over
+            # materialized rows, not a second labels join per round.
+            updated = (
+                labels.join(
+                    neighbor_min, labels.id == neighbor_min.src, "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce("nbr_cluster", F.col("cluster")),
+                    ).alias("cluster"),
+                    F.coalesce(
+                        F.col("nbr_cluster") < F.col("cluster"), F.lit(False)
+                    ).alias("chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = updated.filter(F.col("chg")).limit(1).count()
+            labels = updated.drop("chg")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def near_dedup_survivors(

