@@ -1565,6 +1565,15 @@ def pq_topk_from_codes(
     )
 
 
+def _write_books(books: list[DataFrame], path: str) -> None:
+    """Persist codebooks as one tiny (j, cid, cvec) parquet."""
+    tagged = None
+    for j, cent in enumerate(books):
+        t = cent.select(F.lit(j).alias("j"), "cid", "cvec")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged.coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def _load_books(spark, books_path: str) -> list[DataFrame]:
     """One collect of the tiny (j, cid, cvec) books parquet (m*ksub
     rows); rebuild the per-subspace book frames as local relations with
@@ -1610,11 +1619,7 @@ def write_pq_index(
     PQ twin of ``write_hyperplane_signature_table``."""
     train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
     books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
-    tagged = None
-    for j, cent in enumerate(books):
-        t = cent.select(F.lit(j).alias("j"), "cid", "cvec")
-        tagged = t if tagged is None else tagged.unionByName(t)
-    tagged.coalesce(1).write.mode("overwrite").parquet(books_path)
+    _write_books(books, books_path)
     codes = pq_encode(corpus, books, id_col, vec_col, dim)
     codes.repartition(buckets, F.col(id_col)).write.mode(
         "overwrite"
@@ -1772,6 +1777,15 @@ def ivfpq_topk_from_codes(
         pt, f"probe_id {idt}, qnorm double, cell int, tab map<int,double>"
     )
 
+    # Static probed-cell pushdown: the union of routed cells is known
+    # driver-side, so the scan itself prunes to those cells BEFORE the
+    # join — against the cell-PARTITIONED persisted layout
+    # (write_ivfpq_index) this is parquet partition pruning (the
+    # nprobe/nlist scan reduction happens at the file listing, pinned
+    # in tests), and on unpartitioned codes it still row-group-filters.
+    probed = sorted({cell for _, _, cell, _ in pt})
+    codes = codes.filter(F.col("cell").isin(probed))
+
     lookup = " + ".join(
         f"element_at(tab, {j} * 1024 + code_{j})" for j in range(m)
     )
@@ -1901,3 +1915,63 @@ def pq_append_to_index(
         spark, batch, books_path, id_col, vec_col, dim
     ).write.mode("append").parquet(codes_path)
     return n_new
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    codes_path: str,
+    coarse_path: str,
+    books_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    nlist: int = 16,
+    iters: int = 2,
+    train_n: int = 2048,
+) -> None:
+    """One-time IVFADC index build: coarse centroids + PQ codebooks
+    (both trained on the bounded deterministic sample, identical to the
+    inline :func:`ivfpq_topk` trainer) persisted as tiny parquets, and
+    the corpus codes written PARTITIONED BY CELL — the serving layout
+    where a search's probed cells prune at the parquet file listing, so
+    the ADC pass reads ~nprobe/nlist of the index regardless of corpus
+    size. The single corpus-wide pass is the zero-exchange
+    :func:`ivfpq_encode` kernel scan (plus the layout write)."""
+    train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
+    coarse = pq_train(train, id_col, vec_col, dim, 1, nlist, iters)[0]
+    books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
+    _write_books([coarse], coarse_path)
+    _write_books(books, books_path)
+    codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col, dim)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(codes_path)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    codes_path: str,
+    coarse_path: str,
+    books_path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 4,
+    rerank: int = 20,
+) -> DataFrame:
+    """IVFADC search over the PERSISTED cell-partitioned index: routing
+    + ADC tables come from the collected coarse/books parquets (tiny),
+    the probed-cell filter prunes parquet partitions at the file
+    listing, and full-precision vectors are read only for the exact
+    re-rank. Results row-identical to the inline :func:`ivfpq_topk`
+    (same bounded training sample)."""
+    coarse = _load_books(spark, coarse_path)[0]
+    books = _load_books(spark, books_path)
+    codes = spark.read.parquet(codes_path)
+    return ivfpq_topk_from_codes(
+        codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
+        nprobe, rerank,
+    )

@@ -55,6 +55,9 @@ ARTIFACTS = {
     "simhash_sigs": "simhash_sigs.parquet",
     "pq_books": "pq_books.parquet",
     "pq_codes": "pq_codes.parquet",
+    "ivfpq_codes": "ivfpq_codes.parquet",
+    "ivfpq_coarse": "ivfpq_coarse.parquet",
+    "ivfpq_books": "ivfpq_books.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -231,6 +234,29 @@ def ensure_pq_index(spark: SparkSession, corpus_dir: str) -> tuple[str, str]:
     return codes_path, books_path
 
 
+def ensure_ivfpq_index(
+    spark: SparkSession, corpus_dir: str
+) -> tuple[str, str, str]:
+    """IVFADC index for embeddings: cell-PARTITIONED code parquet plus
+    coarse + subspace codebooks; returns (codes, coarse, books) paths.
+    Same bounded training sample as the inline ivfpq_topk trainer, so
+    persisted searches match it row-for-row; the probed-cell partition
+    pruning is the point of the layout."""
+    codes_path = artifact_path(corpus_dir, "ivfpq_codes")
+    coarse_path = artifact_path(corpus_dir, "ivfpq_coarse")
+    books_path = artifact_path(corpus_dir, "ivfpq_books")
+    if not (
+        _is_built(codes_path)
+        and _is_built(coarse_path)
+        and _is_built(books_path)
+    ):
+        emb = load_table(spark, corpus_dir, "embeddings")
+        S.write_ivfpq_index(
+            emb, codes_path, coarse_path, books_path, dim=EMB_DIM
+        )
+    return codes_path, coarse_path, books_path
+
+
 def publish_corpus_indexes(
     spark: SparkSession, corpus_dir: str, out_dir: str | Path
 ) -> dict:
@@ -254,6 +280,7 @@ def publish_corpus_indexes(
         ensure_hyperplane_sigs(spark, corpus_dir)
         ensure_simhash_sigs(spark, corpus_dir)
         ensure_pq_index(spark, corpus_dir)
+        ensure_ivfpq_index(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
         meta = {
             "source": str(corpus_dir),
@@ -273,6 +300,8 @@ def publish_corpus_indexes(
                 "simhash_blocks": D.SIMHASH_BLOCKS,
                 "pq_m": 4,
                 "pq_ksub": 16,
+                "ivfpq_nlist": 16,
+                "ivfpq_nprobe": 4,
             },
             "elapsed_sec": round(time.time() - t0, 2),
         }

@@ -2511,6 +2511,32 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivfpq_persisted_topk",
+    None,  # rows-only like its inline twin (no SQL form for IVFADC)
+    "IVFADC ANN from the PERSISTED cell-partitioned index: coarse "
+    "routing + ADC tables come from tiny collected codebook parquets, "
+    "and the probed-cell filter prunes the code scan AT THE PARQUET "
+    "FILE LISTING (the codes are written partitionBy(cell)), so the "
+    "timed search reads ~nprobe/nlist of the index regardless of "
+    "corpus size — the serving layout a billion-vector deployment "
+    "runs. Results row-identical to the inline sim_ivfpq_topk (same "
+    "bounded training sample; pinned in tests)",
+    "similarity extension (persisted IVF x PQ index, partition-pruned)",
+)
+def sim_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    codes_path, coarse_path, books_path = indexes.ensure_ivfpq_index(
+        spark, sf_dir
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.ivfpq_topk_from_index(
+        spark, codes_path, coarse_path, books_path, emb, probes, k=5
+    ).select("probe_id", "neighbor_id", "cosine", "rk")
+
+
 _PQ_OLD_PATHS: dict[str, tuple[str, str]] = {}
 
 

@@ -1683,6 +1683,28 @@ def test_auto_hyperplane_geometry(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_ivfpq_persisted_matches_inline_and_prunes_partitions(spark):
+    """The persisted cell-partitioned IVFADC index reproduces the
+    inline trainer's results row-for-row, and its code scan carries the
+    probed-cell partition filter — the parquet listing reads only
+    nprobe cells' files."""
+    from hangarbay_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    inline = {
+        (r["probe_id"], r["neighbor_id"], r["rk"])
+        for r in REGISTRY["sim_ivfpq_topk"].fn(spark, sf).collect()
+    }
+    pers_df = REGISTRY["sim_ivfpq_persisted_topk"].fn(spark, sf)
+    pers = {
+        (r["probe_id"], r["neighbor_id"], r["rk"])
+        for r in pers_df.collect()
+    }
+    assert inline == pers and len(pers) == 15
+    plan = pers_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan, plan
+
+
 def test_pq_append_idempotent_and_search(spark, tmp_path):
     """Incremental PQ ingest: appending a new batch against frozen
     codebooks codes exactly the missing vectors, re-ingest is a no-op,

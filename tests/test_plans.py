@@ -216,6 +216,7 @@ EXCHANGE_BOUNDS = {
     # IVFADC: cell-routed ADC join is an equi broadcast-hash join (no
     # BNLJ at all); incremental encode is a pure batch-only kernel scan.
     "sim_ivfpq_topk": 5,
+    "sim_ivfpq_persisted_topk": 5,
     "sim_pq_incremental": 0,
 }
 
