@@ -1975,3 +1975,114 @@ def ivfpq_topk_from_index(
         codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
         nprobe, rerank,
     )
+
+
+def write_quantized_table(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 32,
+) -> None:
+    """One-time int8 quantization of the corpus to an id-bucketed
+    parquet (4x smaller than the float32 vectors): the per-vector
+    scale/floor pass — all of :func:`quantized_topk`'s projection
+    cost — is paid once at publish, the int8-ANN twin of the
+    signature/code tables."""
+    q = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("q")
+    )
+    q.repartition(buckets, F.col(id_col)).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def quantized_topk_from_table(
+    spark,
+    path: str,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Int8 ANN top-k over the PERSISTED quantized corpus, scored by an
+    Arrow-batched integer-matmul kernel (one ``Q @ P.T`` per partition
+    instead of interpreted per-element HOF lambdas — the production
+    pattern BENCH_NOTES promised for this query's linear-scan profile).
+
+    Hash-identical to the inline :func:`quantized_topk` / its DuckDB
+    oracle BY CONSTRUCTION, not by luck: every pairwise quantity the
+    kernel computes (dots, norms) is an exact int64 — integer addition
+    has no summation-order sensitivity — and the only float ops (the
+    final divide / sqrt / 9 dp round) run JVM-side in the identical
+    expression order as ``quantized_cosine_expr``. Probe vectors are
+    quantized driver-side with the same double arithmetic
+    (127/max|x| scale, floor(x*s+0.5))."""
+    import math
+
+    import numpy as np
+
+    qt = spark.read.parquet(path)
+    idt = dict(qt.dtypes)[id_col]
+
+    prows = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("v")
+    ).collect()
+    pids, pqs, pnorms = [], [], []
+    for r in prows:
+        x = [float(v) for v in r["v"]]
+        sc = 127.0 / max(max(abs(v) for v in x), 1e-30)
+        qv = [math.floor(v * sc + 0.5) for v in x]
+        pids.append(r["probe_id"])
+        pqs.append(qv)
+        pnorms.append(sum(c * c for c in qv))
+    P = np.asarray(pqs, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+            )
+            dots = Q @ P.T  # exact int64: |dot| <= 127^2 * dim
+            nq = (Q * Q).sum(axis=1)
+            n, p = dots.shape
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(
+                        pdf[id_col].to_numpy(), p
+                    ),
+                    "pidx": np.tile(np.arange(p, dtype=np.int32), n),
+                    "dot": dots.reshape(-1),
+                    "nq": np.repeat(nq, p),
+                }
+            )
+
+    scored_raw = qt.mapInPandas(
+        kernel, f"neighbor_id {idt}, pidx int, dot bigint, nq bigint"
+    )
+    # Final float ops JVM-side, in quantized_cosine_expr's exact order:
+    # sqrt(probe_norm) * sqrt(corpus_norm), divide, round 9 dp.
+    pid_arr = F.array(*[F.lit(v) for v in pids])
+    pn_arr = F.array(*[F.lit(float(v)) for v in pnorms])
+    scored = (
+        scored_raw.select(
+            F.element_at(pid_arr, F.col("pidx") + 1).alias("probe_id"),
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.element_at(pn_arr, F.col("pidx") + 1))
+                    * F.sqrt(F.col("nq").cast("double"))
+                ),
+                COSINE_SCALE,
+            ).alias("qcosine"),
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("qcosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -58,6 +58,7 @@ ARTIFACTS = {
     "ivfpq_codes": "ivfpq_codes.parquet",
     "ivfpq_coarse": "ivfpq_coarse.parquet",
     "ivfpq_books": "ivfpq_books.parquet",
+    "quantized": "quantized.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -257,6 +258,17 @@ def ensure_ivfpq_index(
     return codes_path, coarse_path, books_path
 
 
+def ensure_quantized_table(spark: SparkSession, corpus_dir: str) -> str:
+    """Persisted int8-quantized embedding table; returns its path. The
+    per-vector scale/floor projection is paid once here; searches scan
+    4x-smaller integer rows."""
+    path = artifact_path(corpus_dir, "quantized")
+    if not _is_built(path):
+        emb = load_table(spark, corpus_dir, "embeddings")
+        S.write_quantized_table(emb, path)
+    return path
+
+
 def publish_corpus_indexes(
     spark: SparkSession, corpus_dir: str, out_dir: str | Path
 ) -> dict:
@@ -281,6 +293,7 @@ def publish_corpus_indexes(
         ensure_simhash_sigs(spark, corpus_dir)
         ensure_pq_index(spark, corpus_dir)
         ensure_ivfpq_index(spark, corpus_dir)
+        ensure_quantized_table(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
         meta = {
             "source": str(corpus_dir),

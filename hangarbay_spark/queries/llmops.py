@@ -1506,6 +1506,42 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_quantized_topk() -> str:
+    # identical results by construction -> identical oracle (every
+    # pairwise quantity is an exact integer; the kernel's only float
+    # ops replicate quantized_cosine_expr's order JVM-side)
+    from hangarbay_spark.queries.base import REGISTRY
+
+    return REGISTRY["sim_quantized_topk"].oracle
+
+
+@register(
+    "sim_quantized_persisted_topk",
+    _o_quantized_topk(),
+    "int8 ANN from the PERSISTED quantized table, scored by an "
+    "Arrow-batched integer matmul (one Q @ P.T per partition instead "
+    "of interpreted per-element lambdas — the production shape "
+    "BENCH_NOTES promised for this linear-scan profile): the "
+    "quantization projection is paid once at publish, the timed scan "
+    "reads 4x-smaller integer rows, and results are hash-identical "
+    "to sim_quantized_topk because integer dots have no "
+    "summation-order sensitivity and the final divide/sqrt/round "
+    "runs JVM-side in the same expression order — same oracle",
+    "similarity-search extension (persisted int8 ANN, Arrow matmul)",
+)
+def sim_quantized_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    path = indexes.ensure_quantized_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.quantized_topk_from_table(spark, path, probes, k=5).select(
+        "probe_id", "neighbor_id", "qcosine", "rk"
+    )
+
+
 JL_DIM = 16
 
 

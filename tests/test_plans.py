@@ -218,6 +218,8 @@ EXCHANGE_BOUNDS = {
     "sim_ivfpq_topk": 5,
     "sim_ivfpq_persisted_topk": 5,
     "sim_pq_incremental": 0,
+    # persisted int8 scan: kernel + per-probe window only
+    "sim_quantized_persisted_topk": 1,
 }
 
 
