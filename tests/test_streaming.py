@@ -591,3 +591,75 @@ def test_stream_stream_full_outer_join_matches_batch(spark, events_dir):
     assert g == b and len(b) > 0
     # both unmatched directions genuinely appear
     assert any(k[0] is None for k in b) and any(k[3] is None for k in b)
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """Streamed embedding batches are encoded against FROZEN codebooks
+    and appended to the persisted PQ index; the served search sees new
+    vectors without any rebuild; restart with the same checkpoint and
+    a crash-replayed batch are both no-ops."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.streaming import ann_maintenance as AM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    initial = emb.filter(F.col("vec_id") % 3 == 0)
+    rest = emb.filter(F.col("vec_id") % 3 != 0)
+
+    index_dir = str(tmp_path / "ann_index")
+    AM.bootstrap_index(initial, index_dir, dim=64)
+    n0 = spark.read.parquet(AM.codes_path(index_dir)).count()
+    assert n0 == initial.count()
+
+    # stream the remainder as two micro-batches (one file each)
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    b0 = rest.filter(F.col("vec_id") % 3 == 1)
+    b1 = rest.filter(F.col("vec_id") % 3 == 2)
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = AM.ann_index_maintenance_stream(
+        stream, index_dir, checkpoint_dir=str(tmp_path / "ckpt"), dim=64
+    )
+    q.awaitTermination()
+    codes = spark.read.parquet(AM.codes_path(index_dir))
+    assert codes.count() == emb.count()
+    assert {r["vec_id"] for r in codes.select("vec_id").collect()} == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+
+    # the served search covers streamed-in vectors with no rebuild
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    got = S.pq_topk_from_index(
+        spark,
+        AM.codes_path(index_dir),
+        AM.books_path(index_dir),
+        emb,
+        probes,
+        k=5,
+    )
+    assert got.count() == 15
+
+    # restart with same checkpoint: no new files -> no change
+    q2 = AM.ann_index_maintenance_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dim=64,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(AM.codes_path(index_dir)).count() == emb.count()
+
+    # crash-replay of an already-applied batch id is a no-op
+    assert (
+        AM.ingest_embeddings_batch(spark, b0, 0, index_dir, dim=64) == 0
+    )
