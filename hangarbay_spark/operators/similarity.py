@@ -365,10 +365,15 @@ def auto_hyperplane_nbits(n: int, bands: int = HYPERPLANE_BANDS) -> int:
     8-bit default. On structureless corpora the fixed 256-value band
     domain saturates once n >> 2^8 (every bucket goes quadratic — the
     sf1 16-89 s pathology in BENCH_NOTES); scaling bits with log2(n)
-    keeps candidate generation near-linear while ``bands`` stays fixed
-    so the recall S-curve keeps its shape. All driver-compared scale
-    factors have n <= 2048, where this returns exactly the fixed
-    64-bit geometry the oracle SQL embeds."""
+    keeps candidate generation near-linear while ``bands`` stays fixed.
+    Deliberate tradeoff: wider bands lower collision probability at a
+    given cosine (at 12 bits a 0.95-cosine pair collides in a band with
+    p≈0.9^12≈0.28, recall ≈ 1-(1-0.28)^8 ≈ 0.93 vs 0.99 at 8 bits) —
+    a few recall points bought back the corpus-quadratic hot-bucket
+    blowup (16-89 s run-to-run at sf1, BENCH_NOTES); callers needing
+    the old recall at scale pass bands/nbits explicitly. All
+    driver-compared scale factors have n <= 2048, where this returns
+    exactly the fixed 64-bit geometry the oracle SQL embeds."""
     import math
 
     bits = max(8, math.ceil(math.log2(max(n, 2))) - 3)

@@ -1679,3 +1679,98 @@ def join_spatial_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_sq", "id_a", "id_b")
         .limit(100)
     )
+
+
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_bucketed_orderkey(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Once per (process, corpus): lineitem + orders persisted as
+    catalog tables bucketed 32 ways on the order key (column-pruned to
+    what the query reads), via plans/layout.write_bucketed — one
+    write-time shuffle each, amortized over every subsequent
+    co-located join."""
+    import hashlib
+
+    key = sf_dir.rstrip("/")
+    cached = _BUCKETED_TABLES.get(key)
+    if cached is not None:
+        return cached
+    from hangarbay_spark.plans.layout import write_bucketed
+
+    digest = hashlib.sha256(key.encode()).hexdigest()[:8]
+    li_t, o_t = f"hb_bkt_li_{digest}", f"hb_bkt_ord_{digest}"
+    # The in-memory catalog dies with the process but the warehouse
+    # directory persists: a stale location without catalog metadata is
+    # useless (the bucket spec lives in the catalog), so clear it and
+    # rewrite.
+    import shutil
+    from pathlib import Path
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(Path(wh) / t.lower(), ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_t,
+        "l_orderkey",
+        buckets=32,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        o_t,
+        "o_orderkey",
+        buckets=32,
+    )
+    _BUCKETED_TABLES[key] = (li_t, o_t)
+    return li_t, o_t
+
+
+@register(
+    "join_bucketed_colocated",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "co-located fact-to-fact join over BUCKETED tables (the layout "
+    "answer to the biggest shuffle in the schema): lineitem and "
+    "orders are persisted bucketed 32 ways on the order key "
+    "(write_bucketed, one write-time shuffle each, paid once at "
+    "publish), after which the orderkey join is SHUFFLE-FREE — "
+    "neither side ever plans an Exchange on the join key (pinned in "
+    "tests; at tiny SF the planner still broadcasts the pruned "
+    "orders side, which equally shuffles nothing). At 100 TB this "
+    "is the difference between "
+    "re-shuffling the fact table per query and never shuffling it "
+    "again; results identical to the plain join, same oracle",
+    "2.3/2.6 Q6 (bucketed co-located join surfaced as a query)",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_t, o_t = _ensure_bucketed_orderkey(spark, sf_dir)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

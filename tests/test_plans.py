@@ -223,6 +223,17 @@ EXCHANGE_BOUNDS = {
 }
 
 
+def test_bucketed_colocated_join_no_join_key_shuffle(spark):
+    """The bucketed-table join never exchanges either side on the join
+    key (the bucket layout IS the partitioning); bucketed scans are
+    used. The remaining exchanges are the tiny priority aggregation /
+    ordering (and, at tiny SF, a broadcast of the pruned orders side)."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SelectedBucketsCount" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
 def test_pagerank_iteration_single_shuffle(spark):
     """The message-passing floor for the PINNED loop regime (cluster-
     scale edge sets): with AQE scoped off, localCheckpoint preserves
