@@ -606,26 +606,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    from hangarbay_spark.operators.graph import loop_partitions
+    from hangarbay_spark.operators.graph import PIN_NODES, loop_partitions
 
-    p = loop_partitions(edges0.count(), spark)
-    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    labels0 = (
+        edges0.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    # Regime switch on NODE count (graph.PIN_NODES): while the label
+    # vector broadcasts, adaptive planning wins; beyond that, pin the
+    # loop partitioning with AQE off so the checkpointed edge frame's
+    # partitioning is reused instead of re-shuffled every round.
+    n_nodes = labels0.count()
+    pin = n_nodes > PIN_NODES
     prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if p >= conf_p:
-        # cluster-scale pair graph: pin the loop (see comment above)
+    if pin:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges = (
-            edges0.repartition(p, "dst")
-            .sortWithinPartitions("dst")
-            .localCheckpoint()
-        )
-        labels = (
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("cluster", F.col("id"))
-            .localCheckpoint()
-        )
+        if pin:
+            p = loop_partitions(edges0.count(), spark)
+            edges = (
+                edges0.repartition(p, "dst")
+                .sortWithinPartitions("dst")
+                .localCheckpoint()
+            )
+        else:
+            edges = edges0
+        labels = labels0.localCheckpoint()
         for _ in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)

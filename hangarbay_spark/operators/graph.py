@@ -35,6 +35,18 @@ def loop_partitions(n_rows: int, spark) -> int:
     return max(1, min(conf_p, n_rows // 300_000 + 1))
 
 
+# Rank/label vectors carry one row per node; up to ~2M nodes such a
+# frame broadcasts (tens of MB), and AQE's runtime broadcast of it
+# beats the pinned sort-merge loop outright (the edge side is never
+# shuffled OR sorted per round). The pinned AQE-off loop is for graphs
+# whose node vector cannot broadcast — there, re-shuffling the full
+# edge set every round is the dominant cost (measured 3 exchanges/
+# iteration) and checkpoint-partitioning reuse removes it. sf1
+# evidence: 24M-edge / 200k-node PageRank ran 2x FASTER adaptive than
+# pinned, so the switch keys on NODE count, not edge count.
+PIN_NODES = 2_000_000
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -60,64 +72,70 @@ def pagerank(
     new exchange: ONE shuffle per iteration, the floor for
     message-passing on a cluster.
 
-    AQE is scoped OFF for the loop construction: under AQE the
-    checkpointed RDDs report UnknownPartitioning (the adaptive plan's
-    partitioning is only known post-execution), which silently
-    re-shuffles the FULL edge set every iteration — measured 3
-    exchanges/iteration with AQE on vs the pinned 1 with it off
+    Loop planning regime is chosen by NODE count (see ``PIN_NODES``):
+    while the rank vector broadcasts, adaptive planning runs the loop
+    best (AQE broadcast-joins ranks; the edge set is never shuffled or
+    sorted per round). Beyond that, AQE is scoped OFF for the loop:
+    under AQE the checkpointed RDDs report UnknownPartitioning (the
+    adaptive plan's partitioning is only known post-execution), which
+    silently re-shuffles the FULL edge set every iteration — measured
+    3 exchanges/iteration with AQE on vs the pinned 1 with it off
     (tests/test_plans.py::test_pagerank_iteration_single_shuffle).
-    The prior setting is restored before returning; the loop's
-    partition counts are deliberately static, so AQE has nothing to
-    add inside it.
+    The prior setting is restored before returning.
     """
-    spark = edges.sparkSession
-    # The heavy part — the caller's edge derivation + the dedup whose
-    # partial aggregation collapses the raw duplicate stream map-side —
-    # runs under the CURRENT (adaptive) planner, keeping AQE's runtime
-    # broadcast conversion for the derivation joins.
-    e0 = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    p = loop_partitions(e0.count(), spark)
-    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if p < conf_p:
-        # Small edge set: adaptive planning wins — AQE broadcasts the
-        # rank join and coalesces the tiny shuffles, and any per-round
-        # re-shuffle touches a frame too small to matter. The pinned
-        # path below exists for the regime where it doesn't.
-        return _pagerank_loop(e0, p, iters, damping, symmetric)
-    # Cluster-scale edge set: pin the loop partitioning with AQE
-    # scoped off so every iteration reuses the checkpointed edge
-    # partitioning instead of re-shuffling the full edge set.
-    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _pagerank_loop(e0, p, iters, damping, symmetric)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
-
-
-def _pagerank_loop(
-    e: DataFrame, p: int, iters: int, damping: float, symmetric: bool
-) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # ``e`` is the deduped, checkpointed edge set. The degree window
-    # rides the explicit src repartition for free (hashpartitioning(
-    # src) satisfies its ClusteredDistribution) — one exchange of the
-    # deduped set, whose partitioning the loop's checkpoints preserve
-    # when AQE is off (see pagerank()).
-    if symmetric:
-        e = e.repartition(p, "src")
+    spark = edges.sparkSession
+    # One-time edge build under the adaptive planner (keeps AQE's
+    # runtime broadcast conversion for the caller's derivation joins
+    # and the distinct's map-side dedup of the raw duplicate stream).
+    e = edges.select("src", "dst").distinct()
     ed = e.withColumn(
         "deg",
         F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
     )
+    if symmetric:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ed = ed.repartition(p, "src")
     ed = ed.localCheckpoint(eager=True)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = float(nodes.count())
+    n = nodes.count()  # the loop needs N anyway — the regime test is free
+    if n <= PIN_NODES:
+        # The rank vector broadcasts: adaptive planning runs the loop
+        # best (AQE broadcast-joins ranks against the never-shuffled
+        # checkpointed edges). See PIN_NODES.
+        return _pagerank_loop(ed, nodes, n, iters, damping, symmetric)
+    # Node vector too big to broadcast: re-pin the already-materialized
+    # edge frame (ONE exchange from memory) under AQE-off so the
+    # loop's checkpoints preserve its partitioning and no iteration
+    # re-shuffles the full edge set.
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = loop_partitions(ed.count(), spark)
+        ed2 = (
+            ed.repartition(p, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=True)
+        )
+        return _pagerank_loop(ed2, nodes, n, iters, damping, symmetric)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+def _pagerank_loop(
+    ed: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+    symmetric: bool,
+) -> DataFrame:
+    n = float(n_nodes)
     jump = 1.0 - damping
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(iters):

@@ -906,25 +906,32 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no exchange and each round shuffles only the (node, label) counts
     # + the per-node argmax window. Small edge sets keep adaptive
     # planning (broadcast label joins beat pinning there).
-    from hangarbay_spark.operators.graph import loop_partitions
+    from hangarbay_spark.operators.graph import PIN_NODES, loop_partitions
 
-    p = loop_partitions(2 * e.count(), spark)
-    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    und0 = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels0 = und0.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    # Regime switch on NODE count (graph.PIN_NODES): broadcastable
+    # label vector -> adaptive planning; beyond -> pinned AQE-off loop.
+    n_nodes = labels0.count()
+    pin = n_nodes > PIN_NODES
     prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if p >= conf_p:
+    if pin:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        und = (
-            e.unionByName(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if pin:
+            p = loop_partitions(2 * e.count(), spark)
+            und = (
+                und0.repartition(p, "dst")
+                .sortWithinPartitions("dst")
+                .localCheckpoint(eager=True)
             )
-            .repartition(p, "dst")
-            .sortWithinPartitions("dst")
-            .localCheckpoint(eager=True)
-        )
-        labels = und.select(F.col("src").alias("node")).distinct().select(
-            "node", F.col("node").alias("label")
-        ).localCheckpoint(eager=False)
+        else:
+            und = und0
+        labels = labels0.localCheckpoint(eager=False)
         w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
         for _ in range(_LPA_ITERS):
             nbr = und.join(
