@@ -1636,3 +1636,68 @@ def events_conversion_lag_cohorts(
             / F.count("lag_ms")
         ).alias("mean_lag_ms"),
     )
+
+
+_EVENTS_PARTITIONED: dict[str, str] = {}
+
+
+def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (process, corpus): events re-laid-out as date-
+    partitioned parquet (plans/layout.write_partitioned) — the layout
+    under which day-scoped queries prune at the parquet file listing
+    instead of scanning the full history. One write, amortized over
+    every subsequent time-scoped query."""
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    path = _EVENTS_PARTITIONED.get(key)
+    if path is None:
+        from hangarbay_spark.plans.layout import write_partitioned
+
+        path = tempfile.mkdtemp(prefix="hb_events_bydate_") + "/events"
+        ev = load_events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+        write_partitioned(ev, path, "d")
+        _EVENTS_PARTITIONED[key] = path
+    return path
+
+
+@register(
+    "scan_partition_pruned_day",
+    """
+    WITH d0 AS (SELECT CAST(MIN(ts) AS DATE) AS d FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events, d0
+    WHERE CAST(ts AS DATE) = d0.d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "date-partitioned layout + partition-pruned day scan (the "
+    "time-series twin of the bucketed co-located join): events are "
+    "written partitionBy(event_date) once at publish, after which a "
+    "single-day rollup reads ONLY that day's files — the parquet "
+    "listing prunes every other partition (PartitionFilters pinned in "
+    "tests). At 100 TB of history this is the difference between a "
+    "full-history scan and touching one day; results identical to "
+    "filtering the raw table, same oracle",
+    "2.6 Q6 (partitioned layout surfaced as a pruned query)",
+)
+def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_events_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    # 1-row driver scalar (the events_rfm_segments precedent): the
+    # earliest day, resolved from the partition column — the listing
+    # itself answers it without reading data rows.
+    day = ev.agg(F.min("d").alias("d")).collect()[0]["d"]
+    return (
+        ev.filter(F.col("d") == F.lit(day))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2516,13 +2516,23 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity extension (IVF x PQ recall gate)",
 )
 def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
     exact = S.brute_force_topk_pandas(emb, probes, k=5).select(
         "probe_id", "neighbor_id"
     )
+    # the persisted index is row-identical to the inline trainer
+    # (pinned in tests) — measuring it measures both, without paying a
+    # second in-query training pass
+    codes_path, coarse_path, books_path = indexes.ensure_ivfpq_index(
+        spark, sf_dir
+    )
     hits = (
-        S.ivfpq_topk(emb, probes, k=5)
+        S.ivfpq_topk_from_index(
+            spark, codes_path, coarse_path, books_path, emb, probes, k=5
+        )
         .select("probe_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
     )

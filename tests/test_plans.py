@@ -234,6 +234,18 @@ def test_bucketed_colocated_join_no_join_key_shuffle(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
 
 
+def test_partition_pruned_day_scan(spark):
+    """The day-scoped rollup over the date-partitioned layout carries a
+    partition filter on d — the parquet listing prunes every other
+    day's files before any row is read."""
+    plan = _plan(spark, "scan_partition_pruned_day")
+    assert "PartitionFilters: [isnotnull(d#" in plan or (
+        "PartitionFilters: [" in plan and "(d#" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
+    )
+
+
 def test_pagerank_iteration_single_shuffle(spark):
     """The message-passing floor for the PINNED loop regime (cluster-
     scale edge sets): with AQE scoped off, localCheckpoint preserves
