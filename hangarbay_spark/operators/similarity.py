@@ -1855,11 +1855,13 @@ def ivfpq_topk(
     cells, the flat PQ/ADC scan is restricted to those cells' codes,
     and the surviving rerank*k candidates are exactly re-scored. Both
     quantizers train on the same bounded deterministic sample —
-    constant cost in corpus size; the one corpus-wide pass is the
+    constant cost in corpus size, one JOINT Lloyd loop
+    (:func:`ivfpq_train`); the one corpus-wide pass is the
     zero-exchange :func:`ivfpq_encode` kernel scan."""
     train = corpus.orderBy(id_col).limit(2048).localCheckpoint()
-    coarse = pq_train(train, id_col, vec_col, dim, 1, nlist, iters)[0]
-    books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
+    coarse, books = ivfpq_train(
+        train, id_col, vec_col, dim, m, ksub, nlist, iters
+    )
     codes = ivfpq_encode(
         corpus, coarse, books, id_col, vec_col, dim
     ).localCheckpoint()
@@ -1945,8 +1947,9 @@ def write_ivfpq_index(
     size. The single corpus-wide pass is the zero-exchange
     :func:`ivfpq_encode` kernel scan (plus the layout write)."""
     train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
-    coarse = pq_train(train, id_col, vec_col, dim, 1, nlist, iters)[0]
-    books = pq_train(train, id_col, vec_col, dim, m, ksub, iters)
+    coarse, books = ivfpq_train(
+        train, id_col, vec_col, dim, m, ksub, nlist, iters
+    )
     _write_books([coarse], coarse_path)
     _write_books(books, books_path)
     codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col, dim)
@@ -2091,3 +2094,128 @@ def quantized_topk_from_table(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    nlist: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Joint Lloyd training of the IVF coarse quantizer AND the m
+    subspace codebooks in ONE loop: every iteration is a single kernel
+    assignment pass (cells + all subspace codes together) plus one
+    combined (book, cid, dim) decimal-mean shuffle — half the tiny-job
+    chatter of running two separate :func:`pq_train` loops.
+    Bit-identical to the separate trainers (same deterministic
+    smallest-id init, same sequential score folds, same exact decimal
+    means), so indexes built either way agree row-for-row. Returns
+    (coarse, books)."""
+    sub = dim // m
+    spark = corpus.sparkSession
+    idt = dict(corpus.dtypes)[id_col]
+    vt = dict(corpus.dtypes)[vec_col]
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+
+    kmax = max(ksub, nlist)
+    init = sorted(
+        base.orderBy(id_col).limit(kmax).collect(), key=lambda r: r[id_col]
+    )
+    lits = [
+        (
+            list(range(1, min(ksub, len(init)) + 1)),
+            [
+                [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+                for r in init[:ksub]
+            ],
+        )
+        for j in range(m)
+    ]
+    cell_lits = (
+        list(range(1, min(nlist, len(init)) + 1)),
+        [[float(x) for x in r[vec_col]] for r in init[:nlist]],
+    )
+
+    schema = (
+        f"{id_col} {idt}, cell int, "
+        + ", ".join(f"code_{j} int" for j in range(m))
+        + f", {vec_col} {vt}"
+    )
+    for _ in range(iters):
+        coded = base.mapInPandas(
+            _pq_codes_kernel(
+                lits,
+                sub,
+                id_col,
+                vec_col,
+                with_norm=False,
+                keep_vec=True,
+                cell_lits=cell_lits,
+            ),
+            schema,
+        )
+        entries = [
+            F.struct(
+                F.lit(j).alias("j"),
+                F.col(f"code_{j}").alias("cid"),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ] + [
+            F.struct(
+                F.lit(m).alias("j"),
+                F.col("cell").alias("cid"),
+                F.slice(F.col(vec_col), 1, dim).alias("sv"),
+            )
+        ]
+        ex = coded.select(F.explode(F.array(*entries)).alias("e"))
+        pos = ex.select(
+            F.col("e.j").alias("j"),
+            F.col("e.cid").alias("cid"),
+            F.posexplode(F.col("e.sv")).alias("i", "x"),
+        )
+        means = pos.groupBy("j", "cid", "i").agg(
+            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
+            .cast("float")
+            .alias("mval")
+        )
+        rows = (
+            means.groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
+                    ),
+                    lambda s: s.getField("mval"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+
+        def _sel(j: int):
+            sel = sorted(
+                (r for r in rows if r["j"] == j), key=lambda r: r["cid"]
+            )
+            return (
+                [int(r["cid"]) for r in sel],
+                [[float(x) for x in r["cvec"]] for r in sel],
+            )
+
+        lits = [_sel(j) for j in range(m)]
+        cell_lits = _sel(m)
+
+    def _mk(cids, cvecs):
+        b = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvecs)],
+            "cid int, cvec array<float>",
+        )
+        b._hb_lits = (cids, cvecs)
+        return b
+
+    coarse = _mk(*cell_lits)
+    books = [_mk(*lit) for lit in lits]
+    return coarse, books
