@@ -1273,9 +1273,10 @@ def pq_train(
     slice vectors into ``m`` contiguous subspaces and run L2 Lloyd
     iterations in each — deterministic init (ksub smallest-id
     subvectors), zero-shuffle literal-argmax assignment, decimal-exact elementwise means
-    (centroid_update). Returns ``m`` tiny (cid, cvec) DataFrames,
-    each localCheckpoint'd. Corpus cost: one scan per subspace per
-    iteration, no vector ever collected to the driver."""
+    (centroid_update-equivalent combined shuffle). Returns ``m`` tiny
+    (cid, cvec) local-relation DataFrames with the literal lists
+    attached. Corpus cost: one kernel scan + one combined mean shuffle
+    per iteration; only codebooks (bounded) reach the driver."""
     sub = dim // m
     spark = corpus.sparkSession
     idt = dict(corpus.dtypes)[id_col]
