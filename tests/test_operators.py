@@ -2118,3 +2118,41 @@ def test_bloom_false_positive_rate_bounded(spark):
         .count()
     )
     assert fp / 10_000 < 0.01
+
+
+def test_pq_kernel_assignment_matches_numpy_bruteforce(spark):
+    """First-principles guard on the Arrow assignment kernel: every
+    emitted code (and IVF cell) is the true L2-argmin centroid for its
+    subvector (ties -> smallest cid), checked against a plain numpy
+    distance computation over the sf0.001 embeddings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.orderBy("vec_id").limit(256).localCheckpoint()
+    coarse, books = S.ivfpq_train(train, dim=64, m=4, ksub=16, nlist=16)
+    codes = {
+        r["vec_id"]: r
+        for r in S.ivfpq_encode(emb.limit(200), coarse, books, dim=64)
+        .collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.limit(200).collect()
+    }
+    book_lits = [S._collect_codebook(b) for b in books]
+    cell_lits = S._collect_codebook(coarse)
+
+    def argmin_cid(x, cids, cvecs):
+        d = [np.sum((x - np.asarray(cv)) ** 2) for cv in cvecs]
+        return cids[int(np.argmin(d))]  # first min -> smallest cid
+
+    for vid, x in vecs.items():
+        r = codes[vid]
+        assert r["cell"] == argmin_cid(x, *cell_lits)
+        for j, (cids, cvecs) in enumerate(book_lits):
+            want = argmin_cid(x[j * 16 : (j + 1) * 16], cids, cvecs)
+            assert r[f"code_{j}"] == want, (vid, j)
+        assert abs(r["norm"] - float(np.sqrt(np.sum(x * x)))) < 1e-9
