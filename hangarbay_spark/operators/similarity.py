@@ -2220,3 +2220,39 @@ def ivfpq_train(
     coarse = _mk(*cell_lits)
     books = [_mk(*lit) for lit in lits]
     return coarse, books
+
+
+def ivfpq_append_to_index(
+    spark,
+    new: DataFrame,
+    codes_path: str,
+    coarse_path: str,
+    books_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    guard_existing: bool = True,
+) -> int:
+    """Append a new batch to the persisted IVFADC index: cells + codes
+    come from the FROZEN coarse/books parquets (batch-only
+    zero-exchange kernel scan), and rows land inside their cells'
+    partition directories — the serving layout keeps pruning after
+    every append. Idempotent under ``guard_existing`` (id anti-join),
+    like :func:`pq_append_to_index`. Returns newly coded count."""
+    coarse = _load_books(spark, coarse_path)[0]
+    books = _load_books(spark, books_path)
+    batch = new
+    if guard_existing:
+        existing = spark.read.parquet(codes_path).select(F.col(id_col))
+        batch = batch.join(existing, id_col, "left_anti")
+    batch = batch.localCheckpoint(eager=True)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    (
+        ivfpq_encode(batch, coarse, books, id_col, vec_col, dim)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    return n_new

@@ -2156,3 +2156,37 @@ def test_pq_kernel_assignment_matches_numpy_bruteforce(spark):
             want = argmin_cid(x[j * 16 : (j + 1) * 16], cids, cvecs)
             assert r[f"code_{j}"] == want, (vid, j)
         assert abs(r["norm"] - float(np.sqrt(np.sum(x * x)))) < 1e-9
+
+
+def test_ivfpq_append_idempotent_and_pruned_search(spark, tmp_path):
+    """IVFADC incremental ingest: appended rows land inside their
+    cells' partition dirs (pruning keeps working), re-ingest is a
+    no-op, and the served search covers the full corpus."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    codes_p = str(tmp_path / "codes")
+    coarse_p = str(tmp_path / "coarse")
+    books_p = str(tmp_path / "books")
+    S.write_ivfpq_index(old, codes_p, coarse_p, books_p, dim=64)
+    n = S.ivfpq_append_to_index(
+        spark, new, codes_p, coarse_p, books_p, dim=64
+    )
+    assert n == new.count()
+    assert (
+        S.ivfpq_append_to_index(spark, new, codes_p, coarse_p, books_p, dim=64)
+        == 0
+    )
+    assert spark.read.parquet(codes_p).count() == emb.count()
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    got = S.ivfpq_topk_from_index(
+        spark, codes_p, coarse_p, books_p, emb, probes, k=5
+    )
+    df = got
+    assert df.count() == 15
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan
