@@ -954,3 +954,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+# Shared rule-metric formulas (identical text both engines — the
+# _stats_formula_sql convention): all inputs are exact integer counts,
+# so the single divide/multiply chain is the only float arithmetic and
+# runs in the same IEEE order; 9 dp round guards the residual ulp.
+_AR_CONF = "round(CAST(nab AS DOUBLE) / CAST(na AS DOUBLE), 9)"
+_AR_LIFT = (
+    "round((CAST(nab AS DOUBLE) * CAST(n_orders AS DOUBLE)) / "
+    "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9)"
+)
+
+
+@register(
+    "analytics_association_rules",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM li GROUP BY l_partkey),
+    pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  CAST(COUNT(*) AS BIGINT) AS nab
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey
+           HAVING COUNT(*) >= 3),
+    j AS (SELECT part_a, part_b, nab, ia.cnt AS na, ib.cnt AS nb, n_orders
+          FROM pr JOIN ic ia ON ia.l_partkey = part_a
+                  JOIN ic ib ON ib.l_partkey = part_b
+                  CROSS JOIN n)
+    SELECT part_a, part_b, nab,
+           {_AR_CONF} AS confidence,
+           {_AR_LIFT} AS lift
+    FROM j
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    "market-basket association rules (the classic co-occurrence "
+    "mining workload): orders are baskets, pair support counted from "
+    "one a<b self-join of the deduped (order, part) projection — the "
+    "same bounded per-basket expansion as the co-purchase graph, "
+    "never an all-pairs item join — then confidence and lift from "
+    "exact integer supports via one shared formula text. Top-20 by "
+    "lift with a support floor; the 1-row basket-count scalar is the "
+    "only broadcast",
+    "analytics extension (association rules / market-basket mining)",
+)
+def analytics_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Four consumers (basket count, item supports, both self-join
+    # sides) — checkpoint once (multiple-consumer invariant, CLAUDE.md)
+    # or each re-derives the dedup from the scan.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ic = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pr = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= 3)
+    )
+    j = (
+        pr.join(
+            ic.select(
+                F.col("l_partkey").alias("part_a"), F.col("cnt").alias("na")
+            ),
+            "part_a",
+        )
+        .join(
+            ic.select(
+                F.col("l_partkey").alias("part_b"), F.col("cnt").alias("nb")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        j.select(
+            "part_a",
+            "part_b",
+            "nab",
+            F.expr(_AR_CONF).alias("confidence"),
+            F.expr(_AR_LIFT).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )

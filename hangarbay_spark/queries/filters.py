@@ -525,3 +525,95 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
     )
+
+
+@register(
+    "quality_constraint_audit",
+    """
+    WITH m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_ids,
+        CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        CAST(SUM(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END)
+          AS BIGINT) AS short_text,
+        CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+          AS BIGINT) AS bad_n_chars,
+        CAST(SUM(CASE WHEN lang IS NULL OR length(lang) <> 2
+                 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_source
+      FROM documents)
+    SELECT metric, value FROM (
+      SELECT 'bad_lang' AS metric, bad_lang AS value FROM m
+      UNION ALL SELECT 'bad_n_chars', bad_n_chars FROM m
+      UNION ALL SELECT 'dup_ids', dup_ids FROM m
+      UNION ALL SELECT 'empty_text', empty_text FROM m
+      UNION ALL SELECT 'n_rows', n_rows FROM m
+      UNION ALL SELECT 'null_ids', null_ids FROM m
+      UNION ALL SELECT 'null_source', null_source FROM m
+      UNION ALL SELECT 'short_text', short_text FROM m)
+    ORDER BY metric
+    """,
+    "data-quality constraint audit (the Deequ/Great-Expectations "
+    "pattern for training-data intake gates): completeness, "
+    "uniqueness, emptiness, length floors, derived-column consistency "
+    "(n_chars == length(text)) and domain checks (2-letter lang) "
+    "computed in ONE map-side-combined pass over the corpus and "
+    "unpivoted to (metric, value) rows — the report a pipeline "
+    "asserts on before admitting a crawl batch. At 100 TB this is "
+    "one scan; every check is a conditional sum riding the same "
+    "aggregate",
+    "filters extension (data-quality constraint audit)",
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("dup_ids"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_ids"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("empty_text"),
+        F.sum(F.when(F.length("text") < 20, 1).otherwise(0))
+        .cast("bigint")
+        .alias("short_text"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_n_chars"),
+        F.sum(
+            F.when(
+                F.col("lang").isNull() | (F.length("lang") != 2), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_lang"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_source"),
+    )
+    metrics = [
+        "bad_lang",
+        "bad_n_chars",
+        "dup_ids",
+        "empty_text",
+        "n_rows",
+        "null_ids",
+        "null_source",
+        "short_text",
+    ]
+    stack = ", ".join(f"'{c}', {c}" for c in metrics)
+    return m.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    ).orderBy("metric")

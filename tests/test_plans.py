@@ -176,6 +176,7 @@ BNLJ_ALLOWED = {
     "events_rfm_segments",          # 1-row reference-max-date scalar
     "sample_temperature_mixture",   # 1-row weight-normalizer scalar
     "join_bloom_prune",             # 1-row 8 KiB Bloom word array
+    "analytics_association_rules",  # 1-row basket-count scalar
     "sim_pq_topk",                  # per-probe ADC map (3 rows, m*ksub entries)
     "sim_pq_persisted_topk",        # same bounded per-probe ADC map
 }
@@ -220,6 +221,10 @@ EXCHANGE_BOUNDS = {
     "sim_pq_incremental": 0,
     # persisted int8 scan: kernel + per-probe window only
     "sim_quantized_persisted_topk": 1,
+    # checkpointed basket projection feeds all four consumers
+    "analytics_association_rules": 9,
+    # one map-side-combined pass + the 8-row metric sort
+    "quality_constraint_audit": 2,
 }
 
 
