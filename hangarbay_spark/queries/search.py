@@ -378,3 +378,71 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "multimodal_format_sniff",
+    """
+    WITH m AS (
+      SELECT CASE
+               WHEN doc_id % 4 = 0 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)
+               WHEN doc_id % 4 = 1 THEN '\\x89PNG'::BLOB || encode(text)
+               WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents),
+    s AS (
+      -- DuckDB has no BLOB substring: hex the payload and take the
+      -- first 4 bytes' worth of hex chars (same value as Spark's
+      -- hex(substring(payload, 1, 4)))
+      SELECT payload, left(upper(hex(payload)), 8) AS sig FROM m)
+    SELECT CASE
+             WHEN sig LIKE 'FFD8FF%' THEN 'jpeg'
+             WHEN sig = '89504E47' THEN 'png'
+             WHEN sig = '52494646' THEN 'riff'
+             ELSE 'unknown'
+           END AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+    FROM s
+    GROUP BY 1
+    ORDER BY fmt
+    """,
+    "multimodal format sniffing from MAGIC BYTES — the codec-FREE "
+    "multimodal operation (unlike decode, header inspection needs no "
+    "image/audio library, so this path is fully real, not stubbed): "
+    "payloads synthesized with genuine JPEG/PNG/RIFF headers, format "
+    "detected from upper(hex(substring(payload, 1, 4))) entirely "
+    "JVM-side, per-format counts + byte totals. The intake triage "
+    "every multimodal crawl runs before routing payloads to decoders",
+    "multimodal extension (magic-byte format detection, codec-free)",
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    m = docs.select(
+        F.concat(hdr, F.encode("text", "utf-8")).alias("payload")
+    )
+    s = m.select(
+        "payload",
+        F.upper(F.hex(F.substring(F.col("payload"), 1, 4))).alias("sig"),
+    )
+    fmt = (
+        F.when(F.col("sig").startswith("FFD8FF"), "jpeg")
+        .when(F.col("sig") == "89504E47", "png")
+        .when(F.col("sig") == "52494646", "riff")
+        .otherwise("unknown")
+    )
+    return (
+        s.groupBy(fmt.alias("fmt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("fmt")
+    )
