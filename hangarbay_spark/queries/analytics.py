@@ -1058,3 +1058,165 @@ def analytics_association_rules(
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+# Shared chi-square cell-contribution formula — the SAME text is
+# compiled by Spark (F.expr) and DuckDB so every IEEE op runs in the
+# same order (the _stats_formula_sql precedent); per-cell round(6)
+# guards FMA-contraction drift, and the cell contributions are then
+# summed EXACTLY as decimals (15 cells, but the discipline is what
+# makes the number engine-independent at any cell count).
+_CHISQ_CELL = "round(power(obs - rn * cn / nd, 2) / (rn * cn / nd), 6)"
+
+
+@register(
+    "agg_chisq_priority_status",
+    f"""
+    WITH o AS (SELECT o_orderpriority AS pr, o_orderstatus AS st FROM orders),
+    cells AS (SELECT pr, st, CAST(COUNT(*) AS DOUBLE) AS obs
+              FROM o GROUP BY pr, st),
+    rt AS (SELECT pr, CAST(COUNT(*) AS DOUBLE) AS rn FROM o GROUP BY pr),
+    ct AS (SELECT st, CAST(COUNT(*) AS DOUBLE) AS cn FROM o GROUP BY st),
+    g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 CAST(COUNT(DISTINCT pr) AS BIGINT) AS npr,
+                 CAST(COUNT(DISTINCT st) AS BIGINT) AS nst
+          FROM o)
+    SELECT CAST(SUM(CAST({_CHISQ_CELL} AS DECIMAL(30,6))) AS DOUBLE) AS chi2,
+           MAX((npr - 1) * (nst - 1)) AS dof,
+           CAST(MAX(nd) AS BIGINT) AS n_orders
+    FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN g
+    """,
+    "chi-square test of independence between two categoricals "
+    "(order priority x order status): observed cell counts, marginals "
+    "and the grand total are separate exact-integer aggregations of "
+    "ONE scan (three map-side-combined groupBys of a 2-column "
+    "projection); expected counts and the (O-E)^2/E statistic are "
+    "computed per CELL (bounded: |priorities| x |statuses| rows, never "
+    "corpus-scale), so the only data-sized work is the counting. Cell "
+    "contributions share one formula text on both engines and are "
+    "decimal-summed exactly. The 1-row grand-total crossJoin is the "
+    "allowlisted bounded-scalar broadcast shape",
+    "2.4 extension (categorical association / independence testing)",
+)
+def agg_chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"), F.col("o_orderstatus").alias("st")
+    )
+    cells = o.groupBy("pr", "st").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = o.groupBy("pr").agg(F.count(F.lit(1)).cast("double").alias("rn"))
+    ct = o.groupBy("st").agg(F.count(F.lit(1)).cast("double").alias("cn"))
+    g = o.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.countDistinct("pr").cast("bigint").alias("npr"),
+        F.countDistinct("st").cast("bigint").alias("nst"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(g))
+    )
+    return j.agg(
+        F.sum(F.expr(_CHISQ_CELL).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("chi2"),
+        F.max((F.col("npr") - 1) * (F.col("nst") - 1)).alias("dof"),
+        F.max("nd").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_equidepth_histogram",
+    """
+    WITH d AS (SELECT l_extendedprice AS p, CAST(COUNT(*) AS BIGINT) AS c,
+                      CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS g
+               FROM lineitem GROUP BY 1, 3),
+    b AS (SELECT g, CAST(SUM(c) AS BIGINT) AS bc FROM d GROUP BY g),
+    o AS (SELECT g,
+                 CAST(COALESCE(SUM(bc) OVER (ORDER BY g
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS goff,
+                 CAST(SUM(bc) OVER () AS BIGINT) AS n
+          FROM b),
+    r AS (SELECT p, c,
+                 goff + CAST(COALESCE(SUM(c) OVER (PARTITION BY d.g
+                   ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cb,
+                 n
+          FROM d JOIN o USING (g))
+    SELECT CAST(cb * 8 // n AS BIGINT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           MIN(p) AS lo, MAX(p) AS hi
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    "equi-depth (quantile-binned) histogram of extended price, 8 "
+    "buckets, VALUE-ATOMIC (every copy of a value lands in one bucket: "
+    "bucket = floor(8 * rows_before(v) / n), exact integer division "
+    "both engines — unlike NTILE, which splits ties by row order and "
+    "would single-partition-sort the whole table). rows_before is an "
+    "exact DISTRIBUTED prefix sum: distinct (price, count) pairs hash "
+    "out of one map-side-combined groupBy; a coarse VALUE-GRID bin "
+    "(floor(p/1000) — bounded by the generator's fixed price range, "
+    "~110 bins at ANY scale, and monotone in p since IEEE divide and "
+    "floor are monotone) splits the cumulative into a parallel "
+    "within-bin window plus a ~110-row bin-offset pass — the classic "
+    "two-level scan; the fact table is never sorted through one "
+    "partition. The nearly-unique price domain (~97% of rows survive "
+    "the distinct) is exactly the case that breaks both NTILE and a "
+    "global domain window",
+    "2.4 extension (equi-depth histogram / quantile binning)",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_extendedprice").alias("p"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("g"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = d.groupBy("g").agg(F.sum("c").cast("bigint").alias("bc"))
+    wg = Window.orderBy("g")
+    o = b.select(
+        "g",
+        F.coalesce(
+            F.sum("bc").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("goff"),
+        F.sum("bc")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    wp = Window.partitionBy("g").orderBy("p")
+    r = d.join(F.broadcast(o), "g").select(
+        "p",
+        "c",
+        (
+            F.col("goff")
+            + F.coalesce(
+                F.sum("c").over(
+                    wp.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint")
+        ).alias("cb"),
+        "n",
+    )
+    return (
+        r.select(
+            F.expr("CAST(cb * 8 div n AS BIGINT)").alias("bucket"), "p", "c"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -2762,3 +2762,215 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nd, 6)"
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: group-aware splitting, embedding hygiene,
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_group_split",
+    None,  # oracle set below (needs operators.sampling.o_hash_bucket)
+    "GROUP-AWARE train/val/test split with a built-in leakage audit: "
+    "the split hash is keyed on SOURCE, not doc_id, so every document "
+    "of a source lands in the same split forever (row-level splits "
+    "leak near-duplicate documents from one source across train and "
+    "eval — the classic contamination bug sample_split_distribution "
+    "cannot prevent). Per-split source/doc/char totals come from one "
+    "map-side-combined groupBy; the leaked_sources column re-derives "
+    "the per-source distinct-split count and proves it is zero — the "
+    "audit ships WITH the split, not as a separate job. The 1-row "
+    "audit scalar crossJoin is the allowlisted bounded-broadcast "
+    "shape; both aggregations scan the projection once each",
+    "sampling extension (group-aware split + leakage guard)",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", split_expr("source").alias("split")
+    )
+    per_split = docs.groupBy("split").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    leak = (
+        docs.groupBy("source")
+        .agg(F.countDistinct("split").alias("nsp"))
+        .agg(
+            F.sum(F.when(F.col("nsp") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_sources")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(leak)).orderBy("split")
+
+
+def _set_group_split_oracle() -> None:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+    from hangarbay_spark.queries.base import QuerySpec
+
+    spec = REGISTRY["sample_group_split"]
+    oracle = f"""
+    WITH d AS (
+      SELECT source, n_chars,
+             CASE WHEN {o_hash_bucket("source")} < 204 THEN 'train'
+                  WHEN {o_hash_bucket("source")} < 229 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    per_split AS (
+      SELECT split,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM d GROUP BY split),
+    leak AS (
+      SELECT CAST(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_sources
+      FROM (SELECT source, COUNT(DISTINCT split) AS nsp
+            FROM d GROUP BY source))
+    SELECT per_split.*, leak.leaked_sources
+    FROM per_split CROSS JOIN leak
+    """
+    REGISTRY["sample_group_split"] = QuerySpec(
+        spec.name, spec.fn, oracle, spec.description, spec.survey
+    )
+
+
+_set_group_split_oracle()
+
+
+# DuckDB twin of operators.similarity._norm_exact + round(6): the
+# sum-of-squares accumulation is array-order sequential (O_DOT with
+# a=b), sqrt is correctly-rounded IEEE on both engines, and round(6)
+# clears any residual 1-ulp divide/conversion drift (cosine precedent).
+_O_NORM6 = "round(sqrt(" + O_DOT.format(a="embedding", b="embedding") + "), 6)"
+
+
+@register(
+    "quality_embedding_audit",
+    f"""
+    WITH e AS (
+      SELECT label,
+             len(embedding) AS dim,
+             {_O_NORM6} AS normr,
+             CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                  THEN 1 ELSE 0 END AS has_nan
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN normr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+           round(CAST(SUM(CAST(normr AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm
+    FROM e GROUP BY label ORDER BY label
+    """,
+    "embedding-column hygiene audit (the pre-flight every vector "
+    "pipeline needs before ANN/dedup trusts the data): per label, "
+    "vector counts, dimension min/max (ragged-dimension detection), "
+    "zero-norm and NaN counts (both poison cosine: 0/0 and NaN "
+    "ordering differ by engine and by index library), and mean L2 "
+    "norm. One scan, one map-side-combined groupBy; the norm is the "
+    "sequential-accumulation sum-of-squares (cosine_expr discipline) "
+    "rounded at 6 dp, and the mean divides decimal-exact sums in one "
+    "shared formula shape so the double matches bit for bit",
+    "quality extension (embedding-column constraint audit)",
+)
+def quality_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.similarity import _norm_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(_norm_exact(F.col("embedding")), 6).alias("normr"),
+        F.exists("embedding", lambda x: F.isnan(x))
+        .cast("int")
+        .alias("has_nan"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("dim").cast("bigint").alias("dim_min"),
+            F.max("dim").cast("bigint").alias("dim_max"),
+            F.sum(F.when(F.col("normr") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.sum("has_nan").cast("bigint").alias("n_nan"),
+            F.round(
+                F.sum(F.col("normr").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+HARD_NEG_CAP = 0.95  # cosine above this = near-duplicate, not a negative
+
+
+@register(
+    "sim_hard_negatives",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv, label AS pl
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN p
+      WHERE c.vec_id <> p.probe_id AND c.label <> p.pl)
+    SELECT probe_id, neighbor_id, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+        AS rk
+      FROM scored WHERE cosine < {HARD_NEG_CAP}) t
+    WHERE rk <= 3
+    """,
+    "hard-negative mining for contrastive / embedding training: for "
+    "each probe, the top-3 most-similar vectors with a DIFFERENT "
+    "label, capped below the near-duplicate band (cosine < 0.95 — a "
+    "cross-label near-dup is a labeling error, not a training "
+    "negative). Same bounded-probe broadcast + one corpus scan shape "
+    "as sim_bruteforce_topk (allowlisted); at 100 TB the scan swaps "
+    "for the IVFADC candidate route unchanged — the mining predicate "
+    "is a filter on the scored stream either way. Cosines are the "
+    "sequential-exact path (never the einsum kernel: the result is "
+    "hash-compared)",
+    "similarity extension (hard-negative mining)",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("label").alias("pl"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(p))
+        .filter(
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("label") != F.col("pl"))
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine_expr(F.col("pv"), F.col("embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") < HARD_NEG_CAP)
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("probe_id", "neighbor_id", "cosine", "rk")
+    )

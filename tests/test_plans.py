@@ -179,6 +179,9 @@ BNLJ_ALLOWED = {
     "analytics_association_rules",  # 1-row basket-count scalar
     "sim_pq_topk",                  # per-probe ADC map (3 rows, m*ksub entries)
     "sim_pq_persisted_topk",        # same bounded per-probe ADC map
+    "agg_chisq_priority_status",    # 1-row grand-total/dof scalar
+    "sample_group_split",           # 1-row leakage-audit scalar
+    "sim_hard_negatives",           # fixed probe set (3 vectors)
 }
 
 
