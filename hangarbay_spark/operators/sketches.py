@@ -1,0 +1,110 @@
+"""Bounded-state frequent-items (heavy hitters) over arbitrary streams.
+
+The 100 TB problem: "which tokens exceed phi of the corpus" via a plain
+GROUP BY shuffles the full token stream (corpus-scale exchange) and the
+group-by state is the whole vocabulary. The classic two-pass answer
+(Misra-Gries / "Frequent" algorithm; Misra & Gries 1982, and the merge
+analysis of Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+1. **Candidates** — each partition maintains at most ``k`` counters via
+   weighted Misra-Gries (constant memory, one pass, no shuffle). A
+   partition guarantees every item with partition frequency
+   > n_p/(k+1) survives. By pigeonhole, an item with GLOBAL frequency
+   > n/(k+1) exceeds that bar in at least one partition, so with
+   ``k + 1 >= 1/phi`` the union of partition candidates contains every
+   true phi-heavy hitter — **no false negatives**. Output is
+   <= k * num_partitions rows: broadcast-sized by construction.
+2. **Exact verify** — a second scan counts ONLY the candidate items
+   (broadcast semi join; the groupBy shuffles candidate rows only) and
+   the exact threshold test removes false positives.
+
+The composition is therefore EXACT — identical to the quadratic-state
+GROUP BY oracle — while per-executor state stays O(k) and the only
+shuffle carries candidate-item rows. This is the candidates->verify
+pattern the repo uses for every near-dup family, applied to frequency.
+
+Why mapInPandas (the slow path): the bounded-counter contract — "evict
+the minimum and decrement on overflow" — is inherently sequential
+per-partition state that no DataFrame op expresses; the kernel is
+Arrow-batched and pre-aggregates each batch with vectorized
+``value_counts`` before touching the dict, so Python-loop work is
+O(distinct-per-batch), not O(rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Per-partition weighted Misra-Gries summaries of ``df[col]``.
+
+    Returns (item) rows, at most ``k`` per partition — a SUPERSET of
+    every item whose global frequency exceeds n/(k+1) (see module
+    docstring). Estimated counts are deliberately not returned: the
+    exact verify pass recounts, so only membership matters.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # vectorized batch pre-aggregation: the dict sees one
+            # (item, weight) update per DISTINCT item in the batch
+            for item, cnt in pdf[col].value_counts().items():
+                c = int(cnt)
+                if item in counters:
+                    counters[item] += c
+                    continue
+                if len(counters) < k:
+                    counters[item] = c
+                    continue
+                # weighted decrement: subtract d from every counter
+                # (d = min zeroes at least one slot or absorbs the
+                # arrival); total decrement mass across the run is
+                # what the n/(k+1) error bound prices
+                d = min(c, min(counters.values()))
+                counters = {
+                    i: v - d for i, v in counters.items() if v > d
+                }
+                if c > d:
+                    counters[item] = c - d
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(kernel, f"{col} string")
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: Column | str,
+    inv_phi: int,
+    alias: str = "item",
+) -> DataFrame:
+    """Items whose frequency strictly exceeds n / ``inv_phi``, with
+    EXACT counts — equal to ``GROUP BY HAVING cnt * inv_phi > n`` but
+    with bounded executor state and a candidates-only shuffle.
+
+    The threshold is the integer comparison ``cnt * inv_phi > n``
+    (exact on both engines — no float boundary). Capacity k =
+    ``inv_phi`` satisfies k + 1 > 1/phi, the no-false-negative bar.
+    Output: (item, cnt, n) ordered cnt desc.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    items = df.select(c.alias(alias))
+    cand = misra_gries_candidates(items, alias, k=inv_phi).distinct()
+    total = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = (
+        items.join(F.broadcast(cand), alias)
+        .groupBy(alias)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * inv_phi > F.col("n"))
+        .orderBy(F.col("cnt").desc(), alias)
+    )

@@ -2974,3 +2974,38 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("probe_id", "neighbor_id", "cosine", "rk")
     )
+
+
+@register(
+    "text_heavy_hitter_tokens",
+    f"""
+    WITH t AS (SELECT unnest({O_TOKENS}) AS tok FROM documents),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, n
+    FROM t CROSS JOIN g
+    GROUP BY tok, n
+    HAVING COUNT(*) * 200 > n
+    ORDER BY cnt DESC, tok
+    """,
+    "EXACT heavy-hitter tokens (frequency > 1/200 of the corpus "
+    "stream) with BOUNDED executor state: per-partition weighted "
+    "Misra-Gries keeps <=200 counters (no shuffle, constant memory; "
+    "the pigeonhole bound makes the candidate union a provable "
+    "superset of every true heavy hitter), then a second scan counts "
+    "candidates only (broadcast semi join — the groupBy shuffles "
+    "candidate rows, not the token stream) and the integer threshold "
+    "cnt*200 > n removes false positives. Result identical to the "
+    "full GROUP BY oracle, which at 100 TB would shuffle the whole "
+    "token stream and hold the whole vocabulary as aggregation state; "
+    "this plan's shuffle and state are both bounded by the candidate "
+    "set. The 1-row stream-total crossJoin is the allowlisted scalar "
+    "shape (operators/sketches.py)",
+    "2.4/LLM-ops extension (bounded-state frequent items, "
+    "Misra-Gries candidates + exact verify)",
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens_expr("text")).alias("tok"))
+    return heavy_hitters_exact(toks, "tok", inv_phi=200, alias="tok")

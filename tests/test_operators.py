@@ -2190,3 +2190,48 @@ def test_ivfpq_append_idempotent_and_pruned_search(spark, tmp_path):
     assert df.count() == 15
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell#" in plan
+
+
+class TestHeavyHitters:
+    """operators/sketches.py — bounded-state frequent items."""
+
+    def test_exact_vs_plain_groupby(self, spark):
+        """The MG-candidates + verify composition equals the full
+        GROUP BY on a skewed stream, across a partitioning where no
+        single partition sees the whole distribution."""
+        from pyspark.sql import functions as F
+
+        from hangarbay_spark.operators.sketches import heavy_hitters_exact
+
+        # Zipf-ish: item i appears ~1000/i times, plus uniform noise
+        rows = [(f"w{i}",) for i in range(1, 40) for _ in range(1000 // i)]
+        rows += [(f"noise{j}",) for j in range(2000)]
+        df = spark.createDataFrame(rows, "tok string").repartition(16)
+        got = heavy_hitters_exact(df, "tok", inv_phi=50, alias="tok")
+        n = df.count()
+        want = (
+            df.groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") * 50 > n)
+        )
+        got_rows = {(r.tok, r.cnt) for r in got.collect()}
+        want_rows = {(r.tok, r.cnt) for r in want.collect()}
+        assert got_rows == want_rows and len(got_rows) > 0
+        assert all(r.n == n for r in got.collect())
+
+    def test_candidates_bounded_and_superset(self, spark):
+        from pyspark.sql import functions as F
+
+        from hangarbay_spark.operators.sketches import (
+            misra_gries_candidates,
+        )
+
+        rows = [("hot",)] * 5000 + [(f"u{j}",) for j in range(5000)]
+        df = spark.createDataFrame(rows, "tok string").repartition(8)
+        k = 20
+        cand = misra_gries_candidates(df, "tok", k=k)
+        items = [r.tok for r in cand.collect()]
+        # bounded output: <= k rows per partition
+        assert len(items) <= k * 8
+        # the 50%-frequency item can never be evicted everywhere
+        assert "hot" in set(items)

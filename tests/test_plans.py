@@ -182,6 +182,7 @@ BNLJ_ALLOWED = {
     "agg_chisq_priority_status",    # 1-row grand-total/dof scalar
     "sample_group_split",           # 1-row leakage-audit scalar
     "sim_hard_negatives",           # fixed probe set (3 vectors)
+    "text_heavy_hitter_tokens",     # 1-row stream-total scalar
 }
 
 
