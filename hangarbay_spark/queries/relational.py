@@ -1863,3 +1863,91 @@ def join_interval_overlap_shipments(
         .orderBy(F.col("n_overlaps").desc(), "l_suppkey")
         .limit(15)
     )
+
+
+# --- KMV (bottom-k) distinct-count sketch -----------------------------------
+
+_KMV_K = 256
+_KMV_DIGITS = 12          # md5 hex digits -> integer in [0, 16^12)
+_KMV_DOMAIN = 16 ** _KMV_DIGITS  # 2^48: exact in BIGINT arithmetic
+_HEXD = "0123456789abcdef"
+
+
+def _kmv_hashval_col(key) -> F.Column:
+    """First 12 md5 hex digits as a BIGINT — the o_hash_bucket
+    construction widened to 48 bits (string primitives with identical
+    semantics on both engines; the value is exact integer arithmetic,
+    so no float boundary anywhere in the sketch)."""
+    h = F.md5(key.cast("string"))
+    v = F.lit(0).cast("bigint")
+    for i in range(_KMV_DIGITS):
+        d = F.instr(F.lit(_HEXD), F.substring(h, i + 1, 1)) - 1
+        v = v * 16 + d.cast("bigint")
+    return v
+
+
+def _o_kmv_hashval(key_sql: str) -> str:
+    h = f"md5(CAST({key_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (_KMV_DIGITS - 1 - i)}"
+        for i in range(_KMV_DIGITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "agg_kmv_distinct_estimate",
+    f"""
+    WITH d AS (SELECT DISTINCT l_partkey FROM lineitem),
+    h AS (SELECT {_o_kmv_hashval("l_partkey")} AS v FROM d),
+    bk AS (SELECT v FROM h ORDER BY v LIMIT {_KMV_K}),
+    s AS (SELECT MAX(v) AS vk, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM d)
+    SELECT CAST(CASE WHEN cnt < {_KMV_K} THEN cnt
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN} // vk END AS BIGINT)
+             AS est_distinct,
+           exact_distinct,
+           CAST({_KMV_K} AS BIGINT) AS k
+    FROM s CROSS JOIN e
+    """,
+    "KMV (bottom-k / k-minimum-values) distinct-count sketch, the "
+    "DETERMINISTIC mergeable sketch (Bar-Yossef et al. 2002): the k "
+    "smallest 48-bit md5 hash values of the key domain determine the "
+    "estimate (k-1) * 2^48 div v_k — every step is exact integer "
+    "arithmetic from a content hash, so unlike the HLL/GK entry "
+    "(rows-only, Spark-internal sketch) the ESTIMATE ITSELF is "
+    "oracle-verified bit for bit, alongside the exact count it "
+    "approximates. Plan: map-side-combined distinct, then "
+    "TakeOrderedAndProject keeps k rows per partition and merges — "
+    "the ordered selection never materializes a global sort. At "
+    "100 TB the constant-state single-pass path remains HLL "
+    "(agg_approx_sketches); KMV is the cross-engine-checkable "
+    "estimator and the merge primitive behind distributed "
+    "distinct-count reconciliation (union of bottom-k sets = "
+    "bottom-k of union)",
+    "2.4 extension (deterministic bottom-k distinct sketch, "
+    "oracle-verified estimate)",
+)
+def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_partkey").distinct()
+    h = d.select(_kmv_hashval_col(F.col("l_partkey")).alias("v"))
+    bk = h.orderBy("v").limit(_KMV_K)
+    s = bk.agg(
+        F.max("v").alias("vk"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    e = d.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    est = (
+        F.when(F.col("cnt") < _KMV_K, F.col("cnt"))
+        .otherwise(
+            F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}L div vk")
+        )
+        .cast("bigint")
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        est.alias("est_distinct"),
+        "exact_distinct",
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+    )

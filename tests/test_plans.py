@@ -183,6 +183,7 @@ BNLJ_ALLOWED = {
     "sample_group_split",           # 1-row leakage-audit scalar
     "sim_hard_negatives",           # fixed probe set (3 vectors)
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
+    "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
 }
 
 
