@@ -1811,7 +1811,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 3x expansion outgrows the occupancy^2 win; measured 5.5 vs "
     "6.7 s) — the oracle "
     "IS the quadratic per-supplier join, proving the binned plan "
-    "computes the same relation",
+    "computes the same relation. Self-join scan economics: at local "
+    "SF the planner broadcasts one exploded side (adaptive, not "
+    "hinted); in the at-scale SMJ regime both sides canonicalize to "
+    "the SAME exchange and ReuseExchange dedups the scan+explode to "
+    "one pass (verified with autoBroadcastJoinThreshold=-1: 1 "
+    "ReusedExchange, single FileScan feeding both sides)",
     "2.3 extension (interval-overlap join via bin expansion)",
 )
 def join_interval_overlap_shipments(
