@@ -1956,3 +1956,126 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         F.lit(_KMV_K).cast("bigint").alias("k"),
     )
+
+
+@register(
+    "agg_kmv_set_overlap",
+    f"""
+    WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem
+               WHERE l_quantity <= 5),
+    b AS (SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_discount >= 0.09),
+    ha AS (SELECT {_o_kmv_hashval("l_orderkey")} AS v FROM a
+           ORDER BY v LIMIT {_KMV_K}),
+    hb AS (SELECT {_o_kmv_hashval("l_orderkey")} AS v FROM b
+           ORDER BY v LIMIT {_KMV_K}),
+    u AS (SELECT v FROM (SELECT v FROM ha UNION SELECT v FROM hb)
+          ORDER BY v LIMIT {_KMV_K}),
+    us AS (SELECT MAX(v) AS mk, CAST(COUNT(*) AS BIGINT) AS ku FROM u),
+    mb AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM u
+           WHERE EXISTS (SELECT 1 FROM ha WHERE ha.v = u.v)
+             AND EXISTS (SELECT 1 FROM hb WHERE hb.v = u.v)),
+    ex AS (SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT l_orderkey FROM a UNION SELECT l_orderkey FROM b))
+               AS exact_union,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+              WHERE EXISTS (SELECT 1 FROM b
+                            WHERE b.l_orderkey = a.l_orderkey))
+               AS exact_intersection)
+    SELECT CAST(CASE WHEN ku < {_KMV_K} THEN ku
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN} // mk END AS BIGINT)
+             AS est_union,
+           exact_union,
+           CAST(CASE WHEN ku < {_KMV_K} THEN m
+                ELSE m * (({_KMV_K} - 1) * {_KMV_DOMAIN} // mk)
+                     // {_KMV_K} END AS BIGINT)
+             AS est_intersection,
+           exact_intersection,
+           CAST({_KMV_K} AS BIGINT) AS k
+    FROM us CROSS JOIN mb CROSS JOIN ex
+    """,
+    "KMV sketch SET OPERATIONS — the mergeability property that makes "
+    "bottom-k the reconciliation primitive at 100 TB (union of bottom-k "
+    "sets IS the bottom-k of the union: per-day / per-partition "
+    "sketches combine into union, intersection and Jaccard estimates "
+    "without rescanning anything): orders containing a small-quantity "
+    "item vs orders containing a deep-discount item — genuinely "
+    "partially overlapping sets (~50% / ~37%). est_union comes from "
+    "the merged sketch's kth value; est_intersection from the m/k "
+    "fraction of merged-sketch members present in BOTH input sketches "
+    "(v <= union_kth <= each set's kth, so the membership test "
+    "against the k-bounded sketches is exact — no false negatives by "
+    "construction). Every estimator step is exact 48-bit integer "
+    "arithmetic from md5, so both ESTIMATES are oracle-verified bit "
+    "for bit next to their exact counterparts; when the union fits "
+    "inside k the sketch degenerates to exact counting (same branch "
+    "text both engines). All sketch frames are k-row bounded; the "
+    "data-sized work is two map-side-combined distincts plus the "
+    "exact-answer joins kept for the report",
+    "2.4 extension (mergeable bottom-k sketch set operations)",
+)
+def agg_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # each set feeds three consumers (its sketch, the exact union, the
+    # exact intersection) — checkpoint once so the scan+distinct is not
+    # re-derived per consumer (multi-consumer invariant, CLAUDE.md)
+    a = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    b = (
+        li.filter(F.col("l_discount") >= 0.09)
+        .select("l_orderkey")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sketch(d: DataFrame) -> DataFrame:
+        return (
+            d.select(_kmv_hashval_col(F.col("l_orderkey")).alias("v"))
+            .orderBy("v")
+            .limit(_KMV_K)
+        )
+
+    ha, hb = sketch(a), sketch(b)
+    u = ha.union(hb).distinct().orderBy("v").limit(_KMV_K)
+    us = u.agg(
+        F.max("v").alias("mk"),
+        F.count(F.lit(1)).cast("bigint").alias("ku"),
+    )
+    mb = (
+        u.join(ha, "v", "semi")
+        .join(hb, "v", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact_union = (
+        a.union(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    )
+    exact_inter = a.join(b, "l_orderkey", "semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    est_u = F.when(F.col("ku") < _KMV_K, F.col("ku")).otherwise(
+        F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}L div mk")
+    )
+    est_i = F.when(F.col("ku") < _KMV_K, F.col("m")).otherwise(
+        F.expr(
+            f"m * (({_KMV_K} - 1) * {_KMV_DOMAIN}L div mk) div {_KMV_K}L"
+        )
+    )
+    return (
+        us.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            est_u.cast("bigint").alias("est_union"),
+            "exact_union",
+            est_i.cast("bigint").alias("est_intersection"),
+            "exact_intersection",
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+        )
+    )

@@ -184,6 +184,7 @@ BNLJ_ALLOWED = {
     "sim_hard_negatives",           # fixed probe set (3 vectors)
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
+    "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
 }
 
 
