@@ -1220,3 +1220,93 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_BFS_HOPS = 4
+_BFS_SEEDS = 3
+
+
+def _o_bfs() -> str:
+    """Unrolled multi-source BFS oracle: f{k} = nodes first reached at
+    hop k (reachable from f{k-1}, not already in d{k-1}); d{k} accumulates
+    (node, dist). Seeds = the 3 smallest node ids (deterministic)."""
+    ctes = [
+        _COPURCHASE_SMALL_SQL.strip(),
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        f"f0 AS (SELECT DISTINCT src AS node FROM und "
+        f"ORDER BY node LIMIT {_BFS_SEEDS})",
+        "d0 AS (SELECT node, 0 AS dist FROM f0)",
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"f{k} AS (SELECT DISTINCT u.dst AS node "
+            f"FROM und u JOIN f{k - 1} p ON u.src = p.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{k - 1} v "
+            f"WHERE v.node = u.dst))"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL SELECT node, {k} AS dist FROM f{k})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM d{_BFS_HOPS} GROUP BY dist ORDER BY dist
+    """
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    _o_bfs(),
+    "multi-source BFS hop distances (4 rounds from the 3 smallest "
+    "node ids) on the small-part co-purchase graph — the shortest-"
+    "path family member beside PageRank / components / label "
+    "propagation: per round ONE edge-frontier join produces the next "
+    "frontier and an anti-join against the visited set keeps it "
+    "minimal, so per-round work is proportional to the frontier's "
+    "out-edges, never the whole graph; frontier and visited frames "
+    "localCheckpoint per round (lineage stays flat across "
+    "iterations). Frontier/visited joins broadcast while bounded "
+    "(AQE's call; the PIN_NODES pinned-partitioning regime from "
+    "operators/graph.py applies when the visited vector outgrows "
+    "broadcast). Oracle = 4 unrolled frontier CTEs. Output: hop "
+    "histogram with per-level min node id",
+    "analytics extension (multi-source BFS / shortest hops)",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        und.select("src").distinct().orderBy("src").limit(_BFS_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    visited = seeds.select(
+        "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = seeds.localCheckpoint(eager=True)
+    for k in range(1, _BFS_HOPS + 1):
+        nxt = (
+            und.join(frontier, und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(k).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+        )
+        .select(F.col("dist").cast("bigint").alias("dist"), "n_nodes", "min_node")
+        .orderBy("dist")
+    )
