@@ -40,15 +40,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(
-    df: DataFrame, col: str, k: int
-) -> DataFrame:
+def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition weighted Misra-Gries summaries of ``df[col]``.
 
-    Returns (item) rows, at most ``k`` per partition — a SUPERSET of
-    every item whose global frequency exceeds n/(k+1) (see module
-    docstring). Estimated counts are deliberately not returned: the
-    exact verify pass recounts, so only membership matters.
+    Returns (item, cnt) rows, at most ``k`` per partition; cnt is the
+    MG lower-bound counter (undercounts by at most that partition's
+    decrement mass, which the n_p/(k+1) bound prices). The item set is
+    a SUPERSET of every item whose global frequency exceeds n/(k+1)
+    (see module docstring). Output is bounded (k rows/partition), so
+    downstream merges may treat it as a by-contract-small frame.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,9 +74,35 @@ def misra_gries_candidates(
                 }
                 if c > d:
                     counters[item] = c - d
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()),
+                "cnt": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
 
-    return df.select(col).mapInPandas(kernel, f"{col} string")
+    return df.select(col).mapInPandas(kernel, f"{col} string, cnt long")
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Membership-only view of :func:`misra_gries_summary` for the
+    candidates->exact-verify composition (counts are recounted exactly
+    downstream, so only the item set matters)."""
+    return misra_gries_summary(df, col, k).select(col)
+
+
+def mg_merge(counts: dict, k: int) -> tuple[dict, int]:
+    """Merge step of the mergeable-summaries algorithm (Agarwal et al.
+    2012): given summed counters from any number of MG summaries,
+    restore capacity ``k`` by subtracting the (k+1)-th largest counter
+    from every counter and dropping non-positives. Returns the pruned
+    counters and the decrement applied (the caller accumulates it as
+    the summary's undercount bound). Input is bounded by contract
+    (k rows per merged summary), so this is driver-side fair game."""
+    if len(counts) <= k:
+        return dict(counts), 0
+    d = sorted(counts.values(), reverse=True)[k]
+    return {i: v - d for i, v in counts.items() if v > d}, d
 
 
 def heavy_hitters_exact(

@@ -446,3 +446,57 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+_HH_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_heavy_hitters",
+    None,  # genuinely non-SQL-expressible (bounded multi-batch sketch state)
+    "streaming heavy-hitter maintenance: the documents token stream "
+    "drained as 4 micro-batches through foreachBatch, each batch "
+    "folded into a persisted <=200-row Misra-Gries summary (mergeable-"
+    "summaries merge, idempotent batch-id commit — replays never "
+    "double-count). Returns the candidate tokens above 1/200 of the "
+    "stream with [cnt_lo, cnt_hi] brackets from the conservation-law "
+    "undercount bound; the superset-of-batch-truth and bracket "
+    "guarantees are pinned in "
+    "tests/test_streaming.py::test_streaming_heavy_hitters",
+    "streaming §2.7 extension (bounded-state frequency maintenance)",
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.text import tokens_expr
+    from hangarbay_spark.streaming import hh_maintenance as HH
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"{sf_dir}|hh_stream"
+    dirs = _HH_STREAM_DIRS.get(key)
+    if dirs is None:
+        import os as _os
+        import time as _time
+
+        stage = tempfile.mkdtemp(prefix="hb_hh_src_")
+        toks = docs.select(
+            F.col("doc_id"), F.explode(tokens_expr("text")).alias("tok")
+        )
+        t0 = _time.time()
+        for b in range(4):
+            toks.filter(F.col("doc_id") % 4 == b).select(
+                "tok"
+            ).coalesce(1).write.parquet(f"{stage}/b{b}")
+            for root, _, files in _os.walk(f"{stage}/b{b}"):
+                for fn in files:
+                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        state = tempfile.mkdtemp(prefix="hb_hh_state_")
+        ckpt = tempfile.mkdtemp(prefix="hb_hh_ckpt_")
+        _HH_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
+    stage, state, ckpt = _HH_STREAM_DIRS[key].split("|")
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    q = HH.hh_maintenance_stream(stream, state, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    return HH.heavy_hitters_from_state(spark, state, inv_phi=200)

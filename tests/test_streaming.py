@@ -663,3 +663,77 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     assert (
         AM.ingest_embeddings_batch(spark, b0, 0, index_dir, dim=64) == 0
     )
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """Streamed MG summary vs batch truth: every exact heavy hitter
+    (>1/inv_phi of the stream) is in the candidate set; brackets hold
+    (cnt_lo <= true <= cnt_hi); replaying the drained stream is a
+    no-op (idempotent batch commit)."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.text import tokens_expr
+    from hangarbay_spark.streaming import hh_maintenance as HH
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens_expr("text")).alias("tok")
+    )
+    stage = str(tmp_path / "src")
+    t0 = time.time()
+    for b in range(3):
+        toks.filter(F.col("doc_id") % 3 == b).select("tok").coalesce(
+            1
+        ).write.parquet(f"{stage}/b{b}")
+        for root, _, files in os.walk(f"{stage}/b{b}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + b, t0 + b))
+    state = str(tmp_path / "state")
+    k, inv_phi = 100, 50
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage}/*")
+        )
+        HH.hh_maintenance_stream(
+            stream, state, checkpoint_dir=ckpt, k=k
+        ).awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    got = {
+        r.tok: (r.cnt_lo, r.cnt_hi)
+        for r in HH.heavy_hitters_from_state(
+            spark, state, inv_phi=inv_phi
+        ).collect()
+    }
+    n = toks.count()
+    exact = {
+        r.tok: r.cnt
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * inv_phi > n)
+        .collect()
+    }
+    assert exact, "test corpus must have heavy hitters"
+    # no false negatives + valid brackets
+    for tok, true_cnt in exact.items():
+        assert tok in got, f"missed heavy hitter {tok!r}"
+        lo, hi = got[tok]
+        assert lo <= true_cnt <= hi, (tok, lo, true_cnt, hi)
+    # bracket width respects the theoretical n/(k+1) budget
+    meta = json.load(open(f"{state}/_state.json"))
+    assert meta["n"] == n
+    widths = {hi - lo for lo, hi in got.values()}
+    assert all(w <= n // (k + 1) for w in widths)
+    # replay with a FRESH checkpoint re-delivers the same batches;
+    # the batch-id marker must make them all no-ops
+    before = json.load(open(f"{state}/_state.json"))
+    drain(str(tmp_path / "ckpt2"))
+    after = json.load(open(f"{state}/_state.json"))
+    assert before["n"] == after["n"]
