@@ -40,15 +40,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+def misra_gries_summary(
+    df: DataFrame, col: str, k: int, weight_col: str | None = None
+) -> DataFrame:
     """Per-partition weighted Misra-Gries summaries of ``df[col]``.
 
     Returns (item, cnt) rows, at most ``k`` per partition; cnt is the
     MG lower-bound counter (undercounts by at most that partition's
-    decrement mass, which the n_p/(k+1) bound prices). The item set is
-    a SUPERSET of every item whose global frequency exceeds n/(k+1)
-    (see module docstring). Output is bounded (k rows/partition), so
-    downstream merges may treat it as a by-contract-small frame.
+    decrement mass, which the n_p/(k+1) bound prices — with weights,
+    n is the total WEIGHT mass and the guarantee covers every item
+    whose mass exceeds n/(k+1)). ``weight_col`` must hold positive
+    integers (exact arithmetic; decimal weights should be pre-scaled
+    to integer units, e.g. cents). The item set is a SUPERSET of every
+    item whose frequency/mass exceeds n/(k+1) (see module docstring).
+    Output is bounded (k rows/partition), so downstream merges may
+    treat it as a by-contract-small frame.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,7 +62,12 @@ def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
         for pdf in batches:
             # vectorized batch pre-aggregation: the dict sees one
             # (item, weight) update per DISTINCT item in the batch
-            for item, cnt in pdf[col].value_counts().items():
+            agg = (
+                pdf.groupby(col)[weight_col].sum()
+                if weight_col is not None
+                else pdf[col].value_counts()
+            )
+            for item, cnt in agg.items():
                 c = int(cnt)
                 if item in counters:
                     counters[item] += c
@@ -81,7 +92,8 @@ def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
             }
         )
 
-    return df.select(col).mapInPandas(kernel, f"{col} string, cnt long")
+    cols = [col] if weight_col is None else [col, weight_col]
+    return df.select(*cols).mapInPandas(kernel, f"{col} string, cnt long")
 
 
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -133,4 +145,36 @@ def heavy_hitters_exact(
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * inv_phi > F.col("n"))
         .orderBy(F.col("cnt").desc(), alias)
+    )
+
+
+def heavy_hitters_exact_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    inv_phi: int,
+    alias: str = "item",
+) -> DataFrame:
+    """Weighted twin of :func:`heavy_hitters_exact`: items whose total
+    integer WEIGHT mass strictly exceeds n / ``inv_phi`` (n = total
+    mass), exact by the same candidates->verify construction — the MG
+    guarantee is mass-based, so capacity k = inv_phi still makes the
+    candidate union a superset of every true mass-heavy item.
+    Output: (item, mass, n) ordered mass desc."""
+    items = df.select(F.col(col).alias(alias), F.col(weight_col).alias("w"))
+    cand = (
+        misra_gries_summary(items, alias, k=inv_phi, weight_col="w")
+        .select(alias)
+        .distinct()
+    )
+    total = items.agg(F.sum("w").cast("bigint").alias("n"))
+    exact = (
+        items.join(F.broadcast(cand), alias)
+        .groupBy(alias)
+        .agg(F.sum("w").cast("bigint").alias("mass"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("mass") * inv_phi > F.col("n"))
+        .orderBy(F.col("mass").desc(), alias)
     )

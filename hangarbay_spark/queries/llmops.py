@@ -3009,3 +3009,40 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens_expr("text")).alias("tok"))
     return heavy_hitters_exact(toks, "tok", inv_phi=200, alias="tok")
+
+
+@register(
+    "text_heavy_hitter_bytes",
+    f"""
+    WITH t AS (SELECT tok, CAST(length(tok) AS BIGINT) AS w
+               FROM (SELECT unnest({O_TOKENS}) AS tok FROM documents)),
+    g AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM t)
+    SELECT tok, CAST(SUM(w) AS BIGINT) AS mass, n
+    FROM t CROSS JOIN g
+    GROUP BY tok, n
+    HAVING SUM(w) * 200 > n
+    ORDER BY mass DESC, tok
+    """,
+    "WEIGHTED heavy hitters — which tokens consume more than 1/200 of "
+    "the corpus's token BYTES (frequency x token length: the "
+    "compression/vocab-design question, distinct from count-heavy): "
+    "same bounded-state Misra-Gries candidates + exact-verify "
+    "composition as text_heavy_hitter_tokens, with the kernel "
+    "accumulating integer weight mass instead of counts (the MG "
+    "guarantee is mass-based, so the candidate superset and the exact "
+    "integer threshold carry over unchanged). Executor state stays "
+    "O(200); the verify shuffle carries candidate rows only",
+    "2.4/LLM-ops extension (weighted bounded-state frequent items)",
+)
+def text_heavy_hitter_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        heavy_hitters_exact_weighted,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokens_expr("text")).alias("tok")
+    ).select("tok", F.length("tok").cast("bigint").alias("w"))
+    return heavy_hitters_exact_weighted(
+        toks, "tok", "w", inv_phi=200, alias="tok"
+    )

@@ -185,6 +185,7 @@ BNLJ_ALLOWED = {
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
+    "text_heavy_hitter_bytes",      # 1-row mass-total scalar
 }
 
 
