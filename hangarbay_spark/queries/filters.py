@@ -617,3 +617,62 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         f"stack({len(metrics)}, {stack}) AS (metric, value)"
     ).orderBy("metric")
+
+
+_SKEW_RATIO = (
+    "round(CAST(max_cnt AS DOUBLE) * CAST(n_distinct AS DOUBLE)"
+    " / CAST(n_rows AS DOUBLE), 6)"
+)
+
+
+@register(
+    "quality_key_skew_report",
+    f"""
+    WITH s AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS key_val FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    c AS (SELECT key_name, key_val, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+    a AS (SELECT key_name,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
+          FROM c GROUP BY key_name)
+    SELECT key_name, n_rows, n_distinct, max_cnt,
+           {_SKEW_RATIO} AS skew_ratio
+    FROM a ORDER BY key_name
+    """,
+    "join-key SKEW diagnosis report — the measurement behind every "
+    "salting / AQE-skew-join decision (plans/skew.py): for each "
+    "candidate join key of the fact table, distinct-key count, hottest-"
+    "key count and the skew ratio max_cnt/(n/n_distinct) (1.0 = "
+    "uniform; >>1 = a hot key that will straggle a shuffle join). One "
+    "scan: the three key columns stack into (key_name, key_val) rows "
+    "JVM-side (zero-shuffle row expansion), one map-side-combined "
+    "count onto the key domain, then a 3-row rollup; ratio from exact "
+    "integers via shared formula text",
+    "quality extension (join-key skew / hot-key audit)",
+)
+def quality_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
+        "'l_suppkey', l_suppkey) AS (key_name, key_val)"
+    )
+    a = (
+        s.groupBy("key_name", "key_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("key_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+        )
+    )
+    return a.select(
+        "key_name",
+        "n_rows",
+        "n_distinct",
+        "max_cnt",
+        F.expr(_SKEW_RATIO).alias("skew_ratio"),
+    ).orderBy("key_name")
