@@ -2079,3 +2079,97 @@ def agg_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_KMV_K).cast("bigint").alias("k"),
         )
     )
+
+
+_KMV_GK = 64  # per-group sketch size for the hierarchical rollup
+
+
+@register(
+    "agg_kmv_hierarchical_rollup",
+    f"""
+    WITH d AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS mon,
+                               o_custkey
+               FROM orders),
+    h AS (SELECT mon, {_o_kmv_hashval("o_custkey")} AS v FROM d),
+    rk AS (SELECT mon, v,
+                  ROW_NUMBER() OVER (PARTITION BY mon ORDER BY v) AS r
+           FROM h),
+    msk AS (SELECT mon, v FROM rk WHERE r <= {_KMV_GK}),
+    yd AS (SELECT DISTINCT CAST(year(mon) AS BIGINT) AS yr, v FROM msk),
+    yrk AS (SELECT yr, v,
+                   ROW_NUMBER() OVER (PARTITION BY yr ORDER BY v) AS r
+            FROM yd),
+    ys AS (SELECT yr,
+                  MAX(CASE WHEN r <= {_KMV_GK} THEN v END) AS vk,
+                  CAST(SUM(CASE WHEN r <= {_KMV_GK} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ku
+           FROM yrk GROUP BY yr),
+    ex AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                    AS exact_distinct
+           FROM orders GROUP BY 1)
+    SELECT yr,
+           CAST(CASE WHEN ku < {_KMV_GK} THEN ku
+                ELSE ({_KMV_GK} - 1) * {_KMV_DOMAIN} // vk END AS BIGINT)
+             AS est_distinct,
+           exact_distinct,
+           CAST({_KMV_GK} AS BIGINT) AS k
+    FROM ys JOIN ex USING (yr)
+    ORDER BY yr
+    """,
+    "HIERARCHICAL KMV rollup — per-month bottom-k sketches of the "
+    "distinct-customer domain merged into yearly distinct estimates "
+    "WITHOUT rescanning the months (any year-level bottom-k element "
+    "is necessarily in its month's bottom-k, so the union of month "
+    "sketches contains the year's true bottom-k — the KMV merge law). "
+    "This is the deterministic, ORACLE-VERIFIED twin of the rows-only "
+    "agg_hll_mergeable_rollup: the 100 TB cube pattern (daily sketch "
+    "once, re-aggregate to any coarser grain) with every estimate "
+    "hash-checked against DuckDB. Per-month ranks are a partitioned "
+    "window (distributed across months); when a year's sketch union "
+    "stays under k the estimate degenerates to the exact count (same "
+    "branch both engines; k=64 => ~12% stderr, the demo trade-off — "
+    "production picks k per grain)",
+    "2.4 extension (hierarchical mergeable sketch rollup)",
+)
+def agg_kmv_hierarchical_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.trunc("o_orderdate", "month").alias("mon"), "o_custkey"
+    ).distinct()
+    h = d.select("mon", _kmv_hashval_col(F.col("o_custkey")).alias("v"))
+    wm = W.partitionBy("mon").orderBy("v")
+    msk = (
+        h.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") <= _KMV_GK)
+        .select("mon", "v")
+    )
+    yd = msk.select(
+        F.year("mon").cast("bigint").alias("yr"), "v"
+    ).distinct()
+    wy = W.partitionBy("yr").orderBy("v")
+    yrk = yd.withColumn("r", F.row_number().over(wy))
+    ys = yrk.groupBy("yr").agg(
+        F.max(F.when(F.col("r") <= _KMV_GK, F.col("v"))).alias("vk"),
+        F.sum(F.when(F.col("r") <= _KMV_GK, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ku"),
+    )
+    ex = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    est = F.when(F.col("ku") < _KMV_GK, F.col("ku")).otherwise(
+        F.expr(f"({_KMV_GK} - 1) * {_KMV_DOMAIN}L div vk")
+    )
+    return (
+        ys.join(ex, "yr")
+        .select(
+            "yr",
+            est.cast("bigint").alias("est_distinct"),
+            "exact_distinct",
+            F.lit(_KMV_GK).cast("bigint").alias("k"),
+        )
+        .orderBy("yr")
+    )
