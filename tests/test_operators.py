@@ -2235,3 +2235,16 @@ class TestHeavyHitters:
         assert len(items) <= k * 8
         # the 50%-frequency item can never be evicted everywhere
         assert "hot" in set(items)
+
+    def test_mg_merge_capacity_and_bound(self):
+        """mg_merge restores capacity k; each surviving counter drops
+        by exactly the (k+1)-th largest; <=k inputs pass through."""
+        from hangarbay_spark.operators.sketches import mg_merge
+
+        counts = {"a": 100, "b": 60, "c": 50, "d": 40, "e": 10}
+        merged, d = mg_merge(counts, k=2)
+        assert d == 50  # 3rd largest
+        assert merged == {"a": 50, "b": 10}
+        small = {"x": 5, "y": 3}
+        merged2, d2 = mg_merge(small, k=2)
+        assert merged2 == small and d2 == 0
