@@ -2173,3 +2173,131 @@ def agg_kmv_hierarchical_rollup(
         )
         .orderBy("yr")
     )
+
+
+_SQ_BUCKETS = 4  # of 256: a deterministic 1/64 content-hash sample
+
+
+@register(
+    "agg_sampled_quantiles",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem
+      WHERE {{bucket}} < {_SQ_BUCKETS}),
+    samp AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6)
+               AS sampled_median,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS sampled_p90,
+             CAST(COUNT(*) AS BIGINT) AS n_sample
+      FROM s GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS exact_p90,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, sampled_median, exact_median,
+           sampled_p90, exact_p90, n_sample, n
+    FROM samp JOIN ex USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    "APPROXIMATE quantiles from a DETERMINISTIC content-hash sample "
+    "(md5 bucket of the line id < 4/256 = a 1/64 sample — rerun-, "
+    "partitioning- and engine-stable, so unlike rng-based sampling "
+    "the sampled estimate itself is oracle-verified bit for bit; the "
+    "auditable twin of the GK sketch in agg_approx_sketches): "
+    "per-group interpolated median/p90 on the sample next to the "
+    "exact full-data values, so sampling error is a visible, "
+    "regression-guardable column pair. Both quantile passes use the "
+    "distributed two-pass interpolation (spillable sort, no per-group "
+    "buffer — agg_percentiles_by_flag); the sample pass sorts 1/64 "
+    "of the rows, which is the whole point at 100 TB",
+    "2.4 extension (deterministic-sample quantile estimation)",
+)
+def agg_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+
+    def interp(df: DataFrame, prefix: str, n_alias: str) -> DataFrame:
+        grp = W.partitionBy("l_returnflag")
+        ranked = df.select("l_returnflag", "l_extendedprice").select(
+            "l_returnflag",
+            "l_extendedprice",
+            (
+                F.row_number().over(grp.orderBy("l_extendedprice")) - 1
+            ).alias("idx"),
+            F.count(F.lit(1)).over(grp).alias("n"),
+        )
+
+        def pos(p: float):
+            return (F.col("n") - 1).cast("double") * F.lit(p)
+
+        lo50, hi50 = F.floor(pos(0.5)), F.ceil(pos(0.5))
+        lo90, hi90 = F.floor(pos(0.9)), F.ceil(pos(0.9))
+        idx = F.col("idx")
+        boundary = (
+            (idx == lo50) | (idx == hi50) | (idx == lo90) | (idx == hi90)
+        )
+
+        def pick(cond):
+            return F.max(F.when(cond, F.col("l_extendedprice")))
+
+        agg = ranked.filter(boundary).groupBy("l_returnflag").agg(
+            F.max("n").alias("n"),
+            pick(idx == lo50).alias("v_lo50"),
+            pick(idx == hi50).alias("v_hi50"),
+            pick(idx == lo90).alias("v_lo90"),
+            pick(idx == hi90).alias("v_hi90"),
+        )
+
+        def one(p: float, v_lo: str, v_hi: str):
+            frac = pos(p) - F.floor(pos(p)).cast("double")
+            return F.round(
+                F.col(v_lo) + frac * (F.col(v_hi) - F.col(v_lo)), 6
+            )
+
+        return agg.select(
+            "l_returnflag",
+            one(0.5, "v_lo50", "v_hi50").alias(f"{prefix}_median"),
+            one(0.9, "v_lo90", "v_hi90").alias(f"{prefix}_p90"),
+            F.col("n").cast("bigint").alias(n_alias),
+        )
+
+    samp = interp(
+        li.filter(hash_bucket_expr(lid) < _SQ_BUCKETS), "sampled", "n_sample"
+    )
+    ex = interp(li, "exact", "n")
+    return (
+        samp.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "sampled_median",
+            "exact_median",
+            "sampled_p90",
+            "exact_p90",
+            "n_sample",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _set_sampled_quantiles_oracle() -> None:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+    from hangarbay_spark.queries.base import REGISTRY as _R
+    from hangarbay_spark.queries.base import QuerySpec
+
+    spec = _R["agg_sampled_quantiles"]
+    oracle = spec.oracle.format(
+        bucket=o_hash_bucket("l_orderkey * 10 + l_linenumber")
+    )
+    _R["agg_sampled_quantiles"] = QuerySpec(
+        spec.name, spec.fn, oracle, spec.description, spec.survey
+    )
+
+
+_set_sampled_quantiles_oracle()
