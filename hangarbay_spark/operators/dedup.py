@@ -961,3 +961,83 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def components_incremental(
+    old_assign: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected-components maintenance under append — the clustering
+    member of the incremental-ingest family (MinHash/SimHash/FTS/PQ all
+    check a new batch against persisted state; this merges the
+    resulting NEW PAIRS into a persisted cluster assignment without
+    re-clustering the corpus).
+
+    ``old_assign``: (id, cluster) rows from a previous
+    :func:`connected_components` run (cluster = min reachable id, so
+    every member id >= its label). ``new_pairs``: pairs involving at
+    least one new id (new-vs-old and new-vs-new — the
+    :func:`minhash_pairs_incremental` contract).
+
+    Method: CONTRACTION. Each pair endpoint maps to its current label
+    (old ids -> their cluster, new/unclustered ids -> themselves);
+    min-label components then run on the contracted graph, whose size
+    is bounded by the batch's pairs + touched clusters — never the
+    corpus. A contracted component's min label equals the merged
+    cluster's true min id (old labels are already their clusters'
+    minima), so relabeling touched old rows through the label map and
+    appending the contracted assignment for genuinely new ids
+    reproduces EXACTLY what a full re-cluster over all pairs would
+    emit — pinned in test_components_incremental_equals_full_rebuild,
+    including the cluster-bridging case (one new doc merging two old
+    clusters).
+
+    Returns the updated full assignment (id, cluster). Pure function —
+    callers persist it (or not) themselves, so replays are idempotent.
+    """
+    lbl = old_assign.select(
+        F.col("id").alias("_m_id"), F.col("cluster").alias("_m_lbl")
+    )
+    # contracted edges: label-of(a) -- label-of(b)
+    contracted = (
+        new_pairs.select(id_a, id_b)
+        .join(
+            lbl.select(
+                F.col("_m_id").alias(id_a), F.col("_m_lbl").alias("_la")
+            ),
+            id_a,
+            "left",
+        )
+        .join(
+            lbl.select(
+                F.col("_m_id").alias(id_b), F.col("_m_lbl").alias("_lb")
+            ),
+            id_b,
+            "left",
+        )
+        .select(
+            F.coalesce("_la", F.col(id_a)).alias("id_a"),
+            F.coalesce("_lb", F.col(id_b)).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    comp = connected_components(contracted)  # bounded contracted graph
+    relabel = comp.select(
+        F.col("id").alias("old_label"), F.col("cluster").alias("new_label")
+    )
+    updated_old = (
+        old_assign.join(
+            relabel, old_assign["cluster"] == relabel["old_label"], "left"
+        )
+        .select(
+            "id",
+            F.coalesce("new_label", "cluster").alias("cluster"),
+        )
+    )
+    fresh = comp.join(old_assign.select("id"), "id", "anti").select(
+        "id", "cluster"
+    )
+    return updated_old.unionByName(fresh)

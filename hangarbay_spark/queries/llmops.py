@@ -3046,3 +3046,54 @@ def text_heavy_hitter_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact_weighted(
         toks, "tok", "w", inv_phi=200, alias="tok"
     )
+
+
+_INCR_CLUSTER_PATHS: dict[str, str] = {}
+
+
+@register(
+    "dedup_clusters_incremental",
+    _o_minhash_clusters(),
+    "INCREMENTAL near-dup cluster maintenance — the clustering member "
+    "of the incremental-ingest family: the 10% new batch's pairs "
+    "(from the persisted signature corpus, old text never re-shingled) "
+    "merge into the persisted cluster assignment by CONTRACTION — "
+    "pair endpoints map to their current labels, min-label components "
+    "run on the contracted graph (bounded by the batch's pairs + "
+    "touched clusters, never the corpus), touched old rows relabel "
+    "through the label map. Result provably equals a full re-cluster "
+    "(test-pinned incl. the cluster-bridging case), so the oracle IS "
+    "the full-corpus recursive-CTE closure — the same oracle as "
+    "dedup_minhash_clusters, reached without re-clustering",
+    "dedup extension (incremental connected-components maintenance)",
+)
+def dedup_clusters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    key = f"{sf_dir}|incr_clusters"
+    paths = _INCR_CLUSTER_PATHS.get(key)
+    if paths is None:
+        sig_path = tempfile.mkdtemp(prefix="hb_ic_sigs_")
+        asg_path = tempfile.mkdtemp(prefix="hb_ic_assign_")
+        old = docs.filter(F.col("doc_id") % 10 != 0)
+        D.write_minhash_signature_table(old, "doc_id", "text", sig_path)
+        old_pairs = D.minhash_lsh_dedup_pairs(
+            old, "doc_id", "text", threshold=0.8
+        ).select("id_a", "id_b")
+        D.connected_components(old_pairs).write.mode("overwrite").parquet(
+            asg_path
+        )
+        _INCR_CLUSTER_PATHS[key] = f"{sig_path}|{asg_path}"
+    sig_path, asg_path = _INCR_CLUSTER_PATHS[key].split("|")
+    new_pairs = D.minhash_pairs_incremental(
+        spark, new, "doc_id", "text", sig_path, threshold=0.8
+    ).select("id_a", "id_b")
+    old_assign = spark.read.parquet(asg_path)
+    updated = D.components_incremental(old_assign, new_pairs)
+    return updated.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -2248,3 +2248,88 @@ class TestHeavyHitters:
         small = {"x": 5, "y": 3}
         merged2, d2 = mg_merge(small, k=2)
         assert merged2 == small and d2 == 0
+
+
+class TestComponentsIncremental:
+    def test_components_incremental_equals_full_rebuild(self, spark):
+        """Contracted incremental maintenance == full re-cluster,
+        including a new doc BRIDGING two old clusters and a pair
+        touching a previously unclustered old id."""
+        from pyspark.sql import functions as F
+
+        from hangarbay_spark.operators.dedup import (
+            components_incremental,
+            connected_components,
+        )
+
+        old_pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)],
+            "id_a long, id_b long",
+        )
+        old_assign = connected_components(old_pairs)
+        # new id 100 bridges clusters {1,2,3} and {10,11};
+        # new id 200 pairs with unclustered old id 50;
+        # new-new pair 300-301
+        new_pairs = spark.createDataFrame(
+            [(100, 3), (100, 11), (200, 50), (300, 301)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r.id, r.cluster)
+            for r in components_incremental(old_assign, new_pairs).collect()
+        }
+        full = {
+            (r.id, r.cluster)
+            for r in connected_components(
+                old_pairs.unionByName(new_pairs)
+            ).collect()
+        }
+        assert got == full
+        # the bridge merged both old clusters under the global min
+        assert (11, 1) in got and (100, 1) in got and (21, 20) in got
+
+    def test_components_incremental_corpus_equivalence(self, spark):
+        """On the real documents table: cluster the 90% 'corpus', feed
+        the 10% batch's incremental pairs, compare against clustering
+        the full pair set."""
+        from pyspark.sql import functions as F
+
+        from hangarbay_spark.operators import dedup as D
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        old = docs.filter(F.col("doc_id") % 10 != 0)
+        all_pairs = D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).select("id_a", "id_b")
+        old_pairs = D.minhash_lsh_dedup_pairs(
+            old, "doc_id", "text", threshold=0.8
+        ).select("id_a", "id_b")
+        new_pairs = (
+            all_pairs.withColumn(
+                "k",
+                F.least("id_a", "id_b") * 1000000 + F.greatest("id_a", "id_b"),
+            )
+            .join(
+                old_pairs.withColumn(
+                    "k",
+                    F.least("id_a", "id_b") * 1000000
+                    + F.greatest("id_a", "id_b"),
+                ).select("k"),
+                "k",
+                "anti",
+            )
+            .select("id_a", "id_b")
+        )
+        got = {
+            (r.id, r.cluster)
+            for r in D.components_incremental(
+                D.connected_components(old_pairs), new_pairs
+            ).collect()
+        }
+        want = {
+            (r.id, r.cluster)
+            for r in D.connected_components(all_pairs).collect()
+        }
+        assert got == want and len(want) > 0
