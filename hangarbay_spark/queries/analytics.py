@@ -1310,3 +1310,77 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dist").cast("bigint").alias("dist"), "n_nodes", "min_node")
         .orderBy("dist")
     )
+
+
+@register(
+    "agg_revenue_concentration",
+    f"""
+    WITH s AS (SELECT l_suppkey,
+                      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(30,4))) AS DECIMAL(30,4))
+                        AS rev
+               FROM lineitem GROUP BY l_suppkey),
+    g AS (SELECT CAST(SUM(rev) AS DECIMAL(30,4)) AS total FROM s),
+    t AS (SELECT l_suppkey, rev FROM s
+          ORDER BY rev DESC, l_suppkey LIMIT 20),
+    r AS (SELECT l_suppkey, rev,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rk,
+                 SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM t)
+    SELECT CAST(rk AS BIGINT) AS rk, l_suppkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS cum_share
+    FROM r CROSS JOIN g ORDER BY rk
+    """,
+    "revenue CONCENTRATION (Pareto) report: top-20 suppliers by "
+    "revenue with each one's cumulative share of the total — the "
+    "80/20 diagnosis behind partner tiering and skew planning. "
+    "Revenue aggregates exactly in decimals; the top-20 comes off the "
+    "supplier aggregate via TakeOrderedAndProject (k rows per "
+    "partition, no global sort of the supplier domain — suppliers "
+    "grow with SF, so a global rank window would not hold at 100x), "
+    "the total is a 1-row exact-decimal scalar (allowlisted bounded "
+    "broadcast), and the rank/cumulative window runs over the 20-row "
+    "frame only. Deterministic tie-break on the key",
+    "2.4/2.5 extension (Pareto concentration / cumulative share)",
+)
+def agg_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,4)"
+            )
+        )
+        .cast("decimal(30,4)")
+        .alias("rev")
+    ).localCheckpoint()  # feeds both the scalar total and the top-20
+    g = s.agg(F.sum("rev").cast("decimal(30,4)").alias("total"))
+    t = s.orderBy(F.col("rev").desc(), "l_suppkey").limit(20)
+    w = Window.orderBy(F.col("rev").desc(), "l_suppkey")
+    r = t.select(
+        "l_suppkey",
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return (
+        r.crossJoin(F.broadcast(g))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "l_suppkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("rk")
+    )
