@@ -3097,3 +3097,219 @@ def dedup_clusters_incremental(
     return updated.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# MMR scoring: relevance vs redundancy trade-off, lambda = 0.7. The
+# same formula text compiles on both engines; inputs are round-9
+# cosines, the product/difference is one IEEE shape, round(9) guards
+# contraction drift (cosine precedent).
+_MMR_L = "0.7"
+_MMR_STEP2 = f"round({_MMR_L} * rel - (1 - {_MMR_L}) * sim1, 9)"
+_MMR_STEP3 = (
+    f"round({_MMR_L} * rel - (1 - {_MMR_L}) * greatest(sim1, sim2), 9)"
+)
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    sc AS (SELECT p.probe_id, c.vec_id AS nid,
+                  {_o_cosine("p.pv", "c.embedding")} AS rel
+           FROM embeddings c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+    cand AS (SELECT probe_id, nid, rel FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY rel DESC, nid) AS rk FROM sc) t
+             WHERE rk <= 8),
+    ps AS (SELECT a.probe_id, a.nid AS ida, b.nid AS idb,
+                  {_o_cosine("ea.embedding", "eb.embedding")} AS sim
+           FROM cand a JOIN cand b
+             ON a.probe_id = b.probe_id AND a.nid <> b.nid
+           JOIN embeddings ea ON ea.vec_id = a.nid
+           JOIN embeddings eb ON eb.vec_id = b.nid),
+    s1 AS (SELECT probe_id, nid, rel FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY rel DESC, nid) AS rk FROM cand) t
+           WHERE rk = 1),
+    r2 AS (SELECT c.probe_id, c.nid,
+                  {_MMR_STEP2.replace("sim1", "ps.sim").replace("rel", "c.rel")}
+             AS score
+           FROM cand c
+           JOIN s1 ON s1.probe_id = c.probe_id AND c.nid <> s1.nid
+           JOIN ps ON ps.probe_id = c.probe_id AND ps.ida = c.nid
+                  AND ps.idb = s1.nid),
+    s2 AS (SELECT probe_id, nid, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY score DESC, nid) AS rk FROM r2) t
+           WHERE rk = 1),
+    r3 AS (SELECT c.probe_id, c.nid,
+                  round({_MMR_L} * c.rel - (1 - {_MMR_L})
+                        * greatest(p1.sim, p2.sim), 9) AS score
+           FROM cand c
+           JOIN s1 ON s1.probe_id = c.probe_id AND c.nid <> s1.nid
+           JOIN s2 ON s2.probe_id = c.probe_id AND c.nid <> s2.nid
+           JOIN ps p1 ON p1.probe_id = c.probe_id AND p1.ida = c.nid
+                     AND p1.idb = s1.nid
+           JOIN ps p2 ON p2.probe_id = c.probe_id AND p2.ida = c.nid
+                     AND p2.idb = s2.nid),
+    s3 AS (SELECT probe_id, nid, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY score DESC, nid) AS rk FROM r3) t
+           WHERE rk = 1)
+    SELECT probe_id, CAST(1 AS BIGINT) AS pick, nid, rel AS score FROM s1
+    UNION ALL
+    SELECT probe_id, CAST(2 AS BIGINT), nid, score FROM s2
+    UNION ALL
+    SELECT probe_id, CAST(3 AS BIGINT), nid, score FROM s3
+    ORDER BY probe_id, pick
+    """,
+    "MMR-DIVERSIFIED retrieval (maximal marginal relevance, Carbonell "
+    "& Goldstein 1998 — the diversity re-rank every RAG stack runs on "
+    "its ANN shortlist): per probe, the top-8 exact-cosine shortlist "
+    "is greedily re-ranked 3 steps, each pick maximizing 0.7*relevance"
+    " - 0.3*max-similarity-to-already-picked. The greedy recurrence "
+    "is inherently sequential, but its horizon is the SHORTLIST "
+    "(bounded 8x8 pairwise sims per probe, never the corpus), so each "
+    "step unrolls to a join + per-probe argmax window — fully "
+    "declarative, and the oracle unrolls identically. All scores are "
+    "round-9 cosine arithmetic in one shared formula text; "
+    "deterministic id tie-breaks at every argmax",
+    "similarity extension (diversity-aware MMR re-ranking)",
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    cand = (
+        S.brute_force_topk(emb, probes, k=8)
+        .select(
+            "probe_id",
+            F.col("neighbor_id").alias("nid"),
+            F.col("cosine").alias("rel"),
+        )
+        .localCheckpoint()  # corpus-scan subtree feeds ps + 3 steps
+    )
+    ev = emb.select("vec_id", "embedding")
+    ps = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.probe_id") == F.col("b.probe_id"))
+            & (F.col("a.nid") != F.col("b.nid")),
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("_va"), F.col("embedding").alias("_ea")
+            ),
+            F.col("a.nid") == F.col("_va"),
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("_vb"), F.col("embedding").alias("_eb")
+            ),
+            F.col("b.nid") == F.col("_vb"),
+        )
+        .select(
+            F.col("a.probe_id").alias("probe_id"),
+            F.col("a.nid").alias("ida"),
+            F.col("b.nid").alias("idb"),
+            S.cosine_expr(F.col("_ea"), F.col("_eb")).alias("sim"),
+        )
+        .localCheckpoint()  # bounded 8x8-per-probe, reused by 2 steps
+    )
+    wp = W.partitionBy("probe_id")
+    s1 = (
+        cand.withColumn(
+            "rk", F.row_number().over(wp.orderBy(F.desc("rel"), "nid"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "nid", "rel")
+    )
+    r2 = (
+        cand.alias("c")
+        .join(
+            s1.select(
+                F.col("probe_id"), F.col("nid").alias("_s1")
+            ),
+            "probe_id",
+        )
+        .filter(F.col("nid") != F.col("_s1"))
+        .join(
+            ps.select(
+                "probe_id",
+                F.col("ida").alias("nid"),
+                F.col("idb").alias("_s1"),
+                F.col("sim").alias("sim1"),
+            ),
+            ["probe_id", "nid", "_s1"],
+        )
+        .select("probe_id", "nid", "rel", "sim1")
+    )
+    s2 = (
+        r2.withColumn("score", F.expr(_MMR_STEP2))
+        .withColumn(
+            "rk", F.row_number().over(wp.orderBy(F.desc("score"), "nid"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "nid", "score")
+    )
+    r3 = (
+        cand.alias("c")
+        .join(s1.select("probe_id", F.col("nid").alias("_s1")), "probe_id")
+        .join(s2.select("probe_id", F.col("nid").alias("_s2")), "probe_id")
+        .filter((F.col("nid") != F.col("_s1")) & (F.col("nid") != F.col("_s2")))
+        .join(
+            ps.select(
+                "probe_id",
+                F.col("ida").alias("nid"),
+                F.col("idb").alias("_s1"),
+                F.col("sim").alias("sim1"),
+            ),
+            ["probe_id", "nid", "_s1"],
+        )
+        .join(
+            ps.select(
+                "probe_id",
+                F.col("ida").alias("nid"),
+                F.col("idb").alias("_s2"),
+                F.col("sim").alias("sim2"),
+            ),
+            ["probe_id", "nid", "_s2"],
+        )
+        .select("probe_id", "nid", "rel", "sim1", "sim2")
+    )
+    s3 = (
+        r3.withColumn("score", F.expr(_MMR_STEP3))
+        .withColumn(
+            "rk", F.row_number().over(wp.orderBy(F.desc("score"), "nid"))
+        )
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "nid", "score")
+    )
+    return (
+        s1.select(
+            "probe_id",
+            F.lit(1).cast("bigint").alias("pick"),
+            "nid",
+            F.col("rel").alias("score"),
+        )
+        .unionByName(
+            s2.select(
+                "probe_id",
+                F.lit(2).cast("bigint").alias("pick"),
+                "nid",
+                "score",
+            )
+        )
+        .unionByName(
+            s3.select(
+                "probe_id",
+                F.lit(3).cast("bigint").alias("pick"),
+                "nid",
+                "score",
+            )
+        )
+        .orderBy("probe_id", "pick")
+    )
