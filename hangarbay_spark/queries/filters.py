@@ -676,3 +676,75 @@ def quality_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cnt",
         F.expr(_SKEW_RATIO).alias("skew_ratio"),
     ).orderBy("key_name")
+
+
+# k below which an equivalence class is a re-identification risk.
+_KANON_K = 5
+
+
+@register(
+    "quality_k_anonymity",
+    f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3),
+    s AS (
+      SELECT CAST(COUNT(CASE WHEN k < {_KANON_K} THEN 1 END) AS BIGINT)
+               AS small_classes,
+             CAST(COALESCE(SUM(CASE WHEN k < {_KANON_K} THEN k END), 0)
+               AS BIGINT) AS rows_at_risk
+      FROM cls)
+    SELECT c.c_nationkey, c.c_mktsegment, c.bal_bucket, c.k,
+           s.small_classes, s.rows_at_risk
+    FROM cls c, s
+    WHERE c.k < {_KANON_K}
+    ORDER BY c.k, c.c_nationkey, c.c_mktsegment, c.bal_bucket
+    LIMIT 20
+    """,
+    "k-anonymity privacy audit over quasi-identifiers (nation, market "
+    "segment, account-balance bucket): equivalence-class sizes from "
+    "one map-side-combined GROUP BY on the bounded QI domain, the 20 "
+    "smallest classes below k=5 plus global risk counts (classes at "
+    "risk, rows at risk) carried on every row via a 1-row broadcast "
+    "scalar — the release gate a training-data pipeline runs before "
+    "shipping records containing personal attributes",
+    "data-governance extension (k-anonymity audit)",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cls = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .localCheckpoint()  # class frame feeds the summary + the listing
+    )
+    s = cls.agg(
+        F.expr(
+            f"CAST(COUNT(CASE WHEN k < {_KANON_K} THEN 1 END) AS BIGINT)"
+        ).alias("small_classes"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN k < {_KANON_K} THEN k END), 0)"
+            " AS BIGINT)"
+        ).alias("rows_at_risk"),
+    )
+    return (
+        cls.filter(F.col("k") < _KANON_K)
+        .crossJoin(F.broadcast(s))
+        .orderBy("k", "c_nationkey", "c_mktsegment", "bal_bucket")
+        .limit(20)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "k",
+            "small_classes",
+            "rows_at_risk",
+        )
+    )

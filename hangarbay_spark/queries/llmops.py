@@ -3313,3 +3313,224 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics and importance resampling
+# ---------------------------------------------------------------------------
+
+# Rank discount 1/log2(rk+1) via ln on both engines; the transcendental
+# is rounded at 6 dp (decimal-parity guard) so every DCG term is an
+# identical exact decimal cross-engine. `{i}` is the 1-based rank.
+_DISC = "round(1.0 / (ln(CAST({i} AS DOUBLE) + 1.0) / ln(2.0)), 6)"
+
+
+@register(
+    "sim_ranking_metrics",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    sc AS (
+      SELECT p.probe_id, p.plabel, c.vec_id AS nid, c.label AS nlabel,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+    top AS (
+      SELECT probe_id, nid,
+             CASE WHEN nlabel = plabel THEN 1 ELSE 0 END AS rel, rk
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, nid) AS BIGINT) AS rk FROM sc) t
+      WHERE rk <= 10),
+    m AS (
+      SELECT probe_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             round(CAST(SUM(rel) AS DOUBLE) / 10.0, 6) AS p_at_10,
+             COALESCE(round(1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rk END)
+               AS DOUBLE), 6), 0.0) AS mrr,
+             CAST(SUM(CASE WHEN rel = 1
+               THEN CAST({_DISC.format(i="rk")} AS DECIMAL(20,6))
+               ELSE 0 END) AS DOUBLE) AS dcg
+      FROM top GROUP BY probe_id),
+    rc AS (
+      SELECT p.probe_id, LEAST(10, COUNT(*)) AS ideal_n
+      FROM embeddings c JOIN p
+        ON c.label = p.plabel AND c.vec_id <> p.probe_id
+      GROUP BY p.probe_id
+      HAVING COUNT(*) >= 1),
+    idcg AS (
+      SELECT probe_id,
+             CAST(SUM(CAST({_DISC.format(i="i")} AS DECIMAL(20,6)))
+               AS DOUBLE) AS idcg
+      FROM (SELECT probe_id, unnest(generate_series(1, ideal_n)) AS i
+            FROM rc) u
+      GROUP BY probe_id)
+    SELECT m.probe_id, m.n_rel, m.p_at_10, m.mrr,
+           round(m.dcg / i.idcg, 6) AS ndcg_at_10
+    FROM m JOIN idcg i ON m.probe_id = i.probe_id
+    """,
+    "retrieval-quality readout for exact cosine top-10 with same-label "
+    "relevance: precision@10, MRR, and nDCG@10 (variable-R ideal DCG); "
+    "rank discounts share one 6 dp ln-formula text so DCG sums are "
+    "exact decimals on both engines — the evaluation harness every "
+    "embedding-retrieval pipeline needs before trusting its ANN",
+    "similarity-search extension (retrieval quality metrics: P@k, MRR, nDCG)",
+)
+def sim_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("label").alias("plabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("vec"),
+        F.col("label").alias("nlabel"),
+    )
+    sc = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "plabel",
+            "nid",
+            "nlabel",
+            S.cosine_expr(F.col("pv"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "nid")
+    top = (
+        sc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .withColumn(
+            "rel", F.when(F.col("nlabel") == F.col("plabel"), 1).otherwise(0)
+        )
+    )
+    m = top.groupBy("probe_id").agg(
+        F.expr("CAST(SUM(rel) AS BIGINT)").alias("n_rel"),
+        F.expr("round(CAST(SUM(rel) AS DOUBLE) / 10.0, 6)").alias("p_at_10"),
+        F.expr(
+            "COALESCE(round(1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rk END)"
+            " AS DOUBLE), 6), 0.0)"
+        ).alias("mrr"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rel = 1 THEN CAST("
+            + _DISC.format(i="rk")
+            + " AS DECIMAL(20,6)) ELSE 0 END) AS DOUBLE)"
+        ).alias("dcg"),
+    )
+    rc = (
+        emb.join(
+            F.broadcast(p.select("probe_id", "plabel")),
+            (F.col("label") == F.col("plabel"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id")
+        .agg(F.expr("LEAST(10, COUNT(*))").alias("ideal_n"))
+        .filter(F.col("ideal_n") >= 1)
+    )
+    idcg = (
+        rc.select(
+            "probe_id", F.explode(F.expr("sequence(1, ideal_n)")).alias("i")
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST("
+                + _DISC.format(i="i")
+                + " AS DECIMAL(20,6))) AS DOUBLE)"
+            ).alias("idcg")
+        )
+    )
+    return m.join(idcg, "probe_id").select(
+        "probe_id",
+        "n_rel",
+        "p_at_10",
+        "mrr",
+        F.expr("round(dcg / idcg, 6)").alias("ndcg_at_10"),
+    )
+
+
+# DSIR bucket log-likelihood ratio (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): Laplace-smoothed
+# hashed-unigram probabilities for the target (lang='en') vs raw (the
+# rest) distributions. All inputs are exact integer counts; the single
+# double division runs in one shared IEEE shape and the ln is rounded
+# at 6 dp (transcendental guard), so per-bucket scores are identical
+# decimals cross-engine and per-doc sums aggregate exactly.
+_DSIR_LLR = (
+    "round(ln(((CAST(ct AS DOUBLE) + 1.0) * (CAST(tr AS DOUBLE) + 16.0))"
+    " / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(tt AS DOUBLE) + 16.0))), 6)"
+)
+
+
+@register(
+    "sample_importance_dsir",
+    f"""
+    WITH tb AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1) AS b
+      FROM (SELECT doc_id, lang, unnest({O_TOKENS}) AS s FROM documents) u),
+    cnt AS (
+      SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+      FROM tb GROUP BY b),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+    llr AS (SELECT b, {_DSIR_LLR} AS llr FROM cnt, tot),
+    sc AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(l.llr AS DECIMAL(20,6))) AS DOUBLE) AS weight
+      FROM tb t JOIN llr l USING (b) WHERE t.lang <> 'en'
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, weight FROM sc
+    ORDER BY weight DESC, doc_id LIMIT 20
+    """,
+    "DSIR-style importance resampling: hashed-unigram (16 md5 buckets) "
+    "Laplace-smoothed log-likelihood ratio of the target (English) vs "
+    "raw distribution, summed per raw document; top-20 by importance "
+    "weight are the docs to up-sample toward the target domain. One "
+    "token-explode pass (checkpointed — feeds both the bucket counts "
+    "and the per-doc scoring join), a 16-row bucket model, and a "
+    "broadcast score join: corpus cost is two narrow scans at any SF",
+    "LLM-pipeline extension (DSIR importance resampling)",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(X.tokens_expr("text")).alias("s")
+        )
+        .withColumn(
+            "b",
+            F.expr("instr('0123456789abcdef', substring(md5(s), 1, 1)) - 1"),
+        )
+        .select("doc_id", "lang", "b")
+        .localCheckpoint()  # token explode feeds counts + scoring join
+    )
+    cnt = toks.groupBy("b").agg(
+        F.expr("SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)").alias("ct"),
+        F.expr("SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.expr("SUM(ct)").alias("tt"), F.expr("SUM(cr)").alias("tr")
+    )
+    llr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_LLR).alias("llr")
+    )
+    sc = (
+        toks.filter(F.col("lang") != "en")
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("llr").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("weight"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_tokens", "weight")
+    )

@@ -187,6 +187,9 @@ BNLJ_ALLOWED = {
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
+    "sim_ranking_metrics",          # fixed probe set (3 vectors)
+    "sample_importance_dsir",       # 1-row bucket-total scalar (16-row model)
+    "quality_k_anonymity",          # 1-row risk-summary scalar
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
 }
 
