@@ -1384,3 +1384,140 @@ def agg_revenue_concentration(
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for link prediction
+# ---------------------------------------------------------------------------
+
+_NEG_NB = 64  # index buckets: only the 64-row offset frame is sorted globally
+
+from hangarbay_spark.queries.relational import _o_kmv_hashval as _o_h48
+
+# 48-bit content hash of the probe key 'neg<j>:<node>' (KMV hash
+# construction — exact integer arithmetic on both engines).
+_NEG_H = _o_h48("'neg' || CAST(j AS VARCHAR) || ':' || CAST(node AS VARCHAR)")
+
+
+@register(
+    "graph_negative_sampling",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    nodes AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+    nb AS (SELECT node, node % {_NEG_NB} AS b FROM nodes),
+    rk AS (SELECT node, b,
+                  ROW_NUMBER() OVER (PARTITION BY b ORDER BY node) AS r
+           FROM nb),
+    sz AS (SELECT b, COUNT(*) AS cnt FROM nb GROUP BY b),
+    off0 AS (SELECT b, cnt,
+                    SUM(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING) AS off_raw
+             FROM sz),
+    off AS (SELECT b, COALESCE(off_raw, 0) AS off_b,
+                   SUM(cnt) OVER () AS n
+            FROM off0),
+    idx AS (SELECT rk.node, off.off_b + rk.r - 1 AS idx, off.n
+            FROM rk JOIN off USING (b)),
+    pr AS (SELECT node, n, j FROM idx
+           CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js),
+    ph AS (SELECT node, j,
+                  ({_NEG_H}) % n AS tidx
+           FROM pr),
+    cand AS (SELECT p.node, p.j, t.node AS neg_node
+             FROM ph p JOIN idx t ON p.tidx = t.idx
+             WHERE t.node <> p.node),
+    cl AS (SELECT node, j, neg_node,
+                  LEAST(node, neg_node) AS lo,
+                  GREATEST(node, neg_node) AS hi
+           FROM cand)
+    SELECT CAST(node AS BIGINT) AS node, CAST(j AS BIGINT) AS j,
+           CAST(neg_node AS BIGINT) AS neg_node
+    FROM cl
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.src = cl.lo AND e.dst = cl.hi)
+    """,
+    "deterministic negative sampling for link-prediction training "
+    "data: each co-purchase node draws 3 pseudo-random candidate "
+    "partners by 48-bit content hash into a dense node index, then "
+    "true edges are anti-joined away. The dense index is built "
+    "DISTRIBUTED (per-bucket row_number + a 64-row bucket-offset "
+    "prefix — the equidepth-histogram trick; the node domain is never "
+    "globally sorted), candidate lookup is an integer equi-join, and "
+    "the edge filter is a left-anti hash join: every corpus-scale step "
+    "shuffles on integer keys",
+    "analytics extension (graph negative sampling for training data)",
+)
+def graph_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.queries.relational import _kmv_hashval_col
+
+    e = _copurchase_small(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("b", F.col("node") % _NEG_NB)
+    )
+    rk = nodes.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("b").orderBy("node")),
+    )
+    sz = nodes.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    off0 = sz.withColumn(
+        "off_raw",
+        F.sum("cnt").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    off = off0.select(
+        "b",
+        F.coalesce(F.col("off_raw"), F.lit(0)).alias("off_b"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    idx = (
+        rk.join(F.broadcast(off), "b")
+        .select(
+            "node", (F.col("off_b") + F.col("r") - 1).alias("idx"), "n"
+        )
+        .localCheckpoint()  # probe source AND lookup target (2 consumers)
+    )
+    ph = (
+        idx.select(
+            "node",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .withColumn(
+            "h",
+            _kmv_hashval_col(
+                F.concat(F.lit("neg"), F.col("j"), F.lit(":"), F.col("node"))
+            ),
+        )
+        .select("node", "j", (F.col("h") % F.col("n")).alias("tidx"))
+    )
+    cand = (
+        ph.join(
+            idx.select(
+                F.col("idx").alias("tidx"), F.col("node").alias("neg_node")
+            ),
+            "tidx",
+        )
+        .filter(F.col("neg_node") != F.col("node"))
+        .select(
+            "node",
+            "j",
+            "neg_node",
+            F.least("node", "neg_node").alias("lo"),
+            F.greatest("node", "neg_node").alias("hi"),
+        )
+    )
+    neg = cand.join(
+        e.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        ["lo", "hi"],
+        "left_anti",
+    )
+    return neg.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("neg_node").cast("bigint").alias("neg_node"),
+    )

@@ -1701,3 +1701,87 @@ def scan_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift monitor
+# ---------------------------------------------------------------------------
+
+# Per-bin PSI term from exact integer counts: Laplace-smoothed share
+# difference times the smoothed log-ratio. Every count is CAST to
+# DOUBLE explicitly (a bare `+ 1.0` would drag Spark into decimal
+# arithmetic and a differently-rounded quotient), the ln is rounded at
+# 6 dp (libm-drift guard) and the final product at 6 dp
+# (FMA-contraction guard) — both engines then sum identical decimals.
+_PSI_TERM = (
+    "round((((CAST(nc AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0))"
+    " - ((CAST(nr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0)))"
+    " * round(ln(((CAST(nc AS DOUBLE) + 1.0) * (CAST(tr AS DOUBLE) + 10.0))"
+    " / ((CAST(nr AS DOUBLE) + 1.0) * (CAST(tc AS DOUBLE) + 10.0))), 6), 6)"
+)
+
+_PSI_BIN = "least(9, greatest(0, CAST(floor(value / 25.0) AS INT)))"
+
+
+@register(
+    "events_psi_drift",
+    f"""
+    WITH base AS (SELECT event_type, CAST(ts AS DATE) AS d, value
+                  FROM events),
+    mx AS (SELECT MAX(d) AS maxd FROM base),
+    per AS (SELECT event_type,
+                   CASE WHEN d >= maxd - 6 THEN 'cur' ELSE 'ref' END
+                     AS period,
+                   {_PSI_BIN} AS bin
+            FROM base CROSS JOIN mx),
+    c AS (SELECT event_type, bin,
+                 SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc,
+                 SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS nr
+          FROM per GROUP BY 1, 2),
+    t AS (SELECT event_type, bin, nc, nr,
+                 SUM(nc) OVER (PARTITION BY event_type) AS tc,
+                 SUM(nr) OVER (PARTITION BY event_type) AS tr
+          FROM c),
+    s AS (SELECT event_type, {_PSI_TERM} AS term, tc, tr FROM t)
+    SELECT event_type,
+           CAST(MAX(tc) AS BIGINT) AS n_cur,
+           CAST(MAX(tr) AS BIGINT) AS n_ref,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CAST(term AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM s GROUP BY event_type
+    """,
+    "population-stability-index (PSI) drift monitor: per event type, "
+    "the value distribution of the trailing 7 days vs the prior "
+    "reference period over 10 fixed-width bins, Laplace-smoothed — "
+    "the standard production gate for feature/score drift (PSI > 0.2 "
+    "= retrain). One scan bins every event, one map-side-combined "
+    "(type, bin) count, per-type totals via a window over the bounded "
+    "bin frame; the reference date is a 1-row broadcast scalar",
+    "events extension (PSI data-drift monitor)",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    base = ev.select("event_type", F.to_date("ts").alias("d"), "value")
+    mx = base.agg(F.max("d").alias("maxd"))
+    per = base.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN d >= date_sub(maxd, 6) THEN 'cur' ELSE 'ref' END"
+        ).alias("period"),
+        F.expr(_PSI_BIN).alias("bin"),
+    )
+    c = per.groupBy("event_type", "bin").agg(
+        F.expr("SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END)").alias("nc"),
+        F.expr("SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END)").alias("nr"),
+    )
+    w = W.partitionBy("event_type")
+    t = c.withColumn("tc", F.sum("nc").over(w)).withColumn(
+        "tr", F.sum("nr").over(w)
+    )
+    s = t.select("event_type", F.expr(_PSI_TERM).alias("term"), "tc", "tr")
+    return s.groupBy("event_type").agg(
+        F.max("tc").cast("bigint").alias("n_cur"),
+        F.max("tr").cast("bigint").alias("n_ref"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.col("term").cast("decimal(20,6)")).cast("double").alias("psi"),
+    )

@@ -3534,3 +3534,116 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_tokens", "weight")
     )
+
+
+# Waterfilling allocation: eligibility and the waterline are EXACT
+# integer arithmetic (c * remaining_sources <= remaining_budget, and
+# integer-division tau), so the only float op is the final keep-rate
+# divide — one shared 6 dp rounding on both engines.
+_WF_KEEP = (
+    "CASE WHEN c = 0 THEN 0.0 ELSE "
+    "round(CAST(alloc_tokens AS DOUBLE) / CAST(c AS DOUBLE), 6) END"
+)
+
+
+@register(
+    "sample_token_budget",
+    f"""
+    WITH sc AS (SELECT source, CAST(SUM(len({O_TOKENS})) AS BIGINT) AS c
+                FROM documents GROUP BY source),
+    ix AS (SELECT source, c,
+                  CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT)
+                    AS i
+           FROM sc),
+    pp AS (SELECT source, c, i,
+                  SUM(c) OVER (ORDER BY c, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                  SUM(c) OVER () AS tot,
+                  CAST(COUNT(*) OVER () AS BIGINT) AS s
+           FROM ix),
+    el AS (SELECT *, tot // 2 AS b,
+                  CASE WHEN c * (s - i + 1) <= (tot // 2) - (p - c)
+                       THEN i END AS elig
+           FROM pp),
+    jv AS (SELECT *, COALESCE(MAX(elig) OVER (), 0) AS j FROM el),
+    pj AS (SELECT *, COALESCE(MAX(CASE WHEN i = j THEN p END) OVER (), 0)
+                       AS p_j
+           FROM jv),
+    al AS (SELECT source, c, b,
+                  CAST(CASE WHEN i <= j THEN c
+                       ELSE (b - p_j) // (s - j) END AS BIGINT)
+                    AS alloc_tokens
+           FROM pj)
+    SELECT source, c AS n_tokens, alloc_tokens,
+           {_WF_KEEP} AS keep_rate,
+           CAST(CASE WHEN alloc_tokens < c THEN 1 ELSE 0 END AS BIGINT)
+             AS capped,
+           CAST(b AS BIGINT) AS budget
+    FROM al
+    """,
+    "token-budget allocation by waterfilling: given a global training "
+    "budget (50% of corpus tokens), small sources are kept whole and "
+    "large sources are capped at one shared waterline — the mixture "
+    "planner behind 'epochs for rare domains, subsampling for the "
+    "head'. One map-side-combined groupBy(source) is the only corpus "
+    "shuffle; the sort, prefix sums and waterline all run on the "
+    "bounded source frame, and every allocation step is exact integer "
+    "arithmetic (the waterline is an integer division), so the plan "
+    "is oracle-verified bit for bit",
+    "LLM-pipeline extension (token-budget waterfilling mixture planner)",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc_ = (
+        docs.select("source", F.size(X.tokens_expr("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("c"))
+    )
+    wall = W.partitionBy()
+    word = W.orderBy("c", "source")
+    ix = sc_.withColumn("i", F.row_number().over(word).cast("bigint"))
+    pp = (
+        ix.withColumn(
+            "p",
+            F.sum("c").over(
+                word.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("tot", F.sum("c").over(wall))
+        .withColumn("s", F.count(F.lit(1)).over(wall).cast("bigint"))
+    )
+    el = pp.withColumn("b", F.expr("tot div 2")).withColumn(
+        "elig",
+        F.expr("CASE WHEN c * (s - i + 1) <= b - (p - c) THEN i END"),
+    )
+    jv = el.withColumn(
+        "j", F.coalesce(F.max("elig").over(wall), F.lit(0).cast("bigint"))
+    )
+    pj = jv.withColumn(
+        "p_j",
+        F.coalesce(
+            F.max(F.expr("CASE WHEN i = j THEN p END")).over(wall),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    al = pj.select(
+        "source",
+        "c",
+        "b",
+        F.expr(
+            "CAST(CASE WHEN i <= j THEN c"
+            " ELSE (b - p_j) div (s - j) END AS BIGINT)"
+        ).alias("alloc_tokens"),
+    )
+    return al.select(
+        "source",
+        F.col("c").alias("n_tokens"),
+        "alloc_tokens",
+        F.expr(_WF_KEEP).alias("keep_rate"),
+        F.expr(
+            "CAST(CASE WHEN alloc_tokens < c THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("capped"),
+        F.col("b").cast("bigint").alias("budget"),
+    )

@@ -190,6 +190,7 @@ BNLJ_ALLOWED = {
     "sim_ranking_metrics",          # fixed probe set (3 vectors)
     "sample_importance_dsir",       # 1-row bucket-total scalar (16-row model)
     "quality_k_anonymity",          # 1-row risk-summary scalar
+    "events_psi_drift",             # 1-row reference-max-date scalar
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
 }
 
