@@ -748,3 +748,43 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_at_risk",
         )
     )
+
+
+@register(
+    "quality_l_diversity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, bal_bucket, k, l
+    FROM cls WHERE l < 3
+    ORDER BY l, k DESC, c_nationkey, bal_bucket
+    LIMIT 20
+    """,
+    "l-diversity audit, the k-anonymity complement: per quasi-"
+    "identifier class (nation, balance bucket), the count of DISTINCT "
+    "sensitive values (market segment) — a class can be large (k-"
+    "anonymous) yet still leak if everyone in it shares one sensitive "
+    "value. One grouped distinct-count pass on the bounded QI domain; "
+    "worst classes = low diversity with many members first",
+    "data-governance extension (l-diversity audit)",
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+    )
+    return (
+        cls.filter(F.col("l") < 3)
+        .orderBy("l", F.desc("k"), "c_nationkey", "bal_bucket")
+        .limit(20)
+    )

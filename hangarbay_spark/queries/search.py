@@ -500,3 +500,63 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = HH.hh_maintenance_stream(stream, state, checkpoint_dir=ckpt)
     q.awaitTermination()
     return HH.heavy_hitters_from_state(spark, state, inv_phi=200)
+
+
+@register(
+    "multimodal_payload_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 4 = 0 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)
+               WHEN doc_id % 4 = 1 THEN '\\x89PNG'::BLOB || encode(text)
+               WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents),
+    h AS (SELECT doc_id, md5(upper(hex(payload))) AS digest,
+                 octet_length(payload) AS n_bytes
+          FROM m),
+    g AS (SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+                 CAST(MAX(n_bytes) AS BIGINT) AS payload_bytes
+          FROM h GROUP BY digest)
+    SELECT digest, n_copies, keeper_doc, payload_bytes
+    FROM g WHERE n_copies > 1
+    ORDER BY n_copies DESC, digest LIMIT 20
+    """,
+    "exact BINARY payload dedup — the content-addressable-store "
+    "intake step every multimodal crawl runs before decode: digest = "
+    "md5 over the payload bytes (hex'd first: engine-portable and "
+    "still injective), one map-side-combined groupBy(digest), "
+    "duplicate groups keep the smallest doc id. Codec-free like the "
+    "format sniffer, so the path is fully real; at 100 TB the only "
+    "shuffle carries (digest, count) partials, never payloads",
+    "multimodal extension (binary payload dedup by content digest)",
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    h = docs.select(
+        "doc_id",
+        F.md5(F.upper(F.hex(F.concat(hdr, F.encode("text", "utf-8")))))
+        .alias("digest"),
+        F.length(F.concat(hdr, F.encode("text", "utf-8")))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    g = h.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        F.max("n_bytes").cast("bigint").alias("payload_bytes"),
+    )
+    return (
+        g.filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), "digest")
+        .limit(20)
+    )

@@ -191,6 +191,7 @@ BNLJ_ALLOWED = {
     "sample_importance_dsir",       # 1-row bucket-total scalar (16-row model)
     "quality_k_anonymity",          # 1-row risk-summary scalar
     "events_psi_drift",             # 1-row reference-max-date scalar
+    "events_ab_cuped",              # 1-row experiment-cutoff-date scalar
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
 }
 
