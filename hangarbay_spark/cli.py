@@ -146,6 +146,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "audit",
+        help="plan-audit a registry query for cluster-scale hazards "
+        "(cartesian products, unbounded nested-loop joins, missing "
+        "pushdown, wide scans); exit 1 on hazards",
+    )
+    sp.add_argument(
+        "names",
+        nargs="*",
+        help="registry query names (default: every query)",
+    )
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="directory of <table>.parquet inputs",
+    )
+
+    sp = sub.add_parser(
         "check",
         help="differential-check declared queries against their DuckDB "
         "oracles over a parquet dir (exit 1 on any mismatch)",
@@ -235,6 +252,27 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         _emit(df.toPandas(), args.output_format)
         return 0
+
+    if args.cmd == "audit":
+        from hangarbay_spark.plans.audit import audit_query
+        from hangarbay_spark.queries import REGISTRY
+        from hangarbay_spark.session import get_spark
+
+        names = args.names or sorted(REGISTRY)
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="hangar_audit")
+        hazards = 0
+        for n in names:
+            a = audit_query(spark, n, args.sf_dir.rstrip("/"))
+            for line in a.lines():
+                print(line)
+            print()
+            if not a.ok:
+                hazards += 1
+        return 1 if hazards else 0
 
     if args.cmd == "check":
         from hangarbay_spark.queries import REGISTRY
