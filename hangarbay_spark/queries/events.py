@@ -1785,3 +1785,165 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.sum(F.col("term").cast("decimal(20,6)")).cast("double").alias("psi"),
     )
+
+
+_TOUCH_TYPES = ("view", "click", "signup")
+
+
+@register(
+    "events_last_touch_attribution",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_touch
+      FROM events)
+    SELECT COALESCE(last_touch, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+             AS attributed_revenue
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+    "last-touch marketing attribution: each purchase's revenue is "
+    "credited to the user's most recent touch channel (view/click/"
+    "signup) at or before the purchase, 'none' when no prior touch. "
+    "One carry-forward window per user (last IGNORE NULLS over the "
+    "ordered event stream — the fill-forward pattern), then one "
+    "map-side-combined rollup over ≤4 channels; no self-join, no "
+    "per-purchase touch scan. Revenue sums are decimal-exact",
+    "events extension (last-touch attribution)",
+)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")
+    )
+    marked = ev.withColumn(
+        "last_touch", F.last(touch, ignorenulls=True).over(w)
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("none")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("purchases"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# Shared weight-formula text (U-shaped / position-based attribution):
+# 1-touch journeys get full credit, 2-touch split evenly, longer
+# journeys 40% first / 40% last / 20% spread over the middles. Single
+# double divide per row (IEEE-exact both engines); the weight*value
+# product is rounded at 6 dp (FMA-contraction guard) before the exact
+# decimal sum — the derived-float parity rule from queries/base.py.
+_USHAPE_CONTRIB = (
+    "round((CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 "
+    "WHEN pos = 1 OR pos = n THEN 0.4 "
+    "ELSE 0.2 / CAST(n - 2 AS DOUBLE) END) * pvalue, 6)"
+)
+
+
+@register(
+    "events_ushape_attribution",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id
+                         END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_pid
+      FROM events),
+    touches AS (
+      SELECT user_id, event_type, next_pid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, next_pid
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, next_pid)
+                  AS BIGINT) AS n
+      FROM t
+      WHERE event_type IN ('view','click','signup')
+        AND next_pid IS NOT NULL),
+    contrib AS (
+      SELECT touches.event_type AS channel,
+             {_USHAPE_CONTRIB} AS c
+      FROM touches
+      JOIN (SELECT event_id, value AS pvalue FROM events
+            WHERE event_type = 'purchase') AS p
+        ON touches.next_pid = p.event_id)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_revenue
+    FROM contrib GROUP BY 1 ORDER BY channel
+    """,
+    "U-shaped (position-based) multi-touch attribution: every touch "
+    "is assigned to the user's NEXT purchase (backward fill via first "
+    "IGNORE NULLS over the reverse frame — journeys reset at each "
+    "conversion by construction), then weighted 40/20/40 by position "
+    "within the journey and credited fractionally. Two windows on the "
+    "same user-partitioned stream + one (user, journey) window, one "
+    "equi-join of touches to purchase revenue on purchase id — no "
+    "per-pair expansion; journeys never materialize as arrays",
+    "events extension (position-based multi-touch attribution)",
+)
+def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pid = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    t = ev.withColumn("next_pid", F.first(pid, ignorenulls=True).over(wf))
+    wj = W.partitionBy("user_id", "next_pid").orderBy("ts", "event_id")
+    touches = (
+        t.filter(
+            F.col("event_type").isin(*_TOUCH_TYPES)
+            & F.col("next_pid").isNotNull()
+        )
+        .withColumn("pos", F.row_number().over(wj).cast("bigint"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(W.partitionBy("user_id", "next_pid"))
+            .cast("bigint"),
+        )
+        .select("event_type", "next_pid", "pos", "n")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("value").alias("pvalue")
+    )
+    contrib = touches.join(
+        purchases, touches["next_pid"] == purchases["pid"]
+    ).select(
+        F.col("event_type").alias("channel"),
+        F.expr(_USHAPE_CONTRIB).alias("c"),
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.sum(F.col("c").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
