@@ -1947,3 +1947,121 @@ def events_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# Day-bucketed exponential decay: k = whole days between touch and
+# purchase (integer math), weight = 0.5^k for k in 0..6 — every weight
+# is a negative power of two, exactly representable in double AND in
+# DECIMAL(10,6) (2^-6 = 0.015625), so per-purchase weight sums are
+# exact in any order and the normalization divide is a single
+# deterministic IEEE op. The credit product is rounded at 6 dp (FMA
+# guard) before the exact decimal sum.
+_DECAY_CONTRIB = "round((pvalue * w) / sum_w, 6)"
+# Whole days back. floor() on both engines — a bare double->bigint
+# CAST truncates in Spark but ROUNDS in DuckDB.
+_DECAY_K = "CAST(floor((pms - tms) / 86400000.0) AS BIGINT)"
+
+
+@register(
+    "events_time_decay_attribution",
+    f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_ms(ts) AS pms,
+             value AS pvalue
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, event_type AS channel, epoch_ms(ts) AS tms
+      FROM events WHERE event_type IN ('view','click','signup')),
+    pairs AS (
+      SELECT p.pid, p.pvalue, t.channel,
+             {_DECAY_K} AS k
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.tms <= p.pms AND p.pms - t.tms < 7 * 86400000),
+    w8 AS (
+      SELECT pid, pvalue, channel, power(0.5, k) AS w FROM pairs),
+    nrm AS (
+      SELECT pid, pvalue, channel, w,
+             CAST(SUM(CAST(w AS DECIMAL(10,6))) OVER (PARTITION BY pid)
+                  AS DOUBLE) AS sum_w
+      FROM w8),
+    contrib AS (
+      SELECT channel, {_DECAY_CONTRIB} AS c FROM nrm)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_revenue
+    FROM contrib GROUP BY 1 ORDER BY channel
+    """,
+    "time-decay multi-touch attribution: every touch in the 7 days "
+    "before a purchase earns day-bucketed exponential credit (0.5^k, "
+    "k = whole days back — exact powers of two, so weight sums are "
+    "order-independent), normalized per purchase. Spark-side "
+    "candidate generation is the 1D day-bin pattern (purchases "
+    "explode into 8 day bins, touches keep their own bin, equi-join "
+    "on (user, bin) + exact window filter) — never a per-user "
+    "touch x purchase cross product; the oracle states the plain "
+    "quadratic join",
+    "events extension (time-decay attribution; 1D-binned non-equi join)",
+)
+def events_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    day_ms = 86400000
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.unix_millis("ts").alias("pms"),
+            F.col("value").alias("pvalue"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"pms div {day_ms}") - F.lit(7),
+                    F.expr(f"pms div {day_ms}"),
+                )
+            ),
+        )
+    )
+    t = ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_millis("ts").alias("tms"),
+        F.expr(f"unix_millis(ts) div {day_ms}").alias("bin"),
+    )
+    pairs = (
+        p.join(t, (p["p_user"] == t["t_user"]) & (p["bin"] == t["bin"]))
+        .filter(
+            (F.col("tms") <= F.col("pms"))
+            & (F.col("pms") - F.col("tms") < 7 * day_ms)
+        )
+        .select(
+            "pid",
+            "pvalue",
+            "channel",
+            F.expr(_DECAY_K).alias("k"),
+        )
+    )
+    w8 = pairs.select(
+        "pid", "pvalue", "channel", F.expr("power(0.5, k)").alias("w")
+    )
+    nrm = w8.withColumn(
+        "sum_w",
+        F.sum(F.col("w").cast("decimal(10,6)"))
+        .over(W.partitionBy("pid"))
+        .cast("double"),
+    )
+    contrib = nrm.select("channel", F.expr(_DECAY_CONTRIB).alias("c"))
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.sum(F.col("c").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
