@@ -2065,3 +2065,119 @@ def events_time_decay_attribution(
         )
         .orderBy("channel")
     )
+
+
+# Forecast / cell-error formula texts shared by the Spark build and the
+# DuckDB oracle (identical IEEE op order; 6 dp rounding bounds each
+# float before the exact decimal sums).
+_FC_F6 = (
+    "round(CAST(COALESCE(sx, 0) AS DOUBLE) / CAST(nd AS DOUBLE), 6)"
+)
+_FC_ERR = "round(abs(CAST(a AS DOUBLE) - f6), 6)"
+_FC_BIAS = "round(CAST(a AS DOUBLE) - f6, 6)"
+
+
+@register(
+    "events_forecast_backtest",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    sc AS (SELECT MAX(d) AS maxd,
+                  CAST(COUNT(DISTINCT d) - 1 AS BIGINT) AS nd
+           FROM hourly),
+    cond AS (
+      SELECT h.event_type, h.hod,
+             CAST(SUM(CASE WHEN h.d < sc.maxd THEN h.cnt ELSE 0 END)
+                  AS BIGINT) AS sx,
+             CAST(SUM(CASE WHEN h.d = sc.maxd THEN h.cnt ELSE 0 END)
+                  AS BIGINT) AS a0
+      FROM hourly h CROSS JOIN sc GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type FROM cond),
+    cells AS (SELECT event_type, CAST(r.range AS BIGINT) AS hod
+              FROM types CROSS JOIN range(24) AS r),
+    cell AS (
+      SELECT c.event_type,
+             COALESCE(cond.a0, 0) AS a, cond.sx, sc.nd
+      FROM cells c CROSS JOIN sc
+      LEFT JOIN cond ON c.event_type = cond.event_type
+                    AND c.hod = cond.hod),
+    err AS (
+      SELECT event_type, a, {_FC_ERR} AS e, {_FC_BIAS} AS b
+      FROM (SELECT event_type, a, {_FC_F6} AS f6 FROM cell)),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(a) AS BIGINT) AS actual_events,
+             CAST(SUM(CAST(e AS DECIMAL(20,6))) AS DOUBLE) AS se,
+             CAST(SUM(CAST(b AS DECIMAL(20,6))) AS DOUBLE) AS sb
+      FROM err GROUP BY 1)
+    SELECT event_type, actual_events,
+           round(se / 24.0, 6) AS mae,
+           round(sb / 24.0, 6) AS bias
+    FROM agg ORDER BY event_type
+    """,
+    "seasonal-naive forecast backtest: per (event_type, hour-of-day) "
+    "mean hourly volume over all training days predicts the held-out "
+    "last day; MAE and signed bias per type over the dense 24-hour "
+    "grid (zero-filled cells included — a forecast evaluated only on "
+    "hours that happened inflates accuracy). One hourly rollup feeds "
+    "a single conditional train/test pass (no self-join); the date "
+    "scalars are a 1-row broadcast; the cell grid is types x 24",
+    "events extension (forecast baselining / backtest metrics)",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sc = hourly.agg(
+        F.max("d").alias("maxd"),
+        (F.countDistinct("d") - F.lit(1)).cast("bigint").alias("nd"),
+    )
+    cond = (
+        hourly.crossJoin(F.broadcast(sc))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.expr("CASE WHEN d < maxd THEN cnt ELSE 0 END"))
+            .cast("bigint")
+            .alias("sx"),
+            F.sum(F.expr("CASE WHEN d = maxd THEN cnt ELSE 0 END"))
+            .cast("bigint")
+            .alias("a0"),
+        )
+    )
+    types = cond.select("event_type").distinct()
+    cells = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hod0"),
+    ).select("event_type", F.col("hod0").cast("bigint").alias("hod"))
+    cell = (
+        cells.crossJoin(F.broadcast(sc))
+        .join(F.broadcast(cond), ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("a0"), F.lit(0)).alias("a"),
+            "sx",
+            "nd",
+        )
+    )
+    err = cell.select("event_type", "a", F.expr(_FC_F6).alias("f6")).select(
+        "event_type",
+        "a",
+        F.expr(_FC_ERR).alias("e"),
+        F.expr(_FC_BIAS).alias("b"),
+    )
+    agg = err.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("actual_events"),
+        F.sum(F.col("e").cast("decimal(20,6)")).cast("double").alias("se"),
+        F.sum(F.col("b").cast("decimal(20,6)")).cast("double").alias("sb"),
+    )
+    return agg.select(
+        "event_type",
+        "actual_events",
+        F.expr("round(se / 24.0, 6)").alias("mae"),
+        F.expr("round(sb / 24.0, 6)").alias("bias"),
+    ).orderBy("event_type")

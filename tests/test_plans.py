@@ -193,6 +193,7 @@ BNLJ_ALLOWED = {
     "events_psi_drift",             # 1-row reference-max-date scalar
     "events_ab_cuped",              # 1-row experiment-cutoff-date scalar
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
+    "events_forecast_backtest",     # 1-row max-date/train-days scalar
 }
 
 
