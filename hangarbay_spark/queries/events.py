@@ -2181,3 +2181,81 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(se / 24.0, 6)").alias("mae"),
         F.expr("round(sb / 24.0, 6)").alias("bias"),
     ).orderBy("event_type")
+
+
+# Pearson correlation from exact integer moments (daily counts), one
+# shared formula text: every product/difference stays in BIGINT
+# (exact), the only float ops are the two sqrts, one divide and the
+# 6 dp round — identical IEEE order on both engines.
+_CORR7 = (
+    "round((CAST(n * sxy - sx * sy AS DOUBLE)) "
+    "/ (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+    "* sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "events_rolling_corr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT d, x, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT d, x, y, {_CORR7} AS corr7
+    FROM m
+    WHERE n = 7 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY d
+    """,
+    "rolling cross-series correlation: daily click vs purchase volumes "
+    "joined into one series by a single conditional pass, then 7-day "
+    "trailing Pearson r from exact integer window moments (counts and "
+    "their products never leave BIGINT; zero-variance windows excluded "
+    "by the same guard text both sides). The unpartitioned ordered "
+    "window runs on the bounded one-row-per-day frame — the corpus "
+    "pays one map-side-combined rollup, never a global sort",
+    "events extension (rolling cross-series correlation)",
+)
+def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-6, W.currentRow)
+    m = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    return (
+        m.filter(
+            (F.col("n") == 7)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select("d", "x", "y", F.expr(_CORR7).alias("corr7"))
+        .orderBy("d")
+    )
