@@ -2259,3 +2259,74 @@ def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", "x", "y", F.expr(_CORR7).alias("corr7"))
         .orderBy("d")
     )
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap
+      FROM events),
+    v AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+          FROM g WHERE gap IS NOT NULL),
+    med AS (SELECT event_type,
+                   ROUND(quantile_cont(gap, 0.5), 6) AS median_gap_ms
+            FROM v GROUP BY 1),
+    agg AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sg,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_ms
+            FROM v GROUP BY 1)
+    SELECT a.event_type, a.n_gaps,
+           round(CAST(a.sg AS DOUBLE) / CAST(a.n_gaps AS DOUBLE), 6)
+             AS mean_gap_ms,
+           m.median_gap_ms, a.max_gap_ms
+    FROM agg a JOIN med m USING (event_type)
+    ORDER BY a.event_type
+    """,
+    "per-type inter-arrival cadence: millisecond gaps between a "
+    "user's consecutive events of the same type (one lag window per "
+    "(user, type) stream — integer-exact), summarized as mean (exact "
+    "BIGINT sum, one double divide), exact interpolated median (the "
+    "two-pass spillable _group_median plan — no per-group buffer) and "
+    "max. The skew between mean and median exposes bursty vs steady "
+    "engagement; the gap frame is localCheckpoint'd once for its two "
+    "consumers",
+    "events extension (inter-arrival cadence analysis)",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wlag = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(wlag)
+        ).alias("gap"),
+    )
+    v = (
+        g.filter(F.col("gap").isNotNull())
+        .select("event_type", F.col("gap").cast("bigint").alias("gap"))
+        .localCheckpoint(eager=True)
+    )
+    med = _group_median(v, "gap").withColumnRenamed("med", "median_gap_ms")
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.max("gap").cast("bigint").alias("max_gap_ms"),
+    )
+    return (
+        agg.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr(
+                "round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)"
+            ).alias("mean_gap_ms"),
+            "median_gap_ms",
+            "max_gap_ms",
+        )
+        .orderBy("event_type")
+    )
