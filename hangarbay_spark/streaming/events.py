@@ -371,3 +371,71 @@ def purchase_signup_window_join_full(
         F.col("s.event_id").alias("signup_id"),
         F.unix_millis("s.ts").alias("signup_ms"),
     )
+
+
+LAST_TOUCH_SCHEMA = "event_id bigint, user_id bigint, channel string, value double"
+LAST_TOUCH_STATE = "channel string, tms bigint"
+_TOUCH_TYPES = frozenset({"view", "click", "signup"})
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Stateful streaming last-touch attribution — the incremental twin
+    of ``queries/events.py:events_last_touch_attribution``. State per
+    user is one tiny row: (channel, epoch-ms) of the latest touch seen.
+    Each micro-batch's rows are replayed in (ts, event_id) order:
+    view/click/signup advance the state, each purchase emits one
+    attributed row ('none' when no touch is at-or-before it). Output
+    mode is append (a purchase is attributed exactly once, when its
+    batch drains), so downstream channel rollups are incremental sums.
+    Exact vs the batch query under per-user time-ordered delivery (the
+    file-sequence harness in tests); a touch arriving late, behind a
+    purchase already emitted, cannot retro-attribute it — the same
+    trade every streaming attribution system makes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        channel, tms = state.get if state.exists else (None, -1)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        rows.sort(key=lambda r: (r.tms, r.event_id))
+        out_eid, out_ch, out_val = [], [], []
+        for r in rows:
+            if r.event_type in _TOUCH_TYPES:
+                if r.tms >= tms:
+                    channel, tms = r.event_type, int(r.tms)
+            elif r.event_type == "purchase":
+                ch = (
+                    channel
+                    if channel is not None and tms <= r.tms
+                    else "none"
+                )
+                out_eid.append(int(r.event_id))
+                out_ch.append(ch)
+                out_val.append(r.value)
+        state.update((channel, tms))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_eid,
+                    "user_id": key[0],
+                    "channel": out_ch,
+                    "value": out_val,
+                }
+            )
+
+    prepped = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("tms"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=LAST_TOUCH_SCHEMA,
+        stateStructType=LAST_TOUCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -737,3 +737,51 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     drain(str(tmp_path / "ckpt2"))
     after = json.load(open(f"{state}/_state.json"))
     assert before["n"] == after["n"]
+
+
+def test_last_touch_attribution_stream_matches_batch(spark, tmp_path):
+    """Stateful last-touch attribution drained over FOUR time-split
+    files (one micro-batch each, so touch state genuinely carries
+    across batches) aggregates to exactly the batch query's per-channel
+    purchase counts and decimal-exact revenue."""
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.queries.base import load_events
+    from hangarbay_spark.queries.events import events_last_touch_attribution
+
+    ev = load_events(spark, SF_DIR)
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("part", ((F.col("rn") - 1) * 4 / n).cast("int"))
+    path = str(tmp_path / "seq")
+    for i in range(4):  # sequential writes -> sequential file mtimes
+        ranked.filter(F.col("part") == i).drop("rn", "part").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    got = SE.run_to_memory(
+        SE.last_touch_attribution(stream),
+        "t_last_touch",
+        spark,
+        output_mode="append",
+    )
+    got_agg = got.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("purchases"),
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
+    g = {
+        r["channel"]: (r["purchases"], r["attributed_revenue"])
+        for r in got_agg.collect()
+    }
+    b = {
+        r["channel"]: (r["purchases"], r["attributed_revenue"])
+        for r in events_last_touch_attribution(spark, SF_DIR).collect()
+    }
+    assert g == b
