@@ -2330,3 +2330,241 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Pointwise mutual information from exact integer session counts; the
+# single ln is rounded at 6 dp (transcendental guard), everything
+# before it is BIGINT-exact and the divide is one IEEE op.
+_PMI = (
+    "round(ln((CAST(n_ab AS DOUBLE) * n_sessions) "
+    "/ (CAST(n_a AS DOUBLE) * n_b)), 6)"
+)
+
+
+@register(
+    "events_session_cooccurrence_pmi",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ms
+      FROM events),
+    marked AS (
+      SELECT *, CASE WHEN prev_ms IS NULL
+                       OR ts_ms - prev_ms > {SESSION_GAP_MS}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered),
+    sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM marked),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+           FROM (SELECT user_id, session_id FROM st GROUP BY 1, 2)),
+    na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM st GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab, x.n AS n_a, y.n AS n_b,
+           ns.n_sessions, {_PMI} AS pmi
+    FROM pairs p
+    JOIN na x ON p.type_a = x.event_type
+    JOIN na y ON p.type_b = y.event_type
+    CROSS JOIN ns
+    ORDER BY type_a, type_b
+    """,
+    "session-level co-occurrence mining: PMI between event-type pairs "
+    "appearing in the same 30-min session — positive PMI = the pair "
+    "clusters in sessions, negative = they repel. Sessions come from "
+    "the gaps-and-islands windows; per-session type sets collapse to "
+    "ONE sorted array each and pairs explode from inside the array "
+    "(i<j slice combinations — no per-session self-join, pair count "
+    "bounded by types^2); counts stay BIGINT, the single ln is 6 dp "
+    "rounded. Oracle states the equivalent self-join; the checkpointed "
+    "session-type frame feeds all three consumers",
+    "events extension (session co-occurrence PMI)",
+)
+def events_session_cooccurrence_pmi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    order_w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(order_w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(order_w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(order_w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    st = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = st.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types)), "
+                "y -> named_struct('a', x, 'b', y))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+    nab = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    na = (
+        st.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ns = st.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        nab.join(
+            F.broadcast(na.withColumnRenamed("n", "n_a")),
+            nab["type_a"] == na["event_type"],
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(
+                na.withColumnRenamed("n", "n_b").withColumnRenamed(
+                    "event_type", "et_b"
+                )
+            ),
+            F.col("type_b") == F.col("et_b"),
+        )
+        .drop("et_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            F.expr(_PMI).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _group_quantiles_10_90(df: DataFrame, val_col: str) -> DataFrame:
+    """Exact interpolated per-event_type p10/p90 in ONE ranked pass —
+    the _group_median two-pass boundary-row plan generalized to two
+    quantiles (both boundary pairs picked from the same spillable
+    sort; no per-group buffer). Same (n-1)*p formula as DuckDB's
+    quantile_cont, rounded 6 dp."""
+    grp = W.partitionBy("event_type")
+    ranked = df.select("event_type", F.col(val_col).alias("__v")).select(
+        "event_type",
+        "__v",
+        (F.row_number().over(grp.orderBy("__v")) - 1).alias("__idx"),
+        F.count(F.lit(1)).over(grp).alias("__n"),
+    )
+    idx = F.col("__idx")
+    sel = F.lit(False)
+    aggs = [F.max("__n").alias("__n")]
+    for tag, p in (("10", 0.1), ("90", 0.9)):
+        pos = (F.col("__n") - 1).cast("double") * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        sel = sel | (idx == lo) | (idx == hi)
+        aggs.append(
+            F.max(F.when(idx == lo, F.col("__v"))).alias(f"__vlo{tag}")
+        )
+        aggs.append(
+            F.max(F.when(idx == hi, F.col("__v"))).alias(f"__vhi{tag}")
+        )
+    agg = ranked.filter(sel).groupBy("event_type").agg(*aggs)
+    outs = []
+    for tag, p in (("10", 0.1), ("90", 0.9)):
+        pp = (F.col("__n") - 1).cast("double") * F.lit(p)
+        frac = pp - F.floor(pp).cast("double")
+        outs.append(
+            F.round(
+                F.col(f"__vlo{tag}")
+                + frac * (F.col(f"__vhi{tag}") - F.col(f"__vlo{tag}")),
+                6,
+            ).alias(f"q{tag}")
+        )
+    return agg.select("event_type", *outs)
+
+
+@register(
+    "events_winsorized_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.1), 6) AS q10,
+             ROUND(quantile_cont(value, 0.9), 6) AS q90
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT e.event_type,
+             LEAST(GREATEST(e.value, q.q10), q.q90) AS cv,
+             q.q10, q.q90
+      FROM events e JOIN q USING (event_type)
+      WHERE e.value IS NOT NULL),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cv AS DECIMAL(30,6))) AS DOUBLE) AS scv,
+             MAX(q10) AS q10, MAX(q90) AS q90
+      FROM c GROUP BY 1)
+    SELECT event_type, n,
+           round(scv / CAST(n AS DOUBLE), 6) AS winsorized_mean,
+           q10, q90
+    FROM a ORDER BY event_type
+    """,
+    "winsorized robust statistics: per-type p10/p90 from ONE exact "
+    "two-pass interpolated-quantile plan (both boundary pairs picked "
+    "from a single spillable ranked pass — no per-group buffer, no "
+    "second sort), values clipped to the band, decimal-exact clipped "
+    "mean. The mean a single fat-finger order can't move — the "
+    "robust twin of the plain average; bounds broadcast back onto "
+    "the scan",
+    "analytics extension (winsorized/trimmed robust statistics)",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_events(spark, sf_dir)
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    q = _group_quantiles_10_90(ev, "value")
+    c = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("q10")), F.col("q90")).alias(
+            "cv"
+        ),
+        "q10",
+        "q90",
+    )
+    a = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cv").cast("decimal(30,6)")).cast("double").alias("scv"),
+        F.max("q10").alias("q10"),
+        F.max("q90").alias("q90"),
+    )
+    return a.select(
+        "event_type",
+        "n",
+        F.expr("round(scv / CAST(n AS DOUBLE), 6)").alias("winsorized_mean"),
+        "q10",
+        "q90",
+    ).orderBy("event_type")

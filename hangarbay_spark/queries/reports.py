@@ -897,3 +897,47 @@ _TUPLE_IN_ORACLE = f"""
 def subquery_tuple_in_lowstock(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_TUPLE_IN_SQL)
+
+
+@register(
+    "report_mom_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+      FROM lineitem GROUP BY 1),
+    g AS (
+      SELECT month, revenue,
+             lag(revenue) OVER (ORDER BY month) AS prev
+      FROM m)
+    SELECT month, revenue,
+           round((revenue - prev) / prev, 6) AS mom_growth
+    FROM g WHERE prev IS NOT NULL ORDER BY month
+    """,
+    "month-over-month revenue growth: exact-decimal monthly revenue "
+    "(the shipped-revenue money pattern) + one lag window over the "
+    "bounded per-month frame; growth is two IEEE ops rounded 6 dp "
+    "with identical text both sides. The unpartitioned lag runs on "
+    "~84 month rows, never on the corpus — the standard finance "
+    "trend report",
+    "reporting extension (period-over-period growth)",
+)
+def report_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    from pyspark.sql.window import Window as W
+
+    g = m.withColumn("prev", F.lag("revenue").over(W.orderBy("month")))
+    return (
+        g.filter(F.col("prev").isNotNull())
+        .select(
+            "month",
+            "revenue",
+            F.expr("round((revenue - prev) / prev, 6)").alias("mom_growth"),
+        )
+        .orderBy("month")
+    )

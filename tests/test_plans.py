@@ -194,6 +194,7 @@ BNLJ_ALLOWED = {
     "events_ab_cuped",              # 1-row experiment-cutoff-date scalar
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
     "events_forecast_backtest",     # 1-row max-date/train-days scalar
+    "events_session_cooccurrence_pmi",  # 1-row session-count scalar
 }
 
 
