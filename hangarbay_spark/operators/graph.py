@@ -170,3 +170,42 @@ def _pagerank_loop(
                 .localCheckpoint(eager=False)
             )
     return ranks
+
+
+def kcore(und: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
+    """k-core of an undirected graph given as a SYMMETRIC edge list
+    (both directions present): iteratively remove nodes of degree < k
+    (and their edges) until a fixed point, bounded at ``max_rounds``
+    peel rounds (post-convergence rounds are identities, so the bound
+    only matters for adversarial path-like graphs). Returns
+    (node, core_deg) — each surviving node with its within-core
+    degree. One degree aggregation + two semi-joins per round against
+    the surviving-node set (broadcast-scale vs the edge list); the
+    edge frame checkpoints once per round at loop-sized partitioning
+    (the checkpointed RDD's partition count is every later round's
+    parallelism — see loop_partitions)."""
+    spark = und.sparkSession
+    n_cur = und.count()
+    p = loop_partitions(n_cur, spark)
+    cur = und.repartition(p, "src").localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .repartition(p, "src")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if converged:
+            break
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )

@@ -1671,3 +1671,45 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, t in _CUPED_FORMULAS.items()
         ],
     )
+
+
+@register(
+    "graph_kcore_membership",
+    f"""
+    WITH RECURSIVE {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst, src FROM e),
+    peel(iter, src, dst) AS (
+        SELECT 0, src, dst FROM und
+      UNION ALL
+        SELECT iter + 1, src, dst
+        FROM (SELECT iter, src, dst,
+                     COUNT(*) OVER (PARTITION BY iter, src) AS dsrc,
+                     COUNT(*) OVER (PARTITION BY iter, dst) AS ddst
+              FROM peel WHERE iter < 20)
+        WHERE dsrc >= 3 AND ddst >= 3)
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM peel WHERE iter = 20 GROUP BY 1 ORDER BY 1
+    """,
+    "3-core decomposition of the co-purchase graph: iteratively peel "
+    "nodes of degree < 3 (with their edges) until a fixed point — the "
+    "standard dense-subgraph/community seed, robust where raw degree "
+    "is fooled by hubs. The peel is a bounded 20-round schedule on "
+    "BOTH engines (identity rounds after convergence keep results "
+    "equal by construction; the DataFrame loop early-exits on an "
+    "unchanged checkpointed edge count, so it only pays rounds until "
+    "the fixed point). Each round is one degree aggregation + two "
+    "semi-joins against the surviving-node set (broadcast-scale); "
+    "edges checkpoint once per round with loop-sized partitioning. "
+    "Oracle: single-reference recursive CTE carrying the surviving "
+    "EDGE set, per-iteration degrees via window functions",
+    "analytics extension (k-core decomposition)",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.graph import kcore
+
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore(und, k=3, max_rounds=20).orderBy("node")

@@ -2333,3 +2333,21 @@ class TestComponentsIncremental:
             for r in D.connected_components(all_pairs).collect()
         }
         assert got == want and len(want) > 0
+
+
+def test_kcore_toy_graph(spark):
+    """3-core of the hand-built graph: K4 {1,2,3,4} plus a pendant
+    path 4-5-6. Peeling removes 6 (deg 1), then 5 — the 3-core is
+    exactly the K4 with every within-core degree 3. Also pins the
+    empty-core case (k above the max degree)."""
+    from hangarbay_spark.operators.graph import kcore
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    und = spark.createDataFrame(
+        e + [(b, a) for a, b in e], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["core_deg"] for r in kcore(und, k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert kcore(und, k=5).count() == 0
