@@ -788,3 +788,98 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l", F.desc("k"), "c_nationkey", "bal_bucket")
         .limit(20)
     )
+
+
+@register(
+    "quality_referential_integrity",
+    """
+    WITH cust_c AS (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 97 != 0),
+    part_c AS (SELECT p_partkey FROM part WHERE p_partkey % 97 != 0),
+    nat_c AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 7 != 0),
+    checks AS (
+      SELECT 'orders.o_custkey->customer' AS relation,
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+             CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM cust_c c
+                    WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part_c p
+                    WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nat_c n
+                    WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    )
+    SELECT relation, n_child, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+             AS orphan_rate
+    FROM checks ORDER BY relation
+    """,
+    "referential-integrity audit (Deequ-style FK checks): orphaned "
+    "child rows per relation as count + rate. The parent sides are "
+    "deterministically corrupted in-query (every 97th/7th key "
+    "dropped) because the synthetic data is fully covered — the same "
+    "augmentation discipline as pipeline_corpus_clean, so the "
+    "anti-join path is exercised with real violations and the counts "
+    "are hash-verified non-zeros. Each check is one LEFT ANTI count "
+    "against a pruned single-column parent scan (broadcast at dim "
+    "scale; at 100 TB the anti-join shuffles on the FK like any "
+    "equi-join)",
+    "quality extension (referential-integrity audit)",
+)
+def quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def check(relation, child, fk, parent, pk, mod):
+        par = parent.filter(F.col(pk) % mod != 0).select(pk)
+        n_child = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child")
+        )
+        n_orph = (
+            child.join(par, child[fk] == par[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(n_orph)
+            .select(
+                F.lit(relation).alias("relation"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    rows = check(
+        "orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey", 97,
+    ).unionByName(
+        check(
+            "lineitem.l_partkey->part", lineitem, "l_partkey",
+            part, "p_partkey", 97,
+        )
+    ).unionByName(
+        check(
+            "customer.c_nationkey->nation",
+            customer.select("c_nationkey"), "c_nationkey",
+            nation, "n_nationkey", 7,
+        )
+    )
+    return rows.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.expr(
+            "round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)"
+        ).alias("orphan_rate"),
+    ).orderBy("relation")

@@ -195,6 +195,7 @@ BNLJ_ALLOWED = {
     "sim_mmr_diversified_topk",     # fixed probe set (3 vectors)
     "events_forecast_backtest",     # 1-row max-date/train-days scalar
     "events_session_cooccurrence_pmi",  # 1-row session-count scalar
+    "quality_referential_integrity",    # 1-row count-scalar pairs
 }
 
 
