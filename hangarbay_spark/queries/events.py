@@ -2568,3 +2568,60 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q10",
         "q90",
     ).orderBy("event_type")
+
+
+@register(
+    "events_debounce_rate",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 60000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN gap IS NULL OR gap > 60000
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    "debounce/throttle audit: an event is KEPT when it starts a burst "
+    "(first of its (user, type) stream or >60 s after the previous "
+    "one) — the standard client-event rate-limiting rule. One lag "
+    "window per (user, type) stream + a conditional rollup; keep "
+    "rates per type quantify how much duplicate-burst traffic a "
+    "debouncing ingest stage would shed before it ever reaches "
+    "storage",
+    "events extension (debounce/throttle rate audit)",
+)
+def events_debounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wlag = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(wlag)
+        ).alias("gap"),
+    )
+    kept = F.sum(
+        F.expr("CASE WHEN gap IS NULL OR gap > 60000 THEN 1 ELSE 0 END")
+    ).cast("bigint")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            kept.alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            F.expr(
+                "round(CAST(n_kept AS DOUBLE) / CAST(n_events AS DOUBLE), 6)"
+            ).alias("keep_rate"),
+        )
+        .orderBy("event_type")
+    )
