@@ -3647,3 +3647,93 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("capped"),
         F.col("b").cast("bigint").alias("budget"),
     )
+
+
+@register(
+    "sim_pair_similarity_histogram",
+    None,  # oracle attached below (needs _o_cosine, defined above)
+    "corpus-geometry diagnostic: cosine distribution over a "
+    "deterministic 1-partner-per-vector pair sample (Knuth "
+    "multiplicative hash mod n — no RNG, no quadratic pair set), "
+    "10-bin histogram over [-1, 1] with shares. A mass pile-up near "
+    "1.0 says the corpus is clusterable (LSH bands will work); a "
+    "tight pile at 0 says it is isotropic (band width must grow) — "
+    "the measurement behind the hyperplane band auto-scale. One "
+    "equi-join on the hashed partner id, exact sequential cosines, "
+    "bounded 10-row rollup",
+    "similarity extension (pair-similarity distribution)",
+)
+def sim_pair_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ns = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p = emb.crossJoin(F.broadcast(ns)).select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") * F.lit(2654435761)) % F.col("n")).alias(
+            "partner"
+        ),
+    )
+    pairs = p.join(
+        emb.select(
+            F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+        ),
+        F.col("partner") == F.col("pid"),
+    ).filter(F.col("vec_id") != F.col("pid"))
+    binned = pairs.select(
+        F.least(
+            F.floor(
+                (S.cosine_expr(F.col("embedding"), F.col("pvec")) + 1.0)
+                * 5.0
+            ),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        counts.withColumn(
+            "share",
+            F.expr(
+                "round(CAST(n_pairs AS DOUBLE) "
+                "/ CAST(SUM(n_pairs) OVER () AS DOUBLE), 6)"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _set_pair_hist_oracle() -> None:
+    spec = REGISTRY["sim_pair_similarity_histogram"]
+    oracle = f"""
+    WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    p AS (SELECT e.vec_id, e.embedding,
+                 (e.vec_id * 2654435761) % ns.n AS partner
+          FROM embeddings e CROSS JOIN ns),
+    pairs AS (
+      SELECT p.vec_id, p.embedding, c.embedding AS pvec
+      FROM p JOIN embeddings c ON p.partner = c.vec_id
+      WHERE p.vec_id != c.vec_id),
+    binned AS (
+      SELECT CAST(LEAST(floor(({_o_cosine("embedding", "pvec")} + 1.0)
+                              * 5.0), 9) AS BIGINT) AS bin
+      FROM pairs),
+    counts AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM binned GROUP BY 1)
+    SELECT bin, n_pairs,
+           round(CAST(n_pairs AS DOUBLE)
+                 / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS share
+    FROM counts ORDER BY bin
+    """
+    object.__setattr__(spec, "oracle", oracle)
+
+
+_set_pair_hist_oracle()

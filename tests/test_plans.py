@@ -196,6 +196,7 @@ BNLJ_ALLOWED = {
     "events_forecast_backtest",     # 1-row max-date/train-days scalar
     "events_session_cooccurrence_pmi",  # 1-row session-count scalar
     "quality_referential_integrity",    # 1-row count-scalar pairs
+    "sim_pair_similarity_histogram",    # 1-row corpus-count scalar
 }
 
 
