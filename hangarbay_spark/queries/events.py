@@ -2625,3 +2625,95 @@ def events_debounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_growth_accounting",
+    """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+    mx AS (SELECT MAX(wk) AS maxwk FROM uw),
+    seq AS (SELECT user_id, wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS prev_wk,
+                   lead(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS next_wk
+            FROM uw),
+    st AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM seq
+      UNION ALL
+      SELECT CAST(wk + INTERVAL 7 DAY AS DATE), 'churned'
+      FROM seq CROSS JOIN mx
+      WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+        AND CAST(wk + INTERVAL 7 DAY AS DATE) <= mx.maxwk)
+    SELECT wk,
+           CAST(SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
+    FROM st GROUP BY wk ORDER BY wk
+    """,
+    "weekly growth accounting (new / retained / resurrected / "
+    "churned): the standard MAU-accounting identity, from one "
+    "distinct user-week frame, one lag+lead window per user, and ONE "
+    "filtered-struct-array explode emitting each row's stage plus its "
+    "conditional next-week churn record (single consumption — no "
+    "unionByName of two selects, failing churn rows never "
+    "materialize); weeks clipped at the corpus max via a 1-row "
+    "broadcast. Oracle states the equivalent two-arm UNION ALL",
+    "events extension (growth accounting / lifecycle stages)",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    mx = uw.agg(F.max("wk").alias("maxwk"))
+    wlag = W.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "wk",
+        F.lag("wk").over(wlag).alias("prev_wk"),
+        F.lead("wk").over(wlag).alias("next_wk"),
+    )
+    arr = F.expr(
+        "filter(array("
+        "named_struct('w', wk, 'st', "
+        "  CASE WHEN prev_wk IS NULL THEN 'new' "
+        "       WHEN prev_wk = date_sub(wk, 7) THEN 'retained' "
+        "       ELSE 'resurrected' END), "
+        "named_struct('w', date_add(wk, 7), 'st', "
+        "  CASE WHEN next_wk IS NULL OR next_wk > date_add(wk, 7) "
+        "       THEN 'churned' END)"
+        "), x -> x.st IS NOT NULL)"
+    )
+    st = (
+        seq.select(F.explode(arr).alias("e"))
+        .select(F.col("e.w").alias("wk"), F.col("e.st").alias("stage"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") <= F.col("maxwk"))
+    )
+
+    def cnt(stage):
+        return F.sum(
+            F.when(F.col("stage") == stage, 1).otherwise(0)
+        ).cast("bigint")
+
+    return (
+        st.groupBy("wk")
+        .agg(
+            cnt("new").alias("n_new"),
+            cnt("retained").alias("n_retained"),
+            cnt("resurrected").alias("n_resurrected"),
+            cnt("churned").alias("n_churned"),
+        )
+        .orderBy("wk")
+    )

@@ -197,6 +197,7 @@ BNLJ_ALLOWED = {
     "events_session_cooccurrence_pmi",  # 1-row session-count scalar
     "quality_referential_integrity",    # 1-row count-scalar pairs
     "sim_pair_similarity_histogram",    # 1-row corpus-count scalar
+    "events_growth_accounting",         # 1-row max-week scalar
 }
 
 
