@@ -2717,3 +2717,86 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@register(
+    "events_cohort_ltv_curves",
+    """
+    WITH uw AS (SELECT user_id,
+                       MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+                FROM events GROUP BY 1),
+    p AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 value
+          FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT u.cohort,
+                 CAST(date_diff('day', u.cohort, p.wk) // 7 AS BIGINT)
+                   AS wsince,
+                 SUM(CAST(p.value AS DECIMAL(30,4))) AS rev
+          FROM p JOIN uw u USING (user_id) GROUP BY 1, 2),
+    cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM uw GROUP BY 1),
+    c AS (SELECT cohort, wsince,
+                 CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY wsince
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) AS cum_revenue
+          FROM r)
+    SELECT c.cohort, c.wsince, c.cum_revenue, cs.cohort_users,
+           round(c.cum_revenue / CAST(cs.cohort_users AS DOUBLE), 6)
+             AS ltv_per_user
+    FROM c JOIN cs USING (cohort) ORDER BY cohort, wsince
+    """,
+    "cohort LTV curves: users grouped by first-seen week, purchase "
+    "revenue accumulated by weeks-since-acquisition — cumulative "
+    "decimal window sums (order-independent exactness) over the "
+    "bounded (cohort, week) frame, normalized per cohort user. The "
+    "curve families answer 'does a newer cohort monetize faster' — "
+    "the LTV companion of events_retention_cohorts. One first-seen "
+    "aggregation, one purchase join on user, windows never touch the "
+    "raw corpus",
+    "events extension (cohort LTV curves)",
+)
+def events_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wk = F.date_trunc("week", "ts").cast("date")
+    uw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", wk.alias("wk"), "value"
+    )
+    r = (
+        p.join(uw, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").alias(
+                "wsince"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(30,4)")).alias("rev"))
+    )
+    cs = uw.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    c = r.select(
+        "cohort",
+        "wsince",
+        F.sum("rev")
+        .over(
+            W.partitionBy("cohort")
+            .orderBy("wsince")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+    return (
+        c.join(F.broadcast(cs), "cohort")
+        .select(
+            "cohort",
+            "wsince",
+            "cum_revenue",
+            "cohort_users",
+            F.expr(
+                "round(cum_revenue / CAST(cohort_users AS DOUBLE), 6)"
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "wsince")
+    )

@@ -941,3 +941,52 @@ def report_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "report_yoy_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mon,
+             {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+      FROM lineitem GROUP BY 1, 2),
+    g AS (
+      SELECT yr, mon, revenue,
+             lag(revenue) OVER (PARTITION BY mon ORDER BY yr) AS prev
+      FROM m)
+    SELECT yr, mon, revenue,
+           round((revenue - prev) / prev, 6) AS yoy_growth
+    FROM g WHERE prev IS NOT NULL ORDER BY yr, mon
+    """,
+    "year-over-year same-month revenue growth: the seasonality-"
+    "neutral companion of the MoM report — each month compares to "
+    "the SAME month a year earlier (lag partitioned by month-of-"
+    "year), so December spikes stop reading as growth. Exact-decimal "
+    "monthly revenue; the lag runs on the bounded (year, month) "
+    "frame; growth is two IEEE ops, 6 dp shared text",
+    "reporting extension (year-over-year growth)",
+)
+def report_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.month("l_shipdate").cast("bigint").alias("mon"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    g = m.withColumn(
+        "prev", F.lag("revenue").over(W.partitionBy("mon").orderBy("yr"))
+    )
+    return (
+        g.filter(F.col("prev").isNotNull())
+        .select(
+            "yr",
+            "mon",
+            "revenue",
+            F.expr("round((revenue - prev) / prev, 6)").alias("yoy_growth"),
+        )
+        .orderBy("yr", "mon")
+    )
