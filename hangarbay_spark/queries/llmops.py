@@ -3737,3 +3737,101 @@ def _set_pair_hist_oracle() -> None:
 
 
 _set_pair_hist_oracle()
+
+
+@register(
+    "sim_knn_label_accuracy",
+    None,  # oracle attached below (needs _o_cosine)
+    "label-quality audit via leave-one-out kNN: for a bounded "
+    "deterministic probe set (vec_id < 50), the 5 exact nearest "
+    "neighbors vote (plurality, ties to the smaller label) and the "
+    "prediction is scored against the probe's own label, per class. "
+    "Low accuracy on a clustered corpus flags mislabeled or "
+    "ambiguous classes before anyone trains on them; near-chance "
+    "accuracy (as on these isotropic synthetic vectors) says labels "
+    "carry no geometric signal. Probe-bound corpus scan + two "
+    "bounded windows — the recall-report cost shape",
+    "similarity extension (kNN label-quality audit)",
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    top5 = S.brute_force_topk(emb, probes, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+    )
+    plabels = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+    )
+    votes = (
+        top5.join(labels, top5["neighbor_id"] == labels["nid"])
+        .groupBy("probe_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = W.partitionBy("probe_id").orderBy(F.desc("cnt"), "nlabel")
+    pick = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("probe_id", F.col("nlabel").alias("pred"))
+    )
+    return (
+        pick.join(F.broadcast(plabels), "probe_id")
+        .groupBy(F.col("plabel").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred") == F.col("plabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            F.expr(
+                "round(CAST(n_correct AS DOUBLE) "
+                "/ CAST(n_probes AS DOUBLE), 6)"
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def _set_knn_accuracy_oracle() -> None:
+    spec = REGISTRY["sim_knn_label_accuracy"]
+    oracle = f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+               FROM embeddings WHERE vec_id < 50),
+    scored AS (
+      SELECT p.probe_id, p.plabel, c.vec_id AS nid, c.label AS nlabel,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM p JOIN embeddings c ON c.vec_id != p.probe_id),
+    rk AS (
+      SELECT probe_id, plabel, nlabel,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, nid) AS r
+      FROM scored),
+    votes AS (
+      SELECT probe_id, plabel, nlabel, COUNT(*) AS cnt
+      FROM rk WHERE r <= 5 GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT probe_id, plabel, nlabel AS pred,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cnt DESC, nlabel) AS pr
+      FROM votes)
+    SELECT CAST(plabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pred = plabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(SUM(CASE WHEN pred = plabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS accuracy
+    FROM pick WHERE pr = 1 GROUP BY 1 ORDER BY 1
+    """
+    object.__setattr__(spec, "oracle", oracle)
+
+
+_set_knn_accuracy_oracle()

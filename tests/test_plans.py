@@ -198,6 +198,7 @@ BNLJ_ALLOWED = {
     "quality_referential_integrity",    # 1-row count-scalar pairs
     "sim_pair_similarity_histogram",    # 1-row corpus-count scalar
     "events_growth_accounting",         # 1-row max-week scalar
+    "sim_knn_label_accuracy",           # bounded probe set (vec_id < 50)
 }
 
 
