@@ -3757,8 +3757,32 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 50)
-    top5 = S.brute_force_topk(emb, probes, k=5)
+    # Same shape as brute_force_topk but scored through the
+    # sequential-exact Arrow kernel (bit-identical to the expr fold,
+    # ~dim vectorized passes per batch): at 50 probes the interpreted
+    # HOF cosine was the wall (20 s at sf1 -> ~3 s kernel-scored).
+    p = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            S._cosine_pair_col(
+                F.col("probe_vec"), F.col("vec"), fast=False
+            ).alias("cosine"),
+        )
+    )
+    wk5 = W.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    top5 = scored.withColumn("rk", F.row_number().over(wk5)).filter(
+        F.col("rk") <= 5
+    )
     labels = emb.select(
         F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
     )
