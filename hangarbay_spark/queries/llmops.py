@@ -3859,3 +3859,136 @@ def _set_knn_accuracy_oracle() -> None:
 
 
 _set_knn_accuracy_oracle()
+
+
+# Heaps-law least-squares texts: x/y are 6 dp-rounded ln's, the four
+# cross products are 6 dp-rounded before exact decimal summation, and
+# the closed-form slope is one shared formula — all transcendentals and
+# the final divide bounded per the derived-float parity rules.
+_HEAPS_BETA = (
+    "round((4.0 * sxy - sx * sy) / (4.0 * sxx - sx * sx), 6)"
+)
+
+
+@register(
+    "text_heaps_law_fit",
+    f"""
+    WITH tk AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+           FROM tk),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+           FROM sh GROUP BY 1),
+    tm AS (SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS mind
+           FROM sh GROUP BY 1),
+    cuts AS (SELECT q, CAST(ceil(nd.n * q / 4.0) AS BIGINT) AS cut
+             FROM (SELECT unnest([1, 2, 3, 4]) AS q) s CROSS JOIN nd),
+    lx AS (
+      SELECT CAST(c.q AS BIGINT) AS q,
+             (SELECT CAST(SUM(tc) AS BIGINT) FROM dc
+              WHERE dc.doc_id < c.cut) AS n_grams,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tm
+              WHERE tm.mind < c.cut) AS v_grams
+      FROM cuts c),
+    lxy AS (SELECT q, n_grams, v_grams,
+                   round(ln(CAST(n_grams AS DOUBLE)), 6) AS x,
+                   round(ln(CAST(v_grams AS DOUBLE)), 6) AS y
+            FROM lx),
+    m AS (SELECT
+            CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(20,6))) AS DOUBLE)
+              AS sxy,
+            CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(20,6))) AS DOUBLE)
+              AS sxx
+          FROM lxy)
+    SELECT lxy.q, lxy.n_grams, lxy.v_grams, {_HEAPS_BETA} AS heaps_beta
+    FROM lxy CROSS JOIN m ORDER BY lxy.q
+    """,
+    "Heaps-law vocabulary-growth fit: distinct 3-gram vocabulary V "
+    "vs corpus size N at four nested doc-id prefixes, closed-form "
+    "log-log least-squares slope (beta ~0.76 here — the sublinear "
+    "growth that sizes tokenizer vocabularies and dedup index "
+    "memory before a 100 TB ingest; a saturated corpus reads ~0). "
+    "One shingle-postings pass feeds per-doc counts AND per-gram "
+    "first-occurrence (checkpointed, two consumers); prefixes are "
+    "conditional sums against a 1-row cuts scalar — the corpus is "
+    "never re-scanned per prefix. Complements vocab_zipf_fit "
+    "(frequency decay) with the growth-curve axis",
+    "text-analysis extension (Heaps-law vocabulary growth)",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_postings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    dc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tc")
+    )
+    tm = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("bigint").alias("mind")
+    )
+    cuts = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        *[
+            F.expr(f"CAST(ceil(n * {q} / 4.0) AS BIGINT)").alias(f"cut{q}")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    pn = dc.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN doc_id < cut{q} THEN tc ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"n{q}")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    pv = tm.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN mind < cut{q} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"v{q}")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("bigint").alias("q"),
+                F.col(f"n{q}").alias("n_grams"),
+                F.col(f"v{q}").alias("v_grams"),
+            )
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    lxy = (
+        pn.crossJoin(pv)
+        .select(F.explode(arr).alias("e"))
+        .select("e.q", "e.n_grams", "e.v_grams")
+        .select(
+            "q",
+            "n_grams",
+            "v_grams",
+            F.expr("round(ln(CAST(n_grams AS DOUBLE)), 6)").alias("x"),
+            F.expr("round(ln(CAST(v_grams AS DOUBLE)), 6)").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = lxy.agg(
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(round(x * y, 6) AS DECIMAL(20,6))"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(round(x * x, 6) AS DECIMAL(20,6))"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return (
+        lxy.crossJoin(F.broadcast(m))
+        .select("q", "n_grams", "v_grams", F.expr(_HEAPS_BETA).alias("heaps_beta"))
+        .orderBy("q")
+    )

@@ -199,6 +199,7 @@ BNLJ_ALLOWED = {
     "sim_pair_similarity_histogram",    # 1-row corpus-count scalar
     "events_growth_accounting",         # 1-row max-week scalar
     "sim_knn_label_accuracy",           # bounded probe set (vec_id < 50)
+    "text_heaps_law_fit",               # 1-row cuts/moments scalars
 }
 
 
