@@ -2800,3 +2800,39 @@ def events_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "wsince")
     )
+
+
+@register(
+    "events_adoption_curve",
+    """
+    WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+                FROM events GROUP BY 1),
+    daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new_users
+              FROM fs GROUP BY 1)
+    SELECT d, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily ORDER BY d
+    """,
+    "user adoption curve: cumulative distinct users by day WITHOUT a "
+    "cumulative-distinct window (quadratic state at scale) — each "
+    "user collapses to a first-seen day (one aggregation), the "
+    "running total is a window over the bounded per-day frame. The "
+    "standard launch/adoption chart, computed the only way that "
+    "survives 100 TB",
+    "events extension (adoption curve / cumulative distinct)",
+)
+def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = fs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_users")
+    )
+    return daily.select(
+        "d",
+        "n_new_users",
+        F.sum("n_new_users")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum_users"),
+    ).orderBy("d")
