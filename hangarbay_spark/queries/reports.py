@@ -990,3 +990,59 @@ def report_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mon")
     )
+
+
+_AGE_BUCKET = (
+    "CASE WHEN age_d <= 30 THEN '0-030d' "
+    "WHEN age_d <= 90 THEN '031-090d' "
+    "WHEN age_d <= 365 THEN '091-365d' "
+    "ELSE '365d+' END"
+)
+
+
+@register(
+    "report_order_backlog_aging",
+    f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    open_o AS (
+      SELECT o.o_orderstatus,
+             date_diff('day', o.o_orderdate, mx.maxd) AS age_d,
+             o.o_totalprice
+      FROM orders o CROSS JOIN mx
+      WHERE o.o_orderstatus <> 'F')
+    SELECT {_AGE_BUCKET} AS age_bucket, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_dsum("o_totalprice", "backlog_value", 2)}
+    FROM open_o GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "open-order backlog aging: non-finished orders bucketed by days "
+    "outstanding against the corpus max date (1-row broadcast "
+    "scalar), exact-decimal value at risk per (age bucket, status). "
+    "The ops-facing receivable/fulfillment report — one conditional "
+    "scan + a bounded 8-row rollup",
+    "reporting extension (backlog aging)",
+)
+def report_order_backlog_aging(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    open_o = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderstatus",
+            F.datediff("maxd", "o_orderdate").alias("age_d"),
+            "o_totalprice",
+        )
+    )
+    return (
+        open_o.groupBy(
+            F.expr(_AGE_BUCKET).alias("age_bucket"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "backlog_value", 2),
+        )
+        .orderBy("age_bucket", "o_orderstatus")
+    )

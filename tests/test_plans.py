@@ -200,6 +200,7 @@ BNLJ_ALLOWED = {
     "events_growth_accounting",         # 1-row max-week scalar
     "sim_knn_label_accuracy",           # bounded probe set (vec_id < 50)
     "text_heaps_law_fit",               # 1-row cuts/moments scalars
+    "report_order_backlog_aging",       # 1-row max-date scalar
 }
 
 
