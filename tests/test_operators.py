@@ -2351,3 +2351,40 @@ def test_kcore_toy_graph(spark):
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     assert kcore(und, k=5).count() == 0
+
+
+def test_kcore_invariants_random(spark):
+    """Seeded random graph: the 3-core output (a) is internally
+    consistent — every node's reported core_deg >= 3 and equals its
+    degree within the surviving node set; (b) is a fixed point —
+    peeling the induced subgraph again changes nothing."""
+    import random
+
+    from hangarbay_spark.operators.graph import kcore
+
+    rnd = random.Random(7)
+    nodes = list(range(24))
+    edges = set()
+    while len(edges) < 70:
+        a, b = rnd.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    und = spark.createDataFrame(sym, ["src", "dst"])
+    res = {r["node"]: r["core_deg"] for r in kcore(und, k=3).collect()}
+    core = set(res)
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    for n, d in res.items():
+        within = len(adj[n] & core)
+        assert within == d and d >= 3, (n, d, within)
+    # fixpoint: the induced subgraph IS its own 3-core
+    induced = [(a, b) for a, b in sym if a in core and b in core]
+    if induced:
+        again = {
+            r["node"]: r["core_deg"]
+            for r in kcore(
+                spark.createDataFrame(induced, ["src", "dst"]), k=3
+            ).collect()
+        }
+        assert again == res
