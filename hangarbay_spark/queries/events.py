@@ -2758,7 +2758,14 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     wk = F.date_trunc("week", "ts").cast("date")
-    uw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    # one row per user, consumed by the purchase join AND the cohort
+    # sizes — checkpoint so neither consumer re-runs the first-seen
+    # aggregation over the corpus (multiple-consumer invariant)
+    uw = (
+        ev.groupBy("user_id")
+        .agg(F.min(wk).alias("cohort"))
+        .localCheckpoint(eager=True)
+    )
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", wk.alias("wk"), "value"
     )

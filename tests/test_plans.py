@@ -247,6 +247,23 @@ EXCHANGE_BOUNDS = {
     "analytics_association_rules": 9,
     # one map-side-combined pass + the 8-row metric sort
     "quality_constraint_audit": 2,
+    # round-5 event-analytics additions (audited at sf0.01): window
+    # chains on one user-partitioned stream, bounded-frame windows, a
+    # checkpointed first-seen frame (LTV), and the k-core peel whose
+    # final rollup reuses the checkpointed loop partitioning.
+    "events_last_touch_attribution": 3,
+    "events_ushape_attribution": 4,
+    "events_time_decay_attribution": 4,
+    "events_rolling_corr": 2,
+    "events_interarrival_stats": 4,
+    "events_winsorized_stats": 4,
+    "events_debounce_rate": 3,
+    "events_adoption_curve": 3,
+    "report_mom_revenue_growth": 2,
+    "report_yoy_revenue_growth": 3,
+    "report_order_backlog_aging": 4,
+    "events_cohort_ltv_curves": 6,
+    "graph_kcore_membership": 2,
 }
 
 
