@@ -1046,3 +1046,107 @@ def report_order_backlog_aging(
         )
         .orderBy("age_bucket", "o_orderstatus")
     )
+
+
+@register(
+    "report_benford_digit_audit",
+    """
+    WITH d1 AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d1),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d1 GROUP BY 1),
+    full_d AS (SELECT CAST(r.range + 1 AS BIGINT) AS digit
+               FROM range(9) r),
+    cell AS (
+      SELECT f.digit, COALESCE(obs.n_obs, 0) AS n_obs, n.nt,
+             round(ln(1.0 + 1.0 / f.digit) / ln(10.0), 6)
+               AS benford_share
+      FROM full_d f CROSS JOIN n LEFT JOIN obs ON f.digit = obs.digit),
+    t AS (
+      SELECT digit, n_obs, benford_share,
+             round(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+               AS obs_share,
+             round(nt * benford_share, 6) AS en
+      FROM cell),
+    chi AS (
+      SELECT CAST(SUM(CAST(round((CAST(n_obs AS DOUBLE) - en)
+                                 * (CAST(n_obs AS DOUBLE) - en) / en, 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) AS chi2
+      FROM t)
+    SELECT t.digit, t.n_obs, t.obs_share, t.benford_share,
+           round(chi.chi2, 6) AS chi2
+    FROM t CROSS JOIN chi ORDER BY t.digit
+    """,
+    "Benford first-digit audit: leading-digit distribution of order "
+    "totals vs Benford's log law, with the chi-square distance — the "
+    "classic forensic-accounting test (naturally-arising amounts "
+    "follow it; fabricated or uniformly-generated ones, like this "
+    "synthetic corpus, fail loudly — chi2 ~5900 here IS the correct "
+    "finding). One digit-extraction scan + a 9-row dense grid; ln's "
+    "rounded 6 dp, chi-square terms decimal-summed, shared text both "
+    "engines",
+    "reporting extension (Benford forensic digit audit)",
+)
+def report_benford_digit_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d1 = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    n = d1.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    obs = d1.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    full_d = spark.range(1, 10).select(
+        F.col("id").cast("bigint").alias("digit")
+    )
+    cell = (
+        full_d.crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "nt",
+            F.expr("round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)").alias(
+                "benford_share"
+            ),
+        )
+    )
+    t = cell.select(
+        "digit",
+        "n_obs",
+        "benford_share",
+        F.expr("round(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 6)").alias(
+            "obs_share"
+        ),
+        F.expr("round(nt * benford_share, 6)").alias("en"),
+    ).localCheckpoint(eager=True)
+    chi = t.agg(
+        F.sum(
+            F.expr(
+                "CAST(round((CAST(n_obs AS DOUBLE) - en) "
+                "* (CAST(n_obs AS DOUBLE) - en) / en, 6) "
+                "AS DECIMAL(20,6))"
+            )
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        t.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_obs",
+            "obs_share",
+            "benford_share",
+            F.expr("round(chi2, 6)").alias("chi2"),
+        )
+        .orderBy("digit")
+    )

@@ -201,6 +201,7 @@ BNLJ_ALLOWED = {
     "sim_knn_label_accuracy",           # bounded probe set (vec_id < 50)
     "text_heaps_law_fit",               # 1-row cuts/moments scalars
     "report_order_backlog_aging",       # 1-row max-date scalar
+    "report_benford_digit_audit",       # 1-row total/chi2 scalars
 }
 
 
