@@ -2843,3 +2843,67 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_users"),
     ).orderBy("d")
+
+
+@register(
+    "events_error_budget_burn",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT day, n, errs,
+             CAST(SUM(n) OVER w AS BIGINT) AS n7,
+             CAST(SUM(errs) OVER w AS BIGINT) AS errs7
+      FROM d WINDOW w AS (ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, n, errs,
+           round(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS error_rate,
+           round(CAST(errs7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6)
+             AS error_rate_7d,
+           round((CAST(errs7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / 0.01, 6)
+             AS budget_burn_7d
+    FROM r ORDER BY day
+    """,
+    "SLO error-budget burn report: daily and trailing-7-day error "
+    "rates plus the burn multiplier against a 1% error budget (the "
+    "SRE alerting primitive — burn > 1 means the budget exhausts "
+    "before the window closes). One conditional daily rollup, "
+    "integer window sums on the bounded per-day frame, divides in "
+    "shared 6 dp text; the corpus is scanned once",
+    "events extension (SLO error-budget burn)",
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    r = d.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("n").over(w).cast("bigint").alias("n7"),
+        F.sum("errs").over(w).cast("bigint").alias("errs7"),
+    )
+    return r.select(
+        "day",
+        "n",
+        "errs",
+        F.expr("round(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE), 6)").alias(
+            "error_rate"
+        ),
+        F.expr(
+            "round(CAST(errs7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6)"
+        ).alias("error_rate_7d"),
+        F.expr(
+            "round((CAST(errs7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / 0.01, 6)"
+        ).alias("budget_burn_7d"),
+    ).orderBy("day")
