@@ -3992,3 +3992,48 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "n_grams", "v_grams", F.expr(_HEAPS_BETA).alias("heaps_beta"))
         .orderBy("q")
     )
+
+
+@register(
+    "text_ttr_lexical_diversity",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS token
+                  FROM documents),
+    per AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+            FROM toks GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr
+    FROM per
+    ORDER BY ttr, doc_id LIMIT 15
+    """,
+    "lexical diversity (type-token ratio) per document, 15 most "
+    "repetitive surfaced — the cheap template/boilerplate detector "
+    "that catches generated spam whose n-gram profile still looks "
+    "normal. One postings pass, count + distinct-count per doc, "
+    "TakeOrdered bottom-k with doc-id tie-break",
+    "text-analysis extension (type-token lexical diversity)",
+)
+def text_ttr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    post = _token_postings(spark, sf_dir)
+    per = post.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("token").cast("bigint").alias("n_types"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr(
+                "round(CAST(n_types AS DOUBLE) "
+                "/ CAST(n_tokens AS DOUBLE), 6)"
+            ).alias("ttr"),
+        )
+        .orderBy("ttr", "doc_id")
+        .limit(15)
+    )
