@@ -4037,3 +4037,68 @@ def text_ttr_lexical_diversity(
         .orderBy("ttr", "doc_id")
         .limit(15)
     )
+
+
+def _kfold_oracle() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    b = o_hash_bucket("doc_id", salt="kfold")
+    return f"""
+    WITH f AS (SELECT CAST({b} % 5 AS BIGINT) AS fold, source, n_chars
+               FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM f)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n.nt) AS DOUBLE), 6)
+             AS share
+    FROM f CROSS JOIN n GROUP BY fold ORDER BY fold
+    """
+
+
+@register(
+    "sample_kfold_balance",
+    None,  # oracle attached below (salted hash helper)
+    "deterministic 5-fold cross-validation assignment + balance "
+    "audit: folds from the salted content-hash bucket (stable across "
+    "runs, repartitions and appends — no random-seed leakage between "
+    "folds, the split_expr discipline), with per-fold doc/char/source "
+    "balance and shares so a skewed fold is caught before training. "
+    "One scan, one 5-row rollup",
+    "sampling extension (k-fold assignment + balance audit)",
+)
+def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (hash_bucket_expr("doc_id", salt="kfold") % 5)
+        .cast("bigint")
+        .alias("fold"),
+        "source",
+        "n_chars",
+    )
+    n = f.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    return (
+        f.crossJoin(F.broadcast(n))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.expr(
+                "round(CAST(COUNT(1) AS DOUBLE) "
+                "/ CAST(MAX(nt) AS DOUBLE), 6)"
+            ).alias("share"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _set_kfold_oracle() -> None:
+    spec = REGISTRY["sample_kfold_balance"]
+    object.__setattr__(spec, "oracle", _kfold_oracle())
+
+
+_set_kfold_oracle()

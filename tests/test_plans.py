@@ -202,6 +202,7 @@ BNLJ_ALLOWED = {
     "text_heaps_law_fit",               # 1-row cuts/moments scalars
     "report_order_backlog_aging",       # 1-row max-date scalar
     "report_benford_digit_audit",       # 1-row total/chi2 scalars
+    "sample_kfold_balance",             # 1-row corpus-count scalar
 }
 
 
