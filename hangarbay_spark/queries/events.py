@@ -2907,3 +2907,137 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((CAST(errs7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / 0.01, 6)"
         ).alias("budget_burn_7d"),
     ).orderBy("day")
+
+
+# Ensemble flag texts — each reproduces its source detector's exact
+# formula (events_value_outliers / events_robust_outliers /
+# events_seasonal_outliers) with the detector's own guard folded into
+# a null-proof CASE, so a row's flag is 0/1 on both engines even where
+# a lone detector would drop the row.
+_FLAG_Z = (
+    f"CASE WHEN abs(round((value - s / n) "
+    f"/ sqrt(sq / n - (s / n) * (s / n)), 9)) > {Z_THRESHOLD} "
+    "THEN 1 ELSE 0 END"
+)
+_FLAG_MAD = (
+    "CASE WHEN mad > 0 AND abs(round(0.6745 * (value - med) / mad, 6)) "
+    "> 3.5 THEN 1 ELSE 0 END"
+)
+_FLAG_SEAS = (
+    "CASE WHEN nd > 1.0 AND sxx - sx * sx / nd > 0.0 "
+    "AND abs(round((value - sx / nd) "
+    "/ sqrt((sxx - sx * sx / nd) / (nd - 1.0)), 6)) > 3.0 "
+    "THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "events_anomaly_consensus",
+    f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE)
+               AS sq
+      FROM events GROUP BY event_type),
+    medo AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    devo AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev
+      FROM events e JOIN medo m USING (event_type)
+      WHERE e.value IS NOT NULL),
+    mado AS (
+      SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+      FROM devo GROUP BY event_type),
+    seas AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT e.event_id, e.event_type, e.value,
+             CAST({_FLAG_Z} AS BIGINT) AS flag_z,
+             CAST({_FLAG_MAD} AS BIGINT) AS flag_mad,
+             CAST({_FLAG_SEAS} AS BIGINT) AS flag_seasonal
+      FROM events e
+      JOIN stats USING (event_type)
+      JOIN medo USING (event_type)
+      JOIN mado USING (event_type)
+      JOIN seas ON e.event_type = seas.event_type
+               AND CAST(hour(e.ts) AS BIGINT) = seas.hod)
+    SELECT event_id, event_type, value,
+           flag_z, flag_mad, flag_seasonal,
+           flag_z + flag_mad + flag_seasonal AS votes
+    FROM f
+    WHERE flag_z + flag_mad + flag_seasonal >= 2
+    ORDER BY votes DESC, event_id LIMIT 50
+    """,
+    "ensemble anomaly detection: the global z-score, robust "
+    "median/MAD and hour-of-day seasonal detectors (each reproducing "
+    "its standalone query's exact formula text) vote per event; only "
+    "rows flagged by >= 2 detectors surface — the alert-fatigue "
+    "reducer that keeps single-detector false positives out of the "
+    "pager. ONE corpus scan joined to three broadcast baseline "
+    "frames (per-type moments, per-type med/MAD from the spillable "
+    "two-pass, 120-cell seasonal moments); detector guards are "
+    "folded into null-proof CASE flags",
+    "analytics extension (ensemble anomaly consensus)",
+)
+def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    evv = ev.select("event_type", "value").filter(F.col("value").isNotNull())
+    med = _group_median(evv, "value")
+    dev = (
+        evv.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = _group_median(dev, "dev").withColumnRenamed("med", "mad")
+    seas = ev.select(
+        "event_type", "value", F.hour("ts").cast("bigint").alias("hod")
+    ).groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    f = (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr(_FLAG_Z).cast("bigint").alias("flag_z"),
+            F.expr(_FLAG_MAD).cast("bigint").alias("flag_mad"),
+            F.expr(_FLAG_SEAS).cast("bigint").alias("flag_seasonal"),
+        )
+    )
+    return (
+        f.withColumn(
+            "votes",
+            F.col("flag_z") + F.col("flag_mad") + F.col("flag_seasonal"),
+        )
+        .filter(F.col("votes") >= 2)
+        .orderBy(F.desc("votes"), "event_id")
+        .limit(50)
+    )
