@@ -883,3 +883,80 @@ def quality_referential_integrity(
             "round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)"
         ).alias("orphan_rate"),
     ).orderBy("relation")
+
+
+_PROFILE_COLS = (
+    "c_custkey",
+    "c_name",
+    "c_nationkey",
+    "c_acctbal",
+    "c_mktsegment",
+)
+
+
+@register(
+    "quality_schema_profile",
+    f"""
+    WITH w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {", ".join(
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS nulls_{c}, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS dist_{c}"
+                for c in _PROFILE_COLS)}
+      FROM customer)
+    SELECT u.col AS column_name, w.n_rows, u.n_nulls, u.n_distinct,
+           round(CAST(w.n_rows - u.n_nulls AS DOUBLE)
+                 / CAST(w.n_rows AS DOUBLE), 6) AS completeness
+    FROM w, (
+      {" UNION ALL ".join(
+        f"SELECT '{c}' AS col, nulls_{c} AS n_nulls, dist_{c} AS n_distinct "
+        f"FROM w" for c in _PROFILE_COLS)}
+    ) u
+    ORDER BY column_name
+    """,
+    "one-pass schema/data profiling (the DESCRIBE-EXTENDED / Deequ "
+    "profile shape): per column null count, exact distinct count and "
+    "completeness ratio for the customer table — one wide aggregate "
+    "over a single scan (Spark plans the multi-distinct via expand, "
+    "still one pass), unpivoted to a row per column. The pre-flight "
+    "every ingestion job runs before trusting a new feed",
+    "quality extension (schema/data profiling)",
+)
+def quality_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}")
+        )
+    w = cust.agg(*aggs)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        w.select("n_rows", F.explode(arr).alias("u"))
+        .select(
+            F.col("u.col").alias("column_name"),
+            "n_rows",
+            F.col("u.n_nulls").alias("n_nulls"),
+            F.col("u.n_distinct").alias("n_distinct"),
+            F.expr(
+                "round(CAST(n_rows - u.n_nulls AS DOUBLE) "
+                "/ CAST(n_rows AS DOUBLE), 6)"
+            ).alias("completeness"),
+        )
+        .orderBy("column_name")
+    )
