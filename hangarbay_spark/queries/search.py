@@ -560,3 +560,112 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_copies"), "digest")
         .limit(20)
     )
+
+
+@register(
+    "multimodal_payload_chunking",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             upper(hex(CASE
+               WHEN doc_id % 4 = 0
+                 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+               WHEN doc_id % 4 = 1 THEN '\x89PNG'::BLOB || encode(text)
+               WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB || encode(text)
+               ELSE encode(text)
+             END)) AS hx
+      FROM documents),
+    c AS (
+      SELECT doc_id, hx, CAST(len(hx) AS BIGINT) AS hlen,
+             unnest(generate_series(0,
+                 CAST(ceil(len(hx) / 128.0) AS BIGINT) - 1)) AS idx
+      FROM m),
+    ch AS (
+      SELECT doc_id, hlen, idx,
+             substr(hx, CAST(idx * 128 + 1 AS BIGINT), 128) AS chunk
+      FROM c),
+    re AS (
+      SELECT doc_id, MAX(hlen) AS hlen,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             string_agg(chunk, '' ORDER BY idx) AS rebuilt
+      FROM ch GROUP BY doc_id),
+    v AS (SELECT re.doc_id, re.n_chunks,
+                 CAST(re.hlen / 2 AS BIGINT) AS n_bytes,
+                 CASE WHEN md5(re.rebuilt) = md5(m.hx) THEN 1 ELSE 0 END
+                   AS ok
+          FROM re JOIN m USING (doc_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(ok) AS BIGINT) AS n_reassembly_ok
+    FROM v
+    """,
+    "binary payload chunking + reassembly verification — the "
+    "content-store shard step for blobs too large for one row/RPC "
+    "(64-byte chunks here; MB-scale in production). Chunks explode "
+    "from a sequence (no per-chunk self-join), reassembly "
+    "concatenates in chunk order and digest-verifies against the "
+    "original — n_reassembly_ok == n_docs is the integrity proof. "
+    "Runs on the portable hex encoding (DuckDB has no BLOB "
+    "substring), so the oracle checks the identical bytes",
+    "multimodal extension (payload chunking + reassembly proof)",
+)
+def multimodal_payload_chunking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    m = docs.select(
+        "doc_id",
+        F.upper(F.hex(F.concat(hdr, F.encode("text", "utf-8")))).alias("hx"),
+    ).localCheckpoint(eager=True)
+    c = m.select(
+        "doc_id",
+        F.length("hx").cast("bigint").alias("hlen"),
+        "hx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr("CAST(ceil(length(hx) / 128.0) AS BIGINT) - 1"),
+            )
+        ).alias("idx"),
+    )
+    ch = c.select(
+        "doc_id",
+        "hlen",
+        "idx",
+        F.expr("substr(hx, CAST(idx * 128 + 1 AS BIGINT), 128)").alias(
+            "chunk"
+        ),
+    )
+    re = ch.groupBy("doc_id").agg(
+        F.max("hlen").alias("hlen"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+            "",
+        ).alias("rebuilt"),
+    )
+    v = re.join(m, "doc_id").select(
+        "n_chunks",
+        F.expr("CAST(hlen / 2 AS BIGINT)").alias("n_bytes"),
+        F.expr(
+            "CASE WHEN md5(rebuilt) = md5(hx) THEN 1 ELSE 0 END"
+        ).alias("ok"),
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("ok").cast("bigint").alias("n_reassembly_ok"),
+    )
