@@ -3041,3 +3041,96 @@ def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("votes"), "event_id")
         .limit(50)
     )
+
+
+@register(
+    "events_scd2_asof_enrich",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'purchase'),
+    chg0 AS (
+      SELECT user_id, event_id, ts_ms, tier FROM (
+        SELECT user_id, event_id, ts_ms, tier,
+               LAG(tier) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) AS prev_tier
+        FROM p)
+      WHERE prev_tier IS NULL OR tier <> prev_tier),
+    chg AS (
+      SELECT user_id, ts_ms, tier FROM (
+        SELECT user_id, ts_ms, tier,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts_ms
+                                  ORDER BY event_id DESC) AS rn
+        FROM chg0)
+      WHERE rn = 1),
+    clicks AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT c.event_id, c.user_id, chg.tier
+      FROM clicks c ASOF LEFT JOIN chg
+        ON c.user_id = chg.user_id AND c.ts_ms >= chg.ts_ms)
+    SELECT COALESCE(tier, 'none') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1 ORDER BY tier
+    """,
+    "temporal-dimension enrichment: every click is stamped with the "
+    "user's SCD2 tier AT CLICK TIME — the change log from "
+    "events_scd2_user_tier consumed through the backward as-of "
+    "carry (tier valid at t = last change row <= t), so no interval "
+    "BETWEEN join and no interval table materialization; facts "
+    "before any version get 'none'. One user-keyed carry shuffle + "
+    "a bounded tier rollup. Oracle: native DuckDB ASOF LEFT JOIN "
+    "against the same change log",
+    "warehouse extension (SCD2 as-of fact enrichment)",
+)
+def events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.temporal import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    chg = (
+        p.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(
+            F.col("prev_tier").isNull()
+            | (F.col("tier") != F.col("prev_tier"))
+        )
+        .select("user_id", "event_id", "ts_ms", "tier")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    # tie_break dedups same-ms change rows (max event_id wins) — the
+    # same rn=1 rule the oracle's chg CTE applies, so an ASOF match
+    # against a tied timestamp is deterministic on both engines.
+    j = as_of_join(
+        clicks,
+        chg,
+        on="user_id",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        right_cols=["tier"],
+        tie_break="event_id",
+    )
+    return (
+        j.groupBy(
+            F.coalesce(F.col("asof_tier"), F.lit("none")).alias("tier")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
