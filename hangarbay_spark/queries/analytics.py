@@ -1713,3 +1713,64 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kcore(und, k=3, max_rounds=20).orderBy("node")
+
+
+@register(
+    "agg_gini_revenue",
+    """
+    WITH r AS (
+      SELECT l_suppkey AS s,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(30,4))) AS rev
+      FROM lineitem GROUP BY 1),
+    rk AS (
+      SELECT s, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, s) AS BIGINT) AS i
+      FROM r),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DOUBLE) AS srev,
+             CAST(SUM(i * rev) AS DOUBLE) AS sir
+      FROM rk)
+    SELECT n AS n_suppliers, round(srev, 4) AS total_revenue,
+           round((2.0 * sir - (n + 1.0) * srev) / (n * srev), 6) AS gini
+    FROM m
+    """,
+    "Gini coefficient of supplier revenue concentration — the "
+    "scalar inequality measure behind the Pareto report (0 = equal, "
+    "1 = one supplier takes all; ~0.03 on this uniform synthetic "
+    "data). Exact-decimal revenue and rank-weighted sums (i * rev "
+    "stays decimal-exact); the rank window runs on the bounded "
+    "per-supplier aggregate, never the fact table; the closed-form "
+    "Gini is shared 6 dp text",
+    "analytics extension (Gini inequality coefficient)",
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy(F.col("l_suppkey").alias("s")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,4)"
+            )
+        ).alias("rev")
+    )
+    rk = r.select(
+        "s",
+        "rev",
+        F.row_number()
+        .over(Window.orderBy("rev", "s"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("double").alias("srev"),
+        F.sum(F.col("i") * F.col("rev")).cast("double").alias("sir"),
+    )
+    return m.select(
+        F.col("n").alias("n_suppliers"),
+        F.expr("round(srev, 4)").alias("total_revenue"),
+        F.expr(
+            "round((2.0 * sir - (n + 1.0) * srev) / (n * srev), 6)"
+        ).alias("gini"),
+    )
