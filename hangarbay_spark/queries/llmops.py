@@ -4102,3 +4102,99 @@ def _set_kfold_oracle() -> None:
 
 
 _set_kfold_oracle()
+
+
+# Simplified silhouette from the two best centroid cosines: a = dist
+# to own centroid, b = dist to the runner-up; one shared formula text,
+# 6 dp rounded, degenerate zero-distance pairs excluded identically.
+_SIL = (
+    "round(((1.0 - c2) - (1.0 - c1)) "
+    "/ greatest(1.0 - c1, 1.0 - c2), 6)"
+)
+
+
+@register(
+    "sim_cluster_silhouette",
+    None,  # oracle attached below (needs _o_cosine)
+    "cluster-quality audit via simplified silhouette: each vector's "
+    "separation between its assigned centroid and the runner-up "
+    "((b - a) / max(a, b) over cosine distances), averaged per "
+    "cluster — near 0 (as on these isotropic synthetic vectors) "
+    "means the clustering carries no structure; near 1 means tight, "
+    "well-separated clusters. Same broadcast-centroid scan as "
+    "sim_centroid_assign; both distances come from ONE argmax "
+    "window pass (rk<=2 conditional pivot), decimal-exact means",
+    "similarity extension (cluster-quality silhouette)",
+)
+def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        S.cosine_expr(F.col("embedding"), F.col("cvec")).alias("cosine"),
+    )
+    wr = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    top2 = scored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 2
+    )
+    per = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("centroid_id"))).alias("cid"),
+        F.max(F.when(F.col("rk") == 1, F.col("cosine"))).alias("c1"),
+        F.max(F.when(F.col("rk") == 2, F.col("cosine"))).alias("c2"),
+    )
+    s = per.filter(
+        F.expr("greatest(1.0 - c1, 1.0 - c2) > 0.0")
+    ).select("cid", F.expr(_SIL).alias("sil"))
+    return (
+        s.groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.expr(
+                "round(CAST(SUM(CAST(sil AS DECIMAL(20,6))) AS DOUBLE) "
+                "/ CAST(COUNT(1) AS DOUBLE), 6)"
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _set_silhouette_oracle() -> None:
+    spec = REGISTRY["sim_cluster_silhouette"]
+    oracle = f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_o_cosine("e.embedding", "c.cvec")} AS cosine
+      FROM embeddings e CROSS JOIN c),
+    top2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rk
+        FROM scored) t
+      WHERE rk <= 2),
+    per AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN centroid_id END) AS cid,
+             MAX(CASE WHEN rk = 1 THEN cosine END) AS c1,
+             MAX(CASE WHEN rk = 2 THEN cosine END) AS c2
+      FROM top2 GROUP BY vec_id),
+    s AS (
+      SELECT cid, {_SIL} AS sil
+      FROM per WHERE greatest(1.0 - c1, 1.0 - c2) > 0.0)
+    SELECT cid AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(sil AS DECIMAL(20,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+    FROM s GROUP BY cid ORDER BY centroid_id
+    """
+    object.__setattr__(spec, "oracle", oracle)
+
+
+_set_silhouette_oracle()

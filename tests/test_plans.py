@@ -203,6 +203,7 @@ BNLJ_ALLOWED = {
     "report_order_backlog_aging",       # 1-row max-date scalar
     "report_benford_digit_audit",       # 1-row total/chi2 scalars
     "sample_kfold_balance",             # 1-row corpus-count scalar
+    "sim_cluster_silhouette",           # fixed centroid table (8 vectors)
 }
 
 
