@@ -960,3 +960,102 @@ def quality_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# t-closeness term: per (class, sensitive value), |p - q| between the
+# class share and the global share — both shares 6 dp-rounded before
+# the subtraction, the term re-rounded, TVD = 0.5 * exact decimal sum.
+_TCLOSE_TERM = (
+    "round(abs(round(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6) "
+    "- round(CAST(g AS DOUBLE) / CAST(nt AS DOUBLE), 6)), 6)"
+)
+
+
+@register(
+    "quality_t_closeness",
+    f"""
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, bal_bucket, CAST(SUM(n) AS BIGINT) AS k
+            FROM cell GROUP BY 1, 2),
+    seg AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g
+            FROM customer GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM customer),
+    grid AS (
+      SELECT cls.c_nationkey, cls.bal_bucket, cls.k,
+             seg.c_mktsegment, seg.g, nn.nt, COALESCE(cell.n, 0) AS n
+      FROM cls CROSS JOIN seg CROSS JOIN nn
+      LEFT JOIN cell ON cls.c_nationkey = cell.c_nationkey
+                    AND cls.bal_bucket = cell.bal_bucket
+                    AND seg.c_mktsegment = cell.c_mktsegment),
+    t AS (
+      SELECT c_nationkey, bal_bucket, k, {_TCLOSE_TERM} AS term
+      FROM grid),
+    tv AS (
+      SELECT c_nationkey, bal_bucket, CAST(MAX(k) AS BIGINT) AS k,
+             round(0.5 * CAST(SUM(CAST(term AS DECIMAL(20,6)))
+                              AS DOUBLE), 6) AS tvd
+      FROM t GROUP BY 1, 2)
+    SELECT c_nationkey, bal_bucket, k, tvd
+    FROM tv ORDER BY tvd DESC, c_nationkey, bal_bucket LIMIT 20
+    """,
+    "t-closeness audit — the third leg of the privacy trio with "
+    "k-anonymity and l-diversity: per QI class, the total-variation "
+    "distance between its sensitive-value (market segment) "
+    "distribution and the global one; a class can be large AND "
+    "diverse yet still leak if its mix is skewed. Shares computed "
+    "on the bounded class x segment grid (never the raw rows), TVD "
+    "from 6 dp-guarded terms with an exact decimal sum; 20 worst "
+    "classes surface",
+    "data-governance extension (t-closeness audit)",
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bb = F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias(
+        "bal_bucket"
+    )
+    cell = cust.groupBy("c_nationkey", bb, "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cls = cell.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n").cast("bigint").alias("k")
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    )
+    nn = cust.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    grid = (
+        cls.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(cell),
+            ["c_nationkey", "bal_bucket", "c_mktsegment"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "k",
+            "g",
+            "nt",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    t = grid.select(
+        "c_nationkey", "bal_bucket", "k", F.expr(_TCLOSE_TERM).alias("term")
+    )
+    tv = t.groupBy("c_nationkey", "bal_bucket").agg(
+        F.max("k").cast("bigint").alias("k"),
+        F.expr(
+            "round(0.5 * CAST(SUM(CAST(term AS DECIMAL(20,6))) "
+            "AS DOUBLE), 6)"
+        ).alias("tvd"),
+    )
+    return (
+        tv.select("c_nationkey", "bal_bucket", "k", "tvd")
+        .orderBy(F.desc("tvd"), "c_nationkey", "bal_bucket")
+        .limit(20)
+    )

@@ -204,6 +204,7 @@ BNLJ_ALLOWED = {
     "report_benford_digit_audit",       # 1-row total/chi2 scalars
     "sample_kfold_balance",             # 1-row corpus-count scalar
     "sim_cluster_silhouette",           # fixed centroid table (8 vectors)
+    "quality_t_closeness",              # 1-row corpus-count + 5-seg scalars
 }
 
 
