@@ -1774,3 +1774,121 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((2.0 * sir - (n + 1.0) * srev) / (n * srev), 6)"
         ).alias("gini"),
     )
+
+
+# Mann-Whitney U readout from exact moments: na/nb (counts), ra (exact
+# decimal sum of arm-A average ranks, .5-granular), ties (sum t^3 - t).
+# One text, both engines; 6 dp FMA guard on the z.
+_MW_FORMULAS = {
+    "u_a": "round(ra - na * (na + 1.0) / 2.0, 1)",
+    "z_score": (
+        "round((ra - na * (na + 1.0) / 2.0 - na * nb / 2.0) / "
+        "sqrt(na * nb / 12.0 * (na + nb + 1.0 "
+        "- ties / ((na + nb) * (na + nb - 1.0)))), 6)"
+    ),
+}
+_MW_SELECT = ",\n           ".join(
+    f"{expr} AS {alias}" for alias, expr in _MW_FORMULAS.items()
+)
+
+
+def _o_mannwhitney() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {o_hash_bucket("user_id", "mw")} < 128
+                  THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    g AS (
+      SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a
+      FROM assigned GROUP BY 1),
+    r AS (
+      SELECT value, cnt, cnt_a,
+             CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum
+      FROM g),
+    m AS (
+      SELECT
+        CAST(SUM(cnt_a) AS DOUBLE) AS na,
+        CAST(SUM(cnt - cnt_a) AS DOUBLE) AS nb,
+        CAST(SUM(CAST(cnt_a * (cum - cnt + (cnt + 1.0) / 2.0)
+                      AS DECIMAL(30,1))) AS DOUBLE) AS ra,
+        CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties
+      FROM r)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {_MW_SELECT}
+    FROM m
+    """
+
+
+@register(
+    "events_mannwhitney_u",
+    _o_mannwhitney(),
+    "Mann-Whitney U rank-sum test — the nonparametric complement of "
+    "the Welch z readout (no normality assumption; robust to the "
+    "heavy-tailed purchase values). Scalable rank formulation: the "
+    "corpus collapses to per-distinct-value (cnt, cnt_a) groups "
+    "FIRST, average tie ranks come from a running sum over the value "
+    "domain (prior + (t+1)/2 — never a per-row global rank), the "
+    "arm-A rank sum aggregates as an exact .5-granular decimal, and "
+    "the tie-corrected z compiles from shared formula text. At "
+    "100 TB the value-domain window is the only ordered pass and a "
+    "range-partitioned sort distributes it; raw events are touched "
+    "once",
+    "analytics extension (Mann-Whitney U nonparametric A/B test)",
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    ev = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.when(hash_bucket_expr("user_id", "mw") < 128, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    g = assigned.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+    )
+    r = g.select(
+        "cnt",
+        "cnt_a",
+        F.sum("cnt")
+        .over(Window.orderBy("value"))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    m = r.agg(
+        F.sum("cnt_a").cast("double").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("double").alias("nb"),
+        F.sum(
+            (
+                F.col("cnt_a")
+                * (
+                    F.col("cum")
+                    - F.col("cnt")
+                    + (F.col("cnt") + F.lit(1.0)) / F.lit(2.0)
+                )
+            ).cast("decimal(30,1)")
+        )
+        .cast("double")
+        .alias("ra"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        *[F.expr(expr).alias(alias) for alias, expr in _MW_FORMULAS.items()],
+    )

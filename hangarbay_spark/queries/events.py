@@ -3134,3 +3134,218 @@ def events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# Kaplan-Meier per-step hazard term: ln of the survival factor at one
+# step, 6 dp-rounded (transcendental guard); shared text, both engines.
+_KM_TERM = (
+    "round(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "events_kaplan_meier",
+    f"""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'),
+    ob AS (SELECT MAX(d) AS obs_end FROM p),
+    dur AS (
+      SELECT CASE WHEN nxt IS NULL THEN date_diff('day', d, obs_end)
+                  ELSE date_diff('day', d, nxt) END AS t_days,
+             CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS cens
+      FROM p CROSS JOIN ob),
+    grid AS (
+      SELECT CAST(t_days AS BIGINT) AS t_days,
+             CAST(SUM(1 - cens) AS BIGINT) AS n_events,
+             CAST(SUM(cens) AS BIGINT) AS n_censored,
+             CAST(COUNT(*) AS BIGINT) AS all_t
+      FROM dur GROUP BY 1),
+    risk AS (
+      SELECT t_days, n_events, n_censored,
+             CAST(SUM(all_t) OVER (ORDER BY t_days DESC) AS BIGINT) AS n_risk
+      FROM grid),
+    term AS (
+      SELECT t_days, n_events, n_censored, n_risk, {_KM_TERM} AS lnterm
+      FROM risk WHERE n_events < n_risk),
+    cum AS (
+      SELECT t_days, n_risk, n_events, n_censored,
+             CAST(SUM(CAST(lnterm AS DECIMAL(20,6))) OVER (ORDER BY t_days)
+                  AS DOUBLE) AS cs
+      FROM term)
+    SELECT t_days, n_risk, n_events, n_censored,
+           round(exp(cs), 6) AS survival
+    FROM cum ORDER BY t_days
+    """,
+    "Kaplan-Meier survival estimator over inter-purchase gaps: each "
+    "purchase opens a spell that 'dies' at the user's next purchase "
+    "(gap in days) and each user's open last spell is right-censored "
+    "at the observation end — the classic repeat-purchase survival "
+    "readout. One per-user lead window collapses the corpus to "
+    "spells, then the whole estimator lives on the bounded "
+    "per-duration grid: "
+    "reverse-cumulative at-risk counts, per-step hazard as a "
+    "6 dp-rounded ln factor (transcendental guard), and the survival "
+    "product as exp of an exact-decimal running sum — identical "
+    "doubles on both engines. At 100 TB the only corpus-scale work "
+    "is the one user-keyed window; everything downstream is "
+    "duration-domain-sized",
+    "analytics extension (Kaplan-Meier survival / churn curve)",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.lead(F.to_date("ts"))
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("nxt"),
+        )
+        .localCheckpoint()
+    )
+    ob = p.agg(F.max("d").alias("obs_end"))
+    dur = p.crossJoin(F.broadcast(ob)).select(
+        F.when(
+            F.col("nxt").isNull(), F.datediff("obs_end", "d")
+        )
+        .otherwise(F.datediff("nxt", "d"))
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("nxt").isNull(), 1).otherwise(0).alias("cens"),
+    )
+    grid = dur.groupBy("t_days").agg(
+        F.sum(F.lit(1) - F.col("cens")).cast("bigint").alias("n_events"),
+        F.sum("cens").cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("all_t"),
+    )
+    risk = grid.select(
+        "t_days",
+        "n_events",
+        "n_censored",
+        F.sum("all_t")
+        .over(W.orderBy(F.desc("t_days")))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    term = risk.filter(F.col("n_events") < F.col("n_risk")).withColumn(
+        "lnterm", F.expr(_KM_TERM)
+    )
+    cum = term.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("lnterm").cast("decimal(20,6)"))
+        .over(W.orderBy("t_days"))
+        .cast("double")
+        .alias("cs"),
+    )
+    return cum.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.exp("cs"), 6).alias("survival"),
+    ).orderBy("t_days")
+
+
+# Sample ACF at one lag from exact integer moments, all pre-cast to
+# DOUBLE: global n/s/q over the dense series, per-lag pair moments
+# m/a/b/p. One text, both engines; 6 dp FMA guard.
+_ACF_FORMULA = (
+    "round((p - s / n * a - s / n * b + m * (s / n) * (s / n)) "
+    "/ (q - s / n * s), 6)"
+)
+
+
+@register(
+    "events_acf_hourly",
+    f"""
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM hc),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hi FROM bounds),
+    ser AS (SELECT s.hi, COALESCE(hc.x, 0) AS x
+            FROM spine s LEFT JOIN hc ON s.hi = hc.hi),
+    g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS s,
+                 CAST(SUM(x * x) AS DOUBLE) AS q FROM ser),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag_h),
+    pairs AS (
+      SELECT lags.lag_h, t.x AS xt, u.x AS xl
+      FROM ser t CROSS JOIN lags JOIN ser u ON u.hi = t.hi + lags.lag_h),
+    mo AS (
+      SELECT lag_h, CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(xt) AS DOUBLE) AS a,
+             CAST(SUM(xl) AS DOUBLE) AS b,
+             CAST(SUM(xt * xl) AS DOUBLE) AS p
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag_h AS BIGINT) AS lag_h,
+           CAST(m AS BIGINT) AS n_pairs,
+           {_ACF_FORMULA} AS acf
+    FROM mo CROSS JOIN g ORDER BY lag_h
+    """,
+    "autocorrelation function of the hourly event-count series at "
+    "lags 1..24 (the seasonality diagnostic behind the seasonal "
+    "detector and forecast backtest): gap hours count as zero via a "
+    "generated dense spine, so the series is contiguous and the lag "
+    "join is an exact hour-index equi-join. Every moment (global "
+    "n/s/q, per-lag pair m/a/b/p) is an exact integer aggregate; the "
+    "ACF ratio is ONE shared formula text over their double casts. "
+    "At 100 TB the corpus pays one hourly rollup; the spine, lag "
+    "expansion and pair join live on the hours-domain frame "
+    "(24x series length), never on raw events",
+    "analytics extension (autocorrelation / seasonality diagnostic)",
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hc = ev.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) DIV 3600 AS BIGINT)"
+        ).alias("hi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hc.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("hi")
+    )
+    # the dense series feeds both sides of the lag self-join —
+    # checkpoint once (multi-consumer invariant); hours-domain-sized.
+    ser = (
+        spine.join(hc, "hi", "left")
+        .select("hi", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint()
+    )
+    g = ser.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("q"),
+    )
+    left = ser.select(
+        F.col("x").alias("xt"),
+        F.col("hi"),
+        F.explode(F.sequence(F.lit(1), F.lit(24))).alias("lag_h"),
+    ).select("xt", "lag_h", (F.col("hi") + F.col("lag_h")).alias("hj"))
+    pairs = left.join(
+        ser.select(F.col("hi").alias("hj"), F.col("x").alias("xl")), "hj"
+    )
+    mo = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("xt").cast("double").alias("a"),
+        F.sum("xl").cast("double").alias("b"),
+        F.sum(F.col("xt") * F.col("xl")).cast("double").alias("p"),
+    )
+    return (
+        mo.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag_h").cast("bigint").alias("lag_h"),
+            F.col("m").cast("bigint").alias("n_pairs"),
+            F.expr(_ACF_FORMULA).alias("acf"),
+        )
+        .orderBy("lag_h")
+    )

@@ -1150,3 +1150,123 @@ def report_benford_digit_audit(
         )
         .orderBy("digit")
     )
+
+
+# Contribution-analysis formulas over per-segment exact revenue sums
+# (r1, r2) and their exact window totals (t1, t2), all DOUBLE casts of
+# decimals. p/q are the segment's 6 dp-rounded revenue shares; the
+# surprise term is Adtributor's JS divergence with each transcendental
+# rounded at 6 dp. One text, both engines.
+_CONTRIB_PQ = {
+    "p": "round(r1 / t1, 6)",
+    "q": "round(r2 / t2, 6)",
+}
+_CONTRIB_FORMULAS = {
+    "delta": "round(r2 - r1, 2)",
+    "pct_of_change": "round((r2 - r1) / (t2 - t1), 6)",
+    "surprise": (
+        "round(0.5 * (round(p * ln(2.0 * p / (p + q)), 6) "
+        "+ round(q * ln(2.0 * q / (p + q)), 6)), 6)"
+    ),
+}
+
+
+@register(
+    "report_contribution_analysis",
+    f"""
+    WITH rev AS (
+      SELECT n_name,
+             SUM(CASE WHEN year(o_orderdate) = 1995
+                      THEN CAST(o_totalprice AS DECIMAL(30,2))
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS r1d,
+             SUM(CASE WHEN year(o_orderdate) = 1996
+                      THEN CAST(o_totalprice AS DECIMAL(30,2))
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS r2d
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1),
+    tot AS (
+      SELECT n_name,
+             CAST(r1d AS DOUBLE) AS r1, CAST(r2d AS DOUBLE) AS r2,
+             CAST(SUM(r1d) OVER () AS DOUBLE) AS t1,
+             CAST(SUM(r2d) OVER () AS DOUBLE) AS t2
+      FROM rev),
+    pq AS (
+      SELECT n_name, r1, r2, t1, t2,
+             {_CONTRIB_PQ["p"]} AS p, {_CONTRIB_PQ["q"]} AS q
+      FROM tot)
+    SELECT n_name,
+           round(r1, 2) AS revenue_p1,
+           round(r2, 2) AS revenue_p2,
+           {", ".join(f"{e} AS {a}" for a, e in _CONTRIB_FORMULAS.items())}
+    FROM pq
+    ORDER BY abs(r2 - r1) DESC, n_name
+    """,
+    "period-over-period contribution analysis (the Adtributor root-"
+    "cause pattern): which customer nations drove the 1995 -> 1996 "
+    "revenue change. Per segment: both periods' exact decimal revenue, "
+    "the delta, its share of the total change, and a JS-divergence "
+    "surprise score (how much the segment's revenue-mix share moved — "
+    "catches segments that swing the mix without dominating the "
+    "delta). Totals are exact decimal window sums on the bounded "
+    "segment frame; doubles divide only in the shared formula text. "
+    "At 100 TB the fact table pays one filtered star join + groupBy; "
+    "everything after is segment-domain-sized",
+    "analytics extension (contribution / root-cause decomposition)",
+)
+def report_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec0 = F.lit(0).cast("decimal(30,2)")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == 1995,
+                    F.col("o_totalprice").cast("decimal(30,2)"),
+                ).otherwise(dec0)
+            ).alias("r1d"),
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == 1996,
+                    F.col("o_totalprice").cast("decimal(30,2)"),
+                ).otherwise(dec0)
+            ).alias("r2d"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = rev.select(
+        "n_name",
+        F.col("r1d").cast("double").alias("r1"),
+        F.col("r2d").cast("double").alias("r2"),
+        F.sum("r1d").over(w).cast("double").alias("t1"),
+        F.sum("r2d").over(w).cast("double").alias("t2"),
+    )
+    pq = tot.select(
+        "n_name",
+        "r1",
+        "r2",
+        "t1",
+        "t2",
+        F.expr(_CONTRIB_PQ["p"]).alias("p"),
+        F.expr(_CONTRIB_PQ["q"]).alias("q"),
+    )
+    return pq.select(
+        "n_name",
+        F.round("r1", 2).alias("revenue_p1"),
+        F.round("r2", 2).alias("revenue_p2"),
+        *[
+            F.expr(e).alias(a)
+            for a, e in _CONTRIB_FORMULAS.items()
+        ],
+    ).orderBy(F.abs(F.col("revenue_p2") - F.col("revenue_p1")).desc(), "n_name")

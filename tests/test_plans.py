@@ -205,6 +205,8 @@ BNLJ_ALLOWED = {
     "sample_kfold_balance",             # 1-row corpus-count scalar
     "sim_cluster_silhouette",           # fixed centroid table (8 vectors)
     "quality_t_closeness",              # 1-row corpus-count + 5-seg scalars
+    "events_kaplan_meier",              # 1-row observation-end scalar
+    "events_acf_hourly",                # 1-row global-moments scalar
 }
 
 
