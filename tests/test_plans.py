@@ -270,6 +270,14 @@ EXCHANGE_BOUNDS = {
     "report_order_backlog_aging": 4,
     "events_cohort_ltv_curves": 6,
     "graph_kcore_membership": 2,
+    # round-5 continuation-5 additions: bounded-grid estimators whose
+    # only corpus-scale work is one groupBy / user-keyed window; the
+    # rest are tiny-frame windows and scalar broadcasts.
+    "quality_t_closeness": 8,
+    "events_kaplan_meier": 5,
+    "events_acf_hourly": 6,
+    "events_mannwhitney_u": 3,
+    "report_contribution_analysis": 5,
 }
 
 
