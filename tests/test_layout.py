@@ -216,3 +216,33 @@ def test_zorder_layout_prunes_in_both_dimensions(spark, tmp_path):
     s_hit = files_hit(spath, 8, 15)
     assert z_hit <= s_hit
     assert z_hit <= 4  # 8x8 box in a 64x64 grid over 16 files
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Day-partitioned fact + a dim whose qualifying days are only
+    known at runtime (filter on a non-partition column) -> Spark must
+    inject a DPP subquery into the fact scan's PartitionFilters, so at
+    cluster scale the fact table reads only the days the dim join can
+    match — the partitioned-warehouse pattern static pruning can't
+    express."""
+    from hangarbay_spark.queries.base import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    path = str(tmp_path / "ev_by_day")
+    write_partitioned(ev, path, "day")
+    fact = spark.read.parquet(path)
+    # runtime-only dim: the day set survives a non-partition filter, so
+    # the optimizer cannot constant-fold it into static pruning
+    dim = (
+        load_events(spark, "/root/testdata/sf0.001")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .limit(3)
+    )
+    joined = fact.join(dim, "day").groupBy("event_type").count()
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
