@@ -2042,3 +2042,88 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").cast("bigint").alias("n_reps"),
         *[F.expr(e).alias(a) for a, e in _BOOT_FORMULAS.items()],
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    WITH new_orders AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders),
+    new_cust AS (
+      SELECT c_custkey AS custkey, c_nationkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 97 <> 0)
+    SELECT c_nationkey, seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM new_orders JOIN new_cust USING (custkey)
+    GROUP BY 1, 2
+    """,
+    "incremental maintenance of an aggregate OVER A JOIN — the view-"
+    "maintenance shape agg-only deltas can't handle: both join inputs "
+    "change (orders gain 10% new rows + price modifications; "
+    "customers lose a slice and change segments), the Spark side "
+    "derives per-input signed deltas, composes the join delta "
+    "dA><B + A><dB + dA><dB with sign products (signed_join_delta), "
+    "and merges it into the OLD join aggregate — the old join is "
+    "never recomputed and the base tables are touched only by "
+    "delta-keyed joins. The oracle recomputes the NEW join aggregate "
+    "from scratch; equality is the multiset composition law, "
+    "bit-exact via decimal sums",
+    "pipeline extension (incremental join-view maintenance)",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines.incremental import (
+        build_agg,
+        delta_agg_update,
+        signed_delta,
+        signed_join_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    new_price = F.when(
+        F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 2
+    ).otherwise(F.col("o_totalprice"))
+    a_new = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        new_price.alias("price"),
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b_old = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        "c_nationkey",
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b_new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_nationkey",
+            F.when(F.col("c_custkey") % 11 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+    )
+    groups = ["c_nationkey", "seg"]
+    specs = {"revenue": ("price", 2)}
+    m_old = a_old.join(b_old, "custkey").select("c_nationkey", "seg", "price")
+    prev = build_agg(m_old, groups, specs)
+    da = signed_delta(a_old, a_new, "o_orderkey")
+    db = signed_delta(b_old, b_new, "custkey")
+    jd = signed_join_delta(a_old, da, b_old, db, "custkey")
+    updated = delta_agg_update(prev, jd, groups, specs)
+    return updated.select(
+        *groups,
+        F.col("n"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )

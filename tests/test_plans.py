@@ -279,6 +279,9 @@ EXCHANGE_BOUNDS = {
     "events_acf_hourly": 6,
     "events_mannwhitney_u": 3,
     "report_contribution_analysis": 5,
+    "events_bootstrap_ci": 6,
+    # signed join delta: three delta-keyed joins + the delta agg merge
+    "incremental_join_maintenance": 14,
 }
 
 
