@@ -1821,6 +1821,8 @@ def _o_mannwhitney() -> str:
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            {_MW_SELECT}
     FROM m
+    WHERE na > 0.0 AND nb > 0.0
+      AND na + nb + 1.0 - ties / ((na + nb) * (na + nb - 1.0)) > 0.0
     """
 
 
@@ -1887,7 +1889,15 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ties"),
     )
-    return m.select(
+    # same degenerate guard text as the oracle: an empty arm or an
+    # all-tied sample zeroes the variance (Spark NULL vs DuckDB
+    # inf/NaN on the divide) — exclude identically on both engines.
+    return m.filter(
+        F.expr(
+            "na > 0.0 AND nb > 0.0 AND na + nb + 1.0 "
+            "- ties / ((na + nb) * (na + nb - 1.0)) > 0.0"
+        )
+    ).select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         *[F.expr(expr).alias(alias) for alias, expr in _MW_FORMULAS.items()],
@@ -1942,7 +1952,7 @@ def _o_bootstrap() -> str:
       FROM wtab GROUP BY b),
     dev AS (
       SELECT round(round(sw / nw, 6) - est_mean, 6) AS d
-      FROM rep CROSS JOIN est),
+      FROM rep CROSS JOIN est WHERE nw > 0.0),
     dm AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
              CAST(SUM(CAST(d AS DECIMAL(20,6))) AS DOUBLE) AS sdv,
@@ -2026,8 +2036,12 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sw"),
     )
-    dev = rep.crossJoin(F.broadcast(est)).select(
-        F.expr("round(round(sw / nw, 6) - est_mean, 6)").alias("d")
+    # nw > 0 guard (same text as the oracle): a replicate whose every
+    # weight drew 0 — possible on tiny corpora — would divide by zero.
+    dev = (
+        rep.crossJoin(F.broadcast(est))
+        .filter(F.expr("nw > 0.0"))
+        .select(F.expr("round(round(sw / nw, 6) - est_mean, 6)").alias("d"))
     )
     dm = dev.agg(
         F.count(F.lit(1)).cast("double").alias("nr"),

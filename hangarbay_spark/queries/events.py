@@ -3289,7 +3289,9 @@ _ACF_FORMULA = (
     SELECT CAST(lag_h AS BIGINT) AS lag_h,
            CAST(m AS BIGINT) AS n_pairs,
            {_ACF_FORMULA} AS acf
-    FROM mo CROSS JOIN g ORDER BY lag_h
+    FROM mo CROSS JOIN g
+    WHERE q - s / n * s > 0.0 AND m > 1.0
+    ORDER BY lag_h
     """,
     "autocorrelation function of the hourly event-count series at "
     "lags 1..24 (the seasonality diagnostic behind the seasonal "
@@ -3342,6 +3344,11 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mo.crossJoin(F.broadcast(g))
+        # same degenerate-cell guard text as the oracle: a constant
+        # series (zero variance) or a single pair would divide by zero
+        # — Spark's non-ANSI divide yields NULL while DuckDB yields
+        # inf/NaN, so both engines must exclude those rows identically.
+        .filter(F.expr("q - s / n * s > 0.0 AND m > 1.0"))
         .select(
             F.col("lag_h").cast("bigint").alias("lag_h"),
             F.col("m").cast("bigint").alias("n_pairs"),

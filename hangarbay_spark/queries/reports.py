@@ -1196,7 +1196,9 @@ _CONTRIB_FORMULAS = {
     pq AS (
       SELECT n_name, r1, r2, t1, t2,
              {_CONTRIB_PQ["p"]} AS p, {_CONTRIB_PQ["q"]} AS q
-      FROM tot)
+      FROM tot
+      WHERE {_CONTRIB_PQ["p"]} > 0.0 AND {_CONTRIB_PQ["q"]} > 0.0
+        AND t2 - t1 <> 0.0)
     SELECT n_name,
            round(r1, 2) AS revenue_p1,
            round(r2, 2) AS revenue_p2,
@@ -1252,7 +1254,16 @@ def report_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r1d").over(w).cast("double").alias("t1"),
         F.sum("r2d").over(w).cast("double").alias("t2"),
     )
-    pq = tot.select(
+    # degenerate-segment guard, same text as the oracle: a segment
+    # with zero revenue in either period sends ln(0) into the JS term
+    # (Spark NULL vs DuckDB -inf), and an exactly-unchanged total
+    # zeroes the pct_of_change denominator.
+    pq = tot.filter(
+        F.expr(
+            f"{_CONTRIB_PQ['p']} > 0.0 AND {_CONTRIB_PQ['q']} > 0.0 "
+            "AND t2 - t1 <> 0.0"
+        )
+    ).select(
         "n_name",
         "r1",
         "r2",
