@@ -2141,3 +2141,129 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+# Two-regressor OLS solved in closed form from exact decimal moments.
+# Layer 1: centered second moments; layer 2: Cramer solution + fit.
+# Every layer is ONE shared text per column so IEEE ops run in
+# identical order on both engines; outputs rounded 6 dp.
+_OLS_CENTERED = {
+    "s11": "sx1x1 - sx1 * sx1 / n",
+    "s22": "sx2x2 - sx2 * sx2 / n",
+    "s12": "sx1x2 - sx1 * sx2 / n",
+    "s1y": "sx1y - sx1 * sy / n",
+    "s2y": "sx2y - sx2 * sy / n",
+    "syy": "syy0 - sy * sy / n",
+}
+# Coefficients are staged as COLUMNS (b1x/b2x), not inlined into
+# b0/r2: inlining duplicates the whole Cramer chain per output and the
+# exploded expression tree cost ~4 s of fixed plan/codegen time per
+# run (measured; SF-independent). Same float values either way.
+_OLS_COEF = {
+    "b1x": "(s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12)",
+    "b2x": "(s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12)",
+}
+_OLS_OUT = {
+    "b1": "round(b1x, 6)",
+    "b2": "round(b2x, 6)",
+    "b0": "round((sy - b1x * sx1 - b2x * sx2) / n, 6)",
+    "r2": "round((b1x * s1y + b2x * s2y) / syy, 6)",
+}
+_OLS_GUARD = "s11 * s22 - s12 * s12 > 0.0 AND syy > 0.0 AND n > 3.0"
+# Product moments cast at DECIMAL(30,4) — the TRUE precision of 2dp x
+# 2dp data. A finer scale (e.g. 8dp) would sit below the double noise
+# floor at price^2 magnitudes (~1e10 * 2^-52 ~ 2e-6 > 5e-9), where
+# Spark's shortest-string double->decimal cast and DuckDB's
+# binary-expansion rounding disagree (see base.py docstring).
+
+
+@register(
+    "report_ols_price_drivers",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sx1x1,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sx2x2,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sx1x2,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,4)))
+                  AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(30,4))) AS DOUBLE) AS syy0
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT l_returnflag, n, sx1, sx2, sy,
+             {", ".join(f"{e} AS {a}" for a, e in _OLS_CENTERED.items())}
+      FROM m),
+    k AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, s1y, s2y, syy,
+             {", ".join(f"{e} AS {a}" for a, e in _OLS_COEF.items())}
+      FROM c WHERE {_OLS_GUARD})
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           {", ".join(f"{e} AS {a}" for a, e in _OLS_OUT.items())}
+    FROM k
+    ORDER BY l_returnflag
+    """,
+    "distributed OLS without MLlib: price ~ quantity + discount per "
+    "return flag, solved in closed form from the normal equations — "
+    "ONE map-side-combined aggregation collects nine exact decimal "
+    "moments per group, then centered moments, Cramer coefficients "
+    "and R-squared compile from shared formula text (layered so IEEE "
+    "ops run in identical order; singular/degenerate groups excluded "
+    "by the same determinant guard on both engines). The pattern "
+    "behind any per-segment trend/elasticity fit at 100 TB: no "
+    "iteration, no driver-side math, moments merge like any sum",
+    "analytics extension (closed-form OLS regression per group)",
+)
+def report_ols_price_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
+    d4 = lambda e: e.cast("decimal(30,4)")  # noqa: E731
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d2("l_quantity")).cast("double").alias("sx1"),
+        F.sum(d2("l_discount")).cast("double").alias("sx2"),
+        F.sum(d2("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d4(q * q)).cast("double").alias("sx1x1"),
+        F.sum(d4(d * d)).cast("double").alias("sx2x2"),
+        F.sum(d4(q * d)).cast("double").alias("sx1x2"),
+        F.sum(d4(q * y)).cast("double").alias("sx1y"),
+        F.sum(d4(d * y)).cast("double").alias("sx2y"),
+        F.sum(d4(y * y)).cast("double").alias("syy0"),
+    )
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        *[F.expr(e).alias(a) for a, e in _OLS_CENTERED.items()],
+    )
+    k = c.filter(F.expr(_OLS_GUARD)).select(
+        "l_returnflag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        *[F.expr(e).alias(a) for a, e in _OLS_COEF.items()],
+    )
+    return (
+        k.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            *[F.expr(e).alias(a) for a, e in _OLS_OUT.items()],
+        )
+        .orderBy("l_returnflag")
+    )

@@ -282,6 +282,7 @@ EXCHANGE_BOUNDS = {
     "events_bootstrap_ci": 6,
     # signed join delta: three delta-keyed joins + the delta agg merge
     "incremental_join_maintenance": 14,
+    "report_ols_price_drivers": 2,
 }
 
 
