@@ -2267,3 +2267,139 @@ def report_ols_price_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Difference-in-differences readout from 4 cells x exact (n, s, q)
+# moments (q rounded at 2 dp before the decimal cast — identical on
+# both engines and far above the double noise floor at price^2
+# magnitudes). One text, both engines.
+_DID_MEAN = {
+    f"m{t}{p}": f"round(s{t}{p} / n{t}{p}, 6)"
+    for t in (0, 1)
+    for p in (0, 1)
+}
+_DID_VARN = (
+    "((q{t}{p} - s{t}{p} * s{t}{p} / n{t}{p}) / (n{t}{p} - 1.0)) / n{t}{p}"
+)
+_DID_SE = (
+    "sqrt("
+    + " + ".join(
+        _DID_VARN.format(t=t, p=p) for t in (0, 1) for p in (0, 1)
+    )
+    + ")"
+)
+_DID_OUT = {
+    "did": "round(m11 - m10 - (m01 - m00), 6)",
+    "se": f"round({_DID_SE}, 6)",
+    "t_stat": f"round((m11 - m10 - (m01 - m00)) / ({_DID_SE}), 6)",
+}
+_DID_GUARD = " AND ".join(
+    f"n{t}{p} > 1.0" for t in (0, 1) for p in (0, 1)
+)
+
+
+def _o_did() -> str:
+    cells = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = (
+                f"c_nationkey % 2 = {t} AND "
+                f"(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) = {p}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
+                f" AS n{t}{p}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN "
+                f"CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE)"
+                f" AS s{t}{p}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN "
+                f"CAST(round(o_totalprice * o_totalprice, 2) "
+                f"AS DECIMAL(30,2)) END) AS DOUBLE) AS q{t}{p}"
+            )
+    means = ", ".join(f"{e} AS {a}" for a, e in _DID_MEAN.items())
+    outs = ", ".join(f"{e} AS {a}" for a, e in _DID_OUT.items())
+    ns = ", ".join(
+        f"CAST(n{t}{p} AS BIGINT) AS n_t{t}p{p}"
+        for t in (0, 1)
+        for p in (0, 1)
+    )
+    return f"""
+    WITH m AS (
+      SELECT {", ".join(cells)}
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    mm AS (
+      SELECT *, {means} FROM m WHERE {_DID_GUARD})
+    SELECT {ns}, m00, m01, m10, m11, {outs}
+    FROM mm
+    """
+
+
+@register(
+    "events_diff_in_diff",
+    _o_did(),
+    "difference-in-differences: the quasi-experimental workhorse "
+    "when treatment wasn't randomized — odd-nation customers are the "
+    "'treated' group, 1998+ the post period, and the estimator "
+    "(treated post-pre delta minus control post-pre delta) nets out "
+    "both group-level and period-level confounds. ONE conditional "
+    "aggregation pass collects exact (n, s, q) moments for the four "
+    "cells; means, pooled SE and the t-statistic compile from shared "
+    "formula text (cells with n <= 1 excluded by the same guard both "
+    "engines). At 100 TB: a single map-side-combined scan, no "
+    "shuffle beyond 4 partial rows",
+    "analytics extension (difference-in-differences causal readout)",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    aggs = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = (F.col("c_nationkey") % 2 == t) & (
+                F.when(F.year("o_orderdate") >= 1998, 1).otherwise(0) == p
+            )
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("double")
+                .alias(f"n{t}{p}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cond, F.col("o_totalprice").cast("decimal(30,2)"))
+                )
+                .cast("double")
+                .alias(f"s{t}{p}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        cond,
+                        F.round(
+                            F.col("o_totalprice") * F.col("o_totalprice"), 2
+                        ).cast("decimal(30,2)"),
+                    )
+                )
+                .cast("double")
+                .alias(f"q{t}{p}")
+            )
+    m = j.agg(*aggs)
+    mm = m.filter(F.expr(_DID_GUARD)).select(
+        "*", *[F.expr(e).alias(a) for a, e in _DID_MEAN.items()]
+    )
+    return mm.select(
+        *[
+            F.col(f"n{t}{p}").cast("bigint").alias(f"n_t{t}p{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        "m00",
+        "m01",
+        "m10",
+        "m11",
+        *[F.expr(e).alias(a) for a, e in _DID_OUT.items()],
+    )

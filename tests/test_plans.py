@@ -283,6 +283,7 @@ EXCHANGE_BOUNDS = {
     # signed join delta: three delta-keyed joins + the delta agg merge
     "incremental_join_maintenance": 14,
     "report_ols_price_drivers": 2,
+    "events_diff_in_diff": 2,
 }
 
 
