@@ -3356,3 +3356,254 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_h")
     )
+
+
+# Log-rank per-step terms over exact integer grid counts (d, d1, n, n1)
+# pre-cast to DOUBLE: expected arm-1 deaths and hypergeometric
+# variance, each 6 dp-rounded then decimal-summed; one text, both
+# engines. Steps with n <= 1 contribute nothing (guard in the WHERE).
+_LOGRANK_E1 = "round(n1 / n * d, 6)"
+_LOGRANK_V = (
+    "round(d * (n1 / n) * (1.0 - n1 / n) * ((n - d) / (n - 1.0)), 6)"
+)
+_LOGRANK_OUT = {
+    "chi2": "round((o1 - e1) * (o1 - e1) / v, 6)",
+    "z": "round((o1 - e1) / sqrt(v), 6)",
+}
+
+
+def _o_logrank() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    arm = f"CASE WHEN {o_hash_bucket('user_id', 'lr')} < 128 THEN 1 ELSE 0 END"
+    outs = ", ".join(f"{e} AS {a}" for a, e in _LOGRANK_OUT.items())
+    return f"""
+    WITH p AS (
+      SELECT user_id, {arm} AS arm, CAST(ts AS DATE) AS d,
+             LEAD(CAST(ts AS DATE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'purchase'),
+    ob AS (SELECT MAX(d) AS obs_end FROM p),
+    dur AS (
+      SELECT arm,
+             CASE WHEN nxt IS NULL THEN date_diff('day', d, obs_end)
+                  ELSE date_diff('day', d, nxt) END AS t_days,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS died
+      FROM p CROSS JOIN ob),
+    grid AS (
+      SELECT CAST(t_days AS BIGINT) AS t_days,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(SUM(arm * died) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS all_t,
+             CAST(SUM(arm) AS BIGINT) AS all1_t
+      FROM dur GROUP BY 1),
+    risk AS (
+      SELECT t_days, d, d1,
+             CAST(SUM(all_t) OVER (ORDER BY t_days DESC) AS BIGINT) AS n,
+             CAST(SUM(all1_t) OVER (ORDER BY t_days DESC) AS BIGINT) AS n1
+      FROM grid),
+    term AS (
+      SELECT CAST(d AS DOUBLE) AS d, CAST(d1 AS DOUBLE) AS d1,
+             CAST(n AS DOUBLE) AS n, CAST(n1 AS DOUBLE) AS n1
+      FROM risk WHERE n > 1 AND d > 0),
+    m AS (
+      SELECT
+        CAST(SUM(CAST(d1 AS DECIMAL(20,6))) AS DOUBLE) AS o1,
+        CAST(SUM(CAST({_LOGRANK_E1} AS DECIMAL(20,6))) AS DOUBLE) AS e1,
+        CAST(SUM(CAST({_LOGRANK_V} AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM term)
+    SELECT CAST(o1 AS BIGINT) AS observed_1, round(e1, 6) AS expected_1,
+           round(v, 6) AS variance, {outs}
+    FROM m WHERE v > 0.0
+    """
+
+
+@register(
+    "events_logrank_test",
+    _o_logrank(),
+    "log-rank test — the hypothesis-test companion of the "
+    "Kaplan-Meier estimator: do two hash-assigned user arms have the "
+    "same inter-purchase survival curve? Spells and censoring exactly "
+    "as events_kaplan_meier; at each duration step the observed arm-1 "
+    "deaths are compared to the hypergeometric expectation given the "
+    "step's at-risk split, variance-weighted and summed into the "
+    "chi-square. All grid counts are exact integers; the per-step "
+    "E/V terms are 6 dp-rounded shared text and decimal-summed, "
+    "small-step and zero-variance guards identical on both engines. "
+    "At 100 TB: one user-keyed window + one duration-grid rollup",
+    "analytics extension (log-rank two-sample survival test)",
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(hash_bucket_expr("user_id", "lr") < 128, 1)
+            .otherwise(0)
+            .alias("arm"),
+            F.to_date("ts").alias("d"),
+            F.lead(F.to_date("ts"))
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("nxt"),
+        )
+        .localCheckpoint()
+    )
+    ob = p.agg(F.max("d").alias("obs_end"))
+    dur = p.crossJoin(F.broadcast(ob)).select(
+        "arm",
+        F.when(
+            F.col("nxt").isNull(), F.datediff("obs_end", "d")
+        )
+        .otherwise(F.datediff("nxt", "d"))
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("died"),
+    )
+    grid = dur.groupBy("t_days").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.sum(F.col("arm") * F.col("died")).cast("bigint").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("all_t"),
+        F.sum("arm").cast("bigint").alias("all1_t"),
+    )
+    wdesc = W.orderBy(F.desc("t_days"))
+    risk = grid.select(
+        "t_days",
+        "d",
+        "d1",
+        F.sum("all_t").over(wdesc).cast("bigint").alias("n"),
+        F.sum("all1_t").over(wdesc).cast("bigint").alias("n1"),
+    )
+    term = risk.filter((F.col("n") > 1) & (F.col("d") > 0)).select(
+        F.col("d").cast("double").alias("d"),
+        F.col("d1").cast("double").alias("d1"),
+        F.col("n").cast("double").alias("n"),
+        F.col("n1").cast("double").alias("n1"),
+    )
+    m = term.agg(
+        F.sum(F.col("d1").cast("decimal(20,6)")).cast("double").alias("o1"),
+        F.sum(F.expr(_LOGRANK_E1).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("e1"),
+        F.sum(F.expr(_LOGRANK_V).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("v"),
+    )
+    return m.filter(F.expr("v > 0.0")).select(
+        F.col("o1").cast("bigint").alias("observed_1"),
+        F.round("e1", 6).alias("expected_1"),
+        F.round("v", 6).alias("variance"),
+        *[F.expr(e).alias(a) for a, e in _LOGRANK_OUT.items()],
+    )
+
+
+# Seasonal decomposition shared texts: centered-MA trend (exact
+# 25-hour integer sum / 25), detrended value, and the residual after
+# subtracting the hour-of-day seasonal mean — each rounded 6 dp.
+_DECOMP_TREND = "round(wsum / 25.0, 6)"
+_DECOMP_DET = "round(x - trend, 6)"
+_DECOMP_SEAS = "round(sdet / nh, 6)"
+_DECOMP_RES = "round(abs(round(det - seasonal, 6)), 6)"
+
+
+@register(
+    "events_seasonal_decompose",
+    f"""
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM hc),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hi FROM bounds),
+    ser AS (SELECT s.hi, COALESCE(hc.x, 0) AS x
+            FROM spine s LEFT JOIN hc ON s.hi = hc.hi),
+    ma AS (
+      SELECT hi, x,
+             CAST(SUM(x) OVER (ORDER BY hi
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+               AS wsum,
+             CAST(COUNT(*) OVER (ORDER BY hi
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+               AS wn
+      FROM ser),
+    det AS (
+      SELECT hi % 24 AS hod, x, {_DECOMP_TREND} AS trend,
+             round(x - {_DECOMP_TREND}, 6) AS det
+      FROM ma WHERE wn = 25),
+    seas AS (
+      SELECT hod,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CAST(det AS DECIMAL(20,6))) AS DOUBLE) AS sdet
+      FROM det GROUP BY 1),
+    sj AS (
+      SELECT d.hod, d.det, {_DECOMP_SEAS} AS seasonal, s.nh
+      FROM det d JOIN seas s ON d.hod = s.hod)
+    SELECT CAST(hod AS BIGINT) AS hod, CAST(MAX(nh) AS BIGINT) AS n_obs,
+           MAX(seasonal) AS seasonal,
+           round(CAST(SUM(CAST({_DECOMP_RES} AS DECIMAL(20,6)))
+                      AS DOUBLE) / MAX(nh), 6) AS mean_abs_residual
+    FROM sj GROUP BY hod ORDER BY hod
+    """,
+    "additive seasonal decomposition of the hourly event series "
+    "(STL-lite): trend = centered 25-hour moving average (exact "
+    "integer window sums, full-coverage rows only so edge semantics "
+    "can't drift between engines), hour-of-day seasonal = decimal-"
+    "exact mean of the detrended series per hour slot, residual = "
+    "what neither explains — surfaced as mean |residual| per slot "
+    "next to the seasonal amplitude. Companion diagnostic to the ACF "
+    "and the seasonal outlier detector. At 100 TB the corpus pays "
+    "one hourly rollup; every window runs on the hours-domain spine",
+    "analytics extension (seasonal-trend decomposition)",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hc = ev.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) DIV 3600 AS BIGINT)"
+        ).alias("hi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hc.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hi"))
+    ser = spine.join(hc, "hi", "left").select(
+        "hi", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    wma = W.orderBy("hi").rowsBetween(-12, 12)
+    ma = ser.select(
+        "hi",
+        "x",
+        F.sum("x").over(wma).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(wma).cast("bigint").alias("wn"),
+    )
+    det = (
+        ma.filter(F.col("wn") == 25)
+        .select(
+            (F.col("hi") % 24).alias("hod"),
+            "x",
+            F.expr(_DECOMP_TREND).alias("trend"),
+            F.expr(f"round(x - {_DECOMP_TREND}, 6)").alias("det"),
+        )
+        .localCheckpoint()
+    )
+    seas = det.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(F.col("det").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sdet"),
+    )
+    sj = det.join(seas, "hod").select(
+        "hod", "det", F.expr(_DECOMP_SEAS).alias("seasonal"), "nh"
+    )
+    return (
+        sj.groupBy(F.col("hod").cast("bigint").alias("hod"))
+        .agg(
+            F.max("nh").cast("bigint").alias("n_obs"),
+            F.max("seasonal").alias("seasonal"),
+            F.expr(
+                f"round(CAST(SUM(CAST({_DECOMP_RES} AS DECIMAL(20,6))) "
+                "AS DOUBLE) / MAX(nh), 6)"
+            ).alias("mean_abs_residual"),
+        )
+        .orderBy("hod")
+    )

@@ -206,6 +206,7 @@ BNLJ_ALLOWED = {
     "sim_cluster_silhouette",           # fixed centroid table (8 vectors)
     "quality_t_closeness",              # 1-row corpus-count + 5-seg scalars
     "events_kaplan_meier",              # 1-row observation-end scalar
+    "events_logrank_test",              # 1-row observation-end scalar
     "events_acf_hourly",                # 1-row global-moments scalar
     "events_bootstrap_ci",              # 1-row estimate/moment scalars
 }
