@@ -2403,3 +2403,365 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m11",
         *[F.expr(e).alias(a) for a, e in _DID_OUT.items()],
     )
+
+
+# Kolmogorov-Smirnov D from the exact integer ECDF grid: per distinct
+# value the scaled gap |C1*n0 - C0*n1| is a bigint (no float until the
+# final division), D = gap / (n1*n0), and the sqrt(n1*n0/(n1+n0))
+# effect scale is a rounded transcendental per the FMA guard. One
+# text, both engines.
+_KS_D = "round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)"
+_KS_LAM = (
+    "round(sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) "
+    "/ (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))), 6)"
+)
+
+
+def _o_ks_test() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    arm = f"CASE WHEN {o_hash_bucket('user_id', 'ks')} < 128 THEN 1 ELSE 0 END"
+    return f"""
+    WITH assigned AS (
+      SELECT {arm} AS arm, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    g AS (
+      SELECT value,
+             CAST(SUM(arm) AS BIGINT) AS c1,
+             CAST(SUM(1 - arm) AS BIGINT) AS c0
+      FROM assigned GROUP BY 1),
+    r AS (
+      SELECT value,
+             CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS c1cum,
+             CAST(SUM(c0) OVER (ORDER BY value) AS BIGINT) AS c0cum,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c0) OVER () AS BIGINT) AS n0
+      FROM g),
+    d AS (
+      SELECT value, n1, n0,
+             abs(c1cum * n0 - c0cum * n1) AS gap,
+             ROW_NUMBER() OVER (
+               ORDER BY abs(c1cum * n0 - c0cum * n1) DESC, value) AS rk
+      FROM r WHERE n1 > 0 AND n0 > 0),
+    top AS (SELECT * FROM d WHERE rk = 1),
+    s AS (
+      SELECT n1 AS n_1, n0 AS n_0, value AS at_value,
+             {_KS_D} AS d_stat, {_KS_LAM} AS ks_lambda
+      FROM top)
+    SELECT n_1, n_0, at_value, d_stat, ks_lambda,
+           round(d_stat * ks_lambda, 6) AS ks_scaled
+    FROM s
+    """
+
+
+@register(
+    "events_ks_test",
+    _o_ks_test(),
+    "two-sample Kolmogorov-Smirnov test between hash-assigned user "
+    "arms over purchase values — the distribution-shape companion of "
+    "the Mann-Whitney location test (detects variance/tail shifts a "
+    "rank test misses). Scalable ECDF formulation: the corpus "
+    "collapses to per-distinct-value arm counts first, both ECDFs are "
+    "one running sum over the value domain, and the D statistic is an "
+    "exact bigint gap |C1*n0 - C0*n1| maximized BEFORE any float op — "
+    "the only doubles are the final division and the rounded sqrt "
+    "scale. At 100 TB the value-domain window is the single ordered "
+    "pass (range-partitioned sort); raw events are touched once",
+    "analytics extension (Kolmogorov-Smirnov two-sample test)",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    ev = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.when(hash_bucket_expr("user_id", "ks") < 128, 1)
+        .otherwise(0)
+        .alias("arm"),
+        "value",
+    )
+    g = assigned.groupBy("value").agg(
+        F.sum("arm").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("c0"),
+    )
+    wcum = Window.orderBy("value")
+    wall = Window.partitionBy()
+    r = g.select(
+        "value",
+        F.sum("c1").over(wcum).cast("bigint").alias("c1cum"),
+        F.sum("c0").over(wcum).cast("bigint").alias("c0cum"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c0").over(wall).cast("bigint").alias("n0"),
+    )
+    gap = F.abs(F.col("c1cum") * F.col("n0") - F.col("c0cum") * F.col("n1"))
+    d = (
+        r.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "value",
+            "n1",
+            "n0",
+            gap.alias("gap"),
+            F.row_number()
+            .over(Window.orderBy(gap.desc(), F.col("value")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    s = d.select(
+        F.col("n1").alias("n_1"),
+        F.col("n0").alias("n_0"),
+        F.col("value").alias("at_value"),
+        F.expr(_KS_D).alias("d_stat"),
+        F.expr(_KS_LAM).alias("ks_lambda"),
+    )
+    return s.select(
+        "n_1",
+        "n_0",
+        "at_value",
+        "d_stat",
+        "ks_lambda",
+        F.expr("round(d_stat * ks_lambda, 6)").alias("ks_scaled"),
+    )
+
+
+# Leakage-safe encoding formula: out-of-fold decimal sums/counts come
+# from exact window subtraction (segment total minus own fold), the
+# smoothing prior is the 6 dp-rounded global mean with weight 10, and
+# the encoding itself is one division rounded 6 dp. One text, both
+# engines.
+_TE_GMEAN = "round(CAST(gsum AS DOUBLE) / CAST(gcnt AS DOUBLE), 6)"
+_TE_ENC = (
+    "round((CAST(oof_sum AS DOUBLE) + 10.0 * gmean) "
+    "/ (CAST(oof_cnt AS DOUBLE) + 10.0), 6)"
+)
+
+
+def _o_target_encoding() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    fold = f"{o_hash_bucket('o.o_orderkey', 'te')} % 5"
+    return f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST({fold} AS BIGINT) AS fold,
+             CAST(o.o_totalprice AS DECIMAL(30,4)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (
+      SELECT segment, fold,
+             CAST(COUNT(*) AS BIGINT) AS fold_cnt,
+             SUM(y) AS ysum
+      FROM base GROUP BY 1, 2),
+    w AS (
+      SELECT segment, fold, fold_cnt,
+             CAST(SUM(fold_cnt) OVER (PARTITION BY segment) - fold_cnt
+                  AS BIGINT) AS oof_cnt,
+             SUM(ysum) OVER (PARTITION BY segment) - ysum AS oof_sum,
+             CAST(SUM(fold_cnt) OVER () AS BIGINT) AS gcnt,
+             SUM(ysum) OVER () AS gsum
+      FROM g),
+    s AS (
+      SELECT segment, fold, fold_cnt, oof_cnt, {_TE_GMEAN} AS gmean,
+             CAST(oof_sum AS DOUBLE) AS oof_sum
+      FROM w)
+    SELECT segment, fold, fold_cnt, oof_cnt, gmean, {_TE_ENC} AS enc
+    FROM s ORDER BY segment, fold
+    """
+
+
+@register(
+    "sample_oof_target_encoding",
+    _o_target_encoding(),
+    "out-of-fold target encoding — the leakage-safe categorical "
+    "feature every tabular training pipeline needs: each (segment, "
+    "fold) cell is encoded by the smoothed mean order value of the "
+    "OTHER folds only, so the feature a fold's training rows see "
+    "never contains their own targets. Fold assignment is the "
+    "deterministic md5 bucket, per-cell sums are exact decimals, the "
+    "out-of-fold moments come from exact window subtraction (never a "
+    "second corpus pass), and the smoothing prior (m=10 toward the "
+    "global mean) is shared formula text. At 100 TB the corpus pays "
+    "one join + one groupBy; everything after lives on the "
+    "segment x fold grid",
+    "ML-pipeline extension (leakage-safe target encoding)",
+)
+def sample_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (hash_bucket_expr("o_orderkey", "te") % 5)
+        .cast("bigint")
+        .alias("fold"),
+        F.col("o_totalprice").cast("decimal(30,4)").alias("y"),
+    )
+    g = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fold_cnt"),
+        F.sum("y").alias("ysum"),
+    )
+    wseg = Window.partitionBy("segment")
+    wall = Window.partitionBy()
+    w = g.select(
+        "segment",
+        "fold",
+        "fold_cnt",
+        (F.sum("fold_cnt").over(wseg) - F.col("fold_cnt"))
+        .cast("bigint")
+        .alias("oof_cnt"),
+        (F.sum("ysum").over(wseg) - F.col("ysum")).alias("oof_sum"),
+        F.sum("fold_cnt").over(wall).cast("bigint").alias("gcnt"),
+        F.sum("ysum").over(wall).alias("gsum"),
+    )
+    s = w.select(
+        "segment",
+        "fold",
+        "fold_cnt",
+        "oof_cnt",
+        F.expr(_TE_GMEAN).alias("gmean"),
+        F.col("oof_sum").cast("double").alias("oof_sum"),
+    )
+    return s.select(
+        "segment",
+        "fold",
+        "fold_cnt",
+        "oof_cnt",
+        "gmean",
+        F.expr(_TE_ENC).alias("enc"),
+    ).orderBy("segment", "fold")
+
+
+# Stratified / IPW treatment-effect readout: per-cell arm means are
+# one 6 dp-rounded division each; the 'ALL' row standardizes the cell
+# means over the cell-size distribution with an exact decimal
+# weighted sum (n fits DECIMAL(12,0), a 6 dp mean fits DECIMAL(12,6),
+# their product DECIMAL(25,6) — exact on both engines) and one final
+# division. Same confounded-assignment thresholds, same guard text.
+_ATE_MU1 = "round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE), 6)"
+_ATE_MU0 = "round(CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE), 6)"
+_ATE_DIFF = "round(mu1 - mu0, 6)"
+_ATE_WMEAN = (
+    "round(CAST(SUM(CAST(n AS DECIMAL(12,0)) * CAST({m} AS DECIMAL(12,6))) "
+    "AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)"
+)
+_ATE_THRESH = (
+    "CASE cell WHEN 'AUTOMOBILE' THEN 64 WHEN 'BUILDING' THEN 96 "
+    "WHEN 'FURNITURE' THEN 128 WHEN 'HOUSEHOLD' THEN 160 ELSE 192 END"
+)
+
+
+def _o_stratified_ate() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS cell,
+             CAST(o.o_totalprice AS DECIMAL(30,4)) AS y,
+             {o_hash_bucket('o.o_custkey', 'ate')} AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    assigned AS (
+      SELECT cell, y,
+             CASE WHEN b < {_ATE_THRESH} THEN 1 ELSE 0 END AS t
+      FROM base),
+    g AS (
+      SELECT cell,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS nt,
+             CAST(SUM(1 - t) AS BIGINT) AS nc,
+             SUM(CASE WHEN t = 1 THEN y END) AS syt,
+             SUM(CASE WHEN t = 0 THEN y END) AS syc
+      FROM assigned GROUP BY 1),
+    k AS (
+      SELECT cell, n, nt, nc, {_ATE_MU1} AS mu1, {_ATE_MU0} AS mu0
+      FROM g WHERE nt > 0 AND nc > 0),
+    cells AS (
+      SELECT cell, n, nt, nc, mu1, mu0, {_ATE_DIFF} AS cell_ate FROM k),
+    ov AS (
+      SELECT 'ALL' AS cell,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(nt) AS BIGINT) AS nt,
+             CAST(SUM(nc) AS BIGINT) AS nc,
+             {_ATE_WMEAN.format(m='mu1')} AS mu1,
+             {_ATE_WMEAN.format(m='mu0')} AS mu0
+      FROM cells),
+    ov2 AS (
+      SELECT cell, n, nt, nc, mu1, mu0, {_ATE_DIFF} AS cell_ate FROM ov)
+    SELECT * FROM cells UNION ALL SELECT * FROM ov2 ORDER BY cell
+    """
+
+
+@register(
+    "events_stratified_ate",
+    _o_stratified_ate(),
+    "stratified average-treatment-effect estimate under confounded "
+    "assignment — the observational-causal companion of the A/B "
+    "z-test/CUPED/DiD family: treatment probability varies by market "
+    "segment (the confounder), so the naive treated-vs-control mean "
+    "difference is biased; stratifying on the segment cells and "
+    "standardizing the per-cell effects over the cell-size "
+    "distribution recovers the effect (exact IPW for a discrete "
+    "propensity). Per-cell arm moments are exact decimals, cell "
+    "means/effects are 6 dp shared text, the ALL row is a "
+    "decimal-exact weighted average of cell means, and cells missing "
+    "an arm drop under identical guard text. At 100 TB: one join + "
+    "one groupBy; the estimator lives on the 5-cell grid",
+    "analytics extension (stratified/IPW causal effect)",
+)
+def events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    assigned = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("cell"),
+            F.col("o_totalprice").cast("decimal(30,4)").alias("y"),
+            hash_bucket_expr("o_custkey", "ate").alias("b"),
+        )
+        .select(
+            "cell",
+            "y",
+            F.expr(f"CASE WHEN b < {_ATE_THRESH} THEN 1 ELSE 0 END").alias(
+                "t"
+            ),
+        )
+    )
+    g = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("nt"),
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("y"))).alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y"))).alias("syc"),
+    )
+    cells = (
+        g.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+        .select(
+            "cell",
+            "n",
+            "nt",
+            "nc",
+            F.expr(_ATE_MU1).alias("mu1"),
+            F.expr(_ATE_MU0).alias("mu0"),
+        )
+        .select("*", F.expr(_ATE_DIFF).alias("cell_ate"))
+    )
+    ov = cells.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("nt").cast("bigint").alias("nt"),
+        F.sum("nc").cast("bigint").alias("nc"),
+        F.expr(_ATE_WMEAN.format(m="mu1")).alias("mu1"),
+        F.expr(_ATE_WMEAN.format(m="mu0")).alias("mu0"),
+    ).select(
+        F.lit("ALL").alias("cell"),
+        "n",
+        "nt",
+        "nc",
+        "mu1",
+        "mu0",
+        F.expr(_ATE_DIFF).alias("cell_ate"),
+    )
+    return cells.unionByName(ov).orderBy("cell")
