@@ -2765,3 +2765,477 @@ def events_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ATE_DIFF).alias("cell_ate"),
     )
     return cells.unionByName(ov).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# Rank-correlation estimators over the joint value-domain grid.
+#
+# Both Spearman and Kendall collapse the corpus to per-(x, y) counts
+# FIRST (one map-side-combined shuffle; the grid is the product of two
+# bounded value domains — 50 quantities x 11 discounts here), then run
+# every rank/pair computation on that tiny frame. Ranks are carried
+# DOUBLED (2*rank is integral even for .5 average tie ranks), so all
+# moments are exact integer/decimal aggregates; rho/tau compile from
+# ONE shared formula text over their double casts. Per-cell products
+# are cast to DECIMAL(19,0) factors (product DECIMAL(38,0)) so sums
+# stay exact far beyond BIGINT range (bound: 2n <= ~9e18, i.e. the
+# doubled-rank itself fits BIGINT to ~4.6e18 rows).
+# ---------------------------------------------------------------------------
+
+_SPEAR_MOMENTS = {
+    "n": "CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE)",
+    "sx": "CAST(SUM(CAST(cnt * rx2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST(cnt * ry2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sxx": (
+        "CAST(SUM(CAST(cnt * rx2 AS DECIMAL(19,0)) "
+        "* CAST(rx2 AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+    "syy": (
+        "CAST(SUM(CAST(cnt * ry2 AS DECIMAL(19,0)) "
+        "* CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+    "sxy": (
+        "CAST(SUM(CAST(cnt * rx2 AS DECIMAL(19,0)) "
+        "* CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+}
+_SPEAR_RHO = (
+    "round((n * sxy - sx * sy) / "
+    "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+)
+_SPEAR_GUARD = "n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0"
+_SPEAR_SELECT = ",\n           ".join(
+    f"{expr} AS {alias}" for alias, expr in _SPEAR_MOMENTS.items()
+)
+
+
+@register(
+    "agg_spearman_corr",
+    f"""
+    WITH grid AS (
+      SELECT l_quantity AS x, l_discount AS y,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    gx AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS cx FROM grid GROUP BY 1),
+    rx AS (
+      SELECT x,
+             2 * CAST(SUM(cx) OVER (ORDER BY x) AS BIGINT) - cx + 1 AS rx2
+      FROM gx),
+    gy AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS cy FROM grid GROUP BY 1),
+    ry AS (
+      SELECT y,
+             2 * CAST(SUM(cy) OVER (ORDER BY y) AS BIGINT) - cy + 1 AS ry2
+      FROM gy),
+    j AS (
+      SELECT g.cnt, rx.rx2, ry.ry2
+      FROM grid g JOIN rx ON g.x = rx.x JOIN ry ON g.y = ry.y),
+    m AS (
+      SELECT {_SPEAR_SELECT}
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n_rows, {_SPEAR_RHO} AS spearman_rho
+    FROM m WHERE {_SPEAR_GUARD}
+    """,
+    "Spearman rank correlation between line-item quantity and "
+    "discount — the monotone-association estimator that survives "
+    "heavy ties and outliers where Pearson does not. Scalable rank "
+    "formulation: the corpus collapses once to the joint (quantity, "
+    "discount) value-domain grid (<=550 cells), average tie ranks "
+    "come from running sums over each marginal domain and are carried "
+    "DOUBLED so they stay integral, and all six moments aggregate as "
+    "exact decimals before ONE shared rho formula text runs on their "
+    "double casts. At 100 TB the only corpus-scale work is the single "
+    "map-side-combined groupBy; every ordered pass lives on the "
+    "bounded grid",
+    "analytics extension (Spearman rank correlation)",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.groupBy(
+            F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # feeds gx, gy AND the rank join (3 consumers)
+    )
+    gx = grid.groupBy("x").agg(F.sum("cnt").cast("bigint").alias("cx"))
+    rx = gx.select(
+        "x",
+        (
+            F.lit(2) * F.sum("cx").over(Window.orderBy("x")).cast("bigint")
+            - F.col("cx")
+            + F.lit(1)
+        ).alias("rx2"),
+    )
+    gy = grid.groupBy("y").agg(F.sum("cnt").cast("bigint").alias("cy"))
+    ry = gy.select(
+        "y",
+        (
+            F.lit(2) * F.sum("cy").over(Window.orderBy("y")).cast("bigint")
+            - F.col("cy")
+            + F.lit(1)
+        ).alias("ry2"),
+    )
+    j = grid.join(rx, "x").join(ry, "y")
+    m = j.agg(
+        *[
+            F.expr(expr).alias(alias)
+            for alias, expr in _SPEAR_MOMENTS.items()
+        ]
+    )
+    return m.filter(F.expr(_SPEAR_GUARD)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(_SPEAR_RHO).alias("spearman_rho"),
+    )
+
+
+# Kendall tau-b from the SAME joint grid via 2D prefix sums on the
+# densified domain — concordant/discordant pair counts WITHOUT ever
+# materializing pairs: for each cell, LL = pairs strictly below-left
+# (concordant partners), LG = strictly above-left (discordant), both
+# from layered strict-frame window sums. Tie terms fall out of the
+# same aggregate (sum of cnt*rowtot = sum of per-x totals squared).
+_KT_MOMENTS = {
+    "n": "CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE)",
+    "c": (
+        "CAST(SUM(CAST(cnt AS DECIMAL(19,0)) "
+        "* CAST(ll AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+    "d": (
+        "CAST(SUM(CAST(cnt AS DECIMAL(19,0)) "
+        "* CAST(lg AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+    "sx2": (
+        "CAST(SUM(CAST(cnt AS DECIMAL(19,0)) "
+        "* CAST(rowtot AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+    "sy2": (
+        "CAST(SUM(CAST(cnt AS DECIMAL(19,0)) "
+        "* CAST(coltot AS DECIMAL(19,0))) AS DOUBLE)"
+    ),
+}
+_KT_SELECT = ",\n           ".join(
+    f"{expr} AS {alias}" for alias, expr in _KT_MOMENTS.items()
+)
+# n0/n1/n2 in pair units: n0 total pairs, n1/n2 tied-in-x / tied-in-y.
+_KT_DERIVED = {
+    "n0": "n * (n - 1.0) / 2.0",
+    "n1": "(sx2 - n) / 2.0",
+    "n2": "(sy2 - n) / 2.0",
+}
+_KT_TAU = "round((c - d) / sqrt((n0 - n1) * (n0 - n2)), 6)"
+_KT_GUARD = "n0 - n1 > 0.0 AND n0 - n2 > 0.0"
+
+
+@register(
+    "agg_kendall_tau",
+    f"""
+    WITH grid AS (
+      SELECT l_quantity AS x, l_discount AS y,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    dense AS (
+      SELECT dx.x, dy.y
+      FROM (SELECT DISTINCT x FROM grid) dx,
+           (SELECT DISTINCT y FROM grid) dy),
+    cells AS (
+      SELECT d.x, d.y, COALESCE(g.cnt, 0) AS cnt
+      FROM dense d LEFT JOIN grid g ON d.x = g.x AND d.y = g.y),
+    l1 AS (
+      SELECT x, y, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY x) AS BIGINT) AS rowtot,
+             CAST(SUM(cnt) OVER (PARTITION BY y) AS BIGINT) AS coltot,
+             CAST(COALESCE(SUM(cnt) OVER (
+               PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_below
+      FROM cells),
+    l2 AS (
+      SELECT x, y, cnt, rowtot, coltot,
+             CAST(COALESCE(SUM(cum_below) OVER (
+               PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS ll,
+             CAST(COALESCE(SUM(cum_below + cnt) OVER (
+               PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lecum,
+             CAST(COALESCE(SUM(rowtot) OVER (
+               PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS colcum
+      FROM l1),
+    l3 AS (
+      SELECT x, y, cnt, rowtot, coltot, ll,
+             colcum - lecum AS lg
+      FROM l2),
+    m AS (SELECT {_KT_SELECT} FROM l3),
+    der AS (
+      SELECT n, c, d,
+             {", ".join(f"{e} AS {a}" for a, e in _KT_DERIVED.items())}
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           c AS concordant, d AS discordant,
+           {_KT_TAU} AS kendall_tau_b
+    FROM der WHERE {_KT_GUARD}
+    """,
+    "Kendall tau-b rank correlation between quantity and discount "
+    "WITHOUT materializing any pair: the corpus collapses to the "
+    "joint value-domain grid, the grid densifies (bounded domain "
+    "product), and concordant/discordant pair counts come from "
+    "layered strict-frame 2D prefix-sum windows (below-left and "
+    "above-left masses per cell). Tie corrections fall out of the "
+    "same single aggregate (sum cnt*rowtot = sum of squared marginal "
+    "totals). All counts are exact decimals; tau-b compiles from one "
+    "shared formula text. At 100 TB: one corpus shuffle, then "
+    "everything runs on the <=550-cell grid — the O(n^2) pair space "
+    "is never touched",
+    "analytics extension (Kendall tau-b rank correlation)",
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.groupBy(
+            F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # feeds xdom, ydom and the dense left join
+    )
+    xdom = grid.select("x").distinct()
+    ydom = grid.agg(F.sort_array(F.collect_set("y")).alias("ys"))
+    dense = xdom.crossJoin(F.broadcast(ydom)).select(
+        "x", F.explode("ys").alias("y")
+    )
+    cells = dense.join(grid, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+    w_row = Window.partitionBy("x")
+    w_col = Window.partitionBy("y")
+    w_below = w_row.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    w_left = w_col.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    l1 = cells.select(
+        "x",
+        "y",
+        "cnt",
+        F.sum("cnt").over(w_row).cast("bigint").alias("rowtot"),
+        F.sum("cnt").over(w_col).cast("bigint").alias("coltot"),
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("cum_below"),
+    )
+    l2 = l1.select(
+        "x",
+        "y",
+        "cnt",
+        "rowtot",
+        "coltot",
+        F.coalesce(F.sum("cum_below").over(w_left), F.lit(0))
+        .cast("bigint")
+        .alias("ll"),
+        F.coalesce(
+            F.sum(F.col("cum_below") + F.col("cnt")).over(w_left), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("lecum"),
+        F.coalesce(F.sum("rowtot").over(w_left), F.lit(0))
+        .cast("bigint")
+        .alias("colcum"),
+    )
+    l3 = l2.select(
+        "cnt",
+        "rowtot",
+        "coltot",
+        "ll",
+        (F.col("colcum") - F.col("lecum")).alias("lg"),
+    )
+    m = l3.agg(
+        *[F.expr(expr).alias(alias) for alias, expr in _KT_MOMENTS.items()]
+    )
+    der = m.select(
+        "n",
+        "c",
+        "d",
+        *[F.expr(e).alias(a) for a, e in _KT_DERIVED.items()],
+    )
+    return der.filter(F.expr(_KT_GUARD)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr(_KT_TAU).alias("kendall_tau_b"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT flag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price)
+               AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g)
+    SELECT flag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           (MIN(CASE WHEN 2 * cum >= tot THEN price END)
+            + MIN(CASE WHEN 2 * cum > tot THEN price END)) / 2.0
+             AS w_median
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+    "quantity-weighted median price per return flag — the "
+    "inventory-weighted central price a plain median misses. Value-"
+    "domain formulation: the corpus collapses to per-(flag, price) "
+    "integer weight groups, the running weight window finds the "
+    "half-mass boundary, and the median is (lo + hi) / 2.0 where lo/"
+    "hi are the first prices at >= and > half mass (equal unless the "
+    "mass splits exactly — then the midpoint rule, one shared IEEE "
+    "divide). At 100 TB: one map-side-combined corpus shuffle; the "
+    "ordered pass runs on the per-flag price domain and "
+    "range-partitions",
+    "analytics extension (weighted median / half-mass boundary)",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    r = g.select(
+        "flag",
+        "price",
+        F.sum("w")
+        .over(Window.partitionBy("flag").orderBy("price"))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).cast("bigint").alias("tot"),
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight"),
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.lit(2) * F.col("cum") >= F.col("tot"),
+                            F.col("price"),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.lit(2) * F.col("cum") > F.col("tot"),
+                            F.col("price"),
+                        )
+                    )
+                )
+                / F.lit(2.0)
+            ).alias("w_median"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) over the customer->part purchase bipartite graph.
+#
+# Integer-exact power iteration: with h0 = 1, every subsequent hub/
+# authority value is a COUNT (weighted path count through the bipartite
+# graph), so all iterations aggregate as exact DECIMAL(38,0) — no
+# per-iteration float normalization, hence no rounding discipline to
+# share. Values grow ~(mean degree)^2 per full iteration; DECIMAL(38,0)
+# holds 3 iterations far beyond this corpus scale (at true 100 TB node
+# counts, switch to per-iteration max-normalization with a shared
+# round(x / mx, 9) text — the PageRank discipline).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3  # a1 -> h1 -> a2 -> h2 -> a3 (authorities returned)
+
+
+def _o_hits() -> str:
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    h0 AS (
+      SELECT c, CAST(1 AS DECIMAL(38,0)) AS h
+      FROM (SELECT DISTINCT c FROM e))"""
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    a{k} AS (
+      SELECT e.p, CAST(SUM(h.h) AS DECIMAL(38,0)) AS a
+      FROM e JOIN h{k - 1} h ON e.c = h.c GROUP BY e.p)"""
+        )
+        if k < _HITS_ITERS:
+            parts.append(
+                f""",
+    h{k} AS (
+      SELECT e.c, CAST(SUM(a.a) AS DECIMAL(38,0)) AS h
+      FROM e JOIN a{k} a ON e.p = a.p GROUP BY e.c)"""
+            )
+    parts.append(
+        f"""
+    SELECT CAST(p AS BIGINT) AS p_partkey,
+           CAST(a AS DOUBLE) AS authority
+    FROM a{_HITS_ITERS}
+    ORDER BY authority DESC, p_partkey LIMIT 15"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_authorities",
+    _o_hits(),
+    "HITS hubs-and-authorities power iteration over the customer->"
+    "part purchase bipartite graph (Kleinberg 1999): authority(p) = "
+    "sum of hub scores of buyers, hub(c) = sum of authority scores of "
+    "bought parts, alternating for 3 authority steps from h0 = 1. "
+    "Integer-exact formulation: every score is a weighted path count, "
+    "so all aggregation is exact DECIMAL — no float normalization to "
+    "keep in cross-engine lockstep; the top-15 authority parts are "
+    "returned with deterministic tie-break. At 100 TB each half-step "
+    "is ONE message-passing shuffle (join on the checkpointed edge "
+    "list + groupBy) — the same per-iteration floor as PageRank; "
+    "edges build once and checkpoint. Oracle: the identical "
+    "iteration unrolled as a CTE chain",
+    "analytics extension (HITS link analysis, bipartite)",
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by every half-step join (2k+1 uses)
+    )
+    h = e.select("c").distinct().select(
+        "c", F.lit(1).cast("decimal(38,0)").alias("h")
+    )
+    a = None
+    for k in range(1, _HITS_ITERS + 1):
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+        if k < _HITS_ITERS:
+            h = (
+                e.join(a, "p")
+                .groupBy("c")
+                .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            )
+    return (
+        a.select(
+            F.col("p").cast("bigint").alias("p_partkey"),
+            F.col("a").cast("double").alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "p_partkey")
+        .limit(15)
+    )

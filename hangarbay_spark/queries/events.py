@@ -3607,3 +3607,223 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over the daily purchase-count series.
+#
+# The estimator is the median of all pairwise slopes — quadratic in the
+# SERIES length, never in the corpus: events collapse to the bounded
+# day grid first (one shuffle), the ~n_days^2/2 pair frame is built by
+# exploding each day's index into its later partners and EQUI-joining
+# back on the index (the 1D-binned non-equi pattern — no cross join),
+# and the two medians (slope, then intercept residual) are exact
+# interpolated two-pass selections on the bounded pair frame.
+# ---------------------------------------------------------------------------
+
+# slope of one pair: one IEEE divide of exact integer deltas —
+# identical both engines without rounding.
+_TS_SLOPE = "CAST(cj - ci AS DOUBLE) / CAST(dj - di AS DOUBLE)"
+# residual intercept at the median slope: slope*d rounded 6 dp (the
+# FMA-contraction guard), then one subtract.
+_TS_RESID = "CAST(c AS DOUBLE) - round(ts_slope * CAST(d AS DOUBLE), 6)"
+
+
+def _median_1row(df, val_col: str, out: str):
+    """Exact interpolated GLOBAL median of ``val_col`` -> 1-row frame
+    (the per-group two-pass idiom of :func:`_group_median` with a
+    constant group). Matches DuckDB quantile_cont(x, 0.5) bit for bit
+    on these one-divide doubles; 6 dp round on the interpolation."""
+    grp = W.partitionBy(F.lit(1))
+    ranked = df.select(
+        F.col(val_col).alias("__v"),
+        (F.row_number().over(grp.orderBy(val_col)) - 1).alias("__idx"),
+        F.count(F.lit(1)).over(grp).alias("__n"),
+    )
+    pos = (F.col("__n") - 1).cast("double") * F.lit(0.5)
+    lo, hi = F.floor(pos), F.ceil(pos)
+    idx = F.col("__idx")
+    agg = ranked.filter((idx == lo) | (idx == hi)).agg(
+        F.max("__n").alias("__n"),
+        F.max(F.when(idx == lo, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(idx == hi, F.col("__v"))).alias("__vhi"),
+    )
+    p = (F.col("__n") - 1).cast("double") * F.lit(0.5)
+    frac = p - F.floor(p).cast("double")
+    med = F.round(
+        F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo")), 6
+    )
+    return agg.select(med.alias(out))
+
+
+@register(
+    "events_theilsen_trend",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT d, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    pairs AS (
+      SELECT a.d AS di, a.c AS ci, b.d AS dj, b.c AS cj
+      FROM (SELECT i, d, c, unnest(generate_series(i + 1, n)) AS j
+            FROM idx CROSS JOIN nn) a
+      JOIN idx b ON a.j = b.i),
+    sl AS (SELECT {_TS_SLOPE} AS slope FROM pairs),
+    med AS (SELECT ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope FROM sl),
+    resid AS (
+      SELECT {_TS_RESID} AS r
+      FROM idx CROSS JOIN med),
+    medr AS (
+      SELECT ROUND(quantile_cont(r, 0.5), 6) AS ts_intercept FROM resid)
+    SELECT nn.n AS n_days,
+           CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) AS n_pairs,
+           med.ts_slope, medr.ts_intercept
+    FROM nn CROSS JOIN med CROSS JOIN medr
+    """,
+    "Theil-Sen robust trend of the daily purchase-count series: the "
+    "median of all pairwise slopes (and the median residual "
+    "intercept) — up to ~29% outlier days cannot move it, unlike the "
+    "OLS slope. Scale shape: the corpus collapses to the bounded day "
+    "grid first; the quadratic pair space lives on that grid only "
+    "and is built by exploding each day index into its later "
+    "partners and EQUI-joining back (never a cross join); both "
+    "medians are exact interpolated two-pass selections. Slopes are "
+    "one IEEE divide of exact integer deltas — identical doubles "
+    "cross-engine",
+    "analytics extension (Theil-Sen robust trend estimator)",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    idx = daily.select(
+        "d",
+        "c",
+        F.row_number().over(W.orderBy("d")).cast("bigint").alias("i"),
+    ).localCheckpoint()  # feeds the pair explode, the join back, residuals
+    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    left = (
+        idx.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("i"),
+            F.col("d").alias("di"),
+            F.col("c").alias("ci"),
+            F.explode(F.sequence(F.col("i") + 1, F.col("n"))).alias("j"),
+        )
+        # Spark's sequence(a, b) DESCENDS when a > b (DuckDB's
+        # generate_series is empty) — the last index would otherwise
+        # pair with itself and divide by a zero day delta.
+        .filter(F.col("j") > F.col("i"))
+        .drop("i")
+    )
+    pairs = left.join(
+        idx.select(
+            F.col("i").alias("j"),
+            F.col("d").alias("dj"),
+            F.col("c").alias("cj"),
+        ),
+        "j",
+    )
+    sl = pairs.select(F.expr(_TS_SLOPE).alias("slope"))
+    med = _median_1row(sl, "slope", "ts_slope")
+    resid = idx.crossJoin(F.broadcast(med)).select(
+        F.expr(_TS_RESID).alias("r")
+    )
+    medr = _median_1row(resid, "r", "ts_intercept")
+    return (
+        nn.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(medr))
+        .select(
+            F.col("n").alias("n_days"),
+            (F.col("n") * (F.col("n") - 1) / F.lit(2))
+            .cast("bigint")
+            .alias("n_pairs"),
+            "ts_slope",
+            "ts_intercept",
+        )
+    )
+
+
+@register(
+    "events_sequence_pattern",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id),
+    per_user AS (
+      SELECT CAST((length(s) - length(replace(s, 'vcp', ''))) / 3
+               AS BIGINT) AS strict_conversions,
+             CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END
+               AS has_funnel_subseq,
+             CAST(length(s) AS BIGINT) AS n_events
+      FROM j)
+    SELECT strict_conversions, has_funnel_subseq,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_user
+    GROUP BY 1, 2
+    ORDER BY strict_conversions, has_funnel_subseq
+    """,
+    "sequence-pattern matching over per-user journeys "
+    "(MATCH_RECOGNIZE-lite): each user's ordered event stream "
+    "collapses to a character string (one letter per event type — "
+    "the five types have distinct initials), contiguous "
+    "view->click->purchase runs are counted via non-overlapping "
+    "substring elimination, and the gapped funnel subsequence is one "
+    "regex — the pattern vocabulary SQL windows cannot express "
+    "directly. Journey distribution (users/events per pattern "
+    "count) is the result. At 100 TB: one user-keyed shuffle; "
+    "per-user state is the journey string (the sessionize-state "
+    "shape — bound it per (user, day) when journeys are unbounded)",
+    "analytics extension (sequence/path pattern matching)",
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    j = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("s")
+    )
+    per_user = j.select(
+        (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit("vcp"))))
+            / F.lit(3)
+        )
+        .cast("bigint")
+        .alias("strict_conversions"),
+        F.when(F.col("s").rlike("v.*c.*p"), 1)
+        .otherwise(0)
+        .alias("has_funnel_subseq"),
+        F.length("s").cast("bigint").alias("n_events"),
+    )
+    return (
+        per_user.groupBy("strict_conversions", "has_funnel_subseq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        )
+        .orderBy("strict_conversions", "has_funnel_subseq")
+    )

@@ -4202,3 +4202,139 @@ def _set_silhouette_oracle() -> None:
 
 
 _set_silhouette_oracle()
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — corpus keywords from
+# stopword-delimited candidate phrases. Pure relational formulation:
+# no per-row Python, no regex beyond the shared whitespace tokenizer.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is", "")
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+# word score = degree/frequency (one IEEE divide of exact integers,
+# 6 dp-rounded); phrase score = exact decimal sum of member scores.
+_RAKE_WSCORE = "round(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 6)"
+
+
+@register(
+    "text_keywords_rake",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({O_TOKENS}) AS w,
+             generate_subscripts({O_TOKENS}, 1) AS pos
+      FROM documents),
+    pid AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop,
+             CAST(SUM(CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+               AS phrase_id
+      FROM toks),
+    members AS (
+      SELECT doc_id, phrase_id, pos, w,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id)
+               AS BIGINT) AS plen
+      FROM pid WHERE is_stop = 0),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM members GROUP BY w),
+    scored AS (SELECT w, {_RAKE_WSCORE} AS wscore FROM ws),
+    occ AS (
+      SELECT m.doc_id, m.phrase_id,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             CAST(MAX(m.plen) AS BIGINT) AS phrase_len,
+             CAST(SUM(CAST(s.wscore AS DECIMAL(30,6))) AS DOUBLE)
+               AS pscore
+      FROM members m JOIN scored s ON m.w = s.w
+      GROUP BY m.doc_id, m.phrase_id)
+    SELECT phrase,
+           CAST(MAX(phrase_len) AS BIGINT) AS phrase_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(pscore) AS rake_score
+    FROM occ
+    GROUP BY phrase
+    ORDER BY rake_score DESC, phrase LIMIT 15
+    """,
+    "RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are maximal stopword-free token runs (phrase ids from a per-doc "
+    "running stopword count — no phrase regex), word scores are "
+    "degree/frequency over phrase co-membership, and a phrase scores "
+    "the exact-decimal sum of its member word scores — identical "
+    "phrases score identically, so the corpus keyword list is the "
+    "top-15 distinct phrases. At 100 TB: token-explode shuffles "
+    "partition by doc/(doc, phrase) — the postings shape; word and "
+    "phrase rollups are map-side-combined; no per-row Python "
+    "anywhere. The LLM-pipeline use: corpus topic audit + "
+    "boilerplate phrase discovery before training",
+    "text extension (RAKE keyword extraction)",
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos0", "w"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0)
+    pid = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop)
+        .over(W.partitionBy("doc_id").orderBy("pos"))
+        .cast("bigint")
+        .alias("phrase_id"),
+    )
+    members = (
+        pid.filter(F.col("is_stop") == 0)
+        .select(
+            "doc_id",
+            "phrase_id",
+            "pos",
+            "w",
+            F.count(F.lit(1))
+            .over(W.partitionBy("doc_id", "phrase_id"))
+            .cast("bigint")
+            .alias("plen"),
+        )
+        .localCheckpoint()  # feeds the word rollup AND the phrase join
+    )
+    ws = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = ws.select("w", F.expr(_RAKE_WSCORE).alias("wscore"))
+    occ = (
+        members.join(scored, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.max("plen").cast("bigint").alias("phrase_len"),
+            F.sum(F.col("wscore").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("pscore"),
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.max("phrase_len").cast("bigint").alias("phrase_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("pscore").alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(15)
+    )

@@ -209,6 +209,8 @@ BNLJ_ALLOWED = {
     "events_logrank_test",              # 1-row observation-end scalar
     "events_acf_hourly",                # 1-row global-moments scalar
     "events_bootstrap_ci",              # 1-row estimate/moment scalars
+    "agg_kendall_tau",                  # 1-row y-domain array (<=11 values)
+    "events_theilsen_trend",            # 1-row day-count/median scalars
 }
 
 
