@@ -287,6 +287,17 @@ EXCHANGE_BOUNDS = {
     "incremental_join_maintenance": 14,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
+    # round-5 continuation-6 additions (audited at sf0.001): the
+    # corpus-scale work in each is one groupBy (rank grids, weighted
+    # median domain, journeys, token postings) or the HITS message-
+    # passing joins; everything else runs on bounded frames.
+    "agg_spearman_corr": 7,
+    "agg_kendall_tau": 9,
+    "agg_weighted_median": 3,
+    "graph_hits_authorities": 11,
+    "events_theilsen_trend": 13,
+    "events_sequence_pattern": 3,
+    "text_keywords_rake": 4,
 }
 
 
