@@ -3239,3 +3239,136 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "p_partkey")
         .limit(15)
     )
+
+
+# item-item cosine: co-count over the geometric mean of item supports —
+# one sqrt of an exact integer product, 9 dp (shared text).
+_CF_COSINE = (
+    "round(CAST(nab AS DOUBLE) / "
+    "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9)"
+)
+
+
+@register(
+    "analytics_item_cf_topk",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM li GROUP BY l_partkey),
+    top_items AS (
+      SELECT l_partkey FROM ic
+      ORDER BY cnt DESC, l_partkey LIMIT 20),
+    pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  CAST(COUNT(*) AS BIGINT) AS nab
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey
+           HAVING COUNT(*) >= 2),
+    sym AS (
+      SELECT part_a AS item, part_b AS neighbor, nab FROM pr
+      UNION ALL
+      SELECT part_b AS item, part_a AS neighbor, nab FROM pr),
+    j AS (
+      SELECT s.item, s.neighbor, s.nab,
+             ia.cnt AS na, ib.cnt AS nb
+      FROM sym s
+      JOIN top_items t ON s.item = t.l_partkey
+      JOIN ic ia ON ia.l_partkey = s.item
+      JOIN ic ib ON ib.l_partkey = s.neighbor),
+    scored AS (
+      SELECT item, neighbor, nab, {_CF_COSINE} AS cosine
+      FROM j),
+    rk AS (
+      SELECT item, neighbor, nab, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY item
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rk
+      FROM scored)
+    SELECT item, neighbor, nab, cosine, rk
+    FROM rk WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+    "item-item collaborative-filtering recommender: cosine similarity "
+    "nab/sqrt(na*nb) over co-purchase baskets, top-3 neighbors for "
+    "each of the 20 best-supported items. Pair supports come from the "
+    "bounded per-basket a<b self-join (the association-rules shape, "
+    "never an all-pairs item join) with a support floor; the "
+    "symmetric item/neighbor expansion is one filtered struct-array "
+    "explode (single pair-frame consumption); per-item top-3 is a "
+    "window on the candidate frame. At 100 TB: basket expansion is "
+    "per-order-bounded, everything downstream is pair-frame-sized "
+    "and the seed-item semi-join prunes it to the 20-item candidate "
+    "set",
+    "analytics extension (item-item collaborative filtering)",
+)
+def analytics_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # item counts + both self-join sides
+    )
+    ic = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=True)  # top_items + two count joins
+    top_items = (
+        ic.orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    pr = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    # symmetric expansion via ONE struct-array explode (single
+    # consumption of the pair frame — the unionByName would scan twice)
+    sym = pr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("item"),
+                    F.col("part_b").alias("neighbor"),
+                    F.col("nab").alias("nab"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("item"),
+                    F.col("part_a").alias("neighbor"),
+                    F.col("nab").alias("nab"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.neighbor", "e.nab")
+    j = (
+        sym.join(
+            F.broadcast(top_items.withColumnRenamed("l_partkey", "item")),
+            "item",
+        )
+        .join(
+            ic.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("na")),
+            "item",
+        )
+        .join(
+            ic.select(
+                F.col("l_partkey").alias("neighbor"), F.col("cnt").alias("nb")
+            ),
+            "neighbor",
+        )
+    )
+    scored = j.select(
+        "item", "neighbor", "nab", F.expr(_CF_COSINE).alias("cosine")
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("item", "neighbor", "nab", "cosine", "rk")
+        .orderBy("item", "rk")
+    )

@@ -4338,3 +4338,111 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (Mihalcea & Tarau 2004): PageRank over the word
+# co-occurrence (adjacency window = 2) graph. Reuses the graph
+# operator + the _o_pagerank float discipline: per-edge rank/deg is
+# one IEEE divide, per-node sums accumulate in DECIMAL(30,15), each
+# iteration rounds at 12 dp.
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 10
+_TR_DAMP = "0.85"
+_TR_JUMP = "0.15"
+
+
+def _o_textrank() -> str:
+    ctes = [
+        f"toks AS (SELECT doc_id, unnest({O_TOKENS}) AS w, "
+        f"generate_subscripts({O_TOKENS}, 1) AS pos FROM documents)",
+        "adj AS (SELECT w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos)"
+        " AS nw FROM toks WHERE w <> '')",
+        "pe AS (SELECT w AS a, nw AS b FROM adj "
+        "WHERE nw IS NOT NULL AND nw <> '' AND w <> nw)",
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT a AS src, b AS dst FROM pe "
+        "UNION ALL SELECT b AS src, a AS dst FROM pe))",
+        "dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dg)",
+        "r0 AS (SELECT src AS node, 1.0 / n AS rank FROM dg, nn)",
+    ]
+    for k in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.dst AS node, "
+            f"round({_TR_JUMP} / nn.n + {_TR_DAMP} * "
+            f"CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(30,15))) AS DOUBLE)"
+            f", 12) AS rank "
+            f"FROM e JOIN r{k - 1} r ON e.src = r.node "
+            f"JOIN dg ON dg.src = e.src CROSS JOIN nn "
+            f"GROUP BY e.dst, nn.n)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node AS word, ROUND(rank, 9) AS rank
+    FROM r{_TR_ITERS} ORDER BY rank DESC, word LIMIT 20
+    """
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    _o_textrank(),
+    "TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+    "over the symmetrized word-adjacency graph (window 2 — LEAD over "
+    "token positions, no self-join), 10 power iterations at damping "
+    "0.85 through the shared graph operator. The graph-centrality "
+    "complement of RAKE's degree/frequency scores: TextRank rewards "
+    "words that bridge many contexts, not just frequent ones. At "
+    "100 TB the token stream collapses to the distinct-edge vocab "
+    "graph once (postings-shaped shuffles); iterations run on the "
+    "vocab-sized frame at one message-passing shuffle each. Oracle = "
+    "the identical iteration unrolled as CTEs, 12 dp per-iteration "
+    "rounding (the _o_pagerank float discipline)",
+    "text extension (TextRank graph-based keyword extraction)",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+    )
+    adj = toks.select(
+        "w",
+        F.lead("w").over(W.partitionBy("doc_id").orderBy("pos")).alias("nw"),
+    )
+    pe = adj.filter(
+        F.col("nw").isNotNull()
+        & (F.col("nw") != "")
+        & (F.col("w") != F.col("nw"))
+    )
+    sym = pe.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("w").alias("src"), F.col("nw").alias("dst")),
+                F.struct(F.col("nw").alias("src"), F.col("w").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    e = sym.distinct()
+    ranks = pagerank(
+        e, iters=_TR_ITERS, damping=float(_TR_DAMP), symmetric=True
+    )
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("word"), F.round("rank", 9).alias("rank")
+        )
+    )

@@ -1281,3 +1281,129 @@ def report_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, e in _CONTRIB_FORMULAS.items()
         ],
     ).orderBy(F.abs(F.col("revenue_p2") - F.col("revenue_p1")).desc(), "n_name")
+
+
+# class share of total: exact decimal class revenue over exact total,
+# one IEEE divide, 6 dp (shared text).
+_ABC_SHARE = "round(CAST(crev AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+
+
+@register(
+    "report_abc_classification",
+    f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+               AS DECIMAL(30,2)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    b AS (
+      SELECT CAST(FLOOR(rev / 10000) AS BIGINT) AS g,
+             CAST(SUM(rev) AS DECIMAL(30,2)) AS brev
+      FROM pr GROUP BY 1),
+    o AS (
+      SELECT g,
+             CAST(COALESCE(SUM(brev) OVER (
+               ORDER BY g DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(30,2)) AS goff,
+             CAST(SUM(brev) OVER () AS DECIMAL(30,2)) AS tot
+      FROM b),
+    r AS (
+      SELECT pr.l_partkey, pr.rev, o.tot,
+             CAST(o.goff + COALESCE(SUM(pr.rev) OVER (
+               PARTITION BY o.g
+               ORDER BY pr.rev DESC, pr.l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + pr.rev AS DECIMAL(30,2)) AS cum
+      FROM pr JOIN o ON CAST(FLOOR(pr.rev / 10000) AS BIGINT) = o.g),
+    cls AS (
+      SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                  WHEN cum * 10 <= tot * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, tot
+      FROM r)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           {_ABC_SHARE.replace("crev", "CAST(SUM(rev) AS DECIMAL(30,2))")
+                      .replace("tot", "MAX(tot)")} AS revenue_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+    "ABC inventory classification: parts ranked by exact-decimal "
+    "revenue, classified A/B/C at 70%/90% cumulative share — the "
+    "classic Pareto-class rollup that needs a GLOBAL ordered prefix "
+    "sum over the whole part domain. Distributed cumulative: coarse "
+    "revenue bins parallelize the running total (bin offsets from a "
+    "~bins-row pass; within-bin windows partition by bin — the "
+    "equi-depth-histogram pattern), so no single-partition sort of "
+    "the part domain ever happens. Every cumulative compare is exact "
+    "decimal arithmetic (cum*10 <= tot*7) — the classification is "
+    "float-free; only the 3-row share readout divides",
+    "analytics extension (ABC classification / distributed Pareto classes)",
+)
+def report_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+        .cast("decimal(30,2)")
+        .alias("rev")
+    )
+    prg = pr.select(
+        "l_partkey",
+        "rev",
+        F.floor(F.col("rev") / 10000).cast("bigint").alias("g"),
+    ).localCheckpoint()  # feeds the bin rollup AND the offset join
+    b = prg.groupBy("g").agg(
+        F.sum("rev").cast("decimal(30,2)").alias("brev")
+    )
+    o = b.select(
+        "g",
+        F.coalesce(
+            F.sum("brev").over(
+                W.orderBy(F.desc("g")).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(30,2)")
+        .alias("goff"),
+        F.sum("brev")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("decimal(30,2)")
+        .alias("tot"),
+    )
+    wg = W.partitionBy("g").orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = prg.join(F.broadcast(o), "g").select(
+        "rev",
+        "tot",
+        (
+            F.col("goff")
+            + F.coalesce(F.sum("rev").over(wg), F.lit(0))
+            + F.col("rev")
+        )
+        .cast("decimal(30,2)")
+        .alias("cum"),
+    )
+    cls = r.select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "tot",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            F.expr(
+                "round(CAST(CAST(SUM(rev) AS DECIMAL(30,2)) AS DOUBLE) / "
+                "CAST(MAX(tot) AS DOUBLE), 6)"
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -439,3 +439,65 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CEP_SCHEMA = "user_id bigint, event_id bigint, tus bigint"
+CEP_STATE = "p2 string, p1 string"
+
+
+def sequence_pattern_matches(events: DataFrame) -> DataFrame:
+    """Streaming CEP: detect completed contiguous view->click->purchase
+    runs per user — the incremental twin of the contiguous-run count in
+    ``queries/events.py:events_sequence_pattern``. State per user is
+    the last TWO event-type initials (a 2-char sliding window); each
+    event shifts the window and a purchase closing a ('v','c') window
+    emits one match row (its event_id + exact µs timestamp) in append
+    mode. 'vcp' has no proper prefix that is also a suffix, so
+    overlapping and non-overlapping counts coincide — the emitted
+    stream aggregates to exactly the batch substring-elimination count
+    under per-user time-ordered delivery, with the window carrying
+    across micro-batch boundaries (a run split 'v|cp' or 'vc|p' across
+    batches still fires). State is O(1) per user — the minimal NFA
+    state for a fixed pattern, the applyInPandasWithState shape any
+    regex-over-streams compiles to."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        p2, p1 = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        # exact µs ordering (unix_micros) — the same (ts, event_id)
+        # order the batch journey string sorts by
+        rows.sort(key=lambda r: (r.tus, r.event_id))
+        out_eid, out_tus = [], []
+        for r in rows:
+            ch = r.event_type[:1]
+            if ch == "p" and p2 == "v" and p1 == "c":
+                out_eid.append(int(r.event_id))
+                out_tus.append(int(r.tus))
+            p2, p1 = p1, ch
+        state.update((p2, p1))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": out_eid,
+                    "tus": out_tus,
+                }
+            )
+
+    prepped = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CEP_SCHEMA,
+        stateStructType=CEP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -298,6 +298,12 @@ EXCHANGE_BOUNDS = {
     "events_theilsen_trend": 13,
     "events_sequence_pattern": 3,
     "text_keywords_rake": 4,
+    "analytics_item_cf_topk": 7,
+    # textrank's visible plan is post-checkpoint (the pagerank loop
+    # checkpoints per round — its 1-shuffle/iteration property is
+    # pinned by test_pagerank_iteration_single_shuffle)
+    "text_textrank_keywords": 2,
+    "report_abc_classification": 6,
 }
 
 

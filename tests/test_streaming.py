@@ -785,3 +785,77 @@ def test_last_touch_attribution_stream_matches_batch(spark, tmp_path):
         for r in events_last_touch_attribution(spark, SF_DIR).collect()
     }
     assert g == b
+
+
+def test_sequence_pattern_stream_matches_batch(spark, tmp_path):
+    """Streaming CEP (contiguous v->c->p detector) drained over FOUR
+    time-split files equals the batch journey-string substring count
+    per user — including runs split across micro-batch boundaries
+    (the 2-char state window carries them)."""
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.queries.base import load_events
+
+    ev = load_events(spark, SF_DIR)
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    ).withColumn("part", ((F.col("rn") - 1) * 4 / n).cast("int"))
+    path = str(tmp_path / "cepseq")
+    for i in range(4):
+        ranked.filter(F.col("part") == i).drop("rn", "part").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    got = SE.run_to_memory(
+        SE.sequence_pattern_matches(stream),
+        "t_cep",
+        spark,
+        output_mode="append",
+    )
+    g = {
+        r["user_id"]: r["m"]
+        for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .collect()
+    }
+    # batch truth: the journey-string substring elimination count
+    j = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("s")
+    )
+    b = {
+        r["user_id"]: r["m"]
+        for r in j.select(
+            "user_id",
+            (
+                (
+                    F.length("s")
+                    - F.length(F.replace(F.col("s"), F.lit("vcp")))
+                )
+                / F.lit(3)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .collect()
+    }
+    assert g == b and len(g) > 0
