@@ -3372,3 +3372,144 @@ def analytics_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "neighbor", "nab", "cosine", "rk")
         .orderBy("item", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (topic-sensitive; Haveliwala 2002): teleport
+# mass restarts at a SEED set instead of uniformly — the relevance
+# ranking primitive behind graph recommenders. Same float discipline
+# as _o_pagerank: one IEEE divide per edge contribution, DECIMAL(30,15)
+# sums, 12 dp per-iteration round.
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 6
+_PPR_SEEDS = 5
+
+
+def _o_ppr() -> str:
+    ctes = [
+        _COPURCHASE_SMALL_SQL.strip().rstrip(),
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM und GROUP BY src)",
+        f"sd AS (SELECT src AS node FROM dg ORDER BY src LIMIT {_PPR_SEEDS})",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM sd)",
+        "r0 AS (SELECT dg.src AS node, CASE WHEN sd.node IS NOT NULL "
+        "THEN 1.0 / ns ELSE 0.0 END AS rank "
+        "FROM dg LEFT JOIN sd ON dg.src = sd.node CROSS JOIN nn)",
+    ]
+    for k in range(1, _PPR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT u.dst AS node, "
+            f"round(CASE WHEN sd.node IS NOT NULL THEN {_PR_JUMP} / nn.ns "
+            f"ELSE 0.0 END + {_PR_DAMP} * "
+            f"CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(30,15))) AS DOUBLE)"
+            f", 12) AS rank "
+            f"FROM und u JOIN r{k - 1} r ON u.src = r.node "
+            f"JOIN dg ON dg.src = u.src "
+            f"LEFT JOIN sd ON sd.node = u.dst CROSS JOIN nn "
+            f"GROUP BY u.dst, sd.node, nn.ns)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT r.node,
+           CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+           ROUND(r.rank, 9) AS rank
+    FROM r{_PPR_ITERS} r LEFT JOIN sd ON r.node = sd.node
+    ORDER BY rank DESC, r.node LIMIT 15
+    """
+    )
+
+
+@register(
+    "graph_personalized_pagerank",
+    _o_ppr(),
+    "personalized (topic-sensitive) PageRank over the small-part "
+    "co-purchase graph: teleport mass restarts at the 5 smallest-id "
+    "seed nodes instead of uniformly, so ranks measure proximity TO "
+    "THE SEEDS — the graph-recommender / related-items primitive "
+    "vanilla PageRank cannot express. 6 power iterations at the "
+    "_o_pagerank float discipline (per-edge IEEE divide, "
+    "DECIMAL(30,15) sums, 12 dp per-iteration round); rank vectors "
+    "stay dense over the node set and checkpoint per round. At "
+    "100 TB: one message-passing shuffle per iteration on the "
+    "checkpointed symmetric edge set — identical floor to PageRank; "
+    "the seed table is a bounded broadcast",
+    "analytics extension (personalized PageRank / graph recommender)",
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst").localCheckpoint(eager=True)
+    dg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint(eager=True)
+    sd = dg.orderBy("src").limit(_PPR_SEEDS).select(
+        F.col("src").alias("node")
+    ).localCheckpoint(eager=True)
+    ns_df = sd.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    seeds_src = sd.withColumnRenamed("node", "src").withColumn(
+        "isseed", F.lit(1)
+    )
+    r = (
+        dg.select("src")
+        .join(F.broadcast(seeds_src), "src", "left")
+        .crossJoin(F.broadcast(ns_df))
+        .select(
+            F.col("src").alias("node"),
+            F.when(F.col("isseed") == 1, F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+    )
+    edeg = und.join(dg, "src")  # (src, dst, deg), checkpoint-backed
+    seeds_dst = sd.withColumnRenamed("node", "dst").withColumn(
+        "isseed", F.lit(1)
+    )
+    for _ in range(_PPR_ITERS):
+        r = (
+            edeg.join(r, edeg["src"] == r["node"])
+            .select(
+                "dst",
+                (F.col("rank") / F.col("deg"))
+                .cast("decimal(30,15)")
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("double").alias("msum"))
+            .join(F.broadcast(seeds_dst), "dst", "left")
+            .crossJoin(F.broadcast(ns_df))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.when(
+                        F.col("isseed") == 1,
+                        F.expr(f"{_PR_JUMP} / ns"),
+                    ).otherwise(F.lit(0.0))
+                    + F.expr(f"{_PR_DAMP}") * F.col("msum"),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.join(
+            F.broadcast(sd.withColumn("isflag", F.lit(1))), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce("isflag", F.lit(0)).alias("is_seed"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(15)
+        .select("node", "is_seed", F.round("rank", 9).alias("rank"))
+    )

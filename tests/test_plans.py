@@ -211,6 +211,7 @@ BNLJ_ALLOWED = {
     "events_bootstrap_ci",              # 1-row estimate/moment scalars
     "agg_kendall_tau",                  # 1-row y-domain array (<=11 values)
     "events_theilsen_trend",            # 1-row day-count/median scalars
+    "sim_kmeans_train",                 # fixed centroid table (k=8 vectors)
 }
 
 
@@ -299,6 +300,12 @@ EXCHANGE_BOUNDS = {
     "events_sequence_pattern": 3,
     "text_keywords_rake": 4,
     "analytics_item_cf_topk": 7,
+    # kernel-assigned quantized Lloyd: visible plan is the final means
+    # rollup + join-back (assign scans are kernel projections; loop
+    # frames checkpoint per round)
+    "sim_kmeans_train": 3,
+    # PPR's visible plan is post-checkpoint (per-round checkpoints)
+    "graph_personalized_pagerank": 1,
     # textrank's visible plan is post-checkpoint (the pagerank loop
     # checkpoints per round — its 1-shuffle/iteration property is
     # pinned by test_pagerank_iteration_single_shuffle)
