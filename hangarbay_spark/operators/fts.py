@@ -289,3 +289,37 @@ def append_to_index(
     )
     batch.select(F.col(id_col)).write.mode("append").parquet(ids_path)
     return n_new
+
+
+def proximity_topk(
+    index: DataFrame,
+    term_a: str,
+    term_b: str,
+    id_col: str,
+    k: int = 15,
+) -> DataFrame:
+    """Term-proximity ranked retrieval: documents containing BOTH terms
+    ranked by the minimal token gap between any occurrence pair — the
+    'near' operator of classic IR engines, resolved entirely from the
+    positional postings (two pushdown-filtered index scans, a per-doc
+    pair join bounded by the terms' in-doc frequencies, never a text
+    rescan). Returns (id, min_gap, n_pairs) for the k closest docs,
+    ties broken by id; gaps are exact integers so ranking is
+    engine-independent."""
+    a = index.filter(F.col("token") == term_a).select(
+        F.col(id_col), F.col("pos").alias("pa")
+    )
+    b = index.filter(F.col("token") == term_b).select(
+        F.col(id_col), F.col("pos").alias("pb")
+    )
+    g = (
+        a.join(b, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("bigint")
+            .alias("min_gap"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return g.orderBy("min_gap", id_col).limit(k)

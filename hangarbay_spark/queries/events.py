@@ -3827,3 +3827,328 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strict_conversions", "has_funnel_subseq")
     )
+
+
+_WF_WINDOW_MS = 3600000  # 1 h per funnel hop
+_WF_RATE = "round(CAST(nconv AS DOUBLE) / CAST(np AS DOUBLE), 6)"
+
+
+@register(
+    "events_windowed_funnel",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS tms
+      FROM events),
+    lv AS (
+      SELECT user_id, event_type, event_id, tms,
+             MAX(CASE WHEN event_type = 'view' THEN tms END) OVER (
+               PARTITION BY user_id ORDER BY tms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
+      FROM s),
+    cl AS (
+      SELECT user_id, event_type, event_id, tms,
+             CASE WHEN event_type = 'click' THEN tms END AS ctms_set,
+             CASE WHEN event_type = 'click' THEN lastv END AS cvtms_set
+      FROM lv),
+    carried AS (
+      SELECT user_id, event_type, tms,
+             LAST_VALUE(ctms_set IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctms,
+             LAST_VALUE(cvtms_set IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cvtms
+      FROM cl),
+    p AS (
+      SELECT tms, ctms, cvtms,
+             CASE WHEN ctms IS NOT NULL AND cvtms IS NOT NULL
+                   AND tms - ctms <= {_WF_WINDOW_MS}
+                   AND ctms - cvtms <= {_WF_WINDOW_MS}
+                  THEN tms - cvtms END AS tt
+      FROM carried WHERE event_type = 'purchase'),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(COUNT(tt) AS BIGINT) AS nconv
+      FROM p),
+    med AS (
+      SELECT ROUND(quantile_cont(tt, 0.5), 6) AS median_tt_ms
+      FROM p WHERE tt IS NOT NULL)
+    SELECT np AS n_purchases, nconv AS n_conversions,
+           {_WF_RATE} AS conversion_rate, med.median_tt_ms
+    FROM m CROSS JOIN med WHERE np > 0
+    """,
+    "time-bounded funnel (MATCH_RECOGNIZE with a WITHIN clause): a "
+    "purchase converts only if the most recent click is <= 1 h before "
+    "it AND that click's most recent prior view is <= 1 h before the "
+    "click — the real product-funnel semantics the unbounded "
+    "conditional-min funnel can't express. One user-keyed shuffle: "
+    "the view timestamp carries onto click rows (strict-frame MAX), "
+    "the (click, its-view) pair carries forward to purchases via two "
+    "IGNORE-NULLS last-value windows over the SAME partition (both "
+    "set only on click rows, so they stay paired), and the "
+    "view->purchase latency median is the exact interpolated "
+    "two-pass. At 100 TB everything after the one shuffle is "
+    "window-pipelined; no self-joins",
+    "analytics extension (windowed funnel / conversion latency)",
+)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("tms"),
+    )
+    wseq = W.partitionBy("user_id").orderBy("tms", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    lv = s.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "tms",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("tms"))
+        ).over(wseq).alias("lastv"),
+    )
+    cl = lv.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "tms",
+        F.when(F.col("event_type") == "click", F.col("tms")).alias(
+            "ctms_set"
+        ),
+        F.when(F.col("event_type") == "click", F.col("lastv")).alias(
+            "cvtms_set"
+        ),
+    )
+    carried = cl.select(
+        "event_type",
+        "tms",
+        F.last("ctms_set", ignorenulls=True).over(wseq).alias("ctms"),
+        F.last("cvtms_set", ignorenulls=True).over(wseq).alias("cvtms"),
+    )
+    p = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("ctms").isNotNull()
+            & F.col("cvtms").isNotNull()
+            & (F.col("tms") - F.col("ctms") <= _WF_WINDOW_MS)
+            & (F.col("ctms") - F.col("cvtms") <= _WF_WINDOW_MS),
+            F.col("tms") - F.col("cvtms"),
+        ).alias("tt")
+    ).localCheckpoint()  # feeds counts AND the median pass
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.count("tt").cast("bigint").alias("nconv"),
+    )
+    med = _median_1row(
+        p.filter(F.col("tt").isNotNull()), "tt", "median_tt_ms"
+    )
+    return (
+        m.crossJoin(F.broadcast(med))
+        .filter(F.col("np") > 0)
+        .select(
+            F.col("np").alias("n_purchases"),
+            F.col("nconv").alias("n_conversions"),
+            F.expr(_WF_RATE).alias("conversion_rate"),
+            "median_tt_ms",
+        )
+    )
+
+
+# Shapley weights for n=3 players by coalition size |S| (S excludes the
+# player): |S|!(n-|S|-1)!/n! = 1/3, 1/6, 1/3. v(S) = conversion rate of
+# users exposed to EXACTLY the coalition S; unobserved coalitions
+# contribute v = 0 on both engines (COALESCE on the same text).
+# CAST the numerator: Spark parses bare decimal literals as DECIMAL
+# (1.0/3.0 -> decimal(8,6) 0.333333) while DuckDB parses them as
+# DOUBLE — the cast makes both engines run one double divide.
+_SHAP_W = {
+    0: "CAST(1 AS DOUBLE) / 3.0",
+    1: "CAST(1 AS DOUBLE) / 6.0",
+    2: "CAST(1 AS DOUBLE) / 3.0",
+}
+_SHAP_V = "round(CAST(conv AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+
+
+@register(
+    "events_shapley_attribution",
+    f"""
+    WITH s0 AS (
+      SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS tms,
+             CAST(MIN(epoch_ms(ts)) OVER (PARTITION BY user_id)
+               AS BIGINT) AS t0
+      FROM events),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view'
+                       AND tms <= t0 + 86400000 THEN 4 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'click'
+                         AND tms <= t0 + 86400000 THEN 2 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'signup'
+                         AND tms <= t0 + 86400000 THEN 1 ELSE 0 END)
+               AS subset,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND tms > t0 + 86400000
+                       AND tms <= t0 + 172800000 THEN 1 ELSE 0 END)
+               AS converted
+      FROM s0 GROUP BY user_id),
+    vs AS (
+      SELECT subset, CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(converted) AS BIGINT) AS conv,
+             {_SHAP_V} AS v
+      FROM u GROUP BY subset),
+    ch AS (SELECT * FROM (VALUES ('view', 4), ('click', 2),
+                                 ('signup', 1)) AS t(channel, bit)),
+    sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+    pairs AS (
+      SELECT ch.channel, sub.s AS s_without,
+             sub.s + ch.bit AS s_with,
+             CASE WHEN sub.s = 0 THEN 0
+                  WHEN sub.s IN (1, 2, 4) THEN 1 ELSE 2 END AS ssize
+      FROM ch CROSS JOIN sub
+      WHERE (CASE WHEN ch.bit = 4 THEN sub.s // 4
+                  WHEN ch.bit = 2 THEN (sub.s // 2) % 2
+                  ELSE sub.s % 2 END) = 0),
+    terms AS (
+      SELECT p.channel,
+             round((CASE p.ssize
+                      WHEN 0 THEN {_SHAP_W[0]}
+                      WHEN 1 THEN {_SHAP_W[1]}
+                      ELSE {_SHAP_W[2]} END)
+                   * (COALESCE(vw.v, 0.0) - COALESCE(vo.v, 0.0)), 9)
+               AS term
+      FROM pairs p
+      LEFT JOIN vs vw ON vw.subset = p.s_with
+      LEFT JOIN vs vo ON vo.subset = p.s_without)
+    SELECT channel,
+           CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)
+             AS shapley_value
+    FROM terms GROUP BY channel ORDER BY channel
+    """,
+    "Shapley-value marketing attribution (the game-theoretic credit "
+    "assignment; Shapley 1953): each user collapses to an exposure "
+    "coalition (channels seen in their first 24 h) + a converted flag "
+    "(purchase in the following 24 h — windowed so rates genuinely "
+    "vary across coalitions), v(S) = exact conversion rate per coalition, and each "
+    "channel's Shapley value sums the coalition-size-weighted "
+    "marginal lifts v(S+i) - v(S) over the 2^3 subset lattice — "
+    "exactly fair credit, unlike the positional heuristics "
+    "(last-touch/U-shape/time-decay) it complements. At 100 TB the "
+    "corpus pays ONE user-keyed rollup; the lattice math runs on an "
+    "8-row frame (and stays tractable for any bounded channel set). "
+    "Per-term 9 dp rounds + exact decimal sum keep both engines "
+    "bit-equal",
+    "analytics extension (Shapley-value attribution)",
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    s0 = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("tms"),
+        F.min(F.unix_millis("ts"))
+        .over(W.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("t0"),
+    )
+    day1 = F.col("tms") <= F.col("t0") + 86400000
+    u = s0.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when((F.col("event_type") == "view") & day1, 4).otherwise(0)
+            )
+            + F.max(
+                F.when(
+                    (F.col("event_type") == "click") & day1, 2
+                ).otherwise(0)
+            )
+            + F.max(
+                F.when(
+                    (F.col("event_type") == "signup") & day1, 1
+                ).otherwise(0)
+            )
+        ).alias("subset"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tms") > F.col("t0") + 86400000)
+                & (F.col("tms") <= F.col("t0") + 172800000),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    vs = (
+        u.groupBy("subset")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.sum("converted").cast("bigint").alias("conv"),
+        )
+        .select("subset", F.expr(_SHAP_V).alias("v"))
+        .localCheckpoint()  # joined twice (with / without coalitions)
+    )
+    spark_ch = ev.sparkSession.createDataFrame(
+        [("view", 4), ("click", 2), ("signup", 1)], "channel string, bit int"
+    )
+    sub = spark_ch.sparkSession.range(8).select(
+        F.col("id").cast("int").alias("s")
+    )
+    pairs = (
+        spark_ch.crossJoin(F.broadcast(sub))
+        .filter(
+            F.expr(
+                "(CASE WHEN bit = 4 THEN s div 4 "
+                "WHEN bit = 2 THEN (s div 2) % 2 "
+                "ELSE s % 2 END) = 0"
+            )
+        )
+        .select(
+            "channel",
+            F.col("s").alias("s_without"),
+            (F.col("s") + F.col("bit")).alias("s_with"),
+            F.expr(
+                "CASE WHEN s = 0 THEN 0 "
+                "WHEN s IN (1, 2, 4) THEN 1 ELSE 2 END"
+            ).alias("ssize"),
+        )
+    )
+    terms = (
+        pairs.join(
+            vs.select(F.col("subset").alias("s_with"), F.col("v").alias("vw")),
+            "s_with",
+            "left",
+        )
+        .join(
+            vs.select(
+                F.col("subset").alias("s_without"), F.col("v").alias("vo")
+            ),
+            "s_without",
+            "left",
+        )
+        .select(
+            "channel",
+            F.round(
+                F.expr(
+                    f"(CASE ssize WHEN 0 THEN {_SHAP_W[0]} "
+                    f"WHEN 1 THEN {_SHAP_W[1]} "
+                    f"ELSE {_SHAP_W[2]} END)"
+                )
+                * (
+                    F.coalesce(F.col("vw"), F.lit(0.0))
+                    - F.coalesce(F.col("vo"), F.lit(0.0))
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.sum(F.col("term").cast("decimal(20,9)"))
+            .cast("double")
+            .alias("shapley_value")
+        )
+        .orderBy("channel")
+    )

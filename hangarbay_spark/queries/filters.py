@@ -1059,3 +1059,74 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tvd"), "c_nationkey", "bal_bucket")
         .limit(20)
     )
+
+
+# Functional-dependency candidates audited: (table, lhs -> rhs).
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _o_fd() -> str:
+    arms = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        arms.append(
+            f"""
+    SELECT '{t}.{lhs} -> {t}.{rhs}' AS dependency,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_lhs,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs,
+           CASE WHEN MAX(nd) = 1 THEN 1 ELSE 0 END AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+          FROM {t} GROUP BY {lhs})"""
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(arms)
+        + ") ORDER BY dependency"
+    )
+
+
+@register(
+    "quality_functional_dependencies",
+    _o_fd(),
+    "functional-dependency discovery (the Metanome/profiling "
+    "workload): for each candidate lhs -> rhs, count lhs values "
+    "mapping to more than one distinct rhs — zero violations proves "
+    "the dependency (key discovery, denormalization safety, "
+    "dimension-hierarchy validation). Each candidate is one "
+    "map-side-combined (lhs, distinct-rhs) rollup collapsed to a "
+    "1-row verdict; all counts exact integers, no float discipline. "
+    "At 100 TB candidates on one table can share a scan "
+    "(grouping-sets style) — here each audit is already "
+    "aggregation-bounded",
+    "quality extension (functional-dependency / key discovery)",
+)
+def quality_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        per_lhs = tbl.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        verdict = per_lhs.agg(
+            F.lit(f"{t}.{lhs} -> {t}.{rhs}").alias("dependency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_lhs"),
+            F.max("nd").cast("bigint").alias("max_rhs_per_lhs"),
+            F.when(F.max("nd") == 1, 1).otherwise(0).alias("holds"),
+        ).select(
+            "dependency", "n_lhs", "violating_lhs", "max_rhs_per_lhs", "holds"
+        )
+        out = verdict if out is None else out.unionByName(verdict)
+    return out.orderBy("dependency")

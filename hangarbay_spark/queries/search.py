@@ -669,3 +669,40 @@ def multimodal_payload_chunking(
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.sum("ok").cast("bigint").alias("n_reassembly_ok"),
     )
+
+
+PROX_TERMS = ("spark", "table")
+
+
+@register(
+    "fts_proximity_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({O_TOKENS_FTS}) AS t,
+             generate_subscripts({O_TOKENS_FTS}, 1) AS pos
+      FROM documents),
+    a AS (SELECT doc_id, pos AS pa FROM toks WHERE t = '{PROX_TERMS[0]}'),
+    b AS (SELECT doc_id, pos AS pb FROM toks WHERE t = '{PROX_TERMS[1]}')
+    SELECT a.doc_id,
+           CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_gap,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    GROUP BY a.doc_id
+    ORDER BY min_gap, a.doc_id LIMIT 15
+    """,
+    "term-proximity ranked search (the classic IR NEAR operator): "
+    "documents containing both query terms ranked by the minimal "
+    "token gap between any occurrence pair, resolved ENTIRELY from "
+    "the persisted positional postings — two pushdown-filtered index "
+    "scans and a per-doc pair join bounded by in-doc term "
+    "frequencies; the corpus is never rescanned at query time. Gaps "
+    "are exact integers (gap is shift-invariant, so leading-empty "
+    "tokenizer offsets cancel), making the ranking engine-"
+    "independent without any float discipline",
+    "Q5 (FTS substitute: proximity ranking)",
+)
+def fts_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = persisted_positional_index(spark, sf_dir)
+    return fts.proximity_topk(
+        idx, PROX_TERMS[0], PROX_TERMS[1], "doc_id", k=15
+    )

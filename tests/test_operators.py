@@ -2388,3 +2388,17 @@ def test_kcore_invariants_random(spark):
             ).collect()
         }
         assert again == res
+
+
+def test_fts_proximity_no_corpus_scan_and_pushdown(spark):
+    """Proximity ranking resolves from the positional index only: no
+    documents scan, both term filters pushed to the postings scan, and
+    the top-k is a TakeOrderedAndProject (no global sort)."""
+    from hangarbay_spark.queries.search import fts_proximity_topk
+
+    df = fts_proximity_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "fts_pos.parquet" in plan
+    assert "EqualTo(token," in plan
+    assert "TakeOrderedAndProject" in plan

@@ -212,6 +212,8 @@ BNLJ_ALLOWED = {
     "agg_kendall_tau",                  # 1-row y-domain array (<=11 values)
     "events_theilsen_trend",            # 1-row day-count/median scalars
     "sim_kmeans_train",                 # fixed centroid table (k=8 vectors)
+    "events_windowed_funnel",           # 1-row count/median scalars
+    "events_shapley_attribution",       # 3x8 channel/subset lattice
 }
 
 
@@ -311,6 +313,11 @@ EXCHANGE_BOUNDS = {
     # pinned by test_pagerank_iteration_single_shuffle)
     "text_textrank_keywords": 2,
     "report_abc_classification": 6,
+    "events_windowed_funnel": 3,
+    "fts_proximity_topk": 2,
+    "events_shapley_attribution": 5,
+    # six independent (table, lhs->rhs) audits, two aggs each
+    "quality_functional_dependencies": 18,
 }
 
 
