@@ -3513,3 +3513,116 @@ def graph_personalized_pagerank(
         .limit(15)
         .select("node", "is_seed", F.round("rank", 9).alias("rank"))
     )
+
+
+# per-community modularity term: intra-edge share minus squared
+# degree share — one shared text over exact integer counts, 9 dp.
+_MOD_TERM = (
+    "round(CAST(lc AS DOUBLE) / CAST(m AS DOUBLE) "
+    "- (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
+    "* (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 9)"
+)
+
+
+@register(
+    "graph_modularity_brands",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    bs AS (SELECT p_partkey, p_brand FROM part),
+    eb AS (
+      SELECT a.p_brand AS brand_src, b.p_brand AS brand_dst
+      FROM e JOIN bs a ON e.src = a.p_partkey
+             JOIN bs b ON e.dst = b.p_partkey),
+    intra AS (
+      SELECT brand_src AS brand, CAST(COUNT(*) AS BIGINT) AS lc
+      FROM eb WHERE brand_src = brand_dst GROUP BY 1),
+    und AS (SELECT src FROM e UNION ALL SELECT dst FROM e),
+    dg AS (
+      SELECT bs.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM und JOIN bs ON und.src = bs.p_partkey GROUP BY 1),
+    terms0 AS (
+      SELECT dg.brand, COALESCE(intra.lc, 0) AS lc, dg.dc AS dc
+      FROM dg LEFT JOIN intra ON dg.brand = intra.brand),
+    terms AS (
+      SELECT brand, lc, dc, {_MOD_TERM} AS term
+      FROM terms0 CROSS JOIN m)
+    SELECT brand, lc AS intra_edges, dc AS degree_sum, term
+    FROM terms
+    UNION ALL
+    SELECT 'Q_TOTAL' AS brand,
+           CAST(SUM(lc) AS BIGINT) AS intra_edges,
+           CAST(SUM(dc) AS BIGINT) AS degree_sum,
+           CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE) AS term
+    FROM terms
+    ORDER BY brand
+    """,
+    "graph modularity (Newman-Girvan Q) of the brand partition over "
+    "the small-part co-purchase graph: per community, intra-edge "
+    "share minus squared degree share, summed — THE quality metric "
+    "for any community assignment (here: do brands cluster in "
+    "co-purchase behavior?). All edge/degree counts exact integers; "
+    "per-community terms are one shared 9 dp formula text and Q sums "
+    "them as exact decimals. At 100 TB: two broadcast-dim joins onto "
+    "the checkpointed edge list + bounded per-community rollups — "
+    "the same measurement drops onto label-propagation or "
+    "connected-component labels unchanged",
+    "analytics extension (graph modularity / community quality)",
+)
+def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    bs = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    eb = e.join(
+        bs.select(
+            F.col("p_partkey").alias("src"), F.col("p_brand").alias("brand_src")
+        ),
+        "src",
+    ).join(
+        bs.select(
+            F.col("p_partkey").alias("dst"), F.col("p_brand").alias("brand_dst")
+        ),
+        "dst",
+    )
+    intra = (
+        eb.filter(F.col("brand_src") == F.col("brand_dst"))
+        .groupBy(F.col("brand_src").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lc"))
+    )
+    und = e.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("src")
+    )
+    dg = (
+        und.join(bs.select(F.col("p_partkey").alias("src"), "p_brand"), "src")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    terms = (
+        dg.join(intra, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce("lc", F.lit(0)).cast("bigint").alias("lc"),
+            "dc",
+        )
+        .crossJoin(F.broadcast(m))
+        .select("brand", "lc", "dc", F.expr(_MOD_TERM).alias("term"))
+        .localCheckpoint()  # per-brand rows AND the Q_TOTAL rollup
+    )
+    total = terms.agg(
+        F.lit("Q_TOTAL").alias("brand"),
+        F.sum("lc").cast("bigint").alias("intra_edges"),
+        F.sum("dc").cast("bigint").alias("degree_sum"),
+        F.sum(F.col("term").cast("decimal(20,9)"))
+        .cast("double")
+        .alias("term"),
+    ).select("brand", "intra_edges", "degree_sum", "term")
+    return (
+        terms.select(
+            "brand",
+            F.col("lc").alias("intra_edges"),
+            F.col("dc").alias("degree_sum"),
+            "term",
+        )
+        .unionByName(total)
+        .orderBy("brand")
+    )

@@ -4152,3 +4152,112 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# linear interpolation between the bracketing observations — one
+# shared text; inputs are 6 dp-rounded observed means and exact
+# integer hour indices, the blend is rounded 6 dp (FMA guard).
+_GF_INTERP = (
+    "round(pv + (nv - pv) * CAST(hi - ph AS DOUBLE) "
+    "/ CAST(nh - ph AS DOUBLE), 6)"
+)
+
+
+@register(
+    "events_gapfill_interpolate",
+    f"""
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1),
+    bounds AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM hc),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hi FROM bounds),
+    j AS (SELECT s.hi, hc.v FROM spine s LEFT JOIN hc ON s.hi = hc.hi),
+    c AS (
+      SELECT hi, v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (ORDER BY hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER (ORDER BY hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ph,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (ORDER BY hi
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER (ORDER BY hi
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nh
+      FROM j)
+    SELECT hi,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE {_GF_INTERP} END AS value,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled
+    FROM c
+    WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    ORDER BY hi
+    """,
+    "time-series gap filling by linear interpolation: the hourly "
+    "mean-purchase-value series densifies onto a generated spine and "
+    "every missing hour interpolates between its bracketing "
+    "observations (carry-forward and carry-backward IGNORE-NULLS "
+    "windows find the brackets — no self-join, no per-gap loop). "
+    "Observed means are 6 dp rounds of exact decimal sums; the blend "
+    "is one shared formula text, so filled values are bit-equal "
+    "cross-engine. Hours outside the observed range stay unfilled "
+    "(identical WHERE both sides). At 100 TB the corpus pays one "
+    "hourly rollup; the spine windows range-partition by time",
+    "analytics extension (time-series gap fill / interpolation)",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    hc = ev.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) DIV 3600 AS BIGINT)"
+        ).alias("hi")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("v")
+    )
+    bounds = hc.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hi"))
+    j = spine.join(hc, "hi", "left")
+    wb = W.orderBy("hi").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("hi").rowsBetween(W.currentRow, W.unboundedFollowing)
+    c = j.select(
+        "hi",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("hi")), ignorenulls=True
+        ).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(
+            F.when(F.col("v").isNotNull(), F.col("hi")), ignorenulls=True
+        ).over(wf).alias("nh"),
+    )
+    return (
+        c.filter(
+            F.col("v").isNotNull()
+            | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            "hi",
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .otherwise(F.expr(_GF_INTERP))
+            .alias("value"),
+            F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("filled"),
+        )
+        .orderBy("hi")
+    )

@@ -4639,3 +4639,97 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("bigint").alias("dim_i"),
         F.expr(_KM_MEAN).alias("centroid_val"),
     ).orderBy("centroid_id", "dim_i")
+
+
+# Neyman weight per stratum: N_h * sigma_h from exact integer moments
+# (n, s, q of n_chars); sigma uses the (n-1) sample denominator. All
+# terms 6 dp-rounded shared text; zero-variance strata weight 0.
+_NEY_SIGMA = "round(sqrt((q - s / n * s) / (n - 1.0)), 6)"
+_NEY_BUDGET = 1000
+_NEY_ALLOC = (
+    f"CAST(floor({_NEY_BUDGET} * w / wt + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "sample_neyman_allocation",
+    f"""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(30,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(n_chars AS DECIMAL(19,0))
+                      * CAST(n_chars AS DECIMAL(19,0))) AS DOUBLE) AS q
+      FROM documents GROUP BY source),
+    sg AS (
+      SELECT source, n,
+             CASE WHEN n > 1.0 AND q - s / n * s > 0.0
+                  THEN {_NEY_SIGMA} ELSE 0.0 END AS sigma
+      FROM m),
+    wts AS (
+      SELECT source, n, sigma, round(n * sigma, 6) AS w FROM sg),
+    tot AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(20,6))) AS DOUBLE) AS wt
+      FROM wts)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           sigma,
+           {_NEY_ALLOC} AS allocated
+    FROM wts CROSS JOIN tot
+    WHERE wt > 0.0
+    ORDER BY source
+    """,
+    "Neyman optimal stratified-sample allocation: a 1000-doc "
+    "annotation budget split across sources proportionally to "
+    "N_h * sigma_h (stratum size times stddev of doc length) — the "
+    "variance-minimizing design for estimating a corpus mean, vs "
+    "naive proportional allocation that oversamples homogeneous "
+    "strata. Per-stratum moments are exact decimal integer sums in "
+    "one map-side-combined pass; sigma/weight/allocation compile "
+    "from shared 6 dp formula texts with the degenerate-stratum "
+    "guard identical both sides; floor(x+0.5) is the engine-"
+    "identical halfway rule. The LLM-pipeline use: labeling/eval "
+    "budget design over heterogeneous sources",
+    "sampling extension (Neyman optimal allocation)",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(30,0)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            F.col("n_chars").cast("decimal(19,0)")
+            * F.col("n_chars").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    sg = m.select(
+        "source",
+        "n",
+        F.when(
+            F.expr("n > 1.0 AND q - s / n * s > 0.0"),
+            F.expr(_NEY_SIGMA),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sigma"),
+    )
+    wts = sg.select(
+        "source", "n", "sigma", F.round(F.col("n") * F.col("sigma"), 6).alias("w")
+    ).localCheckpoint()  # feeds the total AND the allocation rows
+    tot = wts.agg(
+        F.sum(F.col("w").cast("decimal(20,6)")).cast("double").alias("wt")
+    )
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .filter(F.col("wt") > 0.0)
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "sigma",
+            F.expr(_NEY_ALLOC).alias("allocated"),
+        )
+        .orderBy("source")
+    )

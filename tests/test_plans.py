@@ -214,6 +214,8 @@ BNLJ_ALLOWED = {
     "sim_kmeans_train",                 # fixed centroid table (k=8 vectors)
     "events_windowed_funnel",           # 1-row count/median scalars
     "events_shapley_attribution",       # 3x8 channel/subset lattice
+    "graph_modularity_brands",          # 1-row edge-count scalar
+    "sample_neyman_allocation",         # 1-row weight-total scalar
 }
 
 
@@ -318,6 +320,9 @@ EXCHANGE_BOUNDS = {
     "events_shapley_attribution": 5,
     # six independent (table, lhs->rhs) audits, two aggs each
     "quality_functional_dependencies": 18,
+    "events_gapfill_interpolate": 3,
+    "graph_modularity_brands": 2,
+    "sample_neyman_allocation": 3,
 }
 
 
