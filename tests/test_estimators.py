@@ -1,0 +1,280 @@
+"""First-principles pins for the continuation-6 estimators: every
+statistic is recomputed in pure Python/numpy from the raw parquet —
+an implementation with NO shared code or formula text with either
+engine — so a bug common to the Spark query and its DuckDB oracle
+(shared formula-text typo, wrong tie rule, wrong lattice weight)
+cannot hide behind cross-engine agreement. Brute force is feasible
+because sf0.001 is tiny (6k lineitem / 1k events / 500 vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hangarbay_spark.queries.base import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(name, spark):
+    return [tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR).collect()]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in ("lineitem", "events", "documents", "orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _tie_ranks(values):
+    """average tie ranks, 1-based."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and values[order[j]] == values[order[i]]:
+            j += 1
+        r = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for k in range(i, j):
+            ranks[order[k]] = r
+        i = j
+    return ranks
+
+
+def test_spearman_matches_bruteforce(spark):
+    xy = _duck("SELECT l_quantity, l_discount FROM lineitem")
+    xs = [r[0] for r in xy]
+    ys = [r[1] for r in xy]
+    rx, ry = _tie_ranks(xs), _tie_ranks(ys)
+    n = float(len(xs))
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    (got,) = _rows("agg_spearman_corr", spark)
+    assert got[0] == int(n)
+    assert got[1] == pytest.approx(rho, abs=2e-6)
+
+
+def test_kendall_matches_bruteforce(spark):
+    grid = _duck(
+        "SELECT l_quantity, l_discount, COUNT(*) FROM lineitem GROUP BY 1, 2"
+    )
+    c = d = 0
+    n = sum(g[2] for g in grid)
+    for i, (x1, y1, c1) in enumerate(grid):
+        for x2, y2, c2 in grid[i + 1 :]:
+            if (x1 - x2) * (y1 - y2) > 0:
+                c += c1 * c2
+            elif (x1 - x2) * (y1 - y2) < 0:
+                d += c1 * c2
+    from collections import Counter
+
+    tx = Counter()
+    ty = Counter()
+    for x, y, cnt in grid:
+        tx[x] += cnt
+        ty[y] += cnt
+    n0 = n * (n - 1) / 2
+    n1 = sum(v * (v - 1) / 2 for v in tx.values())
+    n2 = sum(v * (v - 1) / 2 for v in ty.values())
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    (got,) = _rows("agg_kendall_tau", spark)
+    assert got[0] == n
+    assert got[1] == float(c) and got[2] == float(d)
+    assert got[3] == pytest.approx(tau, abs=2e-6)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    rows = _duck(
+        "SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT)"
+        " FROM lineitem"
+    )
+    by_flag = {}
+    for f, p, w in rows:
+        by_flag.setdefault(f, []).append((p, w))
+    got = {r[0]: (r[1], r[2]) for r in _rows("agg_weighted_median", spark)}
+    for f, pw in by_flag.items():
+        pw.sort()
+        tot = sum(w for _, w in pw)
+        cum = 0
+        lo = hi = None
+        for p, w in pw:
+            cum += w
+            if lo is None and 2 * cum >= tot:
+                lo = p
+            if hi is None and 2 * cum > tot:
+                hi = p
+        assert got[f][0] == tot
+        assert got[f][1] == pytest.approx((lo + hi) / 2.0, abs=1e-9)
+
+
+def test_theilsen_matches_bruteforce(spark):
+    daily = _duck(
+        "SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+        " AS BIGINT) AS d, COUNT(*) FROM events"
+        " WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    )
+    slopes = []
+    for i, (d1, c1) in enumerate(daily):
+        for d2, c2 in daily[i + 1 :]:
+            slopes.append((c2 - c1) / (d2 - d1))
+    slopes.sort()
+    m = len(slopes)
+    pos = (m - 1) * 0.5
+    lo, hi = slopes[math.floor(pos)], slopes[math.ceil(pos)]
+    med = round(lo + (pos - math.floor(pos)) * (hi - lo), 6)
+    (got,) = _rows("events_theilsen_trend", spark)
+    assert got[0] == len(daily) and got[1] == m
+    assert got[2] == pytest.approx(med, abs=2e-6)
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+
+    edges = _duck(
+        "SELECT DISTINCT o.o_custkey, l.l_partkey FROM lineitem l"
+        " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    custs = sorted({e[0] for e in edges})
+    parts = sorted({e[1] for e in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    pi = {p: i for i, p in enumerate(parts)}
+    A = np.zeros((len(custs), len(parts)), dtype=object)
+    for c, p in edges:
+        A[ci[c], pi[p]] = 1
+    h = np.ones(len(custs), dtype=object)
+    for k in range(3):
+        a = A.T @ h
+        if k < 2:
+            h = A @ a
+    scored = sorted(
+        ((float(a[pi[p]]), p) for p in parts), key=lambda t: (-t[0], t[1])
+    )[:15]
+    got = _rows("graph_hits_authorities", spark)
+    assert [(g[0], g[1]) for g in got] == [(p, s) for s, p in scored]
+
+
+def test_shapley_matches_manual_lattice(spark):
+    rows = _duck(
+        """
+        WITH s0 AS (
+          SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS tms,
+                 CAST(MIN(epoch_ms(ts)) OVER (PARTITION BY user_id)
+                   AS BIGINT) AS t0
+          FROM events)
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view'
+                         AND tms <= t0 + 86400000 THEN 4 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'click'
+                           AND tms <= t0 + 86400000 THEN 2 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'signup'
+                           AND tms <= t0 + 86400000 THEN 1 ELSE 0 END),
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND tms > t0 + 86400000
+                         AND tms <= t0 + 172800000 THEN 1 ELSE 0 END)
+        FROM s0 GROUP BY user_id
+        """
+    )
+    tot = {}
+    conv = {}
+    for _, s, cflag in rows:
+        tot[s] = tot.get(s, 0) + 1
+        conv[s] = conv.get(s, 0) + cflag
+    v = {s: round(conv[s] / tot[s], 6) for s in tot}
+    w = {0: 1 / 3, 1: 1 / 6, 2: 1 / 3}
+    expect = {}
+    for name, bit in (("view", 4), ("click", 2), ("signup", 1)):
+        val = 0.0
+        for s in range(8):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            val += round(
+                w[size] * (v.get(s | bit, 0.0) - v.get(s, 0.0)), 9
+            )
+        expect[name] = val
+    got = {r[0]: r[1] for r in _rows("events_shapley_attribution", spark)}
+    for ch in expect:
+        assert got[ch] == pytest.approx(expect[ch], abs=2e-9)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    vecs = _duck(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    )
+    X = []
+    for _, v in vecs:
+        a = np.asarray(v, dtype=np.float64)
+        sc = 127.0 / max(np.abs(a).max(), 1e-30)
+        X.append(np.floor(a * sc + 0.5).astype(np.int64))
+    X = np.stack(X)
+    cents = {i + 1: X[i].copy() for i in range(8)}
+    for it in range(2):
+        C = np.stack([cents[c] for c in sorted(cents)])
+        ids = sorted(cents)
+        dots = X @ C.T
+        qq = (X * X).sum(axis=1)
+        cc = (C * C).sum(axis=1)
+        cos = np.round(
+            dots / (np.sqrt(qq)[:, None] * np.sqrt(cc)[None, :]), 9
+        )
+        # argmax with smallest-cid tie-break (first max)
+        assign = np.argmax(cos, axis=1)
+        new = {}
+        sizes = {}
+        for j, cid in enumerate(ids):
+            members = X[assign == j]
+            if len(members):
+                new[cid] = members.sum(axis=0)
+                sizes[cid] = len(members)
+        cents = new
+    got = _rows("sim_kmeans_train", spark)
+    for cid, n, i, val in got:
+        s = int(cents[cid][i - 1])
+        assert n == sizes[cid]
+        assert val == pytest.approx(round(s / n, 6), abs=1e-9)
+
+
+def test_modularity_matches_bruteforce(spark):
+    edges = _duck(
+        """
+        WITH li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+                    FROM lineitem l JOIN part p
+                      ON l.l_partkey = p.p_partkey AND p.p_size <= 5)
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        """
+    )
+    brand = dict(_duck("SELECT p_partkey, p_brand FROM part"))
+    m = len(edges)
+    intra = {}
+    deg = {}
+    for a, b in edges:
+        ba, bb = brand[a], brand[b]
+        if ba == bb:
+            intra[ba] = intra.get(ba, 0) + 1
+        deg[ba] = deg.get(ba, 0) + 1
+        deg[bb] = deg.get(bb, 0) + 1
+    q = 0.0
+    for br in deg:
+        lc = intra.get(br, 0)
+        q += round(lc / m - (deg[br] / (2 * m)) ** 2, 9)
+    got = {r[0]: r for r in _rows("graph_modularity_brands", spark)}
+    assert got["Q_TOTAL"][3] == pytest.approx(q, abs=2e-9)
+    for br in deg:
+        assert got[br][1] == intra.get(br, 0)
+        assert got[br][2] == deg[br]
