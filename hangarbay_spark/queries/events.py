@@ -4261,3 +4261,78 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hi")
     )
+
+
+@register(
+    "events_longest_streak",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS BIGINT) AS grp
+      FROM d),
+    runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak,
+             CAST(MIN(d) AS BIGINT) AS start_day
+      FROM g GROUP BY user_id, grp),
+    best AS (
+      SELECT user_id, streak, start_day,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak DESC, start_day) AS BIGINT) AS rk
+      FROM runs)
+    SELECT user_id, streak, start_day
+    FROM best WHERE rk = 1
+    ORDER BY streak DESC, user_id LIMIT 20
+    """,
+    "longest consecutive-day purchase streak per user (gaps-and-"
+    "islands max run — the engagement-streak metric): distinct "
+    "purchase days collapse first, the day-minus-row_number island "
+    "key groups consecutive runs, per-user best streak by a window, "
+    "top-20 with deterministic tie-breaks. All integers. At 100 TB: "
+    "one user-keyed shuffle; runs live on the distinct-day frame",
+    "analytics extension (gaps-and-islands longest streak)",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    g = d.select(
+        "user_id",
+        "d",
+        (
+            F.col("d")
+            - F.row_number()
+            .over(W.partitionBy("user_id").orderBy("d"))
+            .cast("bigint")
+        ).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak"),
+        F.min("d").cast("bigint").alias("start_day"),
+    )
+    best = runs.select(
+        "user_id",
+        "streak",
+        "start_day",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(F.desc("streak"), "start_day")
+        )
+        .cast("bigint")
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        best.select("user_id", "streak", "start_day")
+        .orderBy(F.desc("streak"), "user_id")
+        .limit(20)
+    )

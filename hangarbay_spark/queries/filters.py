@@ -1130,3 +1130,138 @@ def quality_functional_dependencies(
         )
         out = verdict if out is None else out.unionByName(verdict)
     return out.orderBy("dependency")
+
+
+# per-cell MI term: p_xy * ln(p_xy / (p_x p_y)) with the ln 6 dp-rounded
+# (transcendental guard) and the product 9 dp-rounded, decimal-summed.
+_MI_LNR = (
+    "round(ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE) "
+    "/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 6)"
+)
+_MI_TERM = f"round(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) * {_MI_LNR}, 9)"
+# label entropy term (for the normalized readout)
+_MI_HTERM = (
+    "round(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "* round(ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 6), 9)"
+)
+
+_MI_FEATURES = ("o_orderpriority", "c_mktsegment", "c_nationkey")
+
+
+def _o_mutual_information() -> str:
+    arms = []
+    for f in _MI_FEATURES:
+        arms.append(
+            f"""
+    SELECT '{f}' AS feature, nxy, nx, ny, n FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nxy,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY {f}) AS BIGINT) AS nx,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus)
+               AS BIGINT) AS ny,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      FROM j GROUP BY {f}, o_orderstatus)"""
+        )
+    return f"""
+    WITH j AS (
+      SELECT o.o_orderpriority, o.o_orderstatus,
+             c.c_mktsegment, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS ({" UNION ALL ".join(arms)}),
+    mi AS (
+      SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(CAST({_MI_TERM} AS DECIMAL(20,9))) AS DOUBLE)
+               AS mutual_info
+      FROM cells GROUP BY feature),
+    lab AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS ny,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      FROM j GROUP BY o_orderstatus),
+    h AS (
+      SELECT CAST(SUM(CAST({_MI_HTERM} AS DECIMAL(20,9))) AS DOUBLE)
+        AS h_label
+      FROM lab)
+    SELECT feature, n_cells, mutual_info,
+           round(mutual_info / h_label, 6) AS normalized_mi
+    FROM mi CROSS JOIN h
+    WHERE h_label > 0.0
+    ORDER BY mutual_info DESC, feature
+    """
+
+
+@register(
+    "quality_mutual_information",
+    _o_mutual_information(),
+    "mutual-information feature ranking (information-gain feature "
+    "selection): MI(feature; order status) for three candidate "
+    "features from exact contingency counts — which columns actually "
+    "predict the label, before anyone trains on them. Each feature's "
+    "cell/marginal counts come from ONE grouped pass with window "
+    "marginals; ln terms are 6 dp-guarded, per-cell products 9 dp, "
+    "sums exact decimals; normalized by the exact label entropy. At "
+    "100 TB: one fact-dim join + one grouped pass per feature over "
+    "bounded category domains",
+    "quality extension (mutual information / feature relevance)",
+)
+def quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        "o_orderpriority", "o_orderstatus", "c_mktsegment", "c_nationkey"
+    ).localCheckpoint()  # one pass per feature + the label entropy
+    cells = None
+    for f in _MI_FEATURES:
+        g = j.groupBy(f, "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nxy")
+        )
+        arm = g.select(
+            F.lit(f).alias("feature"),
+            "nxy",
+            F.sum("nxy").over(W.partitionBy(f)).cast("bigint").alias("nx"),
+            F.sum("nxy")
+            .over(W.partitionBy("o_orderstatus"))
+            .cast("bigint")
+            .alias("ny"),
+            F.sum("nxy")
+            .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .cast("bigint")
+            .alias("n"),
+        )
+        cells = arm if cells is None else cells.unionByName(arm)
+    mi = cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.expr(_MI_TERM).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("mutual_info"),
+    )
+    lab = j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ny")
+    ).select(
+        "ny",
+        F.sum("ny")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint")
+        .alias("n"),
+    )
+    h = lab.agg(
+        F.sum(F.expr(_MI_HTERM).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("h_label")
+    )
+    return (
+        mi.crossJoin(F.broadcast(h))
+        .filter(F.col("h_label") > 0.0)
+        .select(
+            "feature",
+            "n_cells",
+            "mutual_info",
+            F.expr("round(mutual_info / h_label, 6)").alias(
+                "normalized_mi"
+            ),
+        )
+        .orderBy(F.desc("mutual_info"), "feature")
+    )

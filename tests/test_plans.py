@@ -216,6 +216,7 @@ BNLJ_ALLOWED = {
     "events_shapley_attribution",       # 3x8 channel/subset lattice
     "graph_modularity_brands",          # 1-row edge-count scalar
     "sample_neyman_allocation",         # 1-row weight-total scalar
+    "quality_mutual_information",       # 1-row label-entropy scalar
 }
 
 
@@ -323,6 +324,8 @@ EXCHANGE_BOUNDS = {
     "events_gapfill_interpolate": 3,
     "graph_modularity_brands": 2,
     "sample_neyman_allocation": 3,
+    "quality_mutual_information": 9,
+    "events_longest_streak": 2,
 }
 
 
