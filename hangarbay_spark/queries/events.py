@@ -4336,3 +4336,291 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak"), "user_id")
         .limit(20)
     )
+
+
+# split-conformal pieces: per-cell prediction (6 dp mean over fit
+# days), calibration residual, and the rank-selected band.
+_CF_PRED = "round(CAST(sxf AS DOUBLE) / CAST(ndf AS DOUBLE), 6)"
+_CF_COV = "round(CAST(ncov AS DOUBLE) / 24.0, 6)"
+_CF_ALPHA_RANK = 20  # ceil(0.8 * (24 + 1)) for alpha = 0.2
+
+
+@register(
+    "events_forecast_conformal",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT MAX(d) AS maxd,
+             MAX(CASE WHEN d < (SELECT MAX(d) FROM hourly) THEN d END)
+               AS cald,
+             CAST(COUNT(DISTINCT d) - 2 AS BIGINT) AS ndf
+      FROM hourly),
+    cond AS (
+      SELECT event_type, hod,
+             CAST(SUM(CASE WHEN d < cald THEN cnt ELSE 0 END) AS BIGINT)
+               AS sxf,
+             CAST(SUM(CASE WHEN d = cald THEN cnt ELSE 0 END) AS BIGINT)
+               AS acal,
+             CAST(SUM(CASE WHEN d = maxd THEN cnt ELSE 0 END) AS BIGINT)
+               AS atest
+      FROM hourly CROSS JOIN sc GROUP BY 1, 2),
+    cells AS (
+      SELECT t.event_type, h.hod
+      FROM (SELECT DISTINCT event_type FROM cond) t,
+           (SELECT unnest(generate_series(0, 23)) AS hod) h),
+    cell AS (
+      SELECT c.event_type, c.hod,
+             COALESCE(cond.sxf, 0) AS sxf,
+             COALESCE(cond.acal, 0) AS acal,
+             COALESCE(cond.atest, 0) AS atest,
+             sc.ndf
+      FROM cells c LEFT JOIN cond
+        ON c.event_type = cond.event_type AND c.hod = cond.hod
+      CROSS JOIN sc),
+    resid AS (
+      SELECT event_type, hod, atest,
+             {_CF_PRED} AS pred,
+             abs(CAST(acal AS DOUBLE) - {_CF_PRED}) AS r
+      FROM cell),
+    band AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = {_CF_ALPHA_RANK} THEN r END) AS q_band
+      FROM (SELECT event_type, r,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY r, hod)
+                     AS BIGINT) AS rn
+            FROM resid) t
+      GROUP BY event_type),
+    cov AS (
+      SELECT r.event_type, b.q_band,
+             CAST(SUM(CASE WHEN abs(CAST(r.atest AS DOUBLE) - r.pred)
+                             <= b.q_band THEN 1 ELSE 0 END) AS BIGINT)
+               AS ncov
+      FROM resid r JOIN band b ON r.event_type = b.event_type
+      GROUP BY r.event_type, b.q_band)
+    SELECT event_type, q_band, ncov AS n_covered, {_CF_COV} AS coverage
+    FROM cov ORDER BY event_type
+    """,
+    "split-conformal forecast intervals: the seasonal-naive per-"
+    "(type, hour) prediction is fit on all days before a held-out "
+    "calibration day, the conformal band is the rank-80% absolute "
+    "calibration residual (exact integer rank selection — no "
+    "interpolation), and empirical coverage is measured on the final "
+    "test day. Distribution-free uncertainty for any point forecast "
+    "— the band construction drops onto other predictors unchanged. "
+    "At 100 TB: one hourly rollup; calibration/rank/coverage all on "
+    "the bounded (type x 24) grid with a dense zero-filled spine",
+    "analytics extension (conformal prediction intervals)",
+)
+def events_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint()
+    # scalars in one small frame: maxd (test day), cald (2nd-max day,
+    # the calibration split), ndf (fit-day count)
+    days = hourly.select("d").distinct()
+    sc = (
+        days.select(
+            "d",
+            F.row_number().over(W.orderBy(F.desc("d"))).alias("rk"),
+            F.count(F.lit(1))
+            .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("ndays"),
+        )
+        .filter(F.col("rk") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("d"))).alias("maxd"),
+            F.max(F.when(F.col("rk") == 2, F.col("d"))).alias("cald"),
+            (F.max("ndays") - F.lit(2)).cast("bigint").alias("ndf"),
+        )
+    )
+    cond = (
+        hourly.crossJoin(F.broadcast(sc))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.expr("CASE WHEN d < cald THEN cnt ELSE 0 END"))
+            .cast("bigint")
+            .alias("sxf"),
+            F.sum(F.expr("CASE WHEN d = cald THEN cnt ELSE 0 END"))
+            .cast("bigint")
+            .alias("acal"),
+            F.sum(F.expr("CASE WHEN d = maxd THEN cnt ELSE 0 END"))
+            .cast("bigint")
+            .alias("atest"),
+        )
+    )
+    cells = (
+        cond.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hod0"),
+        )
+        .select("event_type", F.col("hod0").cast("bigint").alias("hod"))
+    )
+    cell = (
+        cells.join(F.broadcast(cond), ["event_type", "hod"], "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "event_type",
+            "hod",
+            F.coalesce("sxf", F.lit(0)).alias("sxf"),
+            F.coalesce("acal", F.lit(0)).alias("acal"),
+            F.coalesce("atest", F.lit(0)).alias("atest"),
+            "ndf",
+        )
+    )
+    resid = cell.select(
+        "event_type",
+        "hod",
+        "atest",
+        F.expr(_CF_PRED).alias("pred"),
+        F.abs(F.col("acal").cast("double") - F.expr(_CF_PRED)).alias("r"),
+    ).localCheckpoint()  # feeds the band rank AND the coverage join
+    band = (
+        resid.select(
+            "event_type",
+            "r",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("r", "hod"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == _CF_ALPHA_RANK, F.col("r"))
+            ).alias("q_band")
+        )
+    )
+    cov = (
+        resid.join(band, "event_type")
+        .groupBy("event_type", "q_band")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("atest").cast("double") - F.col("pred"))
+                    <= F.col("q_band"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ncov")
+        )
+    )
+    return cov.select(
+        "event_type",
+        "q_band",
+        F.col("ncov").alias("n_covered"),
+        F.expr(_CF_COV).alias("coverage"),
+    ).orderBy("event_type")
+
+
+_MSS_ITERS = 12
+# one power step: pi_next(j) = sum_i pi(i) * p(i -> j); p is a single
+# divide of exact counts, per-term product 12 dp-rounded, summed as
+# exact decimals — one text, both engines, per iteration.
+_MSS_STEP = "round(CAST(pi AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 12)"
+
+
+def _o_markov_steady() -> str:
+    ctes = [
+        """seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)""",
+        """tm AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS rt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)""",
+        """states AS (SELECT DISTINCT prev_type AS st FROM tm)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM states)""",
+        """pi0 AS (SELECT st, round(1.0 / ns, 12) AS pi
+      FROM states CROSS JOIN nn)""",
+    ]
+    for k in range(1, _MSS_ITERS + 1):
+        ctes.append(
+            f"""pi{k} AS (
+      SELECT tm.next_type AS st,
+             CAST(SUM(CAST({_MSS_STEP} AS DECIMAL(26,12))) AS DOUBLE)
+               AS pi
+      FROM tm JOIN pi{k - 1} p ON tm.prev_type = p.st
+      CROSS JOIN nn
+      GROUP BY tm.next_type)""".replace("pi AS DOUBLE", "p.pi AS DOUBLE")
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT st AS state, ROUND(pi, 9) AS stationary_p
+    FROM pi{_MSS_ITERS} ORDER BY st
+    """
+    )
+
+
+@register(
+    "events_markov_steady_state",
+    _o_markov_steady(),
+    "stationary distribution of the user-journey Markov chain: 12 "
+    "power iterations of pi <- pi P on the 5x5 transition matrix "
+    "(row-normalized exact pair counts) — where user attention "
+    "settles in the long run, the PageRank of the behavioral graph. "
+    "Per-term products are 12 dp-rounded and summed as exact "
+    "decimals (one shared text per iteration) so both engines walk "
+    "identical float paths. At 100 TB the corpus pays the one lag-"
+    "window shuffle that builds the matrix; every iteration runs on "
+    "the states-domain frame",
+    "analytics extension (Markov stationary distribution)",
+)
+def events_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tm = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.sum("n")
+            .over(W.partitionBy("prev_type"))
+            .cast("bigint")
+            .alias("rt"),
+        )
+        .localCheckpoint()  # consumed by every iteration
+    )
+    states = tm.select(F.col("prev_type").alias("st")).distinct()
+    nn = states.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    pi = states.crossJoin(F.broadcast(nn)).select(
+        "st", F.round(F.lit(1.0) / F.col("ns"), 12).alias("pi")
+    )
+    step = "round(CAST(p_pi AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 12)"
+    for _ in range(_MSS_ITERS):
+        pi = (
+            tm.join(
+                pi.select(F.col("st").alias("prev_type"), F.col("pi").alias("p_pi")),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("st"))
+            .agg(
+                F.sum(F.expr(step).cast("decimal(26,12)"))
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    return pi.select(
+        F.col("st").alias("state"), F.round("pi", 9).alias("stationary_p")
+    ).orderBy("state")

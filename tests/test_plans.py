@@ -217,6 +217,8 @@ BNLJ_ALLOWED = {
     "graph_modularity_brands",          # 1-row edge-count scalar
     "sample_neyman_allocation",         # 1-row weight-total scalar
     "quality_mutual_information",       # 1-row label-entropy scalar
+    "events_forecast_conformal",        # 1-row day-split scalars
+    "events_markov_steady_state",       # 1-row state-count scalar
 }
 
 
@@ -326,6 +328,10 @@ EXCHANGE_BOUNDS = {
     "sample_neyman_allocation": 3,
     "quality_mutual_information": 9,
     "events_longest_streak": 2,
+    "events_forecast_conformal": 4,
+    # 12 power steps on the 25-row matrix/5-row vector frames — tiny-
+    # frame exchanges, not corpus ones (the corpus pays the lag window)
+    "events_markov_steady_state": 29,
 }
 
 
