@@ -4733,3 +4733,107 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# c-TF-IDF (the BERTopic cluster-labeling weight): per-cluster term
+# frequency scaled by ln(1 + A / tf_t) where A = mean tokens/cluster
+# and tf_t = corpus frequency of t. ln 6 dp-guarded, product 9 dp.
+_CTFIDF_W = (
+    "round(CAST(tfc AS DOUBLE) * round(ln(CAST(1 AS DOUBLE) "
+    "+ CAST(a AS DOUBLE) / CAST(tft AS DOUBLE)), 6), 9)"
+)
+
+
+@register(
+    "text_cluster_labels_ctfidf",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_o_sign_bucket("embedding")} AS cluster
+      FROM embeddings),
+    toks AS (
+      SELECT d.doc_id, b.cluster, unnest({O_TOKENS}) AS t
+      FROM documents d JOIN b ON d.doc_id = b.vec_id),
+    tfct AS (
+      SELECT cluster, t, CAST(COUNT(*) AS BIGINT) AS tfc
+      FROM toks WHERE t <> '' GROUP BY 1, 2),
+    tft AS (
+      SELECT t, CAST(SUM(tfc) AS BIGINT) AS tft FROM tfct GROUP BY t),
+    a AS (
+      SELECT CAST(SUM(tfc) AS BIGINT) // COUNT(DISTINCT cluster) AS a
+      FROM tfct),
+    w AS (
+      SELECT tfct.cluster, tfct.t, tfct.tfc,
+             {_CTFIDF_W} AS w
+      FROM tfct JOIN tft ON tfct.t = tft.t CROSS JOIN a),
+    rk AS (
+      SELECT cluster, t, tfc, w,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY w DESC, t) AS BIGINT) AS rk
+      FROM w)
+    SELECT cluster, t AS term, tfc AS cluster_tf, w AS ctfidf, rk
+    FROM rk WHERE rk <= 3
+    ORDER BY cluster, rk
+    """,
+    "cluster labeling by c-TF-IDF (the BERTopic topic-word weight): "
+    "documents cluster by their embedding's hyperplane sign bucket "
+    "(the deterministic coarse quantizer), per-cluster term "
+    "frequencies weight by ln(1 + A/tf_t) — terms frequent IN the "
+    "cluster but rare overall name it; top-3 labels per cluster. "
+    "This is the human-readable readout for any clustering in the "
+    "registry (k-means assignments drop in unchanged). At 100 TB: "
+    "postings-shaped shuffles keyed by (cluster, term); the weight "
+    "join is term-domain-sized; ln 6 dp-guarded, product 9 dp, "
+    "integer counts exact",
+    "text extension (c-TF-IDF cluster labeling)",
+)
+def text_cluster_labels_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    b = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        S.sign_bucket_expr("embedding", 4).alias("cluster"),
+    )
+    toks = (
+        docs.join(b, "doc_id")
+        .select(
+            "cluster",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tfct = toks.groupBy("cluster", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tfc")
+    ).localCheckpoint()  # feeds tft, the A scalar AND the weight join
+    tft = tfct.groupBy("t").agg(F.sum("tfc").cast("bigint").alias("tft"))
+    a = tfct.agg(
+        (
+            F.sum("tfc").cast("bigint")
+            / F.countDistinct("cluster").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("a")
+    )
+    w = (
+        tfct.join(tft, "t")
+        .crossJoin(F.broadcast(a))
+        .select("cluster", "t", "tfc", F.expr(_CTFIDF_W).alias("w"))
+    )
+    rk = w.select(
+        "cluster",
+        "t",
+        "tfc",
+        "w",
+        F.row_number()
+        .over(W.partitionBy("cluster").orderBy(F.desc("w"), "t"))
+        .cast("bigint")
+        .alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    return rk.select(
+        "cluster",
+        F.col("t").alias("term"),
+        F.col("tfc").alias("cluster_tf"),
+        F.col("w").alias("ctfidf"),
+        "rk",
+    ).orderBy("cluster", "rk")

@@ -219,6 +219,7 @@ BNLJ_ALLOWED = {
     "quality_mutual_information",       # 1-row label-entropy scalar
     "events_forecast_conformal",        # 1-row day-split scalars
     "events_markov_steady_state",       # 1-row state-count scalar
+    "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
 }
 
 
@@ -332,6 +333,7 @@ EXCHANGE_BOUNDS = {
     # 12 power steps on the 25-row matrix/5-row vector frames — tiny-
     # frame exchanges, not corpus ones (the corpus pays the lag window)
     "events_markov_steady_state": 29,
+    "text_cluster_labels_ctfidf": 7,
 }
 
 
