@@ -4624,3 +4624,229 @@ def events_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("st").alias("state"), F.round("pi", 9).alias("stationary_p")
     ).orderBy("state")
+
+
+_QTE_PS = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+
+
+def _o_qte() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    arm = f"CASE WHEN {o_hash_bucket('user_id', 'qte')} < 128 THEN 'A' ELSE 'B' END"
+    qs = ", ".join(
+        f"ROUND(quantile_cont(value, {p}), 6) AS {tag}"
+        for tag, p in _QTE_PS
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{tag}' AS quantile, a.{tag} AS q_control, "
+        f"b.{tag} AS q_treatment, "
+        f"round(b.{tag} - a.{tag}, 6) AS qte FROM a, b"
+        for tag, _ in _QTE_PS
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT {arm} AS arm, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    q AS (SELECT arm, {qs} FROM assigned GROUP BY arm),
+    a AS (SELECT * FROM q WHERE arm = 'A'),
+    b AS (SELECT * FROM q WHERE arm = 'B')
+    SELECT * FROM ({arms}) ORDER BY quantile
+    """
+
+
+@register(
+    "events_quantile_treatment_effect",
+    _o_qte(),
+    "quantile treatment effects (QTE): the p25/p50/p75 purchase-value "
+    "difference between hash-assigned arms — WHERE in the outcome "
+    "distribution a treatment moves users, which a mean-shift z-test "
+    "cannot see (a tail-only effect has zero median shift). All three "
+    "quantiles per arm come from ONE spillable ranked pass (the "
+    "boundary-row interpolation plan — no per-group value buffer), "
+    "interpolated exactly as DuckDB quantile_cont, 6 dp rounds; the "
+    "effect is one shared-text subtract. At 100 TB: one arm-keyed "
+    "ordered pass, 2-row frames after",
+    "analytics extension (quantile treatment effects)",
+)
+def events_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    ev = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.when(hash_bucket_expr("user_id", "qte") < 128, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    grp = W.partitionBy("arm")
+    ranked = assigned.select(
+        "arm",
+        F.col("value").alias("__v"),
+        (F.row_number().over(grp.orderBy("value")) - 1).alias("__idx"),
+        F.count(F.lit(1)).over(grp).alias("__n"),
+    )
+    idx = F.col("__idx")
+    sel = F.lit(False)
+    aggs = [F.max("__n").alias("__n")]
+    for tag, p in _QTE_PS:
+        pos = (F.col("__n") - 1).cast("double") * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        sel = sel | (idx == lo) | (idx == hi)
+        aggs.append(F.max(F.when(idx == lo, F.col("__v"))).alias(f"__l{tag}"))
+        aggs.append(F.max(F.when(idx == hi, F.col("__v"))).alias(f"__h{tag}"))
+    agg = ranked.filter(sel).groupBy("arm").agg(*aggs)
+    outs = ["arm"]
+    for tag, p in _QTE_PS:
+        pp = (F.col("__n") - 1).cast("double") * F.lit(p)
+        frac = pp - F.floor(pp).cast("double")
+        outs.append(
+            F.round(
+                F.col(f"__l{tag}")
+                + frac * (F.col(f"__h{tag}") - F.col(f"__l{tag}")),
+                6,
+            ).alias(tag)
+        )
+    q = agg.select(*outs).localCheckpoint()  # both arms consumed per row
+    a = q.filter(F.col("arm") == "A")
+    b = q.filter(F.col("arm") == "B")
+    rows = None
+    for tag, _ in _QTE_PS:
+        r = (
+            a.select(F.col(tag).alias("q_control"))
+            .crossJoin(F.broadcast(b.select(F.col(tag).alias("q_treatment"))))
+            .select(
+                F.lit(tag).alias("quantile"),
+                "q_control",
+                "q_treatment",
+                F.expr("round(q_treatment - q_control, 6)").alias("qte"),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("quantile")
+
+
+_LIFT_RATE = "round(CAST(convs AS DOUBLE) / CAST(users AS DOUBLE), 6)"
+_LIFT_LIFT = (
+    "round((CAST(convs AS DOUBLE) / CAST(users AS DOUBLE)) "
+    "/ (CAST(tconvs AS DOUBLE) / CAST(tusers AS DOUBLE)), 6)"
+)
+_LIFT_CAPTURE = "round(CAST(cconvs AS DOUBLE) / CAST(tconvs AS DOUBLE), 6)"
+
+
+@register(
+    "events_model_lift_table",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(conv) AS BIGINT) AS cv
+      FROM u GROUP BY score),
+    r AS (
+      SELECT score, cnt, cv,
+             CAST(COALESCE(SUM(cnt) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tusers,
+             CAST(SUM(cv) OVER () AS BIGINT) AS tconvs
+      FROM g),
+    d AS (
+      SELECT CAST(before * 10 // tusers AS BIGINT) AS decile,
+             cnt, cv, tusers, tconvs
+      FROM r),
+    agg AS (
+      SELECT decile,
+             CAST(SUM(cnt) AS BIGINT) AS users,
+             CAST(SUM(cv) AS BIGINT) AS convs,
+             CAST(MAX(tusers) AS BIGINT) AS tusers,
+             CAST(MAX(tconvs) AS BIGINT) AS tconvs
+      FROM d GROUP BY decile),
+    cum AS (
+      SELECT decile, users, convs, tusers, tconvs,
+             CAST(SUM(convs) OVER (ORDER BY decile) AS BIGINT) AS cconvs
+      FROM agg)
+    SELECT decile, users, convs,
+           {_LIFT_RATE} AS conv_rate,
+           {_LIFT_LIFT} AS lift,
+           {_LIFT_CAPTURE} AS cum_capture
+    FROM cum ORDER BY decile
+    """,
+    "model lift / cumulative-gains table: users decile by a "
+    "propensity score (view count) DESCENDING with value-atomic "
+    "buckets (ties never split — the equi-depth pattern), per-decile "
+    "conversion rate, lift vs the base rate, and cumulative capture "
+    "share — the campaign-targeting readout for ANY score column. "
+    "All counts exact integers; rates/lift/capture one shared text "
+    "each. At 100 TB: one user rollup + one score-domain groupBy; "
+    "ordered passes live on the score domain and the <=10-row "
+    "decile frame",
+    "analytics extension (lift / cumulative-gains table)",
+)
+def events_model_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    g = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("conv").cast("bigint").alias("cv"),
+    )
+    wdesc = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = g.select(
+        "score",
+        "cnt",
+        "cv",
+        F.coalesce(F.sum("cnt").over(wdesc), F.lit(0))
+        .cast("bigint")
+        .alias("before"),
+        F.sum("cnt").over(wall).cast("bigint").alias("tusers"),
+        F.sum("cv").over(wall).cast("bigint").alias("tconvs"),
+    )
+    d = r.select(
+        F.expr("CAST(before * 10 div tusers AS BIGINT)").alias("decile"),
+        "cnt",
+        "cv",
+        "tusers",
+        "tconvs",
+    )
+    agg = d.groupBy("decile").agg(
+        F.sum("cnt").cast("bigint").alias("users"),
+        F.sum("cv").cast("bigint").alias("convs"),
+        F.max("tusers").cast("bigint").alias("tusers"),
+        F.max("tconvs").cast("bigint").alias("tconvs"),
+    )
+    cum = agg.select(
+        "decile",
+        "users",
+        "convs",
+        "tusers",
+        "tconvs",
+        F.sum("convs")
+        .over(W.orderBy("decile"))
+        .cast("bigint")
+        .alias("cconvs"),
+    )
+    return cum.select(
+        "decile",
+        "users",
+        "convs",
+        F.expr(_LIFT_RATE).alias("conv_rate"),
+        F.expr(_LIFT_LIFT).alias("lift"),
+        F.expr(_LIFT_CAPTURE).alias("cum_capture"),
+    ).orderBy("decile")

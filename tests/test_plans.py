@@ -220,6 +220,7 @@ BNLJ_ALLOWED = {
     "events_forecast_conformal",        # 1-row day-split scalars
     "events_markov_steady_state",       # 1-row state-count scalar
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
+    "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
 
 
@@ -334,6 +335,8 @@ EXCHANGE_BOUNDS = {
     # frame exchanges, not corpus ones (the corpus pays the lag window)
     "events_markov_steady_state": 29,
     "text_cluster_labels_ctfidf": 7,
+    "events_quantile_treatment_effect": 4,
+    "events_model_lift_table": 3,
 }
 
 
