@@ -278,3 +278,147 @@ def test_modularity_matches_bruteforce(spark):
     for br in deg:
         assert got[br][1] == intra.get(br, 0)
         assert got[br][2] == deg[br]
+
+
+def test_item_cf_matches_bruteforce(spark):
+    baskets = _duck("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    from collections import Counter
+
+    ic = Counter(p for _, p in baskets)
+    by_order = {}
+    for o, p in baskets:
+        by_order.setdefault(o, []).append(p)
+    pair = Counter()
+    for items in by_order.values():
+        items.sort()
+        for i, a in enumerate(items):
+            for b in items[i + 1 :]:
+                pair[(a, b)] += 1
+    top = sorted(ic, key=lambda p: (-ic[p], p))[:20]
+    expect = {}
+    for item in top:
+        cands = []
+        for (a, b), nab in pair.items():
+            if nab < 2 or item not in (a, b):
+                continue
+            nb = b if a == item else a
+            cos = round(nab / math.sqrt(ic[item] * ic[nb]), 9)
+            cands.append((-cos, nb, nab))
+        cands.sort()
+        expect[item] = [
+            (nb, nab, -negcos) for negcos, nb, nab in cands[:3]
+        ]
+    got = {}
+    for item, nb, nab, cos, rk in _rows("analytics_item_cf_topk", spark):
+        got.setdefault(item, []).append((nb, nab, cos))
+    for item in got:
+        assert got[item] == [
+            (nb, nab, pytest.approx(c, abs=1e-9))
+            for nb, nab, c in expect[item]
+        ]
+
+
+def test_abc_matches_bruteforce(spark):
+    rows = _duck(
+        "SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,2)))"
+        " FROM lineitem GROUP BY 1"
+    )
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    tot = sum(r[1] for r in ranked)
+    cls = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    cum = 0
+    for _, rev in ranked:
+        cum += rev
+        k = "A" if cum * 10 <= tot * 7 else ("B" if cum * 10 <= tot * 9 else "C")
+        cls[k][0] += 1
+        cls[k][1] += rev
+    got = {r[0]: r for r in _rows("report_abc_classification", spark)}
+    for k in cls:
+        assert got[k][1] == cls[k][0]
+        assert got[k][2] == pytest.approx(float(cls[k][1]), abs=1e-6)
+        assert got[k][3] == pytest.approx(
+            round(float(cls[k][1]) / float(tot), 6), abs=1e-6
+        )
+
+
+def test_markov_steady_state_matches_numpy(spark):
+    rows = _duck(
+        """
+        WITH seq AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev, event_type, COUNT(*) FROM seq
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+        """
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rt = defaultdict(int)
+    for p, nx, n in rows:
+        rt[p] += n
+    states = sorted(rt)
+    pi = {s: round(1.0 / len(states), 12) for s in states}
+    for _ in range(12):
+        acc = {s: Decimal(0) for s in states}
+        for p, nx, n in rows:
+            term = round(pi[p] * (n / rt[p]), 12)
+            acc[nx] += Decimal(str(term)).quantize(Decimal("1e-12"))
+        pi = {s: float(acc[s]) for s in states}
+    got = {r[0]: r[1] for r in _rows("events_markov_steady_state", spark)}
+    for s in states:
+        assert got[s] == pytest.approx(round(pi[s], 9), abs=2e-9)
+
+
+def test_lift_table_matches_bruteforce(spark):
+    rows = _duck(
+        """
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM events GROUP BY user_id
+        """
+    )
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for _, score, conv in rows:
+        g[score][0] += 1
+        g[score][1] += conv
+    tusers = sum(v[0] for v in g.values())
+    tconvs = sum(v[1] for v in g.values())
+    before = 0
+    dec = defaultdict(lambda: [0, 0])
+    for score in sorted(g, reverse=True):
+        d = before * 10 // tusers
+        dec[d][0] += g[score][0]
+        dec[d][1] += g[score][1]
+        before += g[score][0]
+    got = {r[0]: r for r in _rows("events_model_lift_table", spark)}
+    cum = 0
+    for d in sorted(dec):
+        users, convs = dec[d]
+        cum += convs
+        assert got[d][1] == users and got[d][2] == convs
+        assert got[d][3] == pytest.approx(round(convs / users, 6), abs=1e-9)
+        assert got[d][5] == pytest.approx(round(cum / tconvs, 6), abs=1e-9)
+
+
+def test_proximity_matches_bruteforce(spark):
+    import re
+
+    docs = _duck("SELECT doc_id, lower(coalesce(text, '')) FROM documents")
+    expect = []
+    for doc_id, text in docs:
+        toks = re.split(r"[^a-z0-9]+", text)
+        pa = [i for i, t in enumerate(toks) if t == "spark"]
+        pb = [i for i, t in enumerate(toks) if t == "table"]
+        if pa and pb:
+            gap = min(abs(a - b) for a in pa for b in pb)
+            expect.append((gap, doc_id, len(pa) * len(pb)))
+    expect.sort()
+    expect = [(d, g, n) for g, d, n in expect[:15]]
+    got = [(r[0], r[1], r[2]) for r in _rows("fts_proximity_topk", spark)]
+    assert got == expect
