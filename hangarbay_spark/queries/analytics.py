@@ -3626,3 +3626,90 @@ def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(total)
         .orderBy("brand")
     )
+
+
+# Pearson over directed-edge endpoint degrees; moments are exact
+# decimals of integer products (DECIMAL(19,0) factor pattern).
+_ASSORT_MOMENTS = {
+    "n": "CAST(COUNT(*) AS DOUBLE)",
+    "sx": "CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE)",
+    "sxx": (
+        "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))"
+        " AS DOUBLE)"
+    ),
+    "syy": (
+        "CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))"
+        " AS DOUBLE)"
+    ),
+    "sxy": (
+        "CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))"
+        " AS DOUBLE)"
+    ),
+}
+_ASSORT_R = (
+    "round((n * sxy - sx * sy) / "
+    "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+)
+_ASSORT_GUARD = "n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0"
+_ASSORT_SELECT = ",\n             ".join(
+    f"{e} AS {a}" for a, e in _ASSORT_MOMENTS.items()
+)
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM und GROUP BY src),
+    ed AS (
+      SELECT a.deg AS dx, b.deg AS dy
+      FROM und JOIN dg a ON und.src = a.node
+               JOIN dg b ON und.dst = b.node),
+    m AS (SELECT {_ASSORT_SELECT} FROM ed)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           {_ASSORT_R} AS assortativity
+    FROM m WHERE {_ASSORT_GUARD}
+    """,
+    "degree assortativity (Newman 2002): the Pearson correlation of "
+    "endpoint degrees over every directed edge of the co-purchase "
+    "graph — do hubs connect to hubs (assortative, r > 0) or to the "
+    "periphery (disassortative, r < 0)? The structural diagnostic "
+    "behind skew-join planning on graphs. Both endpoint degrees join "
+    "from one checkpointed degree table; all six moments are exact "
+    "decimals of integer products (DECIMAL(19,0) factor pattern); r "
+    "compiles from one shared text with the degenerate guard "
+    "identical both sides. At 100 TB: two hash joins on the edge "
+    "list + one map-side-combined moment pass",
+    "analytics extension (degree assortativity)",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst").localCheckpoint(eager=True)
+    dg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).localCheckpoint(eager=True)  # joined on both endpoints
+    ed = und.join(
+        dg.select(F.col("src"), F.col("deg").alias("dx")), "src"
+    ).join(
+        dg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+        "dst",
+    )
+    m = ed.agg(
+        *[F.expr(e_).alias(a) for a, e_ in _ASSORT_MOMENTS.items()]
+    )
+    return m.filter(F.expr(_ASSORT_GUARD)).select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.expr(_ASSORT_R).alias("assortativity"),
+    )

@@ -422,3 +422,37 @@ def test_proximity_matches_bruteforce(spark):
     expect = [(d, g, n) for g, d, n in expect[:15]]
     got = [(r[0], r[1], r[2]) for r in _rows("fts_proximity_topk", spark)]
     assert got == expect
+
+
+def test_assortativity_matches_bruteforce(spark):
+    edges = _duck(
+        """
+        WITH li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+                    FROM lineitem l JOIN part p
+                      ON l.l_partkey = p.p_partkey AND p.p_size <= 5)
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        """
+    )
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    (got,) = _rows("graph_assortativity", spark)
+    assert got[0] == int(n)
+    assert got[1] == pytest.approx(r, abs=2e-6)

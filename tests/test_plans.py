@@ -337,6 +337,7 @@ EXCHANGE_BOUNDS = {
     "text_cluster_labels_ctfidf": 7,
     "events_quantile_treatment_effect": 4,
     "events_model_lift_table": 3,
+    "graph_assortativity": 5,
 }
 
 
