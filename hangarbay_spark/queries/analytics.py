@@ -3713,3 +3713,158 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_directed_edges"),
         F.expr(_ASSORT_R).alias("assortativity"),
     )
+
+
+_CFE_RECALL = "round(CAST(hits AS DOUBLE) / CAST(nb AS DOUBLE), 6)"
+
+
+@register(
+    "analytics_item_cf_holdout_recall",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(MAX(l_partkey) OVER (PARTITION BY l_orderkey)
+               AS BIGINT) AS held,
+             CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS bsz
+      FROM li),
+    ctx AS (
+      SELECT l_orderkey, l_partkey, held
+      FROM sized WHERE bsz >= 2 AND l_partkey <> held),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ctx GROUP BY l_partkey),
+    pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  CAST(COUNT(*) AS BIGINT) AS nab
+           FROM ctx a JOIN ctx b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS (
+      SELECT part_a AS item, part_b AS neighbor, nab FROM pr
+      UNION ALL
+      SELECT part_b AS item, part_a AS neighbor, nab FROM pr),
+    joined AS (
+      SELECT s.item, s.neighbor, s.nab, ia.cnt AS na, ib.cnt AS nb
+      FROM sym s JOIN ic ia ON ia.l_partkey = s.item
+                 JOIN ic ib ON ib.l_partkey = s.neighbor),
+    scored AS (
+      SELECT item, neighbor, {_CF_COSINE} AS cosine FROM joined),
+    top3 AS (
+      SELECT item, neighbor FROM (
+        SELECT item, neighbor,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, neighbor) AS rk
+        FROM scored) t
+      WHERE rk <= 3),
+    ev AS (
+      SELECT c.l_orderkey,
+             MAX(CASE WHEN t.neighbor IS NOT NULL THEN 1 ELSE 0 END)
+               AS hit
+      FROM ctx c LEFT JOIN top3 t
+        ON c.l_partkey = t.item AND c.held = t.neighbor
+      GROUP BY c.l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(hit) AS BIGINT) AS hits,
+           {_CFE_RECALL} AS recall_at_3
+    FROM ev
+    """,
+    "recommender evaluation by leave-one-out holdout: each basket's "
+    "max-key item is held out, item-item CF trains on the remaining "
+    "context pairs only (no target leakage into supports), and a "
+    "basket scores a hit when ANY context item's top-3 cosine "
+    "neighbors contain the held-out item — hit-rate@3, the offline "
+    "metric that decides whether the recommender ships. All counts "
+    "exact integers; one shared recall text. At 100 TB: the same "
+    "basket-bounded pair expansion as training plus one "
+    "(item, held) equi-join against the top-3 edge set",
+    "analytics extension (recommender holdout evaluation)",
+)
+def analytics_item_cf_holdout_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    wb = Window.partitionBy("l_orderkey")
+    sized = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.max("l_partkey").over(wb).cast("bigint").alias("held"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("bsz"),
+    )
+    ctx = (
+        sized.filter(
+            (F.col("bsz") >= 2) & (F.col("l_partkey") != F.col("held"))
+        )
+        .select("l_orderkey", "l_partkey", "held")
+        .localCheckpoint(eager=True)  # counts, both pair sides, eval join
+    )
+    ic = ctx.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=True)
+    pr = (
+        ctx.alias("a")
+        .join(ctx.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    sym = pr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("item"),
+                    F.col("part_b").alias("neighbor"),
+                    F.col("nab").alias("nab"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("item"),
+                    F.col("part_a").alias("neighbor"),
+                    F.col("nab").alias("nab"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.neighbor", "e.nab")
+    scored = (
+        sym.join(
+            ic.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("na")),
+            "item",
+        )
+        .join(
+            ic.select(
+                F.col("l_partkey").alias("neighbor"),
+                F.col("cnt").alias("nb"),
+            ),
+            "neighbor",
+        )
+        .select("item", "neighbor", F.expr(_CF_COSINE).alias("cosine"))
+    )
+    top3 = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("item").orderBy(
+                    F.desc("cosine"), "neighbor"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("item", F.col("neighbor").alias("held"), F.lit(1).alias("t"))
+    )
+    ev = (
+        ctx.select(F.col("l_partkey").alias("item"), "held", "l_orderkey")
+        .join(top3, ["item", "held"], "left")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.coalesce(F.col("t"), F.lit(0))).alias("hit"))
+    )
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("hit").cast("bigint").alias("hits"),
+    ).select("nb", "hits", F.expr(_CFE_RECALL).alias("recall_at_3"))

@@ -338,6 +338,7 @@ EXCHANGE_BOUNDS = {
     "events_quantile_treatment_effect": 4,
     "events_model_lift_table": 3,
     "graph_assortativity": 5,
+    "analytics_item_cf_holdout_recall": 9,
 }
 
 
