@@ -4850,3 +4850,49 @@ def events_model_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LIFT_LIFT).alias("lift"),
         F.expr(_LIFT_CAPTURE).alias("cum_capture"),
     ).orderBy("decile")
+
+
+@register(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "semi-structured VARIANT-type aggregation (Spark 4 parse_json / "
+    "variant_get — the open-format answer to a JSON-string column): "
+    "props parses ONCE per row into a binary variant and typed "
+    "extraction feeds integer aggregates — unlike repeated "
+    "get_json_object calls, the parse cost is paid once however many "
+    "paths are read. Results are exact integers; the DuckDB twin "
+    "reads the same paths with json_extract. At 100 TB this is the "
+    "shredded-ingest pattern for heterogeneous event payloads",
+    "2.2 scalar functions (Spark 4 VARIANT semi-structured type)",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.expr("parse_json(props)").alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

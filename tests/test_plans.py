@@ -339,6 +339,7 @@ EXCHANGE_BOUNDS = {
     "events_model_lift_table": 3,
     "graph_assortativity": 5,
     "analytics_item_cf_holdout_recall": 9,
+    "events_variant_extract": 2,
 }
 
 
