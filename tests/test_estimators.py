@@ -456,3 +456,101 @@ def test_assortativity_matches_bruteforce(spark):
     (got,) = _rows("graph_assortativity", spark)
     assert got[0] == int(n)
     assert got[1] == pytest.approx(r, abs=2e-6)
+
+
+def test_windowed_funnel_matches_simulation(spark):
+    rows = _duck(
+        "SELECT user_id, event_type, event_id,"
+        " CAST(epoch_ms(ts) AS BIGINT) FROM events"
+        " ORDER BY user_id, 4, event_id"
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, et, eid, tms in rows:
+        by_user[u].append((tms, eid, et))
+    H = 3600000
+    np_, nc = 0, 0
+    tts = []
+    for u, evs in by_user.items():
+        lastv = None
+        cl = None  # (click_ts, view_ts_at_click)
+        for tms, eid, et in evs:
+            if et == "purchase":
+                np_ += 1
+                if (
+                    cl is not None
+                    and cl[1] is not None
+                    and tms - cl[0] <= H
+                    and cl[0] - cl[1] <= H
+                ):
+                    nc += 1
+                    tts.append(tms - cl[1])
+            if et == "click":
+                cl = (tms, lastv)
+            if et == "view":
+                lastv = tms
+    tts.sort()
+    m = len(tts)
+    pos = (m - 1) * 0.5
+    lo, hi = tts[math.floor(pos)], tts[math.ceil(pos)]
+    med = round(lo + (pos - math.floor(pos)) * (hi - lo), 6)
+    (got,) = _rows("events_windowed_funnel", spark)
+    assert got[0] == np_ and got[1] == nc
+    assert got[2] == pytest.approx(round(nc / np_, 6), abs=1e-9)
+    assert got[3] == pytest.approx(med, abs=1e-6)
+
+
+def test_gapfill_matches_simulation(spark):
+    rows = _duck(
+        """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6)
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+    obs = dict(rows)
+    his = sorted(obs)
+    expect = {}
+    for hi in range(his[0], his[-1] + 1):
+        if hi in obs:
+            expect[hi] = (obs[hi], 0)
+        else:
+            ph = max(h for h in his if h < hi)
+            nh = min(h for h in his if h > hi)
+            pv, nv = obs[ph], obs[nh]
+            expect[hi] = (
+                round(pv + (nv - pv) * (hi - ph) / (nh - ph), 6),
+                1,
+            )
+    got = {r[0]: (r[1], r[2]) for r in _rows("events_gapfill_interpolate", spark)}
+    assert set(got) == set(expect)
+    for hi in expect:
+        assert got[hi][1] == expect[hi][1]
+        assert got[hi][0] == pytest.approx(expect[hi][0], abs=1e-9)
+
+
+def test_sequence_pattern_matches_simulation(spark):
+    rows = _duck(
+        "SELECT user_id, event_type, event_id,"
+        " CAST(epoch_ms(ts) AS BIGINT) FROM events"
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, et, eid, tms in rows:
+        by_user[u].append((tms, eid, et[0]))
+    dist = defaultdict(lambda: [0, 0])
+    for u, evs in by_user.items():
+        evs.sort()
+        s = "".join(ch for _, _, ch in evs)
+        strict = (len(s) - len(s.replace("vcp", ""))) // 3
+        import re
+
+        sub = 1 if re.search("v.*c.*p", s) else 0
+        dist[(strict, sub)][0] += 1
+        dist[(strict, sub)][1] += len(s)
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _rows("events_sequence_pattern", spark)}
+    assert got == {k: tuple(v) for k, v in dist.items()}
