@@ -31,6 +31,16 @@ def _duck(sql: str):
     return con.execute(sql).fetchall()
 
 
+def _r6(x):
+    """Spark ROUND(double, 6) semantics: BigDecimal.valueOf(double)
+    (the SHORTEST string repr, not the exact binary expansion), then
+    HALF_UP — Python's round() is half-even and Decimal(x) is the
+    binary expansion; both disagree at .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def _tie_ranks(values):
     """average tie ranks, 1-based."""
     order = sorted(range(len(values)), key=lambda i: values[i])
@@ -492,13 +502,16 @@ def test_windowed_funnel_matches_simulation(spark):
                 lastv = tms
     tts.sort()
     m = len(tts)
-    pos = (m - 1) * 0.5
-    lo, hi = tts[math.floor(pos)], tts[math.ceil(pos)]
-    med = round(lo + (pos - math.floor(pos)) * (hi - lo), 6)
     (got,) = _rows("events_windowed_funnel", spark)
     assert got[0] == np_ and got[1] == nc
-    assert got[2] == pytest.approx(round(nc / np_, 6), abs=1e-9)
-    assert got[3] == pytest.approx(med, abs=1e-6)
+    assert got[2] == pytest.approx(_r6(nc / np_), abs=1e-9)
+    if m == 0:
+        assert got[3] is None
+    else:
+        pos = (m - 1) * 0.5
+        lo, hi = tts[math.floor(pos)], tts[math.ceil(pos)]
+        med = _r6(lo + (pos - math.floor(pos)) * (hi - lo))
+        assert got[3] == pytest.approx(med, abs=1e-6)
 
 
 def test_gapfill_matches_simulation(spark):
@@ -522,7 +535,7 @@ def test_gapfill_matches_simulation(spark):
             nh = min(h for h in his if h > hi)
             pv, nv = obs[ph], obs[nh]
             expect[hi] = (
-                round(pv + (nv - pv) * (hi - ph) / (nh - ph), 6),
+                _r6(pv + (nv - pv) * (hi - ph) / (nh - ph)),
                 1,
             )
     got = {r[0]: (r[1], r[2]) for r in _rows("events_gapfill_interpolate", spark)}
