@@ -2301,3 +2301,65 @@ def _set_sampled_quantiles_oracle() -> None:
 
 
 _set_sampled_quantiles_oracle()
+
+
+@register(
+    "agg_skyline_parts",
+    """
+    WITH g AS (
+      SELECT l_partkey,
+             MIN(l_extendedprice) AS p,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, p AS min_price, q AS total_qty
+    FROM g a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g b
+      WHERE b.p <= a.p AND b.q >= a.q AND (b.p < a.p OR b.q > a.q))
+    ORDER BY p, l_partkey
+    """,
+    "skyline / Pareto-front query (Borzsony et al. 2001): parts not "
+    "dominated on (cheaper min price, higher total quantity) — the "
+    "multi-criteria shortlist operator. Scalable single-sort "
+    "formulation: per-price-group max quantity, a strict-predecessor "
+    "running max over the price domain, and a part survives iff it "
+    "beats every strictly-cheaper quantity and tops its own price "
+    "group ((p, q)-duplicates mutually survive). The oracle is the "
+    "OPPOSITE construction — the quadratic NOT EXISTS dominance "
+    "definition — so agreement checks the window reformulation "
+    "itself, not a shared recipe. All comparisons on exact values. "
+    "At 100 TB: one part rollup; the running max lives on the "
+    "price-domain frame (range-partitionable)",
+    "analytics extension (skyline / Pareto-front operator)",
+)
+def agg_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("p"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+    )
+    pg = g.groupBy("p").agg(F.max("q").alias("maxq_at_p"))
+    ordered = pg.select(
+        "p",
+        "maxq_at_p",
+        F.max("maxq_at_p")
+        .over(W.orderBy("p").rowsBetween(W.unboundedPreceding, -1))
+        .alias("cummax_prev"),
+    )
+    # no broadcast hint: the price-domain frame grows with SF — the
+    # planner/AQE picks broadcast while it is actually small.
+    j = g.join(ordered, "p")
+    return (
+        j.filter(
+            (F.col("cummax_prev").isNull() | (F.col("q") > F.col("cummax_prev")))
+            & (F.col("q") == F.col("maxq_at_p"))
+        )
+        .select(
+            "l_partkey",
+            F.col("p").alias("min_price"),
+            F.col("q").alias("total_qty"),
+        )
+        .orderBy("min_price", "l_partkey")
+    )

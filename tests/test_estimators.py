@@ -567,3 +567,21 @@ def test_sequence_pattern_matches_simulation(spark):
         dist[(strict, sub)][1] += len(s)
     got = {(r[0], r[1]): (r[2], r[3]) for r in _rows("events_sequence_pattern", spark)}
     assert got == {k: tuple(v) for k, v in dist.items()}
+
+
+def test_skyline_matches_bruteforce(spark):
+    rows = _duck(
+        "SELECT l_partkey, MIN(l_extendedprice),"
+        " SUM(CAST(l_quantity AS BIGINT)) FROM lineitem GROUP BY 1"
+    )
+    sky = []
+    for k, p, q in rows:
+        dominated = any(
+            bp <= p and bq >= q and (bp < p or bq > q)
+            for _, bp, bq in rows
+        )
+        if not dominated:
+            sky.append((p, k, q))
+    sky.sort()
+    got = [(r[1], r[0], r[2]) for r in _rows("agg_skyline_parts", spark)]
+    assert got == sky

@@ -340,6 +340,7 @@ EXCHANGE_BOUNDS = {
     "graph_assortativity": 5,
     "analytics_item_cf_holdout_recall": 9,
     "events_variant_extract": 2,
+    "agg_skyline_parts": 6,
 }
 
 
