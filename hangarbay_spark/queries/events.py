@@ -4896,3 +4896,112 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# per-lag Pearson between the two series from exact integer moments;
+# one shared text, degenerate-lag guard identical both sides.
+_CCF_R = (
+    "round((m * p - a * b) / "
+    "sqrt((m * qx - a * a) * (m * qy - b * b)), 6)"
+)
+_CCF_GUARD = "m * qx - a * a > 0.0 AND m * qy - b * b > 0.0"
+
+
+@register(
+    "events_crosscorr_lags",
+    f"""
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    bounds AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM hc),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hi FROM bounds),
+    ser AS (SELECT s.hi, COALESCE(hc.x, 0) AS x, COALESCE(hc.y, 0) AS y
+            FROM spine s LEFT JOIN hc ON s.hi = hc.hi),
+    lags AS (SELECT unnest(generate_series(-12, 12)) AS lag_h),
+    pairs AS (
+      SELECT lags.lag_h, t.x AS xt, u.y AS yl
+      FROM ser t CROSS JOIN lags
+      JOIN ser u ON u.hi = t.hi + lags.lag_h),
+    mo AS (
+      SELECT lag_h, CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(xt) AS DOUBLE) AS a,
+             CAST(SUM(yl) AS DOUBLE) AS b,
+             CAST(SUM(xt * xt) AS DOUBLE) AS qx,
+             CAST(SUM(yl * yl) AS DOUBLE) AS qy,
+             CAST(SUM(xt * yl) AS DOUBLE) AS p
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag_h AS BIGINT) AS lag_h,
+           CAST(m AS BIGINT) AS n_pairs,
+           {_CCF_R} AS ccf
+    FROM mo
+    WHERE {_CCF_GUARD} AND m > 1.0
+    ORDER BY lag_h
+    """,
+    "cross-correlation function between the hourly click and purchase "
+    "series at lags -12..+12 — the lead/lag timing readout (the "
+    "argmax lag says how long purchases trail clicks) behind any "
+    "transfer-function or adstock model; the two-series complement "
+    "of the ACF. Both series come from ONE conditional hourly rollup "
+    "zero-filled on a generated spine; per-lag Pearson compiles from "
+    "exact integer moments via one shared text with identical "
+    "degenerate-lag guards. At 100 TB the corpus pays one rollup; "
+    "the lag expansion lives on the hours-domain frame",
+    "analytics extension (cross-correlation / lead-lag analysis)",
+)
+def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hc = ev.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) DIV 3600 AS BIGINT)"
+        ).alias("hi")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bounds = hc.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hi"))
+    ser = (
+        spine.join(hc, "hi", "left")
+        .select(
+            "hi",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint()  # both sides of the lag self-join
+    )
+    left = ser.select(
+        F.col("x").alias("xt"),
+        "hi",
+        F.explode(F.sequence(F.lit(-12), F.lit(12))).alias("lag_h"),
+    ).select("xt", "lag_h", (F.col("hi") + F.col("lag_h")).alias("hj"))
+    pairs = left.join(
+        ser.select(F.col("hi").alias("hj"), F.col("y").alias("yl")), "hj"
+    )
+    mo = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("xt").cast("double").alias("a"),
+        F.sum("yl").cast("double").alias("b"),
+        F.sum(F.col("xt") * F.col("xt")).cast("double").alias("qx"),
+        F.sum(F.col("yl") * F.col("yl")).cast("double").alias("qy"),
+        F.sum(F.col("xt") * F.col("yl")).cast("double").alias("p"),
+    )
+    return (
+        mo.filter(F.expr(f"{_CCF_GUARD} AND m > 1.0"))
+        .select(
+            F.col("lag_h").cast("bigint").alias("lag_h"),
+            F.col("m").cast("bigint").alias("n_pairs"),
+            F.expr(_CCF_R).alias("ccf"),
+        )
+        .orderBy("lag_h")
+    )

@@ -341,6 +341,7 @@ EXCHANGE_BOUNDS = {
     "analytics_item_cf_holdout_recall": 9,
     "events_variant_extract": 2,
     "agg_skyline_parts": 6,
+    "events_crosscorr_lags": 3,
 }
 
 
