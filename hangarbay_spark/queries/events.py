@@ -5005,3 +5005,98 @@ def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_h")
     )
+
+
+@register(
+    "events_peak_detection",
+    """
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(hi) AS mn, MAX(hi) AS mx FROM hc),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hi FROM bounds),
+    ser AS (SELECT s.hi, COALESCE(hc.x, 0) AS x
+            FROM spine s LEFT JOIN hc ON s.hi = hc.hi),
+    thr AS (
+      SELECT v AS p90 FROM (
+        SELECT x AS v,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY x) AS BIGINT) AS cum,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+        FROM ser GROUP BY x) t
+      WHERE cum * 10 >= n * 9
+      ORDER BY v LIMIT 1),
+    w AS (
+      SELECT hi, x,
+             COALESCE(MAX(x) OVER (ORDER BY hi
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), -1) AS ml,
+             COALESCE(MAX(x) OVER (ORDER BY hi
+               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), -1) AS mr
+      FROM ser)
+    SELECT w.hi, w.x AS peak_count, thr.p90 AS threshold
+    FROM w CROSS JOIN thr
+    WHERE w.x > w.ml AND w.x > w.mr AND w.x >= thr.p90
+    ORDER BY w.x DESC, w.hi LIMIT 20
+    """,
+    "peak detection on the hourly event-count series: a peak "
+    "strictly exceeds every neighbor within +-2 hours (strict-frame "
+    "MAX windows on the zero-filled spine) AND clears the exact "
+    "value-domain p90 threshold (discrete lower quantile via running "
+    "counts — no interpolation, so the whole query is integer-"
+    "exact). Top-20 peaks with deterministic tie-break — the "
+    "traffic-spike / incident-detection readout. At 100 TB: one "
+    "hourly rollup; windows range-partition the spine",
+    "analytics extension (peak detection / local maxima)",
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hc = ev.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) DIV 3600 AS BIGINT)"
+        ).alias("hi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hc.agg(F.min("hi").alias("mn"), F.max("hi").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hi"))
+    ser = (
+        spine.join(hc, "hi", "left")
+        .select("hi", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint()  # threshold pass + window pass
+    )
+    vd = ser.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    thr = (
+        vd.select(
+            "v",
+            F.sum("c").over(W.orderBy("v")).cast("bigint").alias("cum"),
+            F.sum("c")
+            .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .cast("bigint")
+            .alias("n"),
+        )
+        .filter(F.col("cum") * 10 >= F.col("n") * 9)
+        .orderBy("v")
+        .limit(1)
+        .select(F.col("v").alias("p90"))
+    )
+    w = ser.select(
+        "hi",
+        "x",
+        F.coalesce(
+            F.max("x").over(W.orderBy("hi").rowsBetween(-2, -1)), F.lit(-1)
+        ).alias("ml"),
+        F.coalesce(
+            F.max("x").over(W.orderBy("hi").rowsBetween(1, 2)), F.lit(-1)
+        ).alias("mr"),
+    )
+    return (
+        w.crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("x") > F.col("ml"))
+            & (F.col("x") > F.col("mr"))
+            & (F.col("x") >= F.col("p90"))
+        )
+        .select("hi", F.col("x").alias("peak_count"), F.col("p90").alias("threshold"))
+        .orderBy(F.desc("peak_count"), "hi")
+        .limit(20)
+    )

@@ -219,6 +219,7 @@ BNLJ_ALLOWED = {
     "quality_mutual_information",       # 1-row label-entropy scalar
     "events_forecast_conformal",        # 1-row day-split scalars
     "events_markov_steady_state",       # 1-row state-count scalar
+    "events_peak_detection",            # 1-row p90-threshold scalar
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
@@ -342,6 +343,7 @@ EXCHANGE_BOUNDS = {
     "events_variant_extract": 2,
     "agg_skyline_parts": 6,
     "events_crosscorr_lags": 3,
+    "events_peak_detection": 4,
 }
 
 
