@@ -1265,3 +1265,106 @@ def quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("mutual_info"), "feature")
     )
+
+
+@register(
+    "quality_duplicate_transactions",
+    """
+    WITH o0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      FROM orders),
+    o AS (
+      SELECT * FROM o0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice, d + 3
+      FROM o0 WHERE o_orderkey % 97 = 0),
+    b AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, d,
+             CAST(d // 7 AS BIGINT) AS wk
+      FROM o),
+    exp AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, d, wk + off AS wk
+      FROM b CROSS JOIN (SELECT unnest([0, 1]) AS off) t),
+    pairs AS (
+      SELECT a.o_orderkey AS order_a, bb.o_orderkey AS order_b,
+             a.o_custkey AS custkey, a.o_totalprice AS amount,
+             CAST(abs(a.d - bb.d) AS BIGINT) AS day_gap
+      FROM exp a JOIN b bb
+        ON a.wk = bb.wk
+       AND a.o_custkey = bb.o_custkey
+       AND a.o_totalprice = bb.o_totalprice
+       AND a.o_orderkey < bb.o_orderkey
+      WHERE abs(a.d - bb.d) <= 7)
+    SELECT DISTINCT order_a, order_b, custkey, amount, day_gap
+    FROM pairs
+    ORDER BY custkey, order_a, order_b
+    """,
+    "forensic duplicate-transaction detection: same customer, "
+    "IDENTICAL amount, within 7 days — the double-charge / duplicate-"
+    "invoice audit. Amounts are near-unique in the synthetic data, so "
+    "duplicates are injected deterministically in-query (every 97th "
+    "order re-posted 3 days later under an offset key — the "
+    "referential-integrity-audit precedent) so the detection path is "
+    "exercised with non-zero hash-verified matches. Non-equi time window via the 1D-binned pattern: "
+    "each order expands into its own and the NEXT week bin (points "
+    "expand, never pairs), candidates equi-join on (bin, customer, "
+    "amount), the exact day-gap predicate verifies, a<b + DISTINCT "
+    "canonicalize double-counted bin matches. All integers/exact "
+    "doubles. At 100 TB: candidates are bounded by per-(customer, "
+    "amount) frequency — no cross join anywhere",
+    "quality extension (duplicate-transaction forensics)",
+)
+def quality_duplicate_transactions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    o = o0.unionByName(
+        o0.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            (F.col("d") + 3).alias("d"),
+        )
+    )
+    b = o.select(
+        "*", (F.col("d") / 7).cast("bigint").alias("wk")
+    ).localCheckpoint()  # expanded left side + bare right side
+    exp = b.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "d",
+        F.explode(F.array(F.col("wk"), F.col("wk") + 1)).alias("wk"),
+    )
+    right = b.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("d").alias("db"),
+        "wk",
+    )
+    pairs = (
+        exp.join(right, ["wk", "o_custkey", "o_totalprice"])
+        .filter(
+            (F.col("o_orderkey") < F.col("order_b"))
+            & (F.abs(F.col("d") - F.col("db")) <= 7)
+        )
+        .select(
+            F.col("o_orderkey").alias("order_a"),
+            "order_b",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("amount"),
+            F.abs(F.col("d") - F.col("db")).cast("bigint").alias("day_gap"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("custkey", "order_a", "order_b")

@@ -344,6 +344,7 @@ EXCHANGE_BOUNDS = {
     "agg_skyline_parts": 6,
     "events_crosscorr_lags": 3,
     "events_peak_detection": 4,
+    "quality_duplicate_transactions": 3,
 }
 
 
