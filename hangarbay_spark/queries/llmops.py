@@ -4837,3 +4837,89 @@ def text_cluster_labels_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("ctfidf"),
         "rk",
     ).orderBy("cluster", "rk")
+
+
+def _o_balanced() -> str:
+    from hangarbay_spark.queries.relational import _o_kmv_hashval
+
+    h = _o_kmv_hashval("'bal:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH d AS (SELECT source, doc_id, n_chars, {h} AS hv FROM documents),
+    mn AS (
+      SELECT CAST(MIN(cnt) AS BIGINT) AS mn FROM (
+        SELECT COUNT(*) AS cnt FROM d GROUP BY source)),
+    rk AS (
+      SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS rk
+      FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= mn THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept,
+           CAST(SUM(CASE WHEN rk <= mn THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM rk CROSS JOIN mn
+    GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "sample_balanced_downsample",
+    _o_balanced(),
+    "class-balanced downsampling: every source keeps exactly the "
+    "minority-source count of documents, selected by 48-bit content-"
+    "hash order (stable across runs, repartitions and appends — no "
+    "RNG, no skew toward ingestion order). The kept-chars sum is "
+    "hash-verified, proving the SELECTION matches cross-engine, not "
+    "just the counts. The LLM-pipeline use: source rebalancing "
+    "before mixture weighting when one crawl dominates. At 100 TB: "
+    "one source-keyed ranked pass (spillable sort), a 1-row minority "
+    "scalar broadcast, map-side-combined rollup",
+    "sampling extension (class-balanced downsampling)",
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.queries.relational import _kmv_hashval_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        _kmv_hashval_col(
+            F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    rk = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("hv", "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    ).localCheckpoint()  # feeds the minority scalar AND the rollup
+    mn = (
+        rk.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("bigint").alias("mn"))
+    )
+    return (
+        rk.crossJoin(F.broadcast(mn))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= F.col("mn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("mn"), F.col("n_chars")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -220,6 +220,7 @@ BNLJ_ALLOWED = {
     "events_forecast_conformal",        # 1-row day-split scalars
     "events_markov_steady_state",       # 1-row state-count scalar
     "events_peak_detection",            # 1-row p90-threshold scalar
+    "sample_balanced_downsample",       # 1-row minority-count scalar
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
@@ -345,6 +346,7 @@ EXCHANGE_BOUNDS = {
     "events_crosscorr_lags": 3,
     "events_peak_detection": 4,
     "quality_duplicate_transactions": 3,
+    "sample_balanced_downsample": 5,
 }
 
 
