@@ -5100,3 +5100,144 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_count"), "hi")
         .limit(20)
     )
+
+
+# per-transition-row entropy term: -p ln p with p one divide of exact
+# counts, ln 6 dp-guarded, product 9 dp, decimal-summed per prev state.
+_TE_TERM = (
+    "round(-(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)) "
+    "* round(ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 6), 9)"
+)
+_TE_PERP = "round(exp(entropy), 6)"
+
+
+@register(
+    "events_transition_entropy",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    tm AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS rt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    h AS (
+      SELECT prev_type,
+             CAST(COUNT(*) AS BIGINT) AS n_next_states,
+             CAST(SUM(CAST({_TE_TERM} AS DECIMAL(20,9))) AS DOUBLE)
+               AS entropy
+      FROM tm GROUP BY prev_type)
+    SELECT prev_type, n_next_states, entropy,
+           {_TE_PERP} AS perplexity
+    FROM h ORDER BY prev_type
+    """,
+    "behavioral predictability: the conditional entropy H(next | "
+    "prev) of each state's transition row, plus its perplexity "
+    "(effective branching factor) — which user states are "
+    "predictable and which are coin flips; the information-theoretic "
+    "readout over the same matrix the Markov queries mine. "
+    "Transition p is one divide of exact counts, ln 6 dp-guarded, "
+    "terms 9 dp-rounded and decimal-summed; exp guarded by the same "
+    "rounding. At 100 TB: one lag-window shuffle, then the "
+    "states-domain frame",
+    "analytics extension (transition entropy / predictability)",
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tm = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "prev_type",
+            "n",
+            F.sum("n")
+            .over(W.partitionBy("prev_type"))
+            .cast("bigint")
+            .alias("rt"),
+        )
+    )
+    h = tm.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_next_states"),
+        F.sum(F.expr(_TE_TERM).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("entropy"),
+    )
+    return h.select(
+        "prev_type",
+        "n_next_states",
+        "entropy",
+        F.expr(_TE_PERP).alias("perplexity"),
+    ).orderBy("prev_type")
+
+
+_STICKY = "round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)"
+
+
+@register(
+    "events_dau_wau_stickiness",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+      FROM events),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    span AS (
+      SELECT ud.user_id, ud.d + off AS td
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o),
+    wau AS (
+      SELECT td AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM span GROUP BY td),
+    ok AS (SELECT MIN(d) + 6 AS lo, MAX(d) AS hi FROM dau)
+    SELECT dau.d, dau.dau, wau.wau, {_STICKY} AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d CROSS JOIN ok
+    WHERE dau.d >= ok.lo AND dau.d <= ok.hi
+    ORDER BY dau.d
+    """,
+    "DAU/WAU stickiness per day — the engagement-frequency ratio "
+    "(what share of weekly actives show up daily). Distinct trailing-"
+    "7-day actives cannot be summed from daily counts, so each "
+    "active (user, day) point expands into the 7 windows it serves "
+    "(the point-expansion pattern — never a window self-join) and "
+    "WAU is a countDistinct per target day; partial leading windows "
+    "excluded identically both sides. All integers; one shared "
+    "ratio text. At 100 TB: the user-day frame pays one dedup "
+    "shuffle + a 7x expansion rollup",
+    "analytics extension (DAU/WAU stickiness)",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct().localCheckpoint()  # DAU rollup + the 7x expansion
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    span = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("user_id", (F.col("d") + F.col("off")).alias("td"))
+    wau = span.groupBy(F.col("td").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    ok = dau.agg(
+        (F.min("d") + F.lit(6)).alias("lo"), F.max("d").alias("hi")
+    )
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(ok))
+        .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+        .select("d", "dau", "wau", F.expr(_STICKY).alias("stickiness"))
+        .orderBy("d")
+    )

@@ -221,6 +221,7 @@ BNLJ_ALLOWED = {
     "events_markov_steady_state",       # 1-row state-count scalar
     "events_peak_detection",            # 1-row p90-threshold scalar
     "sample_balanced_downsample",       # 1-row minority-count scalar
+    "events_dau_wau_stickiness",        # 1-row day-bounds scalar
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
@@ -347,6 +348,8 @@ EXCHANGE_BOUNDS = {
     "events_peak_detection": 4,
     "quality_duplicate_transactions": 3,
     "sample_balanced_downsample": 5,
+    "events_transition_entropy": 4,
+    "events_dau_wau_stickiness": 7,
 }
 
 
