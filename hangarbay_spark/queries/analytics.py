@@ -3868,3 +3868,79 @@ def analytics_item_cf_holdout_recall(
         F.count(F.lit(1)).cast("bigint").alias("nb"),
         F.sum("hit").cast("bigint").alias("hits"),
     ).select("nb", "hits", F.expr(_CFE_RECALL).alias("recall_at_3"))
+
+
+@register(
+    "agg_weighted_quantiles",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT flag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price)
+               AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g)
+    SELECT flag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           (MIN(CASE WHEN 4 * cum >= tot THEN price END)
+            + MIN(CASE WHEN 4 * cum > tot THEN price END)) / 2.0
+             AS w_p25,
+           (MIN(CASE WHEN 2 * cum >= tot THEN price END)
+            + MIN(CASE WHEN 2 * cum > tot THEN price END)) / 2.0
+             AS w_median,
+           (MIN(CASE WHEN 4 * cum >= 3 * tot THEN price END)
+            + MIN(CASE WHEN 4 * cum > 3 * tot THEN price END)) / 2.0
+             AS w_p75
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+    "quantity-weighted p25/median/p75 per return flag — the full "
+    "weighted-quantile readout generalizing agg_weighted_median: one "
+    "running-weight pass serves EVERY quantile (each is the (lo+hi)/2 "
+    "midpoint at its exact integer mass boundary — 4*cum >= tot, "
+    "2*cum >= tot, 4*cum >= 3*tot — no float mass arithmetic "
+    "anywhere). At 100 TB: one map-side-combined corpus shuffle; the "
+    "ordered pass range-partitions the per-flag price domain",
+    "analytics extension (weighted quantiles)",
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    r = g.select(
+        "flag",
+        "price",
+        F.sum("w")
+        .over(Window.partitionBy("flag").orderBy("price"))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("w")
+        .over(Window.partitionBy("flag"))
+        .cast("bigint")
+        .alias("tot"),
+    )
+
+    def q(lo_cond, hi_cond, name):
+        return (
+            (
+                F.min(F.when(lo_cond, F.col("price")))
+                + F.min(F.when(hi_cond, F.col("price")))
+            )
+            / F.lit(2.0)
+        ).alias(name)
+
+    c, t = F.col("cum"), F.col("tot")
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight"),
+            q(4 * c >= t, 4 * c > t, "w_p25"),
+            q(2 * c >= t, 2 * c > t, "w_median"),
+            q(4 * c >= 3 * t, 4 * c > 3 * t, "w_p75"),
+        )
+        .orderBy("flag")
+    )

@@ -4923,3 +4923,104 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# collocation PMI: ln(n_ab * N / (n_a * n_b)) over adjacent-pair and
+# unigram counts — exact integers, 6 dp ln guard.
+_COLL_PMI = (
+    "round(ln(CAST(nab AS DOUBLE) * CAST(npairs AS DOUBLE) "
+    "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)"
+)
+_COLL_MIN = 5
+
+
+@register(
+    "text_collocations_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({O_TOKENS}) AS w,
+             generate_subscripts({O_TOKENS}, 1) AS pos
+      FROM documents),
+    adj AS (
+      SELECT w AS a,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM toks WHERE w <> ''),
+    pairs AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM adj WHERE b IS NOT NULL AND b <> ''
+      GROUP BY a, b HAVING COUNT(*) >= {_COLL_MIN}),
+    tot AS (
+      SELECT CAST(SUM(nw) AS BIGINT) AS npairs FROM (
+        SELECT COUNT(*) AS nw FROM adj
+        WHERE b IS NOT NULL AND b <> '')),
+    uni AS (
+      SELECT a AS w, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        SELECT a, COUNT(*) AS cnt FROM adj
+        WHERE b IS NOT NULL AND b <> '' GROUP BY a
+        UNION ALL
+        SELECT b, COUNT(*) FROM adj
+        WHERE b IS NOT NULL AND b <> '' GROUP BY b) t
+      GROUP BY a),
+    j AS (
+      SELECT p.a, p.b, p.nab, ua.n AS na, ub.n AS nb, tot.npairs
+      FROM pairs p JOIN uni ua ON p.a = ua.w
+                   JOIN uni ub ON p.b = ub.w
+      CROSS JOIN tot)
+    SELECT a || ' ' || b AS bigram, nab, {_COLL_PMI} AS pmi
+    FROM j ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    "collocation extraction by pointwise mutual information over "
+    "adjacent token pairs (Church & Hanks 1990): bigrams occurring "
+    "together far beyond chance given their unigram rates — the "
+    "multiword-expression detector behind tokenizer-merge and "
+    "phrase-vocabulary decisions. Slot-based unigram counts (each "
+    "position counted as left and right slot) keep PMI's marginals "
+    "consistent with the pair denominator; counts exact integers, "
+    "ln 6 dp-guarded, min-support floor. At 100 TB: one per-doc LEAD "
+    "window over the token stream (postings-shaped), bounded "
+    "vocab-domain joins",
+    "text extension (PMI collocations / multiword expressions)",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+    )
+    adj = toks.select(
+        F.col("w").alias("a"),
+        F.lead("w").over(W.partitionBy("doc_id").orderBy("pos")).alias("b"),
+    ).filter(F.col("b").isNotNull() & (F.col("b") != "")).localCheckpoint()
+    pairs = (
+        adj.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= _COLL_MIN)
+    )
+    tot = adj.agg(F.count(F.lit(1)).cast("bigint").alias("npairs"))
+    uni = (
+        adj.select(F.col("a").alias("w"))
+        .unionByName(adj.select(F.col("b").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    j = (
+        pairs.join(uni.select(F.col("w").alias("a"), F.col("n").alias("na")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("n").alias("nb")), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "nab",
+            F.expr(_COLL_PMI).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )

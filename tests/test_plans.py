@@ -222,6 +222,7 @@ BNLJ_ALLOWED = {
     "events_peak_detection",            # 1-row p90-threshold scalar
     "sample_balanced_downsample",       # 1-row minority-count scalar
     "events_dau_wau_stickiness",        # 1-row day-bounds scalar
+    "text_collocations_pmi",            # 1-row pair-total scalar
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
@@ -350,6 +351,8 @@ EXCHANGE_BOUNDS = {
     "sample_balanced_downsample": 5,
     "events_transition_entropy": 4,
     "events_dau_wau_stickiness": 7,
+    "agg_weighted_quantiles": 3,
+    "text_collocations_pmi": 7,
 }
 
 
