@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from hangarbay_spark.queries.base import load_events, register
+from hangarbay_spark.queries.base import REGISTRY, load_events, register
 
 SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -5240,4 +5240,56 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
         .select("d", "dau", "wau", F.expr(_STICKY).alias("stickiness"))
         .orderBy("d")
+    )
+
+
+_ER_TERM = "round(stationary_p * entropy, 9)"
+
+
+def _o_entropy_rate() -> str:
+    # compose the two verified component oracles as subqueries (their
+    # own WITH-chains nest inside the FROM)
+    steady = _o_markov_steady()
+    ent = REGISTRY["events_transition_entropy"].oracle
+    return f"""
+    WITH pi AS (SELECT * FROM ({steady}) t1),
+    h AS (SELECT * FROM ({ent}) t2),
+    terms AS (
+      SELECT {_ER_TERM} AS term
+      FROM pi JOIN h ON pi.state = h.prev_type)
+    SELECT CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)
+             AS entropy_rate,
+           round(exp(CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE)), 6)
+             AS perplexity_rate
+    FROM terms
+    """
+
+
+@register(
+    "events_markov_entropy_rate",
+    _o_entropy_rate(),
+    "entropy RATE of the user-journey Markov chain: the stationary-"
+    "distribution-weighted average of per-state transition entropies "
+    "— bits-per-step unpredictability of long-run user behavior, and "
+    "its perplexity (effective long-run branching factor). Pure "
+    "composition of two verified components (the power-iterated "
+    "stationary pi and the per-state entropy rows) joined on the "
+    "5-state frame; terms 9 dp-rounded, decimal-summed. The oracle "
+    "nests both components' own unrolled CTE chains as subqueries — "
+    "compositionality of the parity discipline itself",
+    "analytics extension (Markov entropy rate)",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pi = events_markov_steady_state(spark, sf_dir)
+    h = events_transition_entropy(spark, sf_dir)
+    terms = pi.join(
+        h, pi["state"] == h["prev_type"]
+    ).select(F.expr(_ER_TERM).alias("term"))
+    return terms.agg(
+        F.sum(F.col("term").cast("decimal(20,9)"))
+        .cast("double")
+        .alias("entropy_rate")
+    ).select(
+        "entropy_rate",
+        F.expr("round(exp(entropy_rate), 6)").alias("perplexity_rate"),
     )

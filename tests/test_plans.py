@@ -223,6 +223,7 @@ BNLJ_ALLOWED = {
     "sample_balanced_downsample",       # 1-row minority-count scalar
     "events_dau_wau_stickiness",        # 1-row day-bounds scalar
     "text_collocations_pmi",            # 1-row pair-total scalar
+    "events_markov_entropy_rate",       # composes two scalar components
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
 }
