@@ -585,3 +585,63 @@ def test_skyline_matches_bruteforce(spark):
     sky.sort()
     got = [(r[1], r[0], r[2]) for r in _rows("agg_skyline_parts", spark)]
     assert got == sky
+
+
+def test_weighted_quantiles_matches_bruteforce(spark):
+    rows = _duck(
+        "SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT)"
+        " FROM lineitem"
+    )
+    by_flag = {}
+    for f, p, w in rows:
+        by_flag.setdefault(f, []).append((p, w))
+    got = {r[0]: r for r in _rows("agg_weighted_quantiles", spark)}
+
+    def wq(pw, num, den):
+        # first price with den*cum >= num*tot, and strictly >
+        tot = sum(w for _, w in pw)
+        cum = 0
+        lo = hi = None
+        for p, w in pw:
+            cum += w
+            if lo is None and den * cum >= num * tot:
+                lo = p
+            if hi is None and den * cum > num * tot:
+                hi = p
+        return (lo + hi) / 2.0
+
+    for f, pw in by_flag.items():
+        pw.sort()
+        assert got[f][2] == pytest.approx(wq(pw, 1, 4), abs=1e-9)
+        assert got[f][3] == pytest.approx(wq(pw, 1, 2), abs=1e-9)
+        assert got[f][4] == pytest.approx(wq(pw, 3, 4), abs=1e-9)
+
+
+def test_collocations_matches_bruteforce(spark):
+    import re
+
+    docs = _duck("SELECT lower(trim(text)) FROM documents")
+    from collections import Counter
+
+    pair = Counter()
+    uni = Counter()
+    npairs = 0
+    for (text,) in docs:
+        toks = [t for t in re.split(r"\s+", text) if t != ""]
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] += 1
+            uni[a] += 1
+            uni[b] += 1
+            npairs += 1
+    cands = []
+    for (a, b), nab in pair.items():
+        if nab < 5:
+            continue
+        pmi = _r6(math.log(nab * npairs / (uni[a] * uni[b])))
+        cands.append((-pmi, f"{a} {b}", nab))
+    cands.sort()
+    expect = [(bg, nab, -neg) for neg, bg, nab in cands[:20]]
+    got = [tuple(r) for r in _rows("text_collocations_pmi", spark)]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+    for g, e in zip(got, expect):
+        assert g[2] == pytest.approx(e[2], abs=2e-6)
