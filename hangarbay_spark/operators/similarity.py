@@ -380,27 +380,85 @@ def auto_hyperplane_nbits(n: int, bands: int = HYPERPLANE_BANDS) -> int:
     return bands * bits
 
 
+def _geometry_fs(gp: str):
+    """(hadoop FileSystem, Path) for a geometry side-file path, via the
+    active session — the SAME storage layer the signature parquet uses,
+    so the side file travels with the table on any Spark-supported FS
+    (local, HDFS, s3a, ...), not just the driver's local disk."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, None
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(gp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def _write_geometry(path: str, nbits: int, bands: int, seed: str) -> None:
     """Record a signature table's band geometry next to it so every
     reader (probe-side signature computation, band count) derives the
     SAME geometry the build used — auto-scaled tables stay
-    self-describing; a missing side file means the fixed defaults
-    (backward compatible with pre-existing tables)."""
+    self-describing. Written through the Hadoop FS API (ADVICE r5: a
+    driver-local open() strands the side file when the table lives on a
+    non-local filesystem, recreating the probe-vs-corpus geometry
+    mismatch the file exists to prevent)."""
     import json as _json
 
-    with open(path.rstrip("/") + "_geometry.json", "w") as f:
-        _json.dump({"nbits": nbits, "bands": bands, "seed": seed}, f)
+    gp = path.rstrip("/") + "_geometry.json"
+    payload = _json.dumps({"nbits": nbits, "bands": bands, "seed": seed})
+    fs, hpath = _geometry_fs(gp)
+    if fs is None:  # no active session: driver-local fallback
+        with open(gp, "w") as f:
+            f.write(payload)
+        return
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _read_geometry(path: str) -> tuple[int, int, str]:
+    """Geometry recorded at build time (see :func:`_write_geometry`).
+
+    A missing side file falls back to the FIXED default geometry —
+    correct for pre-side-file tables (which were always built with the
+    defaults) — but warns loudly: for an auto-scaled table a lost side
+    file silently mismatches probe vs corpus bucketing (CLAUDE.md
+    invariant), and the caller should rebuild or restore it."""
     import json as _json
-    import os as _os
+    import warnings as _warnings
 
     gp = path.rstrip("/") + "_geometry.json"
-    if _os.path.exists(gp):
+    fs, hpath = _geometry_fs(gp)
+    if fs is not None and fs.exists(hpath):
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        stream = fs.open(hpath)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        g = _json.loads(txt)
+        return int(g["nbits"]), int(g["bands"]), str(g["seed"])
+    import os as _os
+
+    if fs is None and _os.path.exists(gp):  # no session: local fallback
         with open(gp) as f:
             g = _json.load(f)
         return int(g["nbits"]), int(g["bands"]), str(g["seed"])
+    _warnings.warn(
+        f"no geometry side file at {gp}; assuming the fixed default "
+        f"{HYPERPLANE_BANDS}x{HYPERPLANE_BITS // HYPERPLANE_BANDS}-bit "
+        "geometry — WRONG for auto-scaled builds (rebuild the table or "
+        "restore the side file)",
+        stacklevel=2,
+    )
     return HYPERPLANE_BITS, HYPERPLANE_BANDS, HYPERPLANE_SEED
 
 

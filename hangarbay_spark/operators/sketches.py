@@ -93,7 +93,12 @@ def misra_gries_summary(
         )
 
     cols = [col] if weight_col is None else [col, weight_col]
-    return df.select(*cols).mapInPandas(kernel, f"{col} string, cnt long")
+    # item field keeps its source type — a hardcoded `string` would make
+    # the Arrow conversion fail (or silently coerce) for int/long items
+    item_type = df.schema[col].dataType.simpleString()
+    return df.select(*cols).mapInPandas(
+        kernel, f"`{col}` {item_type}, cnt long"
+    )
 
 
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:

@@ -59,10 +59,14 @@ ARTIFACTS = {
     "ivfpq_coarse": "ivfpq_coarse.parquet",
     "ivfpq_books": "ivfpq_books.parquet",
     "quantized": "quantized.parquet",
+    "events_bydate": "events_bydate.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
-_SOURCE_TABLES = ("documents", "embeddings")
+# Any of these regenerating in place invalidates the WHOLE root (the
+# driver regenerates corpus dirs wholesale, so per-artifact scoping
+# would buy nothing).
+_SOURCE_TABLES = ("documents", "embeddings", "events")
 
 _TEMP_ROOTS: dict[str, str] = {}
 
@@ -123,8 +127,17 @@ def index_root(corpus_dir: str) -> str:
         return str(root)
     root = _TEMP_ROOTS.get(corpus_dir)
     if root is None:
+        import atexit
+
         root = tempfile.mkdtemp(prefix="hb_indexes_")
         _TEMP_ROOTS[corpus_dir] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # temp roots validate too (ADVICE r5): a corpus regenerated in
+    # place mid-process must not serve artifacts built from its old
+    # contents — the fingerprint check wipes them so ensure_* rebuilds.
+    _validate_root(
+        Path(root), str(Path(corpus_dir.rstrip("/")).resolve())
+    )
     return root
 
 
@@ -258,6 +271,27 @@ def ensure_ivfpq_index(
     return codes_path, coarse_path, books_path
 
 
+def ensure_events_partitioned(spark: SparkSession, corpus_dir: str) -> str:
+    """Events re-laid-out as date-partitioned parquet (the layout under
+    which day-scoped queries prune at the parquet file listing); returns
+    its path. A durable artifact like every other index: root keyed by
+    corpus path+hash, reuse gated on the source fingerprint (a corpus
+    regenerated in place auto-invalidates — ADVICE r5), cleaned up at
+    process exit for temp roots."""
+    path = artifact_path(corpus_dir, "events_bydate")
+    if not _is_built(path):
+        from pyspark.sql import functions as F
+
+        from hangarbay_spark.plans.layout import write_partitioned
+        from hangarbay_spark.queries.base import load_events
+
+        ev = load_events(spark, corpus_dir).withColumn(
+            "d", F.to_date("ts")
+        )
+        write_partitioned(ev, path, "d")
+    return path
+
+
 def ensure_quantized_table(spark: SparkSession, corpus_dir: str) -> str:
     """Persisted int8-quantized embedding table; returns its path. The
     per-vector scale/floor projection is paid once here; searches scan
@@ -294,6 +328,7 @@ def publish_corpus_indexes(
         ensure_pq_index(spark, corpus_dir)
         ensure_ivfpq_index(spark, corpus_dir)
         ensure_quantized_table(spark, corpus_dir)
+        ensure_events_partitioned(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
         meta = {
             "source": str(corpus_dir),

@@ -95,8 +95,14 @@ def audit_dataframe(
     reused = plan.count("ReusedExchange")
     # "Exchange " lines are shuffle exchanges; BroadcastExchange spells
     # its own operator name, so the two never double-count.
+    # repartition(n)/rebalance print "Exchange RoundRobinPartitioning";
+    # there is no "Exchange rebalance" spelling in plan strings
     shuffle = len(
-        re.findall(r"\bExchange (?:hash|range|Single|rebalance)", plan)
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning"
+            r"|SinglePartition|RoundRobinPartitioning)",
+            plan,
+        )
     )
     exchanges = plan.count("Exchange")  # every flavor, incl. reuse refs
     cartesian = "CartesianProduct" in plan

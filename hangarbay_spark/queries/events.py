@@ -1638,27 +1638,17 @@ def events_conversion_lag_cohorts(
     )
 
 
-_EVENTS_PARTITIONED: dict[str, str] = {}
-
-
 def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
-    """Once per (process, corpus): events re-laid-out as date-
-    partitioned parquet (plans/layout.write_partitioned) — the layout
-    under which day-scoped queries prune at the parquet file listing
-    instead of scanning the full history. One write, amortized over
-    every subsequent time-scoped query."""
-    import tempfile
+    """Events re-laid-out as date-partitioned parquet — the layout under
+    which day-scoped queries prune at the parquet file listing instead
+    of scanning the full history. One write, amortized over every
+    subsequent time-scoped query. Routed through the fingerprint-
+    validated index root (pipelines.indexes) like every durable
+    artifact: a corpus regenerated in place auto-invalidates, and temp
+    roots are cleaned up at process exit (ADVICE r5)."""
+    from hangarbay_spark.pipelines.indexes import ensure_events_partitioned
 
-    key = sf_dir.rstrip("/")
-    path = _EVENTS_PARTITIONED.get(key)
-    if path is None:
-        from hangarbay_spark.plans.layout import write_partitioned
-
-        path = tempfile.mkdtemp(prefix="hb_events_bydate_") + "/events"
-        ev = load_events(spark, sf_dir).withColumn("d", F.to_date("ts"))
-        write_partitioned(ev, path, "d")
-        _EVENTS_PARTITIONED[key] = path
-    return path
+    return ensure_events_partitioned(spark, sf_dir)
 
 
 @register(

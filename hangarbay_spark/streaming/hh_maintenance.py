@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,12 +48,24 @@ from hangarbay_spark.operators.sketches import (
     misra_gries_summary,
 )
 
-SUMMARY_SUBDIR = "summary.parquet"
+SUMMARY_SUBDIR = "summary.parquet"  # legacy (pre-versioned) layout
 META_FILE = "_state.json"
 
 
-def _summary_path(state_dir: str) -> str:
-    return str(Path(state_dir) / SUMMARY_SUBDIR)
+def _summary_path(state_dir: str, meta: dict | None = None) -> str:
+    """Path of the COMMITTED summary: the one the meta pointer names.
+
+    Exactly-once across crashes: each batch writes its merged summary to
+    a batch-id-versioned path (``summary-<batch_id>.parquet``) and the
+    commit is the atomic meta flip (``os.replace``). A crash between the
+    summary write and the meta flip leaves the meta pointing at the
+    PREVIOUS committed summary, so the replayed micro-batch re-merges
+    from pre-batch state instead of the half-committed one — counter
+    mass is never double-added (the ANN-maintenance anti-join has no
+    analog here; the pointer IS the idempotency layer).
+    """
+    name = (meta or {}).get("summary") or SUMMARY_SUBDIR
+    return str(Path(state_dir) / name)
 
 
 def _read_meta(state_dir: str) -> dict:
@@ -90,24 +103,33 @@ def ingest_tokens_batch(
     counts: dict = {}
     for r in parts.collect():  # bounded by contract (k x partitions)
         counts[r[col]] = counts.get(r[col], 0) + int(r["cnt"])
-    try:
-        for r in spark.read.parquet(_summary_path(state_dir)).collect():
+    if int(meta["batch_id"]) >= 0 or (
+        Path(_summary_path(state_dir, meta))
+    ).exists():  # merge from the COMMITTED summary only (see _summary_path)
+        for r in spark.read.parquet(
+            _summary_path(state_dir, meta)
+        ).collect():
             counts[r[col]] = counts.get(r[col], 0) + int(r["cnt"])
-    except Exception:
-        pass  # first batch: no summary yet
     merged, _ = mg_merge(counts, k)
     rows = [(i, int(c)) for i, c in sorted(merged.items())]
+    new_summary = f"summary-{int(batch_id)}.parquet"
     spark.createDataFrame(rows, f"{col} string, cnt long").coalesce(
         1
-    ).write.mode("overwrite").parquet(_summary_path(state_dir))
-    _write_meta(
+    ).write.mode("overwrite").parquet(str(Path(state_dir) / new_summary))
+    prev_summary = _summary_path(state_dir, meta)
+    _write_meta(  # the atomic commit point (os.replace)
         state_dir,
         {
             "n": int(meta["n"]) + int(n_batch),
             "k": int(k),
             "batch_id": int(batch_id),
+            "summary": new_summary,
         },
     )
+    # post-commit GC of the superseded summary (best-effort; a leftover
+    # dir is harmless — nothing points at it)
+    if Path(prev_summary) != Path(state_dir) / new_summary:
+        shutil.rmtree(prev_summary, ignore_errors=True)
     return int(n_batch)
 
 
@@ -150,7 +172,7 @@ def heavy_hitters_from_state(
     consumer that needs exact counts re-verifies cnt_hi survivors
     against the archived corpus — the batch query's second pass."""
     meta = _read_meta(state_dir)
-    s = spark.read.parquet(_summary_path(state_dir))
+    s = spark.read.parquet(_summary_path(state_dir, meta))
     total = s.agg(F.sum("cnt")).collect()[0][0] or 0
     err = max(0, (int(meta["n"]) - int(total)) // (int(meta["k"]) + 1))
     return (

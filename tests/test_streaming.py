@@ -739,6 +739,56 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     assert before["n"] == after["n"]
 
 
+def test_heavy_hitter_crash_replay_never_double_adds(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once across a crash BETWEEN the summary write and the
+    meta commit: batch 1 crashes after writing its versioned summary
+    but before the atomic meta flip, so the replay must re-merge from
+    the batch-0 committed summary — counter mass is applied exactly
+    once (with k larger than the distinct-token count MG is exact, so
+    any double-add would show as inflated counts)."""
+    import json
+
+    from hangarbay_spark.streaming import hh_maintenance as HH
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "tok string"
+    )
+    b1 = spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 4, "tok string"
+    )
+    assert HH.ingest_tokens_batch(spark, b0, 0, state, k=100) == 8
+
+    # crash: versioned summary for batch 1 lands, meta flip does not
+    real_write_meta = HH._write_meta
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before meta commit")
+
+    monkeypatch.setattr(HH, "_write_meta", boom)
+    try:
+        HH.ingest_tokens_batch(spark, b1, 1, state, k=100)
+    except RuntimeError:
+        pass
+    meta = json.load(open(f"{state}/_state.json"))
+    assert meta["batch_id"] == 0  # commit point never reached
+
+    # replay of batch 1 merges from the batch-0 COMMITTED summary
+    monkeypatch.setattr(HH, "_write_meta", real_write_meta)
+    assert HH.ingest_tokens_batch(spark, b1, 1, state, k=100) == 6
+    got = {
+        r.tok: r.cnt
+        for r in spark.read.parquet(
+            HH._summary_path(state, HH._read_meta(state))
+        ).collect()
+    }
+    assert got == {"a": 7, "b": 3, "c": 4}  # exact — no double-add
+    # replaying an already-committed batch id stays a no-op
+    assert HH.ingest_tokens_batch(spark, b1, 1, state, k=100) == 0
+
+
 def test_last_touch_attribution_stream_matches_batch(spark, tmp_path):
     """Stateful last-touch attribution drained over FOUR time-split
     files (one micro-batch each, so touch state genuinely carries
