@@ -15,7 +15,13 @@ Ordering (two distinct concerns, deliberately different):
   timings): the heavy near-dup pair generators allocate enough JVM
   garbage to inflate whatever runs right after them by up to 7x
   (BENCH_NOTES.md — 14.5 s contaminated vs 2.0 s clean), so they go
-  LAST where there are no neighbors left to poison.
+  LAST where there are no neighbors left to poison. Within that slow
+  tail the entries still cross-contaminate each other (round-5 driver
+  run: 4.67 s vs 2.63 s on identical code), so a synchronous JVM
+  System.gc() boundary is forced before the timed run of any query
+  whose warmup exceeded 1 s — the timed run then starts from a clean
+  heap instead of inheriting its neighbors' (and its own warmup's)
+  garbage.
 * EMISSION prints fastest-first too, with the aggregate fields AFTER
   the queries map: the driver keeps only the TAIL of stdout, so the
   slowest (most informative) timings and the total must sit at the end
@@ -60,10 +66,20 @@ def main() -> None:
     names.sort(key=lambda n: (prior.get(n, 0.0), n))
     spark = get_spark(app_name="hangarbay_bench")
 
+    def jvm_gc() -> None:
+        """Synchronous full GC — the slow-tail decontamination boundary."""
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        w0 = time.perf_counter()
         fn(spark, sf_dir).collect()  # warmup: codegen + one-time builds
+        if time.perf_counter() - w0 > 1.0:
+            jvm_gc()  # heavy query: time it from a clean heap
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -489,6 +489,160 @@ def duplicated_span_counts(
     )
 
 
+def duplicated_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): excise from every
+    document the token spans covered by ``n``-grams that occur in
+    ``min_df`` or more distinct documents, merging overlapping (and
+    contiguous) hit windows into maximal intervals first. The rewrite
+    step that :func:`duplicated_span_counts` only detects.
+
+    Returns one row per input document —
+    ``(id, n_spans, tokens_removed, tokens_kept, cleaned_text)`` —
+    where ``cleaned_text`` is the kept tokens joined by single spaces
+    (for an untouched document this equals the whitespace-normalized
+    lowercased text) and ``tokens_removed + tokens_kept`` always equals
+    the original token count (conservation, tested).
+
+    Scale shape: positional grams are postings (one row per token
+    start, exploded); "occurs in >=2 distinct docs" is decided with a
+    single window over the gram key via ``min(id) != max(id)`` —
+    constant state per gram, no COUNT(DISTINCT) and no gram-frequency
+    self-join, so the whole duplicate test is ONE shuffle on the gram
+    digest. Interval merging is the classic gaps-and-islands pair of
+    windows partitioned by document (one shuffle on the doc key; the
+    island and per-doc aggregations reuse that partitioning). The
+    splice back into text happens inside a single projection —
+    kept-range slices of the staged token array — so no token-level
+    join ever materializes. ``min_df > 2`` falls back to a windowed
+    distinct-count via the (gram, doc) dedup-then-count shape.
+    """
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.operators.text import tokens_expr
+
+    toks_src = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(id_col)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .localCheckpoint()  # two consumers: gram stage + splice stage
+    )
+    sz = F.size("__toks")
+    gram_arr = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("__toks"), i + j) for j in range(n)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = toks_src.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("s", "g")
+    )
+    wg = W.partitionBy("g")
+    if min_df <= 2:
+        # cross-doc iff the gram's occurrences span >1 distinct id:
+        # min != max — O(1) window state, no distinct aggregation
+        dup = (
+            pos_grams.withColumn("__dmin", F.min(id_col).over(wg))
+            .withColumn("__dmax", F.max(id_col).over(wg))
+            .filter(F.col("__dmin") != F.col("__dmax"))
+            .select(id_col, "s")
+        )
+    else:
+        gdf = (
+            pos_grams.select("g", id_col)
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__gdf"))
+            .filter(F.col("__gdf") >= min_df)
+            .select("g")
+        )
+        dup = pos_grams.join(gdf, "g").select(id_col, "s")
+
+    # gaps-and-islands: an interval [s, s+n-1] starts a new island iff
+    # it neither overlaps nor touches the running max end so far
+    wd_prev = W.partitionBy(id_col).orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wd_cum = W.partitionBy(id_col).orderBy("s").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    iv = dup.select(F.col(id_col), F.col("s"), (F.col("s") + (n - 1)).alias("e"))
+    marked = iv.withColumn(
+        "__new",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(wd_prev), F.lit(-2)) + 1
+        ).cast("int"),
+    )
+    merged = (
+        marked.withColumn("__isl", F.sum("__new").over(wd_cum))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__islands"),
+    )
+
+    staged = toks_src.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("tokens_removed", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        # staged as a plain column: lambdas below re-evaluate complex
+        # argument expressions per element (no CSE inside HOFs)
+        F.coalesce(
+            "__islands", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("__islands"),
+    )
+    # complement of the islands = kept ranges; splice is O(n) slices
+    starts_kept = F.concat(
+        F.array(F.lit(0)),
+        F.transform(F.col("__islands"), lambda i: i["e"] + 1),
+    )
+    ends_kept = F.concat(
+        F.transform(F.col("__islands"), lambda i: i["s"] - 1),
+        F.array(F.size("__toks") - 1),
+    )
+    empty = F.array().cast("array<string>")
+    cleaned = F.flatten(
+        F.zip_with(
+            starts_kept,
+            ends_kept,
+            lambda a, b: F.when(
+                b >= a, F.slice("__toks", a + 1, b - a + 1)
+            ).otherwise(empty),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_spans",
+        "tokens_removed",
+        cleaned.alias("__cleaned"),
+    ).select(
+        F.col(id_col),
+        "n_spans",
+        "tokens_removed",
+        F.size("__cleaned").cast("bigint").alias("tokens_kept"),
+        F.array_join("__cleaned", " ").alias("cleaned_text"),
+    )
+
+
 def minhash_pairs_incremental(
     spark,
     new_df: DataFrame,

@@ -768,6 +768,93 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_counts(docs, "doc_id", "text", n=SPAN_N)
 
 
+def _o_span_removal(n: int) -> str:
+    """DuckDB twin of operators.dedup.duplicated_span_removal: positional
+    n-grams -> cross-doc grams (COUNT(DISTINCT doc_id) >= 2; the Spark
+    side decides the same predicate via min(id) != max(id) over the gram
+    window) -> gaps-and-islands interval merge (windows layered in CTEs
+    — nested window fns are illegal in DuckDB) -> per-token NOT EXISTS
+    against the merged intervals -> ordered string_agg rebuild."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+      FROM toks),
+    grams AS (SELECT doc_id, i - 1 AS s, md5({gram}) AS g FROM starts),
+    hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    iv AS (SELECT doc_id, s, s + {n - 1} AS e FROM grams JOIN hot USING (g)),
+    marked AS (
+      SELECT doc_id, s, e,
+             COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -2) AS prev_e
+      FROM iv),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN s > prev_e + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked),
+    merged AS (
+      SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+      FROM islands GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS tokens_removed
+      FROM merged GROUP BY 1),
+    toks_pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS p
+      FROM toks),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok
+      FROM toks_pos tp
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = tp.doc_id
+                          AND tp.p - 1 BETWEEN m.s AND m.e)),
+    kept_agg AS (
+      SELECT doc_id, COUNT(*) AS tokens_kept,
+             string_agg(tok, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN kept_agg k USING (doc_id)
+    """
+
+
+@register(
+    "dedup_span_removal",
+    _o_span_removal(SPAN_N),
+    f"ExactSubstr span-removal rewrite (Lee et al. 2022): excise "
+    f"every token span covered by a {SPAN_N}-gram occurring in >=2 "
+    "distinct docs (overlapping hit windows merged into maximal "
+    "intervals), re-emit the cleaned text (md5-compared) plus "
+    "removed/kept token accounting — conservation (removed + kept = "
+    "original) is pinned in tests. One shuffle on the gram digest "
+    "(min!=max window decides cross-doc, no distinct agg), one on the "
+    "doc key for interval merge; the splice is slice-arithmetic inside "
+    "a single projection, never a token-level join",
+    "dedup extension (ExactSubstr span removal)",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.duplicated_span_removal(docs, "doc_id", "text", n=SPAN_N)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "tokens_removed",
+        "tokens_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
 PACK_BUDGET = 2048
 
 

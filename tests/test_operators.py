@@ -278,6 +278,67 @@ def test_duplicated_span_counts(spark):
     assert got == {1: 3, 2: 3}
 
 
+def test_duplicated_span_removal_hand_example(spark):
+    """The rewrite twin of span detection: the three overlapping
+    10-gram hits over a shared 12-token passage must merge into ONE
+    excised interval covering exactly the 12 passage tokens; untouched
+    docs come back as their whitespace-normalized text."""
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {passage} outro alpha"),
+            (2, f"other start {passage} different end"),
+            (3, "completely unrelated text with many words here ok"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.duplicated_span_removal(
+            df, "doc_id", "text", n=10
+        ).collect()
+    }
+    assert got[1]["n_spans"] == 1 and got[1]["tokens_removed"] == 12
+    assert got[2]["n_spans"] == 1 and got[2]["tokens_removed"] == 12
+    assert got[1]["cleaned_text"] == "intro one two outro alpha"
+    assert got[2]["cleaned_text"] == "other start different end"
+    # untouched doc: zero spans, cleaned == normalized original
+    assert got[3]["n_spans"] == 0 and got[3]["tokens_removed"] == 0
+    assert (
+        got[3]["cleaned_text"]
+        == "completely unrelated text with many words here ok"
+    )
+
+
+def test_duplicated_span_removal_conservation(spark):
+    """removed + kept = original token count for EVERY document of the
+    real corpus, and kept equals the cleaned text's own token count
+    (two independent derivations of 'kept')."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.text import token_count_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = D.duplicated_span_removal(docs, "doc_id", "text", n=10)
+    orig = docs.select("doc_id", token_count_expr("text").alias("n_orig"))
+    bad = (
+        out.join(orig, "doc_id")
+        .filter(
+            (F.col("tokens_removed") + F.col("tokens_kept") != F.col("n_orig"))
+            | (
+                F.size(F.split(F.col("cleaned_text"), r"\s+"))
+                != F.col("tokens_kept")
+            )
+            & (F.col("tokens_kept") > 0)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert out.count() == docs.count()  # one row per doc, none dropped
+    # the corpus genuinely exercises the operator
+    assert out.filter(F.col("tokens_removed") > 0).count() > 0
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """Empirical recall of MinHash-LSH (K=8, 4 bands) against the exact
     n-gram Jaccard pairs at threshold 0.8 — theoretical candidate

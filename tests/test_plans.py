@@ -300,6 +300,11 @@ EXCHANGE_BOUNDS = {
     "events_bootstrap_ci": 6,
     # signed join delta: three delta-keyed joins + the delta agg merge
     "incremental_join_maintenance": 14,
+    # ExactSubstr span removal (round 6): gram-digest window + doc-key
+    # interval-merge window + the broadcast splice join; the tokenize
+    # stage sits behind a localCheckpoint (plan starts at the scan of
+    # the checkpointed RDD)
+    "dedup_span_removal": 3,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
