@@ -396,43 +396,34 @@ def _geometry_fs(gp: str):
     return fs, hpath
 
 
-def _write_geometry(path: str, nbits: int, bands: int, seed: str) -> None:
-    """Record a signature table's band geometry next to it so every
-    reader (probe-side signature computation, band count) derives the
-    SAME geometry the build used — auto-scaled tables stay
-    self-describing. Written through the Hadoop FS API (ADVICE r5: a
-    driver-local open() strands the side file when the table lives on a
-    non-local filesystem, recreating the probe-vs-corpus geometry
-    mismatch the file exists to prevent)."""
+def _write_side_json(sp: str, payload: dict) -> None:
+    """Write a JSON side file next to a persisted artifact through the
+    Hadoop FS API — the SAME storage layer as the artifact parquet, so
+    the side file travels with the table on any Spark-supported FS
+    (ADVICE r5: a driver-local open() strands it on non-local
+    filesystems, recreating exactly the probe-vs-corpus mismatch the
+    side file exists to prevent)."""
     import json as _json
 
-    gp = path.rstrip("/") + "_geometry.json"
-    payload = _json.dumps({"nbits": nbits, "bands": bands, "seed": seed})
-    fs, hpath = _geometry_fs(gp)
+    txt = _json.dumps(payload)
+    fs, hpath = _geometry_fs(sp)
     if fs is None:  # no active session: driver-local fallback
-        with open(gp, "w") as f:
-            f.write(payload)
+        with open(sp, "w") as f:
+            f.write(txt)
         return
     out = fs.create(hpath, True)
     try:
-        out.write(bytearray(payload.encode("utf-8")))
+        out.write(bytearray(txt.encode("utf-8")))
     finally:
         out.close()
 
 
-def _read_geometry(path: str) -> tuple[int, int, str]:
-    """Geometry recorded at build time (see :func:`_write_geometry`).
-
-    A missing side file falls back to the FIXED default geometry —
-    correct for pre-side-file tables (which were always built with the
-    defaults) — but warns loudly: for an auto-scaled table a lost side
-    file silently mismatches probe vs corpus bucketing (CLAUDE.md
-    invariant), and the caller should rebuild or restore it."""
+def _read_side_json(sp: str) -> dict | None:
+    """Read a JSON side file written by :func:`_write_side_json`;
+    None when absent."""
     import json as _json
-    import warnings as _warnings
 
-    gp = path.rstrip("/") + "_geometry.json"
-    fs, hpath = _geometry_fs(gp)
+    fs, hpath = _geometry_fs(sp)
     if fs is not None and fs.exists(hpath):
         from pyspark.sql import SparkSession
 
@@ -444,13 +435,39 @@ def _read_geometry(path: str) -> tuple[int, int, str]:
             )
         finally:
             stream.close()
-        g = _json.loads(txt)
-        return int(g["nbits"]), int(g["bands"]), str(g["seed"])
+        return _json.loads(txt)
     import os as _os
 
-    if fs is None and _os.path.exists(gp):  # no session: local fallback
-        with open(gp) as f:
-            g = _json.load(f)
+    if fs is None and _os.path.exists(sp):  # no session: local fallback
+        with open(sp) as f:
+            return _json.load(f)
+    return None
+
+
+def _write_geometry(path: str, nbits: int, bands: int, seed: str) -> None:
+    """Record a signature table's band geometry next to it so every
+    reader (probe-side signature computation, band count) derives the
+    SAME geometry the build used — auto-scaled tables stay
+    self-describing."""
+    _write_side_json(
+        path.rstrip("/") + "_geometry.json",
+        {"nbits": nbits, "bands": bands, "seed": seed},
+    )
+
+
+def _read_geometry(path: str) -> tuple[int, int, str]:
+    """Geometry recorded at build time (see :func:`_write_geometry`).
+
+    A missing side file falls back to the FIXED default geometry —
+    correct for pre-side-file tables (which were always built with the
+    defaults) — but warns loudly: for an auto-scaled table a lost side
+    file silently mismatches probe vs corpus bucketing (CLAUDE.md
+    invariant), and the caller should rebuild or restore it."""
+    import warnings as _warnings
+
+    gp = path.rstrip("/") + "_geometry.json"
+    g = _read_side_json(gp)
+    if g is not None:
         return int(g["nbits"]), int(g["bands"]), str(g["seed"])
     _warnings.warn(
         f"no geometry side file at {gp}; assuming the fixed default "
@@ -1238,6 +1255,8 @@ def _pq_codes_kernel(
     with_norm: bool,
     keep_vec: bool,
     cell_lits: tuple[list[int], list[list[float]]] | None = None,
+    residual: bool = False,
+    emit_residual: bool = False,
 ):
     """Arrow-batched PQ assignment kernel (mapInPandas): one vectorized
     numpy call per PARTITION computes every subspace's argmin code (and
@@ -1258,7 +1277,16 @@ def _pq_codes_kernel(
     ``aggregate(zip_with(...))``; |c|^2/2 is folded the same way in
     driver floats; ``np.argmax`` takes the FIRST max, matching the old
     (desc score, cid asc) window tie-break since centroids are
-    cid-ascending."""
+    cid-ascending.
+
+    ``residual=True`` (FAISS IVFADC proper, Jegou et al. 2011 §V-A):
+    the subspace assignment runs over ``x - centroid(cell)`` instead of
+    ``x`` — the code domain concentrates around the cell centroid,
+    buying recall at the same m/ksub. Requires ``cell_lits``. ``norm``
+    stays the ORIGINAL vector's norm (it is the cosine denominator).
+    ``emit_residual=True`` additionally yields the residual vector as
+    ``__res`` (array<double>) — the training loop's update pass needs
+    it."""
     import numpy as np
 
     def kernel(batches):
@@ -1275,6 +1303,7 @@ def _pq_codes_kernel(
                 for i in range(X.shape[1]):
                     acc = acc + X[:, i] * X[:, i]
                 cols["norm"] = np.sqrt(acc)
+            Xs = X
             if cell_lits is not None:
                 # coarse-quantizer cell over the FULL vector (IVF
                 # routing) — same sequential score fold as the
@@ -1291,11 +1320,14 @@ def _pq_codes_kernel(
                 for i in range(X.shape[1]):
                     acc = acc + X[:, i : i + 1] * C[None, :, i]
                 scores = acc - np.asarray(hs)[None, :]
-                cols["cell"] = np.asarray(ccids, dtype=np.int32)[
-                    np.argmax(scores, axis=1)
-                ]
+                ci = np.argmax(scores, axis=1)  # first max = cid-asc tie
+                cols["cell"] = np.asarray(ccids, dtype=np.int32)[ci]
+                if residual:
+                    Xs = X - C[ci]
+                    if emit_residual:
+                        res_lists = [r.tolist() for r in Xs]
             for j, (cids, cvecs) in enumerate(lits):
-                Sj = X[:, j * sub : (j + 1) * sub]
+                Sj = Xs[:, j * sub : (j + 1) * sub]
                 C = np.asarray(cvecs, dtype=np.float64)  # (k, sub)
                 hs = []
                 for cv in cvecs:
@@ -1311,6 +1343,8 @@ def _pq_codes_kernel(
                     np.argmax(scores, axis=1)
                 ]
             out = pd.DataFrame(cols)
+            if residual and emit_residual:
+                out["__res"] = res_lists
             if keep_vec:
                 out[vec_col] = pdf[vec_col].to_numpy()
             yield out
@@ -1737,6 +1771,31 @@ def _probe_rows(probes: DataFrame, id_col: str, vec_col: str):
     return out
 
 
+def _route_cells(
+    q: list[float],
+    cell_lits: tuple[list[int], list[list[float]]],
+    nprobe: int = 1,
+) -> list[tuple[int, float, list[float]]]:
+    """Top-``nprobe`` coarse cells for one vector — the SAME score fold
+    (sequential ``dot(q,c) - |c|^2/2``) and tie-break (desc score, cid
+    asc) as the kernel's assignment argmax, so driver-side routing and
+    executor-side encoding always agree on a vector's cell. Returns
+    [(cid, dot(q, c), c)] best-first; the dot rides along because the
+    residual ADC score needs it and the fold already computed it."""
+    ccids, ccvecs = cell_lits
+    scored = []
+    for cid, cv in zip(ccids, ccvecs):
+        h = 0.0
+        for c in cv:
+            h += c * c
+        d = 0.0
+        for a, b in zip(q, cv):
+            d += a * b
+        scored.append((-(d - 0.5 * h), cid, d, cv))
+    scored.sort(key=lambda t: (t[0], t[1]))
+    return [(cid, d, cv) for _, cid, d, cv in scored[:nprobe]]
+
+
 def _adc_table(
     q: list[float],
     lits: list[tuple[list[int], list[list[float]]]],
@@ -1763,12 +1822,16 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    residual: bool = False,
 ) -> DataFrame:
     """Corpus -> (id, norm, cell, code_0..code_{m-1}): the IVF routing
     cell (nearest coarse centroid over the full vector) plus the m PQ
     codes, in the SAME single zero-exchange kernel scan as
     :func:`pq_encode`. ``cell`` doubles as the partition key for a
-    cell-clustered codes layout at publish."""
+    cell-clustered codes layout at publish. ``residual=True`` encodes
+    ``x - centroid(cell)`` against residual-trained books (same schema;
+    the books/codes must agree on residual-ness — the persisted-index
+    writers record it in a meta side file)."""
     m = len(books)
     sub = dim // m
     lits = [_collect_codebook(cent) for cent in books]
@@ -1786,6 +1849,7 @@ def ivfpq_encode(
             with_norm=True,
             keep_vec=False,
             cell_lits=cell_lits,
+            residual=residual,
         ),
         schema,
     )
@@ -1803,6 +1867,7 @@ def ivfpq_topk_from_codes(
     dim: int = 64,
     nprobe: int = 4,
     rerank: int = 20,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC search over prebuilt cell-tagged codes: each probe routes
     to its ``nprobe`` best coarse cells (scored driver-side on the
@@ -1810,12 +1875,19 @@ def ivfpq_topk_from_codes(
     ``cell`` matches — an equi broadcast-hash join, ~nprobe/nlist of
     the flat :func:`pq_topk_from_codes` scan at scale. Exact re-rank of
     rerank*k candidates per probe, same output shape as every ANN
-    path: (probe_id, neighbor_id, cosine, rk)."""
+    path: (probe_id, neighbor_id, cosine, rk).
+
+    ``residual=True`` scores residual-encoded codes: with
+    ``x^ = c_cell + r^``, ``dot(q, x^) = dot(q, c_cell) + sum_j
+    dot(q_j, r^_j)`` — the per-(probe, cell) ``dot(q, c_cell)`` term
+    (``cdot``, already computed by the routing fold) is added to the
+    subspace table sum; the tables themselves come from the residual
+    books unchanged."""
     m = len(books)
     sub = dim // m
     spark = codes.sparkSession
     lits = [_collect_codebook(cent) for cent in books]
-    ccids, ccvecs = _collect_codebook(coarse)
+    cell_lits = _collect_codebook(coarse)
     idt = dict(codes.dtypes)[id_col]
     vt = dict(corpus.dtypes)[vec_col]
 
@@ -1824,21 +1896,15 @@ def ivfpq_topk_from_codes(
     for pid, q, qnorm in prows:
         # coarse routing: argmax dot(q,c) - |c|^2/2, top nprobe cells
         # (desc score, cid asc — the assignment tie-break)
-        scores = []
-        for cid, cv in zip(ccids, ccvecs):
-            h = 0.0
-            for c in cv:
-                h += c * c
-            d = 0.0
-            for a, b in zip(q, cv):
-                d += a * b
-            scores.append((-(d - 0.5 * h), cid))
-        cells = [cid for _, cid in sorted(scores)[:nprobe]]
         tab = _adc_table(q, lits, sub)
-        for cell in cells:
-            pt.append((pid, qnorm, cell, tab))
+        for cell, cdot, _ in _route_cells(q, cell_lits, nprobe):
+            pt.append(
+                (pid, qnorm, cell, float(cdot) if residual else 0.0, tab)
+            )
     ptab = spark.createDataFrame(
-        pt, f"probe_id {idt}, qnorm double, cell int, tab map<int,double>"
+        pt,
+        f"probe_id {idt}, qnorm double, cell int, cdot double, "
+        "tab map<int,double>",
     )
 
     # Static probed-cell pushdown: the union of routed cells is known
@@ -1847,7 +1913,7 @@ def ivfpq_topk_from_codes(
     # (write_ivfpq_index) this is parquet partition pruning (the
     # nprobe/nlist scan reduction happens at the file listing, pinned
     # in tests), and on unpartitioned codes it still row-group-filters.
-    probed = sorted({cell for _, _, cell, _ in pt})
+    probed = sorted({row[2] for row in pt})
     codes = codes.filter(F.col("cell").isin(probed))
 
     lookup = " + ".join(
@@ -1860,7 +1926,7 @@ def ivfpq_topk_from_codes(
             "probe_id",
             F.col(id_col).alias("neighbor_id"),
             (
-                F.expr(f"(0.0D + {lookup})")
+                (F.expr(f"(0.0D + {lookup})") + F.col("cdot"))
                 / (F.col("qnorm") * F.col("norm"))
             ).alias("approx_cos"),
         )
@@ -1906,6 +1972,7 @@ def ivfpq_topk(
     nprobe: int = 4,
     iters: int = 2,
     rerank: int = 20,
+    residual: bool = False,
 ) -> DataFrame:
     """Composed IVF x PQ approximate top-k (the standard billion-vector
     serving layout — FAISS IVFADC; Jegou et al. 2011 §V): a coarse
@@ -1916,17 +1983,19 @@ def ivfpq_topk(
     quantizers train on the same bounded deterministic sample —
     constant cost in corpus size, one JOINT Lloyd loop
     (:func:`ivfpq_train`); the one corpus-wide pass is the
-    zero-exchange :func:`ivfpq_encode` kernel scan."""
+    zero-exchange :func:`ivfpq_encode` kernel scan. ``residual=True``
+    selects residual encoding throughout (IVFADC proper)."""
     train = corpus.orderBy(id_col).limit(2048).localCheckpoint()
     coarse, books = ivfpq_train(
-        train, id_col, vec_col, dim, m, ksub, nlist, iters
+        train, id_col, vec_col, dim, m, ksub, nlist, iters,
+        residual=residual,
     )
     codes = ivfpq_encode(
-        corpus, coarse, books, id_col, vec_col, dim
+        corpus, coarse, books, id_col, vec_col, dim, residual=residual
     ).localCheckpoint()
     return ivfpq_topk_from_codes(
         codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
-        nprobe, rerank,
+        nprobe, rerank, residual=residual,
     )
 
 
@@ -1996,6 +2065,7 @@ def write_ivfpq_index(
     nlist: int = 16,
     iters: int = 2,
     train_n: int = 2048,
+    residual: bool = False,
 ) -> None:
     """One-time IVFADC index build: coarse centroids + PQ codebooks
     (both trained on the bounded deterministic sample, identical to the
@@ -2004,15 +2074,38 @@ def write_ivfpq_index(
     where a search's probed cells prune at the parquet file listing, so
     the ADC pass reads ~nprobe/nlist of the index regardless of corpus
     size. The single corpus-wide pass is the zero-exchange
-    :func:`ivfpq_encode` kernel scan (plus the layout write)."""
+    :func:`ivfpq_encode` kernel scan (plus the layout write).
+
+    Residual-ness RIDES WITH THE ARTIFACT (CLAUDE.md invariant: a
+    reader assuming the build-time default silently mismatches): a
+    ``_meta.json`` side file next to the books records it, and every
+    reader (:func:`ivfpq_topk_from_index`,
+    :func:`ivfpq_append_to_index`) derives it from there — never from
+    a caller argument."""
     train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
     coarse, books = ivfpq_train(
-        train, id_col, vec_col, dim, m, ksub, nlist, iters
+        train, id_col, vec_col, dim, m, ksub, nlist, iters,
+        residual=residual,
     )
     _write_books([coarse], coarse_path)
     _write_books(books, books_path)
-    codes = ivfpq_encode(corpus, coarse, books, id_col, vec_col, dim)
+    _write_side_json(
+        books_path.rstrip("/") + "_meta.json",
+        {"residual": bool(residual), "dim": dim, "m": m, "ksub": ksub,
+         "nlist": nlist},
+    )
+    codes = ivfpq_encode(
+        corpus, coarse, books, id_col, vec_col, dim, residual=residual
+    )
     codes.write.mode("overwrite").partitionBy("cell").parquet(codes_path)
+
+
+def _ivfpq_index_residual(books_path: str) -> bool:
+    """Residual-ness of a persisted IVFADC index, derived from its
+    ``_meta.json`` side file; a missing side file means a pre-residual
+    index, which was always non-residual (backward compatible)."""
+    meta = _read_side_json(books_path.rstrip("/") + "_meta.json")
+    return bool(meta.get("residual", False)) if meta else False
 
 
 def ivfpq_topk_from_index(
@@ -2034,13 +2127,14 @@ def ivfpq_topk_from_index(
     the probed-cell filter prunes parquet partitions at the file
     listing, and full-precision vectors are read only for the exact
     re-rank. Results row-identical to the inline :func:`ivfpq_topk`
-    (same bounded training sample)."""
+    (same bounded training sample). Residual-ness is derived from the
+    index's meta side file, never assumed."""
     coarse = _load_books(spark, coarse_path)[0]
     books = _load_books(spark, books_path)
     codes = spark.read.parquet(codes_path)
     return ivfpq_topk_from_codes(
         codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
-        nprobe, rerank,
+        nprobe, rerank, residual=_ivfpq_index_residual(books_path),
     )
 
 
@@ -2164,6 +2258,7 @@ def ivfpq_train(
     ksub: int = 16,
     nlist: int = 16,
     iters: int = 2,
+    residual: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Joint Lloyd training of the IVF coarse quantizer AND the m
     subspace codebooks in ONE loop: every iteration is a single kernel
@@ -2173,7 +2268,16 @@ def ivfpq_train(
     Bit-identical to the separate trainers (same deterministic
     smallest-id init, same sequential score folds, same exact decimal
     means), so indexes built either way agree row-for-row. Returns
-    (coarse, books)."""
+    (coarse, books).
+
+    ``residual=True`` trains FAISS IVFADC proper instead: the coarse
+    quantizer is Lloyd-trained first (cells must be frozen before
+    residuals mean anything), then the m subspace codebooks are trained
+    on ``x - centroid(cell)`` — see :func:`_ivfpq_train_residual`."""
+    if residual:
+        return _ivfpq_train_residual(
+            corpus, id_col, vec_col, dim, m, ksub, nlist, iters
+        )
     sub = dim // m
     spark = corpus.sparkSession
     idt = dict(corpus.dtypes)[id_col]
@@ -2280,6 +2384,148 @@ def ivfpq_train(
     return coarse, books
 
 
+def _ivfpq_train_residual(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    nlist: int,
+    iters: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Two-phase IVFADC training (Jegou et al. 2011 §V-A; the FAISS
+    IVFPQ layout): phase 1 Lloyd-trains the coarse quantizer alone
+    (same deterministic smallest-id init and exact decimal means as the
+    joint trainer); phase 2 freezes it and Lloyd-trains the m subspace
+    codebooks on the residuals ``x - centroid(cell)`` — the code domain
+    concentrates around zero, buying recall at identical m/ksub
+    geometry. Each phase-2 iteration is still ONE kernel assignment
+    scan (cell + residual + all subspace codes together) plus one
+    combined decimal-mean shuffle; residuals never persist anywhere —
+    they exist only inside the kernel batch and the update explode."""
+    sub = dim // m
+    spark = corpus.sparkSession
+    idt = dict(corpus.dtypes)[id_col]
+    vt = dict(corpus.dtypes)[vec_col]
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+
+    kmax = max(ksub, nlist)
+    init = sorted(
+        base.orderBy(id_col).limit(kmax).collect(), key=lambda r: r[id_col]
+    )
+    cell_lits = (
+        list(range(1, min(nlist, len(init)) + 1)),
+        [[float(x) for x in r[vec_col]] for r in init[:nlist]],
+    )
+
+    def _collect_means(coded, entries):
+        ex = coded.select(F.explode(F.array(*entries)).alias("e"))
+        pos = ex.select(
+            F.col("e.j").alias("j"),
+            F.col("e.cid").alias("cid"),
+            F.posexplode(F.col("e.sv")).alias("i", "x"),
+        )
+        means = pos.groupBy("j", "cid", "i").agg(
+            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
+            .cast("float")
+            .alias("mval")
+        )
+        return (
+            means.groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
+                    ),
+                    lambda s: s.getField("mval"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+
+    def _sel(rows, j):
+        sel = sorted((r for r in rows if r["j"] == j), key=lambda r: r["cid"])
+        return (
+            [int(r["cid"]) for r in sel],
+            [[float(x) for x in r["cvec"]] for r in sel],
+        )
+
+    # ---- phase 1: coarse quantizer alone ------------------------------
+    cell_schema = f"{id_col} {idt}, cell int, {vec_col} {vt}"
+    for _ in range(iters):
+        coded = base.mapInPandas(
+            _pq_codes_kernel(
+                [], sub, id_col, vec_col,
+                with_norm=False, keep_vec=True, cell_lits=cell_lits,
+            ),
+            cell_schema,
+        )
+        rows = _collect_means(
+            coded,
+            [
+                F.struct(
+                    F.lit(0).alias("j"),
+                    F.col("cell").alias("cid"),
+                    F.slice(F.col(vec_col), 1, dim).alias("sv"),
+                )
+            ],
+        )
+        cell_lits = _sel(rows, 0)
+
+    # ---- phase 2: subspace books over residuals (coarse frozen) -------
+    # init: residuals of the ksub smallest-id training vectors, routed
+    # driver-side with the kernel's exact fold/tie-break
+    init_res = []
+    for r in init[:ksub]:
+        q = [float(x) for x in r[vec_col]]
+        _, _, cv = _route_cells(q, cell_lits, nprobe=1)[0]
+        init_res.append([a - b for a, b in zip(q, cv)])
+    lits = [
+        (
+            list(range(1, len(init_res) + 1)),
+            [rv[j * sub : (j + 1) * sub] for rv in init_res],
+        )
+        for j in range(m)
+    ]
+    res_schema = (
+        f"{id_col} {idt}, cell int, "
+        + ", ".join(f"code_{j} int" for j in range(m))
+        + ", __res array<double>"
+    )
+    for _ in range(iters):
+        coded = base.mapInPandas(
+            _pq_codes_kernel(
+                lits, sub, id_col, vec_col,
+                with_norm=False, keep_vec=False, cell_lits=cell_lits,
+                residual=True, emit_residual=True,
+            ),
+            res_schema,
+        )
+        rows = _collect_means(
+            coded,
+            [
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.col(f"code_{j}").alias("cid"),
+                    F.slice(F.col("__res"), j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ],
+        )
+        lits = [_sel(rows, j) for j in range(m)]
+
+    def _mk(cids, cvecs):
+        b = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvecs)],
+            "cid int, cvec array<float>",
+        )
+        b._hb_lits = (cids, cvecs)
+        return b
+
+    return _mk(*cell_lits), [_mk(*lit) for lit in lits]
+
+
 def ivfpq_append_to_index(
     spark,
     new: DataFrame,
@@ -2296,7 +2542,9 @@ def ivfpq_append_to_index(
     zero-exchange kernel scan), and rows land inside their cells'
     partition directories — the serving layout keeps pruning after
     every append. Idempotent under ``guard_existing`` (id anti-join),
-    like :func:`pq_append_to_index`. Returns newly coded count."""
+    like :func:`pq_append_to_index`. Returns newly coded count.
+    Residual-ness comes from the index's meta side file — an append
+    can never encode against the wrong domain."""
     coarse = _load_books(spark, coarse_path)[0]
     books = _load_books(spark, books_path)
     batch = new
@@ -2308,7 +2556,10 @@ def ivfpq_append_to_index(
     if n_new == 0:
         return 0
     (
-        ivfpq_encode(batch, coarse, books, id_col, vec_col, dim)
+        ivfpq_encode(
+            batch, coarse, books, id_col, vec_col, dim,
+            residual=_ivfpq_index_residual(books_path),
+        )
         .write.mode("append")
         .partitionBy("cell")
         .parquet(codes_path)

@@ -58,6 +58,9 @@ ARTIFACTS = {
     "ivfpq_codes": "ivfpq_codes.parquet",
     "ivfpq_coarse": "ivfpq_coarse.parquet",
     "ivfpq_books": "ivfpq_books.parquet",
+    "ivfpq_res_codes": "ivfpq_res_codes.parquet",
+    "ivfpq_res_coarse": "ivfpq_res_coarse.parquet",
+    "ivfpq_res_books": "ivfpq_res_books.parquet",
     "quantized": "quantized.parquet",
     "events_bydate": "events_bydate.parquet",
 }
@@ -271,6 +274,30 @@ def ensure_ivfpq_index(
     return codes_path, coarse_path, books_path
 
 
+def ensure_ivfpq_residual_index(
+    spark: SparkSession, corpus_dir: str
+) -> tuple[str, str, str]:
+    """Residual (IVFADC-proper) twin of :func:`ensure_ivfpq_index`:
+    subspace codebooks trained on and codes encoding
+    ``x - centroid(cell)`` — lower quantization error at identical
+    m/ksub/nlist geometry. The residual flag rides with the artifact
+    (books ``_meta.json``); readers derive it from there."""
+    codes_path = artifact_path(corpus_dir, "ivfpq_res_codes")
+    coarse_path = artifact_path(corpus_dir, "ivfpq_res_coarse")
+    books_path = artifact_path(corpus_dir, "ivfpq_res_books")
+    if not (
+        _is_built(codes_path)
+        and _is_built(coarse_path)
+        and _is_built(books_path)
+    ):
+        emb = load_table(spark, corpus_dir, "embeddings")
+        S.write_ivfpq_index(
+            emb, codes_path, coarse_path, books_path, dim=EMB_DIM,
+            residual=True,
+        )
+    return codes_path, coarse_path, books_path
+
+
 def ensure_events_partitioned(spark: SparkSession, corpus_dir: str) -> str:
     """Events re-laid-out as date-partitioned parquet (the layout under
     which day-scoped queries prune at the parquet file listing); returns
@@ -327,6 +354,7 @@ def publish_corpus_indexes(
         ensure_simhash_sigs(spark, corpus_dir)
         ensure_pq_index(spark, corpus_dir)
         ensure_ivfpq_index(spark, corpus_dir)
+        ensure_ivfpq_residual_index(spark, corpus_dir)
         ensure_quantized_table(spark, corpus_dir)
         ensure_events_partitioned(spark, corpus_dir)
         root = Path(index_root(corpus_dir))

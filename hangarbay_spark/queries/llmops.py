@@ -2595,12 +2595,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivfpq_recall",
     None,  # composed from a rows-only arm — rows-only by construction
-    "recall@5 report for the composed IVF x PQ search against the "
+    "recall@5 A/B report for the composed IVF x PQ search against the "
     "exact brute force on the same probes (the sim_ann_recall_report "
     "pattern for the arm that has no SQL twin): routing misses — the "
     "true neighbor living in an unprobed cell — become a measured, "
-    "regression-guarded number instead of a caveat",
-    "similarity extension (IVF x PQ recall gate)",
+    "regression-guarded number instead of a caveat. One row per "
+    "encoding: plain codes vs RESIDUAL codes (x - centroid(cell), "
+    "FAISS IVFADC proper) at identical m/ksub/nlist geometry — the "
+    "residual row is tested to be >= the plain row (lower quantization "
+    "error; MSE improvement pinned in test_ivfpq_residual_mse)",
+    "similarity extension (IVF x PQ recall gate, residual A/B)",
 )
 def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.pipelines import indexes
@@ -2610,38 +2614,46 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk_pandas(emb, probes, k=5).select(
         "probe_id", "neighbor_id"
     )
-    # the persisted index is row-identical to the inline trainer
-    # (pinned in tests) — measuring it measures both, without paying a
-    # second in-query training pass
-    codes_path, coarse_path, books_path = indexes.ensure_ivfpq_index(
-        spark, sf_dir
-    )
-    hits = (
-        S.ivfpq_topk_from_index(
-            spark, codes_path, coarse_path, books_path, emb, probes, k=5
+    # the persisted indexes are row-identical to the inline trainers
+    # (pinned in tests) — measuring them measures both, without paying
+    # a second in-query training pass
+    arms = {
+        "ivfpq": indexes.ensure_ivfpq_index(spark, sf_dir),
+        "ivfpq_residual": indexes.ensure_ivfpq_residual_index(
+            spark, sf_dir
+        ),
+    }
+    out = None
+    for method, (codes_path, coarse_path, books_path) in arms.items():
+        hits = (
+            S.ivfpq_topk_from_index(
+                spark, codes_path, coarse_path, books_path, emb, probes,
+                k=5,
+            )
+            .select("probe_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
         )
-        .select("probe_id", "neighbor_id")
-        .withColumn("__hit", F.lit(1))
-    )
-    return (
-        exact.join(hits, ["probe_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-            F.sum(F.coalesce("__hit", F.lit(0)))
-            .cast("bigint")
-            .alias("n_hits"),
+        arm = (
+            exact.join(hits, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
         )
-        .select(
-            F.lit("ivfpq").alias("method"),
-            "n_exact",
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double")
-                / F.col("n_exact").cast("double"),
-                6,
-            ).alias("recall"),
-        )
-    )
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 @register(
@@ -2662,6 +2674,31 @@ def sim_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes_path, coarse_path, books_path = indexes.ensure_ivfpq_index(
         spark, sf_dir
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.ivfpq_topk_from_index(
+        spark, codes_path, coarse_path, books_path, emb, probes, k=5
+    ).select("probe_id", "neighbor_id", "cosine", "rk")
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    None,  # rows-only like the other IVFADC arms (no SQL form)
+    "IVFADC-proper ANN from the PERSISTED residual index: subspace "
+    "codes quantize x - centroid(cell) (the FAISS residual layout — "
+    "lower quantization error at identical geometry, MSE improvement "
+    "pinned in tests), the ADC score adds the routing fold's "
+    "dot(q, c_cell) term per (probe, cell), and residual-ness is "
+    "derived from the artifact's meta side file, never assumed. Same "
+    "cell-partition-pruned scan shape as sim_ivfpq_persisted_topk",
+    "similarity extension (residual IVFADC index)",
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    codes_path, coarse_path, books_path = (
+        indexes.ensure_ivfpq_residual_index(spark, sf_dir)
     )
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))

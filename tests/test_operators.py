@@ -1766,6 +1766,104 @@ def test_ivfpq_persisted_matches_inline_and_prunes_partitions(spark):
     assert "PartitionFilters: [cell#" in plan, plan
 
 
+def test_ivfpq_residual_mse_and_recall(spark):
+    """Residual encoding (IVFADC proper) at IDENTICAL m/ksub/nlist
+    geometry: reconstruction MSE is strictly lower than plain encoding
+    (the Jegou et al. §V-A property — the code domain concentrates
+    around the cell centroid), and recall@5 on the standard probes is
+    never worse. Measured 0.669 vs 0.741 MSE and tied 0.867 recall at
+    sf0.001."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.orderBy("vec_id").limit(2048).localCheckpoint()
+    X = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    mse = {}
+    for res in (False, True):
+        coarse, books = S.ivfpq_train(train, residual=res)
+        codes = S.ivfpq_encode(emb, coarse, books, residual=res).collect()
+        cmap = {c: np.array(v) for c, v in zip(*S._collect_codebook(coarse))}
+        bmaps = [
+            {c: np.array(v) for c, v in zip(*S._collect_codebook(b))}
+            for b in books
+        ]
+        errs = []
+        for r in codes:
+            xhat = np.concatenate(
+                [bmaps[j][r[f"code_{j}"]] for j in range(4)]
+            )
+            if res:
+                xhat = xhat + cmap[r["cell"]]
+            errs.append(float(np.sum((X[r["vec_id"]] - xhat) ** 2)))
+        mse[res] = float(np.mean(errs))
+    assert mse[True] < mse[False], mse
+
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, probes, k=5).collect()
+    }
+    rec = {}
+    for res in (False, True):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in S.ivfpq_topk(emb, probes, k=5, residual=res).collect()
+        }
+        rec[res] = len(exact & got) / len(exact)
+    assert rec[True] >= rec[False], rec
+
+
+def test_ivfpq_residual_persisted_matches_inline_via_meta(spark, tmp_path):
+    """The persisted residual index reproduces the inline residual
+    search row-for-row, with residual-ness derived ONLY from the
+    artifact's meta side file (the reader is never told); appends
+    encode against the same domain."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    codes_p = str(tmp_path / "codes")
+    coarse_p = str(tmp_path / "coarse")
+    books_p = str(tmp_path / "books")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    S.write_ivfpq_index(old, codes_p, coarse_p, books_p, dim=64,
+                        residual=True)
+    assert S._ivfpq_index_residual(books_p) is True
+    # append derives residual from the meta — full corpus served after
+    n = S.ivfpq_append_to_index(
+        spark, new, codes_p, coarse_p, books_p, dim=64
+    )
+    assert n == new.count()
+    assert spark.read.parquet(codes_p).count() == emb.count()
+    pers = {
+        (r["probe_id"], r["neighbor_id"], r["rk"])
+        for r in S.ivfpq_topk_from_index(
+            spark, codes_p, coarse_p, books_p, emb, probes, k=5
+        ).collect()
+    }
+    # inline residual twin trained on the same bounded sample: the
+    # persisted trainer sampled only `old`, so retrain identically
+    train = old.orderBy("vec_id").limit(2048).localCheckpoint()
+    coarse, books = S.ivfpq_train(train, dim=64, residual=True)
+    codes = S.ivfpq_encode(emb, coarse, books, dim=64, residual=True)
+    inline = {
+        (r["probe_id"], r["neighbor_id"], r["rk"])
+        for r in S.ivfpq_topk_from_codes(
+            codes, coarse, books, emb, probes, k=5, dim=64, residual=True
+        ).collect()
+    }
+    assert pers == inline and len(pers) == 15
+
+
 def test_pq_append_idempotent_and_search(spark, tmp_path):
     """Incremental PQ ingest: appending a new batch against frozen
     codebooks codes exactly the missing vectors, re-ingest is a no-op,

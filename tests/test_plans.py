@@ -265,6 +265,9 @@ EXCHANGE_BOUNDS = {
     # BNLJ at all); incremental encode is a pure batch-only kernel scan.
     "sim_ivfpq_topk": 5,
     "sim_ivfpq_persisted_topk": 5,
+    # residual twin: identical scan/join shape (the +cdot term is a
+    # projection change only)
+    "sim_ivfpq_residual_topk": 5,
     "sim_pq_incremental": 0,
     # persisted int8 scan: kernel + per-probe window only
     "sim_quantized_persisted_topk": 1,
