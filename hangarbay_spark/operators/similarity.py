@@ -651,6 +651,14 @@ def _bucket_rows(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
 # tens of MB — comfortably inside an executor task. Bigger buckets fall
 # back to the join-based expansion, which shuffles/spills instead of
 # building the whole O(n^2) array in task memory (ADVICE r3).
+#
+# Deliberately NOT corpus-scaled (unlike band bits / nlist): the cap
+# bounds PER-TASK memory for the O(cap^2) in-task pair expansion — a
+# property of the executor, not of the corpus. Scaling it up with n
+# would grow the single-task quadratic exactly where big corpora make
+# buckets hottest; the join fallback already handles oversized buckets
+# with shuffle/spill semantics at any scale, so completeness never
+# depends on the cap.
 _COLLECT_BUCKET_CAP = 2048
 
 
@@ -2052,6 +2060,24 @@ def pq_append_to_index(
     return n_new
 
 
+def auto_ivfpq_geometry(n: int) -> tuple[int, int, int]:
+    """(nlist, nprobe, train_n) for a corpus of ``n`` vectors — the
+    standard IVF sizing rule nlist ~ sqrt(n) (FAISS guidelines), rounded
+    to a power of two and FLOORED at the fixed default 16 so every
+    small/test-scale corpus keeps the documented geometry (the
+    ``auto_hyperplane_nbits`` pattern). nprobe keeps the default probed
+    fraction (4/16 = 1/4 of cells), so the scan-reduction story is
+    scale-invariant while per-cell candidate lists shrink as sqrt(n);
+    train_n grows to keep >=32 training points per coarse centroid."""
+    import math
+
+    nlist = max(16, 2 ** int(round(math.log2(max(1.0, math.sqrt(n))))))
+    nlist = min(nlist, 4096)
+    nprobe = max(4, nlist // 4)
+    train_n = max(2048, 32 * nlist)
+    return nlist, nprobe, train_n
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     codes_path: str,
@@ -2062,9 +2088,9 @@ def write_ivfpq_index(
     dim: int = 64,
     m: int = 4,
     ksub: int = 16,
-    nlist: int = 16,
+    nlist: int | None = None,
     iters: int = 2,
-    train_n: int = 2048,
+    train_n: int | None = None,
     residual: bool = False,
 ) -> None:
     """One-time IVFADC index build: coarse centroids + PQ codebooks
@@ -2076,12 +2102,17 @@ def write_ivfpq_index(
     size. The single corpus-wide pass is the zero-exchange
     :func:`ivfpq_encode` kernel scan (plus the layout write).
 
-    Residual-ness RIDES WITH THE ARTIFACT (CLAUDE.md invariant: a
-    reader assuming the build-time default silently mismatches): a
-    ``_meta.json`` side file next to the books records it, and every
-    reader (:func:`ivfpq_topk_from_index`,
+    Geometry (residual-ness, nlist, nprobe) RIDES WITH THE ARTIFACT
+    (CLAUDE.md invariant: a reader assuming the build-time default
+    silently mismatches): a ``_meta.json`` side file next to the books
+    records it, and every reader (:func:`ivfpq_topk_from_index`,
     :func:`ivfpq_append_to_index`) derives it from there — never from
-    a caller argument."""
+    a caller argument. ``nlist=None`` (the default) auto-scales
+    nlist ~ sqrt(n) via :func:`auto_ivfpq_geometry`."""
+    if nlist is None or train_n is None:
+        a_nlist, _, a_train = auto_ivfpq_geometry(corpus.count())
+        nlist = a_nlist if nlist is None else nlist
+        train_n = a_train if train_n is None else train_n
     train = corpus.orderBy(id_col).limit(train_n).localCheckpoint()
     coarse, books = ivfpq_train(
         train, id_col, vec_col, dim, m, ksub, nlist, iters,
@@ -2092,7 +2123,7 @@ def write_ivfpq_index(
     _write_side_json(
         books_path.rstrip("/") + "_meta.json",
         {"residual": bool(residual), "dim": dim, "m": m, "ksub": ksub,
-         "nlist": nlist},
+         "nlist": int(nlist), "nprobe": max(4, int(nlist) // 4)},
     )
     codes = ivfpq_encode(
         corpus, coarse, books, id_col, vec_col, dim, residual=residual
@@ -2100,12 +2131,17 @@ def write_ivfpq_index(
     codes.write.mode("overwrite").partitionBy("cell").parquet(codes_path)
 
 
-def _ivfpq_index_residual(books_path: str) -> bool:
-    """Residual-ness of a persisted IVFADC index, derived from its
-    ``_meta.json`` side file; a missing side file means a pre-residual
-    index, which was always non-residual (backward compatible)."""
+def _ivfpq_index_meta(books_path: str) -> dict:
+    """Geometry of a persisted IVFADC index, derived from its
+    ``_meta.json`` side file; a missing side file means a pre-meta
+    index, which was always built with the fixed defaults (backward
+    compatible)."""
     meta = _read_side_json(books_path.rstrip("/") + "_meta.json")
-    return bool(meta.get("residual", False)) if meta else False
+    return meta if meta else {"residual": False, "nlist": 16, "nprobe": 4}
+
+
+def _ivfpq_index_residual(books_path: str) -> bool:
+    return bool(_ivfpq_index_meta(books_path).get("residual", False))
 
 
 def ivfpq_topk_from_index(
@@ -2119,7 +2155,7 @@ def ivfpq_topk_from_index(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     rerank: int = 20,
 ) -> DataFrame:
     """IVFADC search over the PERSISTED cell-partitioned index: routing
@@ -2127,14 +2163,19 @@ def ivfpq_topk_from_index(
     the probed-cell filter prunes parquet partitions at the file
     listing, and full-precision vectors are read only for the exact
     re-rank. Results row-identical to the inline :func:`ivfpq_topk`
-    (same bounded training sample). Residual-ness is derived from the
-    index's meta side file, never assumed."""
+    (same bounded training sample). ALL geometry — residual-ness and
+    (when ``nprobe`` is left None) the probe width matched to the
+    build-time nlist — is derived from the index's meta side file,
+    never assumed."""
+    meta = _ivfpq_index_meta(books_path)
+    if nprobe is None:
+        nprobe = int(meta.get("nprobe", 4))
     coarse = _load_books(spark, coarse_path)[0]
     books = _load_books(spark, books_path)
     codes = spark.read.parquet(codes_path)
     return ivfpq_topk_from_codes(
         codes, coarse, books, corpus, probes, id_col, vec_col, k, dim,
-        nprobe, rerank, residual=_ivfpq_index_residual(books_path),
+        nprobe, rerank, residual=bool(meta.get("residual", False)),
     )
 
 

@@ -1819,6 +1819,27 @@ def test_ivfpq_residual_mse_and_recall(spark):
     assert rec[True] >= rec[False], rec
 
 
+def test_ivfpq_auto_geometry_rides_with_artifact(spark, tmp_path):
+    """nlist ~ sqrt(n) floored at the fixed default; the build records
+    nlist/nprobe/residual in the books meta side file and the reader
+    derives ALL of them from there (nprobe left None)."""
+    from hangarbay_spark.operators import similarity as S
+
+    assert S.auto_ivfpq_geometry(500) == (16, 4, 2048)
+    assert S.auto_ivfpq_geometry(5000) == (64, 16, 2048)
+    assert S.auto_ivfpq_geometry(50000) == (256, 64, 8192)
+    assert S.auto_ivfpq_geometry(100_000_000) == (4096, 1024, 131072)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes_p, coarse_p, books_p = (
+        str(tmp_path / "c"), str(tmp_path / "q"), str(tmp_path / "b")
+    )
+    S.write_ivfpq_index(emb, codes_p, coarse_p, books_p, dim=64)
+    meta = S._ivfpq_index_meta(books_p)
+    assert meta["nlist"] == 16 and meta["nprobe"] == 4  # n=500 -> floor
+    assert meta["residual"] is False
+
+
 def test_ivfpq_residual_persisted_matches_inline_via_meta(spark, tmp_path):
     """The persisted residual index reproduces the inline residual
     search row-for-row, with residual-ness derived ONLY from the
