@@ -291,6 +291,84 @@ def append_to_index(
     return n_new
 
 
+def index_data_file_count(spark: SparkSession, path: str) -> int:
+    """Number of parquet data files under ``path`` (Hadoop FS listing —
+    any supported scheme; driver-side metadata only). 0 when the path
+    does not exist yet."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    buckets: int = 64,
+    max_file_ratio: float = 2.0,
+    force: bool = False,
+) -> bool:
+    """Fold appended postings generations back into ONE
+    ``save_index``-layout generation — the LSM compaction step of the
+    durable FTS index.
+
+    Every :func:`append_to_index` leaves its own token-bucketed file
+    generation, so after g appends a term's postings are spread over g
+    files and the directory holds ~g * buckets small files; at scale
+    the per-file open overhead and lost within-partition token sort
+    dominate term-lookup cost. Compaction rewrites the postings into a
+    single generation (token repartition + within-partition sort — the
+    exact ``save_index`` layout) and folds the append-id manifest to
+    one distinct generation.
+
+    Triggered only once the directory exceeds ``max_file_ratio *
+    buckets`` data files (or ``force``), so calling it after every
+    batch is cheap — the size-ratio gate IS the LSM policy. Idempotent:
+    a second call right after one compaction is a no-op (file count is
+    back at ~buckets), and re-compacting anyway yields an identical
+    index (pure re-layout, row set untouched). Returns True when a
+    rewrite ran.
+
+    Crash note: the rewrite materializes the full postings
+    (localCheckpoint) BEFORE overwriting the path being read — the
+    read-merge-overwrite recipe every maintenance sink in
+    ``streaming/`` uses; on a transactional table format the same
+    operation is a metadata-only OPTIMIZE."""
+    from pyspark.errors import AnalysisException
+
+    n_files = index_data_file_count(spark, path)
+    if not force and n_files <= max_file_ratio * buckets:
+        return False
+    if n_files == 0:
+        return False
+    idx = load_index(spark, path).localCheckpoint()
+    ids_path = path.rstrip("/") + "_ids"
+    ids = None
+    try:
+        ids = (
+            spark.read.parquet(ids_path)
+            .select(F.col(id_col))
+            .distinct()
+            .localCheckpoint()
+        )
+    except AnalysisException:
+        pass  # no manifest (pre-manifest index): postings only
+    save_index(idx, path, buckets)
+    if ids is not None:
+        ids.coalesce(1).write.mode("overwrite").parquet(ids_path)
+    return True
+
+
 def proximity_topk(
     index: DataFrame,
     term_a: str,

@@ -739,6 +739,90 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     assert before["n"] == after["n"]
 
 
+def test_fts_maintenance_stream_matches_batch_and_compacts(
+    spark, tmp_path
+):
+    """FTS maintenance drained over time-split micro-batches serves the
+    SAME search results as a batch-built index on the same corpus, the
+    size-ratio compaction fires (file count folds back to ~one
+    generation) WITHOUT changing a single posting, and a replay with a
+    fresh checkpoint is a no-op."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import fts
+    from hangarbay_spark.streaming import fts_maintenance as FM
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    stage = str(tmp_path / "src")
+    t0 = time.time()
+    for b in range(4):
+        docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
+            f"{stage}/b{b}"
+        )
+        for root, _, files in os.walk(f"{stage}/b{b}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + b, t0 + b))
+    index_dir = str(tmp_path / "idx")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage}/*")
+        )
+        FM.fts_maintenance_stream(
+            stream, index_dir, checkpoint_dir=ckpt, buckets=8,
+            max_file_ratio=2.0,
+        ).awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    # compaction fired at least once: <= ratio*buckets data files left
+    # even though 4 appended generations were written
+    n_files = fts.index_data_file_count(spark, FM.index_path(index_dir))
+    assert n_files <= 2.0 * 8, n_files
+
+    idx = FM.read_maintained_index(spark, index_dir)
+    batch_idx = fts.build_inverted_index(docs, "doc_id", "text")
+    # stream == batch: identical postings row set
+    assert idx.exceptAll(batch_idx).count() == 0
+    assert batch_idx.exceptAll(idx).count() == 0
+    # and identical search results through the API
+    q = docs.select(F.col("text")).first()["text"].split()[0].lower()
+    got = {
+        r["doc_id"]
+        for r in fts.match_all(idx, q, "doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in fts.match_all(batch_idx, q, "doc_id").collect()
+    }
+    assert got == want and got
+
+    # idempotent compaction: forcing another compaction right after
+    # changes nothing (row set identical; manifest ids preserved)
+    before = idx.collect()
+    assert fts.compact_index(
+        spark, FM.index_path(index_dir), "doc_id", buckets=8, force=True
+    )
+    after = FM.read_maintained_index(spark, index_dir)
+    assert sorted(map(tuple, before)) == sorted(
+        map(tuple, after.collect())
+    )
+    ids = spark.read.parquet(FM.index_path(index_dir) + "_ids")
+    assert ids.distinct().count() == docs.count()
+
+    # replay with a fresh checkpoint: batch-id marker + id manifest
+    # make every re-delivered batch a no-op
+    drain(str(tmp_path / "ckpt2"))
+    again = FM.read_maintained_index(spark, index_dir)
+    assert again.count() == len(before)
+
+
 def test_heavy_hitter_crash_replay_never_double_adds(
     spark, tmp_path, monkeypatch
 ):
