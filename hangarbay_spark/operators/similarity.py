@@ -1297,6 +1297,9 @@ def _pq_codes_kernel(
     it."""
     import numpy as np
 
+    if residual and cell_lits is None:
+        raise ValueError("residual encoding requires cell_lits")
+
     def kernel(batches):
         for pdf in batches:
             n = len(pdf)
