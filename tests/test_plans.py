@@ -314,6 +314,9 @@ EXCHANGE_BOUNDS = {
     # JSD (round 6): vocab groupBy+window behind a checkpoint; the
     # visible plan is token join + pair agg + sort
     "text_source_jsd": 3,
+    # header dimension parse (round 6): pure projection over the
+    # payload scan — zero exchanges
+    "multimodal_image_dimensions": 0,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
