@@ -613,6 +613,133 @@ def multimodal_image_dimensions(
     )
 
 
+def _o_wav_meta() -> str:
+    """DuckDB twin of multimodal_audio_metadata. LE32/LE16 fields are
+    byte-pair-reversed hex; values are exact integers throughout
+    (duration via integer division)."""
+
+    def le(v: str, nbytes: int) -> str:
+        width = nbytes * 2
+        pairs = " || ".join(
+            f"substr(lpad(hex({v}), {width}, '0'), {width - 1 - 2 * i}, 2)"
+            for i in range(nbytes)
+        )
+        return pairs
+
+    def rd(pos: int, nbytes: int) -> str:
+        # payload hex chars for bytes [pos, pos+nbytes), reversed pairs
+        pairs = " || ".join(
+            f"substr(h, {2 * (pos + i) - 1}, 2)"
+            for i in reversed(range(nbytes))
+        )
+        return f"CAST('0x' || {pairs} AS BIGINT)"
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             ELSE 44100 END AS rate,
+             octet_length(encode(text)) AS ds
+      FROM documents),
+    b AS (
+      SELECT doc_id, ch, rate, ds, ch * 2 AS blk, rate * ch * 2 AS br
+      FROM m),
+    p AS (
+      SELECT doc_id,
+             unhex('52494646') || unhex({le("36 + ds", 4)})
+             || unhex('57415645666D7420') || unhex({le("16", 4)})
+             || unhex({le("1", 2)}) || unhex({le("ch", 2)})
+             || unhex({le("rate", 4)}) || unhex({le("br", 4)})
+             || unhex({le("blk", 2)}) || unhex({le("16", 2)})
+             || unhex('64617461') || unhex({le("ds", 4)})
+               AS payload
+      FROM b),
+    hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM p)
+    SELECT doc_id,
+           CAST({rd(23, 2)} AS BIGINT) AS channels,
+           CAST({rd(25, 4)} AS BIGINT) AS sample_rate,
+           CAST({rd(35, 2)} AS BIGINT) AS bits,
+           CAST({rd(41, 4)} * 1000 // {rd(29, 4)} AS BIGINT) AS duration_ms
+    FROM hx
+    """
+
+
+@register(
+    "multimodal_audio_metadata",
+    _o_wav_meta(),
+    "audio metadata parsed from WAV/RIFF HEADER BYTES — codec-free "
+    "like the image-dimension parse: canonical 44-byte PCM WAV headers "
+    "synthesized per doc (RIFF/WAVE/fmt/data chunks, little-endian "
+    "fields, struct.pack-pinned in tests), then channels, sample rate, "
+    "bit depth and duration (data bytes * 1000 // byte rate — exact "
+    "integer division) recovered from byte-pair-reversed hex substrings "
+    "entirely JVM-side. The duration/sample-rate triage an audio "
+    "pipeline runs before routing to decoders; one projection over the "
+    "payload scan",
+    "multimodal extension (WAV header metadata, codec-free)",
+)
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (1 + F.col("doc_id") % 2).cast("bigint")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("bigint")
+    )
+    ds = F.length(F.encode("text", "utf-8")).cast("bigint")
+    blk = (ch * 2).cast("bigint")
+    br = (rate * ch * 2).cast("bigint")
+
+    def le(v, nbytes):  # little-endian hex of an integer column
+        width = nbytes * 2
+        hx = F.lpad(F.hex(v), width, "0")
+        return F.concat(
+            *[F.substring(hx, width - 1 - 2 * i, 2) for i in range(nbytes)]
+        )
+
+    payload = F.concat(
+        F.unhex(F.lit("52494646")),
+        F.unhex(le(ds + 36, 4)),
+        F.unhex(F.lit("57415645666D7420")),
+        F.unhex(le(F.lit(16), 4)),
+        F.unhex(le(F.lit(1), 2)),
+        F.unhex(le(ch, 2)),
+        F.unhex(le(rate, 4)),
+        F.unhex(le(br, 4)),
+        F.unhex(le(blk, 2)),
+        F.unhex(le(F.lit(16), 2)),
+        F.unhex(F.lit("64617461")),
+        F.unhex(le(ds, 4)),
+    )
+    hx = docs.select("doc_id", F.upper(F.hex(payload)).alias("h"))
+
+    def rd(pos, nbytes):  # read LE field at 1-based byte pos
+        pairs = [
+            F.substring("h", 2 * (pos + i) - 1, 2)
+            for i in reversed(range(nbytes))
+        ]
+        return F.conv(F.concat(*pairs), 16, 10).cast("bigint")
+
+    return hx.select(
+        "doc_id",
+        rd(23, 2).alias("channels"),
+        rd(25, 4).alias("sample_rate"),
+        rd(35, 2).alias("bits"),
+        # integer division (Spark `div` = DuckDB `//` on positive ints);
+        # a double `/` + cast could round across an integer boundary
+        (rd(41, 4) * 1000).alias("__num"),
+        rd(29, 4).alias("__den"),
+    ).select(
+        "doc_id",
+        "channels",
+        "sample_rate",
+        "bits",
+        F.expr("CAST(__num DIV __den AS BIGINT)").alias("duration_ms"),
+    )
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 

@@ -404,6 +404,58 @@ def test_image_dimension_parse_against_struct_pack(spark):
         assert got[d] == (w, h), (d, fmt, got[d], (w, h))
 
 
+def test_wav_metadata_parse_against_stdlib_wave(spark):
+    """The WAV header parse recovers channels/rate/bits/duration from a
+    REAL file written by Python's stdlib `wave` module — the strongest
+    codec-free pin available in this container (an actual encoder, not
+    our own synthesis)."""
+    import io
+    import wave
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, (ch, rate, nframes) in enumerate(
+        [(1, 8000, 8000), (2, 44100, 22050), (1, 16000, 1)]
+    ):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(b"\x00\x00" * ch * nframes)
+        rows.append((i, buf.getvalue(), ch, rate, nframes))
+    df = spark.createDataFrame(
+        [(d, p) for d, p, *_ in rows], "doc_id long, payload binary"
+    )
+    hx = df.select("doc_id", F.upper(F.hex("payload")).alias("h"))
+
+    def rd(pos, nbytes):
+        pairs = [
+            F.substring("h", 2 * (pos + i) - 1, 2)
+            for i in reversed(range(nbytes))
+        ]
+        return F.conv(F.concat(*pairs), 16, 10).cast("bigint")
+
+    got = {
+        r["doc_id"]: r
+        for r in hx.select(
+            "doc_id",
+            rd(23, 2).alias("ch"),
+            rd(25, 4).alias("rate"),
+            rd(35, 2).alias("bits"),
+            rd(41, 4).alias("ds"),
+            rd(29, 4).alias("br"),
+        ).collect()
+    }
+    for d, _, ch, rate, nframes in rows:
+        r = got[d]
+        assert (r["ch"], r["rate"], r["bits"]) == (ch, rate, 16)
+        assert r["ds"] == ch * 2 * nframes
+        assert r["br"] == rate * ch * 2
+        assert r["ds"] * 1000 // r["br"] == nframes * 1000 // rate
+
+
 def test_winnow_fingerprint_guarantee_and_density(spark):
     """The Schleimer guarantee: docs sharing a token run of >= k+w-1
     tokens share at least one fingerprint; a doc with >= k tokens but

@@ -317,6 +317,7 @@ EXCHANGE_BOUNDS = {
     # header dimension parse (round 6): pure projection over the
     # payload scan — zero exchanges
     "multimodal_image_dimensions": 0,
+    "multimodal_audio_metadata": 0,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
