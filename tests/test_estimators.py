@@ -645,3 +645,71 @@ def test_collocations_matches_bruteforce(spark):
     assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
     for g, e in zip(got, expect):
         assert g[2] == pytest.approx(e[2], abs=2e-6)
+
+
+def test_source_jsd_matches_bruteforce(spark):
+    """text_source_jsd recomputed in pure Python from the raw parquet:
+    vocab counts per source with collections.Counter, shared-token JSD
+    terms + analytic exclusive-mass remainder following the query's
+    documented rounding points (ln 6 dp, terms/masses 9 dp, exact
+    Decimal accumulation, final 6 dp) — no shared code or formula text
+    with either engine."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    def _r(x, dp):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP)
+        )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for src, text in zip(tbl["source"], tbl["text"]):
+        toks = text.lower().strip().split() or [""]
+        counts[src].update(toks)
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+
+    expect = {}
+    for sa in sorted(counts):
+        for sb in sorted(counts):
+            if sa >= sb:
+                continue
+            shared = counts[sa].keys() & counts[sb].keys()
+            if not shared:
+                continue
+            jsd_shared = Decimal(0)
+            mass_a = Decimal(0)
+            mass_b = Decimal(0)
+            for t in shared:
+                p = counts[sa][t] / totals[sa]
+                q = counts[sb][t] / totals[sb]
+                term = _r(
+                    0.5
+                    * (
+                        p * _r(math.log(2.0 * p / (p + q)), 6)
+                        + q * _r(math.log(2.0 * q / (p + q)), 6)
+                    ),
+                    9,
+                )
+                jsd_shared += Decimal(repr(term))
+                mass_a += Decimal(repr(_r(p, 9)))
+                mass_b += Decimal(repr(_r(q, 9)))
+            jsd = _r(
+                float(jsd_shared)
+                + 0.5
+                * _r(math.log(2.0), 6)
+                * (2.0 - float(mass_a) - float(mass_b)),
+                6,
+            )
+            expect[(sa, sb)] = (len(shared), jsd)
+
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _rows("text_source_jsd", spark)
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert got[k][1] == pytest.approx(expect[k][1], abs=2e-6), k

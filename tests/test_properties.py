@@ -380,3 +380,38 @@ def test_scd2_intervals_partition_each_user(spark):
             assert not a["is_current"]
             assert a["tier"] != b["tier"]  # compaction: no no-op rows
         assert rs[-1]["is_current"] and rs[-1]["valid_to_ms"] is None
+
+
+winnow_tokens = st.lists(
+    st.sampled_from(tuple(f"w{i}" for i in range(12))),
+    min_size=0,
+    max_size=10,
+)
+shared_run = st.lists(
+    st.sampled_from(tuple(f"s{i}" for i in range(12))),
+    min_size=8,  # k + w - 1 at (k=5, w=4)
+    max_size=12,
+)
+
+
+@given(pre_a=winnow_tokens, post_a=winnow_tokens,
+       pre_b=winnow_tokens, post_b=winnow_tokens, run=shared_run)
+@PROP_SETTINGS
+def test_winnow_guarantee_randomized(
+    spark, pre_a, post_a, pre_b, post_b, run
+):
+    """The Schleimer guarantee under randomized surroundings: two docs
+    embedding the SAME >= k+w-1 token run at arbitrary (random)
+    positions always share a winnowing fingerprint, regardless of what
+    precedes or follows the run in either doc."""
+    from hangarbay_spark.operators.dedup import winnow_fingerprints
+
+    doc_a = " ".join(pre_a + run + post_a)
+    doc_b = " ".join(pre_b + run + post_b)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id int, text string"
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, (doc_a, doc_b)
