@@ -1958,6 +1958,110 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog with a DETERMINISTIC cross-engine register build ----------
+# (Flajolet et al. 2007.) 64 registers addressed by the top 6 bits of
+# the 48-bit md5 integer; rank = leading zeros of the 42-bit remainder
+# + 1, computed EXACTLY as 43 - length(bin(r)) (both engines print
+# minimal binary, so bit_length is a string length — no float log2).
+# The harmonic denominator is scaled by 2^43 into exact BIGINT terms
+# (1 << (43 - register)), so the only floats are the final alpha
+# multiply and the linear-counting ln — both under the shared-text /
+# 6 dp discipline. Unlike approx_count_distinct (Spark-internal, rows-
+# only), this HLL's ESTIMATE is oracle-verified bit for bit.
+
+_HLL_M = 64
+_HLL_R2 = 4398046511104  # 2^42: remainder domain
+_HLL_T43 = 8796093022208.0  # 2^43: the register-term scale, exact double
+_HLL_EST = (
+    "CASE WHEN (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 64.0))"
+    f" * 64.0 * 64.0 * {_HLL_T43} / CAST(s AS DOUBLE) <= 160.0"
+    " AND v0 > 0"
+    " THEN round(64.0 * round(ln(64.0 / CAST(v0 AS DOUBLE)), 6), 6)"
+    " ELSE round((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 64.0))"
+    f" * 64.0 * 64.0 * {_HLL_T43} / CAST(s AS DOUBLE), 6) END"
+)
+
+
+def _o_hll_arm(key_sql: str, where: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS domain,
+           {_HLL_EST} AS est_distinct,
+           exact_distinct
+    FROM (
+      SELECT CAST(SUM(1::BIGINT << (43 - mr)) +
+                  (64 - COUNT(*)) * {int(_HLL_T43)} AS BIGINT) AS s,
+             CAST(64 - COUNT(*) AS BIGINT) AS v0
+      FROM (
+        SELECT v // {_HLL_R2} AS bucket,
+               MAX(CASE WHEN v % {_HLL_R2} = 0 THEN 43
+                        ELSE 43 - length(bin(v % {_HLL_R2})) END) AS mr
+        FROM (SELECT {_o_kmv_hashval(key_sql)} AS v
+              FROM (SELECT DISTINCT {key_sql} FROM lineitem {where}))
+        GROUP BY 1))
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM (SELECT DISTINCT {key_sql} FROM lineitem {where}))
+    """
+
+
+def _hll_arm(li, key: str, label: str):
+    d = li.select(key).distinct()
+    h = d.select(_kmv_hashval_col(F.col(key)).alias("v"))
+    rk = h.select(
+        F.expr(f"v div {_HLL_R2}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN v % {_HLL_R2} = 0 THEN 43"
+            f" ELSE 43 - length(bin(v % {_HLL_R2})) END"
+        ).alias("rank"),
+    )
+    regs = rk.groupBy("bucket").agg(F.max("rank").alias("mr"))
+    s = regs.agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - mr)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(int(_HLL_T43))
+        )
+        .cast("bigint")
+        .alias("s"),
+        (F.lit(64) - F.count(F.lit(1))).cast("bigint").alias("v0"),
+    )
+    e = d.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    return s.crossJoin(F.broadcast(e)).select(
+        F.lit(label).alias("domain"),
+        F.expr(_HLL_EST).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "agg_hll_distinct_estimate",
+    f"""
+    SELECT * FROM ({_o_hll_arm("l_partkey", "", "partkey")}
+    UNION ALL {_o_hll_arm("l_returnflag", "", "returnflag")})
+    ORDER BY domain
+    """,
+    "HyperLogLog (Flajolet et al. 2007) with a DETERMINISTIC register "
+    "build: 64 registers from the top 6 bits of the 48-bit md5 "
+    "integer, rank from the remainder's bit length via length(bin(r)) "
+    "— a string op, no float log2 — and the harmonic denominator as "
+    "exact 2^43-scaled BIGINT terms, so the ESTIMATE itself is oracle-"
+    "verified (Spark's own approx_count_distinct HLL is rows-only by "
+    "necessity). Two arms exercise both regimes: the partkey domain "
+    "takes the raw harmonic path, the 3-value returnflag domain the "
+    "small-range linear-counting correction (m ln(m/V)). Accuracy vs "
+    "exact is regression-pinned in tests. The constant-state single-"
+    "pass sketch for 100 TB distinct counts, with every step exact "
+    "integer arithmetic until the final alpha multiply",
+    "2.4 extension (deterministic HyperLogLog, oracle-verified estimate)",
+)
+def agg_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _hll_arm(li, "l_partkey", "partkey")
+        .unionByName(_hll_arm(li, "l_returnflag", "returnflag"))
+        .orderBy("domain")
+    )
+
+
 @register(
     "agg_kmv_set_overlap",
     f"""

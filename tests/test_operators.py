@@ -339,6 +339,28 @@ def test_duplicated_span_removal_conservation(spark):
     assert out.filter(F.col("tokens_removed") > 0).count() > 0
 
 
+def test_hll_estimate_accuracy(spark):
+    """The deterministic HLL estimate lands within the theoretical
+    error envelope (1.04/sqrt(64) ~ 13%; pinned at 25% for slack) on
+    the raw-harmonic arm, and the linear-counting arm recovers the
+    3-value returnflag domain to within 1."""
+    from hangarbay_spark.queries import REGISTRY
+
+    for sf in ("0.001", "0.01"):
+        rows = {
+            r["domain"]: r
+            for r in REGISTRY["agg_hll_distinct_estimate"]
+            .fn(spark, f"/root/testdata/sf{sf}")
+            .collect()
+        }
+        pk = rows["partkey"]
+        assert (
+            abs(pk["est_distinct"] / pk["exact_distinct"] - 1.0) < 0.25
+        ), (sf, pk)
+        rf = rows["returnflag"]
+        assert abs(rf["est_distinct"] - rf["exact_distinct"]) < 1.0
+
+
 def test_image_dimension_parse_against_struct_pack(spark):
     """The header parse recovers width/height from REAL PNG/GIF/BMP
     headers built independently with Python struct.pack — not from the

@@ -184,6 +184,7 @@ BNLJ_ALLOWED = {
     "sim_hard_negatives",           # fixed probe set (3 vectors)
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
+    "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
@@ -318,6 +319,9 @@ EXCHANGE_BOUNDS = {
     # payload scan — zero exchanges
     "multimodal_image_dimensions": 0,
     "multimodal_audio_metadata": 0,
+    # deterministic HLL (round 6): per arm a distinct shuffle, the
+    # 64-register rollup, and 1-row scalar aggregates; two arms
+    "agg_hll_distinct_estimate": 12,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
