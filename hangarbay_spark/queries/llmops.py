@@ -855,6 +855,137 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4  # count-min rows (independent salted hashes)
+CMS_W = 4096  # counters per row: 3 md5 hex digits
+CMS_PROBES = ("the", "of", "data", "model", "zzz_never_seen")
+
+
+def _o_cms() -> str:
+    probes = ", ".join(f"('{p}')" for p in CMS_PROBES)
+    return f"""
+    WITH toks AS (SELECT unnest({O_TOKENS}) AS token FROM documents),
+    cells AS (
+      SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token),
+                                    1, 3) AS INT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1}))
+                            AS r) d
+      GROUP BY 1, 2),
+    probes(token) AS (VALUES {probes}),
+    pidx AS (
+      SELECT token, r,
+             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token),
+                                 1, 3) AS INT) AS idx
+      FROM probes CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1}))
+                              AS r) d),
+    est AS (
+      SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS cms_est
+      FROM pidx p LEFT JOIN cells c ON c.r = p.r AND c.idx = p.idx
+      GROUP BY 1),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY 1)
+    SELECT e.token, CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+    FROM est e LEFT JOIN exact x USING (token)
+    ORDER BY e.token
+    """
+
+
+@register(
+    "text_cms_token_counts",
+    _o_cms(),
+    f"count-min sketch (Cormode & Muthukrishnan 2005): {CMS_D} salted "
+    f"md5 hash rows x {CMS_W} counters, point-queried for a fixed "
+    "probe set incl. a never-seen token — estimates are one-sided "
+    "(est >= exact always, pinned in tests; the unseen token shows "
+    "the collision floor). Every counter is an exact integer sum, so "
+    "the SKETCH CONTENT is oracle-verified, not just its api shape. "
+    "The mergeable frequency sketch for 100 TB: counters add across "
+    "partitions/days, the complement of Misra-Gries (which bounds "
+    "from below) — together they bracket any token's true count",
+    "text-analysis extension (count-min sketch, oracle-verified)",
+)
+def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens_expr("text")).alias("token"))
+
+    def idx_of(r, token_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}|"), token_col)), 1, 3
+            ),
+            16, 10,
+        ).cast("int")
+
+    # all d cells of a token in ONE pass (no row-multiplying join; the
+    # d md5s are plain projections, map-side combine shrinks the
+    # shuffle to <= d*w rows per partition)
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            idx_of(r, F.col("token")).alias("idx"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # probe cell addresses are compile-time constants (bounded probe
+    # set): a tiny local relation, broadcast into the cells join
+    pidx = spark.createDataFrame(
+        [(p, r) for p in CMS_PROBES for r in range(CMS_D)],
+        "token string, r int",
+    ).select(
+        "token",
+        "r",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit("|"), F.col("token")
+                    )
+                ),
+                1, 3,
+            ),
+            16, 10,
+        )
+        .cast("int")
+        .alias("idx"),
+    )
+    # the materialized sketch is bounded by geometry (d*w <= 16384
+    # rows) — broadcastable by contract regardless of corpus size
+    est = (
+        pidx.join(F.broadcast(cells), ["r", "idx"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+    # exact counts only for the probes — never a full-vocab rollup
+    exact = (
+        toks.filter(F.col("token").isin(*CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            F.coalesce("exact_cnt", F.lit(0))
+            .cast("bigint")
+            .alias("exact_cnt"),
+        )
+        .orderBy("token")
+    )
+
+
 WINNOW_K = 5
 WINNOW_W = 4
 

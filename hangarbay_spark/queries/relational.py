@@ -2063,6 +2063,93 @@ def agg_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_merge_rollup",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag AS part,
+             {_o_kmv_hashval("l_partkey")} AS v
+      FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)),
+    rk AS (
+      SELECT part, v // {_HLL_R2} AS bucket,
+             CASE WHEN v % {_HLL_R2} = 0 THEN 43
+                  ELSE 43 - length(bin(v % {_HLL_R2})) END AS rank
+      FROM h),
+    part_regs AS (
+      SELECT part, bucket, MAX(rank) AS mr FROM rk GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket, MAX(mr) AS mr FROM part_regs GROUP BY 1),
+    ms AS (
+      SELECT CAST(SUM(1::BIGINT << (43 - mr)) +
+                  (64 - COUNT(*)) * {int(_HLL_T43)} AS BIGINT) AS s,
+             CAST(64 - COUNT(*) AS BIGINT) AS v0
+      FROM merged),
+    direct AS (
+      SELECT bucket, MAX(rank) AS mr FROM rk GROUP BY 1),
+    ds AS (
+      SELECT CAST(SUM(1::BIGINT << (43 - mr)) +
+                  (64 - COUNT(*)) * {int(_HLL_T43)} AS BIGINT) AS s,
+             CAST(64 - COUNT(*) AS BIGINT) AS v0
+      FROM direct),
+    np AS (SELECT CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts FROM h)
+    SELECT (SELECT {_HLL_EST} FROM ms) AS est_merged,
+           (SELECT {_HLL_EST} FROM ds) AS est_direct,
+           n_parts
+    FROM np
+    """,
+    "HLL MERGEABILITY demonstrated as an invariant: per-returnflag "
+    "register sets (max rank per bucket within each part) merged by "
+    "elementwise max give EXACTLY the registers of a direct global "
+    "build — max is associative — so est_merged equals est_direct bit "
+    "for bit (pinned in tests). This is the 100 TB operating mode: "
+    "constant-size register blocks per partition/tenant/day, rolled "
+    "up without touching raw data; the same rollup shape as "
+    "agg_kmv_hierarchical_rollup for the bottom-k family",
+    "2.4 extension (HLL register merge rollup)",
+)
+def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_returnflag", "l_partkey").distinct()
+    rk = d.select(
+        F.col("l_returnflag").alias("part"),
+        _kmv_hashval_col(F.col("l_partkey")).alias("v"),
+    ).select(
+        "part",
+        F.expr(f"v div {_HLL_R2}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN v % {_HLL_R2} = 0 THEN 43"
+            f" ELSE 43 - length(bin(v % {_HLL_R2})) END"
+        ).alias("rank"),
+    ).localCheckpoint()  # three consumers: part regs, direct regs, n_parts
+
+    def est_of(regs):
+        s = regs.agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - mr)"))
+                + (F.lit(64) - F.count(F.lit(1))) * F.lit(int(_HLL_T43))
+            )
+            .cast("bigint")
+            .alias("s"),
+            (F.lit(64) - F.count(F.lit(1))).cast("bigint").alias("v0"),
+        )
+        return s.select(F.expr(_HLL_EST).alias("est"))
+
+    part_regs = rk.groupBy("part", "bucket").agg(F.max("rank").alias("mr"))
+    merged = part_regs.groupBy("bucket").agg(F.max("mr").alias("mr"))
+    direct = rk.groupBy("bucket").agg(F.max("rank").alias("mr"))
+    np_ = rk.agg(
+        F.countDistinct("part").cast("bigint").alias("n_parts")
+    )
+    return (
+        est_of(merged)
+        .withColumnRenamed("est", "est_merged")
+        .crossJoin(
+            F.broadcast(est_of(direct).withColumnRenamed("est", "est_direct"))
+        )
+        .crossJoin(F.broadcast(np_))
+    )
+
+
+@register(
     "agg_kmv_set_overlap",
     f"""
     WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem

@@ -361,6 +361,47 @@ def test_hll_estimate_accuracy(spark):
         assert abs(rf["est_distinct"] - rf["exact_distinct"]) < 1.0
 
 
+def test_hll_merge_equals_direct(spark):
+    """Register merge (elementwise max over per-part registers) must
+    reproduce the direct global build EXACTLY — max is associative, so
+    est_merged == est_direct bit for bit, not approximately."""
+    from hangarbay_spark.queries import REGISTRY
+
+    for sf in ("0.001", "0.01"):
+        r = (
+            REGISTRY["agg_hll_merge_rollup"]
+            .fn(spark, f"/root/testdata/sf{sf}")
+            .collect()[0]
+        )
+        assert r["est_merged"] == r["est_direct"], (sf, r)
+        assert r["n_parts"] >= 2
+
+
+def test_cms_one_sided_and_tight_for_heavy_tokens(spark):
+    """Count-min guarantees: est >= exact for EVERY probe (one-sided),
+    and the overestimate stays within the d-row Markov envelope
+    (excess <= N/64 at w=4096 with huge slack) for tokens that exist;
+    the never-seen probe shows a pure collision floor."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.text import tokens_expr
+    from hangarbay_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["token"]: r
+        for r in REGISTRY["text_cms_token_counts"].fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_total = docs.select(
+        F.explode(tokens_expr("text")).alias("t")
+    ).count()
+    for tok, r in rows.items():
+        assert r["cms_est"] >= r["exact_cnt"], (tok, r)
+        assert r["cms_est"] - r["exact_cnt"] <= n_total // 64, (tok, r)
+    assert rows["zzz_never_seen"]["exact_cnt"] == 0
+
+
 def test_image_dimension_parse_against_struct_pack(spark):
     """The header parse recovers width/height from REAL PNG/GIF/BMP
     headers built independently with Python struct.pack — not from the

@@ -185,6 +185,7 @@ BNLJ_ALLOWED = {
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
+    "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
@@ -322,6 +323,10 @@ EXCHANGE_BOUNDS = {
     # deterministic HLL (round 6): per arm a distinct shuffle, the
     # 64-register rollup, and 1-row scalar aggregates; two arms
     "agg_hll_distinct_estimate": 12,
+    "agg_hll_merge_rollup": 9,
+    # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
+    # + the probe-filtered exact arm
+    "text_cms_token_counts": 6,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
