@@ -2149,6 +2149,88 @@ def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AMS / tug-of-war second-moment sketch ----------------------------------
+# (Alon, Matias & Szegedy 1996.) F2 = sum of squared key frequencies —
+# the self-join size / repeat-rate statistic behind skew detection and
+# join-size estimation. Each of d estimators is the SQUARE of a ±1
+# signed row count: Z_r = sum over rows of s_r(key), s_r = 2*(first
+# md5(r|key) nibble parity)-1; E[Z_r^2] = F2 exactly, so the MEAN of
+# the d squares is the unbiased combiner (a median of SINGLE squares
+# would estimate median(chi2_1)*F2 ~ 0.45*F2 — measured exactly that
+# bias before switching). Signed counts and squares are exact integers
+# mergeable by addition; the one float op is the final /9.0 (identical
+# single IEEE divide on both engines), so the estimate is
+# oracle-verified bit for bit.
+
+_AMS_D = 9
+
+
+def _ams_sign(r: int, key_sql: str, cast_t: str) -> str:
+    # strpos/VARCHAR in DuckDB, instr/STRING in Spark — integer-exact
+    # either way, so the texts need not be shared (float discipline
+    # does not apply)
+    fn = "strpos" if cast_t == "VARCHAR" else "instr"
+    return (
+        f"(2 * (({fn}('{_HEXD}', substr(md5('{r}|' || "
+        f"CAST({key_sql} AS {cast_t})), 1, 1)) - 1) % 2) - 1)"
+    )
+
+
+@register(
+    "agg_ams_selfjoin_size",
+    f"""
+    WITH z AS (
+      SELECT {", ".join(
+        f"CAST(SUM({_ams_sign(r, 'l_partkey', 'VARCHAR')}) AS BIGINT) AS z{r}"
+        for r in range(_AMS_D))}
+      FROM lineitem),
+    e AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey))
+    SELECT round(CAST({" + ".join(
+        f"z{r} * z{r}" for r in range(_AMS_D))} AS DOUBLE)
+            / {_AMS_D}.0, 6) AS est_f2,
+           exact_f2,
+           CAST({_AMS_D} AS BIGINT) AS d
+    FROM z CROSS JOIN e
+    """,
+    "AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) for F2, the "
+    "self-join size: mean of 9 squared ±1-signed row counts, each "
+    "sign from an md5 nibble parity — constant state (9 integers), "
+    "mergeable by addition, and exact integer arithmetic until the "
+    "final /9, so the estimate hash-matches the oracle bit for bit "
+    "alongside the exact sum-of-squared-frequencies it approximates. "
+    "The skew/join-size estimator for 100 TB planning: one map-side-"
+    "combined pass, no per-key state at all (contrast the groupBy "
+    "the exact arm needs). Accuracy envelope regression-pinned",
+    "2.4 extension (AMS F2 sketch, oracle-verified estimate)",
+)
+def agg_ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.agg(
+        *[
+            F.sum(F.expr(_ams_sign(r, "l_partkey", "STRING")))
+            .cast("bigint")
+            .alias(f"z{r}")
+            for r in range(_AMS_D)
+        ]
+    )
+    e = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2"))
+    )
+    sumsq = " + ".join(f"z{r} * z{r}" for r in range(_AMS_D))
+    return z.crossJoin(F.broadcast(e)).select(
+        F.expr(
+            f"round(CAST({sumsq} AS DOUBLE) / {_AMS_D}.0, 6)"
+        ).alias("est_f2"),
+        "exact_f2",
+        F.lit(_AMS_D).cast("bigint").alias("d"),
+    )
+
+
 @register(
     "agg_kmv_set_overlap",
     f"""

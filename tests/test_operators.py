@@ -2839,3 +2839,19 @@ def test_fts_proximity_no_corpus_scan_and_pushdown(spark):
     assert "fts_pos.parquet" in plan
     assert "EqualTo(token," in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ams_f2_accuracy_envelope(spark):
+    """Mean-of-9 tug-of-war estimates stay within a generous d=9
+    envelope of the exact self-join size across corpus sizes
+    (measured ratios 0.76-1.44; rel. std sqrt(2/9) ~ 0.47)."""
+    from hangarbay_spark.queries import REGISTRY
+
+    for sf in ("0.001", "0.01", "0.1"):
+        r = (
+            REGISTRY["agg_ams_selfjoin_size"]
+            .fn(spark, f"/root/testdata/sf{sf}")
+            .collect()[0]
+        )
+        ratio = r["est_f2"] / r["exact_f2"]
+        assert 0.2 < ratio < 3.0, (sf, ratio)

@@ -186,6 +186,7 @@ BNLJ_ALLOWED = {
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
+    "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
@@ -324,6 +325,7 @@ EXCHANGE_BOUNDS = {
     # 64-register rollup, and 1-row scalar aggregates; two arms
     "agg_hll_distinct_estimate": 12,
     "agg_hll_merge_rollup": 9,
+    "agg_ams_selfjoin_size": 4,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
