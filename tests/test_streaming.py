@@ -823,6 +823,95 @@ def test_fts_maintenance_stream_matches_batch_and_compacts(
     assert again.count() == len(before)
 
 
+def test_spandf_maintenance_stream_matches_batch(spark, tmp_path):
+    """Gram-df maintenance drained over 4 time-split micro-batches
+    converges to EXACTLY the batch-built gram document frequencies
+    (counts merge by sum across generations), duplicated-span counts
+    from the maintained state equal the batch operator on the full
+    corpus, merge-compaction fired without changing a single count,
+    and a fresh-checkpoint replay is a no-op."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import dedup as D
+    from hangarbay_spark.streaming import spandf_maintenance as SM
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    stage = str(tmp_path / "src")
+    t0 = time.time()
+    for b in range(4):
+        docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
+            f"{stage}/b{b}"
+        )
+        for root, _, files in os.walk(f"{stage}/b{b}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + b, t0 + b))
+    state = str(tmp_path / "state")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage}/*")
+        )
+        SM.spandf_maintenance_stream(
+            stream, state, checkpoint_dir=ckpt, buckets=8,
+            max_file_ratio=2.0,
+        ).awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    # compaction fired: generations folded under the ratio gate
+    from hangarbay_spark.operators.fts import index_data_file_count
+
+    assert index_data_file_count(spark, SM.grams_path(state)) <= 16
+
+    # stream == batch: maintained gram-df equals one built in one shot
+    got = {
+        r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
+    }
+    batch = {
+        r["g"]: r["gdf"]
+        for r in D.positional_gram_postings(docs, "doc_id", "text", 10)
+        .select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
+        .collect()
+    }
+    assert got == batch
+
+    # span counts from state == the batch operator on the full corpus
+    from_state = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in SM.duplicated_span_counts_from_state(
+            spark, docs, state
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in D.duplicated_span_counts(
+            docs, "doc_id", "text", n=10
+        ).collect()
+    }
+    assert from_state == direct and direct
+
+    # forced re-compaction: identical sums (merge is pure)
+    assert SM.compact_gram_df(spark, state, buckets=8, force=True)
+    assert {
+        r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
+    } == batch
+
+    # fresh-checkpoint replay: marker + manifest make it a no-op
+    drain(str(tmp_path / "ckpt2"))
+    assert {
+        r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
+    } == batch
+
+
 def test_heavy_hitter_crash_replay_never_double_adds(
     spark, tmp_path, monkeypatch
 ):
