@@ -768,6 +768,71 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_counts(docs, "doc_id", "text", n=SPAN_N)
 
 
+_SPANDF_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_span_screening",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    grams AS (SELECT doc_id, md5(unnest({o_shingles(SPAN_N)})) AS g
+              FROM toks),
+    dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS gdf FROM grams GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_dup_spans
+    FROM grams JOIN dfreq USING (g)
+    WHERE gdf >= 2
+    GROUP BY doc_id
+    """,
+    "streaming substring-duplication screening with a FULL oracle: "
+    "the documents stream drained as 4 micro-batches through the "
+    "gram-df maintenance sink (per-batch distinct-doc counts appended "
+    "as generations, merge-compaction sums them, id manifest + batch "
+    "marker give exactly-once), then every doc screened against the "
+    "MAINTAINED table — the result must equal the one-shot batch "
+    "computation exactly (counts are sum-mergeable across disjoint "
+    "batches), so unlike the sketch-state streaming entries this one "
+    "is hash-compared against the same DuckDB oracle as "
+    "dedup_duplicated_spans",
+    "streaming §2.7 extension (incremental span-dedup maintenance, "
+    "oracle-verified)",
+)
+def streaming_span_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.streaming import spandf_maintenance as SM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = f"{sf_dir}|spandf_stream"
+    dirs = _SPANDF_STREAM_DIRS.get(key)
+    if dirs is None:
+        import os as _os
+        import tempfile
+        import time as _time
+
+        stage = tempfile.mkdtemp(prefix="hb_spandf_src_")
+        t0 = _time.time()
+        for b in range(4):
+            docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
+                f"{stage}/b{b}"
+            )
+            for root, _, files in _os.walk(f"{stage}/b{b}"):
+                for fn in files:
+                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        state = tempfile.mkdtemp(prefix="hb_spandf_state_")
+        ckpt = tempfile.mkdtemp(prefix="hb_spandf_ckpt_")
+        _SPANDF_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
+    stage, state, ckpt = _SPANDF_STREAM_DIRS[key].split("|")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    SM.spandf_maintenance_stream(
+        stream, state, checkpoint_dir=ckpt
+    ).awaitTermination()
+    return SM.duplicated_span_counts_from_state(
+        spark, docs, state, n=SPAN_N
+    ).select("doc_id", F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"))
+
+
 def _o_span_removal(n: int) -> str:
     """DuckDB twin of operators.dedup.duplicated_span_removal: positional
     n-grams -> cross-doc grams (COUNT(DISTINCT doc_id) >= 2; the Spark

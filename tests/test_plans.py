@@ -326,6 +326,9 @@ EXCHANGE_BOUNDS = {
     "agg_hll_distinct_estimate": 12,
     "agg_hll_merge_rollup": 9,
     "agg_ams_selfjoin_size": 4,
+    # screening join against the maintained gram-df (the drain itself
+    # is imperative foreachBatch work, not part of the final plan)
+    "streaming_span_screening": 4,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
