@@ -1312,6 +1312,118 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_ROUNDS = 4
+_SSSP_SEEDS = 3
+# co-purchase affinity distance: frequently co-bought pairs are CLOSE
+# (w = 11 - min(multiplicity, 10) in [1, 10]) — exact integers, so the
+# whole relaxation is oracle-checkable without float discipline
+_SSSP_W = "CAST(11 - least(COUNT(*), 10) AS BIGINT)"
+
+
+def _o_sssp() -> str:
+    """Unrolled Bellman-Ford oracle: d{k} = min over (carry d{k-1},
+    one-edge relaxation from d{k-1}) — exactly the Spark loop's
+    union + min-groupBy round, so distances match integer-exactly."""
+    ctes = [
+        """li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+           FROM lineitem l JOIN part p
+             ON l.l_partkey = p.p_partkey AND p.p_size <= 5)""",
+        f"""ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                  {_SSSP_W} AS w
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2)""",
+        "und AS (SELECT src, dst, w FROM ew "
+        "UNION ALL SELECT dst, src, w FROM ew)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM "
+        f"(SELECT DISTINCT src AS node FROM und "
+        f"ORDER BY node LIMIT {_SSSP_SEEDS}))",
+    ]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"d{k} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT u.dst AS node, p.dist + u.w AS dist "
+            f"FROM und u JOIN d{k - 1} p ON u.src = p.node) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS} ORDER BY node
+    """
+    )
+
+
+@register(
+    "graph_weighted_sssp",
+    _o_sssp(),
+    f"weighted single-source shortest paths ({_SSSP_ROUNDS} "
+    "Bellman-Ford rounds from the 3 smallest node ids) on the "
+    "co-purchase graph with affinity distances (w = 11 - "
+    "min(multiplicity, 10): frequently co-bought parts are CLOSE — "
+    "the recommendation-distance metric). Every round is ONE edge "
+    "relaxation join + a min-groupBy that Catalyst partial-aggregates "
+    "map-side; the distance frame localCheckpoints per round (flat "
+    "lineage, the BFS/PageRank loop discipline). All-integer weights "
+    "make the full relaxation oracle-checkable — the unrolled CTE "
+    "twin replays the identical carry+relax+min rounds. Bounded "
+    f"rounds = {_SSSP_ROUNDS}-hop-bounded distances, the standard "
+    "anytime cut for power-law graphs where full convergence chases "
+    "the long tail",
+    "analytics extension (weighted shortest paths / Bellman-Ford)",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = li.join(
+        part.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).distinct()
+    ew = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.expr(_SSSP_W).alias("w"))
+    )
+    und = ew.unionByName(
+        ew.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    dist = (
+        und.select("src").distinct().orderBy("src").limit(_SSSP_SEEDS)
+        .select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = und.join(dist, und["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    ).orderBy("node")
+
+
 @register(
     "agg_revenue_concentration",
     f"""

@@ -329,6 +329,9 @@ EXCHANGE_BOUNDS = {
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,
+    # Bellman-Ford: visible plan is post-checkpoint (per-round
+    # checkpoints, the BFS/PageRank loop discipline) — final sort only
+    "graph_weighted_sssp": 1,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
