@@ -1795,7 +1795,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_overlaps DESC, l_suppkey
     LIMIT 15
     """,
-    "INTERVAL-OVERLAP self-join (both sides are intervals — the shape "
+    "INTERVAL-OVERLAP self-join (both sides are intervals -- the shape "
     "range_join's point-in-interval binning cannot express): per "
     "supplier, pairs of shipments whose ship->receipt transit windows "
     "overlap. Candidates come from expanding each interval into the "
@@ -1866,6 +1866,100 @@ def join_interval_overlap_shipments(
         pairs.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
         .orderBy(F.col("n_overlaps").desc(), "l_suppkey")
+        .limit(15)
+    )
+
+
+@register(
+    "join_interval_concurrency",
+    """
+    WITH li AS (
+      SELECT l_suppkey,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS sd,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + (CAST(l_quantity AS INTEGER) % 30 + 5) AS rd
+      FROM lineitem),
+    ev AS (
+      SELECT l_suppkey, sd AS d, 1 AS delta FROM li
+      UNION ALL
+      SELECT l_suppkey, rd + 1, -1 FROM li),
+    agg AS (
+      SELECT l_suppkey, d, CAST(SUM(delta) AS BIGINT) AS delta
+      FROM ev GROUP BY 1, 2),
+    run AS (
+      SELECT l_suppkey, d,
+             SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM agg),
+    mx AS (
+      SELECT l_suppkey, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+      FROM run GROUP BY 1),
+    pk AS (
+      SELECT r.l_suppkey, CAST(MIN(r.d) AS BIGINT) AS peak_day
+      FROM run r JOIN mx m
+        ON m.l_suppkey = r.l_suppkey AND r.conc = m.max_concurrent
+      GROUP BY 1)
+    SELECT m.l_suppkey, m.max_concurrent, pk.peak_day
+    FROM mx m JOIN pk USING (l_suppkey)
+    ORDER BY m.max_concurrent DESC, m.l_suppkey
+    LIMIT 15
+    """,
+    "interval CONCURRENCY by sweep line: per supplier, the maximum "
+    "number of simultaneously in-transit shipments and the first day "
+    "it is reached — +1/-1 boundary events, one (supplier, day) "
+    "pre-aggregation, then a running sum per supplier. The sweep "
+    "computes in O(events log events) what the pairwise overlap join "
+    "(join_interval_overlap_shipments) cannot: concurrency DEPTH, not "
+    "just pair existence — the capacity-planning readout. At 100 TB: "
+    "one map-side-combined event rollup + one supplier-keyed window; "
+    "nothing pairwise anywhere",
+    "2.3 extension (interval sweep-line concurrency)",
+)
+def join_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).alias("sd"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+            + (F.col("l_quantity").cast("int") % 30 + 5)
+        ).alias("rd"),
+    )
+    ev = li.select(
+        "l_suppkey", F.col("sd").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        li.select(
+            "l_suppkey",
+            (F.col("rd") + 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    agg = ev.groupBy("l_suppkey", "d").agg(
+        F.sum("delta").cast("bigint").alias("delta")
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = agg.select(
+        "l_suppkey", "d", F.sum("delta").over(w).alias("conc")
+    ).localCheckpoint()  # two consumers: max frame + peak-day lookup
+    mx = run.groupBy("l_suppkey").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent")
+    )
+    pk = (
+        run.join(mx, "l_suppkey")
+        .filter(F.col("conc") == F.col("max_concurrent"))
+        .groupBy("l_suppkey")
+        .agg(F.min("d").cast("bigint").alias("peak_day"))
+    )
+    return (
+        mx.join(pk, "l_suppkey")
+        .select("l_suppkey", "max_concurrent", "peak_day")
+        .orderBy(F.col("max_concurrent").desc(), "l_suppkey")
         .limit(15)
     )
 

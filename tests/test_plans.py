@@ -332,6 +332,9 @@ EXCHANGE_BOUNDS = {
     # Bellman-Ford: visible plan is post-checkpoint (per-round
     # checkpoints, the BFS/PageRank loop discipline) — final sort only
     "graph_weighted_sssp": 1,
+    # sweep line: event rollup + supplier window (checkpointed, feeds
+    # max + peak-day consumers) + the two tiny supplier joins
+    "join_interval_concurrency": 5,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
