@@ -1,9 +1,9 @@
 """Streaming maintenance of the gram document-frequency table behind
 substring-duplication detection (the ExactSubstr family): each
 micro-batch of documents contributes its positional n-grams' per-batch
-distinct-doc counts as an appended generation, and compaction MERGES
-generations by summing — the LSM-with-merge complement to the FTS
-index's append-only compaction (postings concatenate; COUNTS add).
+distinct-doc counts as a GENERATION, and compaction MERGES generations
+by summing — the LSM-with-merge complement to the FTS index's
+append-only compaction (postings concatenate; COUNTS add).
 
 Correct because document ids arrive exactly once (enforced by the id
 manifest): a gram's global document frequency is the SUM of its
@@ -16,13 +16,23 @@ new docs are screened against everything ingested so far without
 re-tokenizing old text, completing incremental parity with the
 minhash/simhash/FTS/PQ maintenance twins.
 
-Exactly-once across restarts, two layers like every sink in this
-package: the last applied ``batch_id`` commits atomically next to the
-table, and the id manifest anti-join makes a replay that slips past
-the marker a no-op. Compaction is a pure re-aggregation of the SAME
-counts (sum is associative), so it can never double-apply a batch.
+Exactly-once across crashes — counts may NEVER double-add, so this
+module gets the strictest protocol in the package (the ADVICE-r5
+heavy-hitter lesson applied at design time):
 
-At 100 TB: generations are token-hash-keyed parquet appends (a
+- each batch's generation is written by OVERWRITE to its own
+  ``gen=b<batch_id>`` partition directory — a replay that slips past
+  the batch marker rewrites byte-identical content instead of
+  appending a duplicate generation;
+- compaction writes the merged table as ``gen=m<k>`` (k = the highest
+  batch id folded) and only THEN garbage-collects the folded
+  directories; readers select the highest m-generation plus b-
+  generations NEWER than it, so a crash between the merge write and
+  the GC leaves stale directories that every reader provably ignores;
+- the id manifest (anti-join guard) and the atomic batch marker are
+  the same two idempotency layers every sink in this package uses.
+
+At 100 TB: generations are token-hash-keyed parquet partition dirs (a
 Delta/Iceberg MERGE target in production); the compaction sum is one
 shuffle on the gram digest, postings-scaled.
 """
@@ -31,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,10 +77,33 @@ def _record_applied(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, Path(state_dir) / META_FILE)
 
 
-def _file_count(spark: SparkSession, path: str) -> int:
-    from hangarbay_spark.operators.fts import index_data_file_count
+def _generations(state_dir: str) -> list[str]:
+    """gen=... subdirectory names currently on disk ([] if none)."""
+    gp = Path(grams_path(state_dir))
+    if not gp.exists():
+        return []
+    return sorted(
+        p.name for p in gp.iterdir() if p.is_dir() and p.name.startswith("gen=")
+    )
 
-    return index_data_file_count(spark, path)
+
+def _live_generations(state_dir: str) -> list[str]:
+    """The generations a READER must see: the highest m-generation
+    (each m<k> folds every batch <= k) plus b-generations newer than
+    it. Stale folded directories a crashed GC left behind are excluded
+    by construction."""
+    gens = _generations(state_dir)
+    m_max = -1
+    for g in gens:
+        if g.startswith("gen=m"):
+            m_max = max(m_max, int(g[len("gen=m"):]))
+    live = []
+    for g in gens:
+        if g.startswith("gen=m") and int(g[len("gen=m"):]) == m_max:
+            live.append(g)
+        elif g.startswith("gen=b") and int(g[len("gen=b"):]) > m_max:
+            live.append(g)
+    return live
 
 
 def ingest_docs_batch(
@@ -81,12 +115,13 @@ def ingest_docs_batch(
     text_col: str = "text",
     n: int = SPAN_N,
     buckets: int = 8,
-    max_file_ratio: float = 2.0,
+    max_generations: int = 3,
 ) -> int:
     """Fold one micro-batch of documents into the gram-df table:
-    tokenize ONLY the batch, append its per-gram distinct-doc counts as
-    a generation, then run the size-ratio merge-compaction. Returns the
-    number of newly ingested documents (0 for replays)."""
+    tokenize ONLY the batch, OVERWRITE its ``gen=b<batch_id>``
+    generation (idempotent under replay at any crash point), then run
+    the generation-count merge-compaction. Returns the number of newly
+    ingested documents (0 for replays)."""
     from pyspark.errors import AnalysisException
 
     if batch_id <= _last_applied(state_dir):
@@ -102,25 +137,25 @@ def ingest_docs_batch(
         pass
     batch = batch.localCheckpoint(eager=True)
     n_new = batch.count()
-    if n_new == 0:
-        _record_applied(state_dir, batch_id)
-        return 0
-    gen = (
-        positional_gram_postings(batch, id_col, text_col, n)
-        .select("g", id_col)
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
-    )
-    gen.repartition(buckets, "g").write.mode("append").parquet(
-        grams_path(state_dir)
-    )
-    batch.select(F.col(id_col)).write.mode("append").parquet(
-        _ids_path(state_dir)
-    )
+    if n_new > 0:
+        gen = (
+            positional_gram_postings(batch, id_col, text_col, n)
+            .select("g", id_col)
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
+        )
+        # OVERWRITE the batch's own generation dir: a replay rewrites
+        # identical content — never a second copy of the counts
+        gen.repartition(buckets, "g").write.mode("overwrite").parquet(
+            f"{grams_path(state_dir)}/gen=b{int(batch_id)}"
+        )
+        batch.select(F.col(id_col)).write.mode("append").parquet(
+            _ids_path(state_dir)
+        )
     _record_applied(state_dir, batch_id)
     compact_gram_df(
-        spark, state_dir, buckets=buckets, max_file_ratio=max_file_ratio
+        spark, state_dir, buckets=buckets, max_generations=max_generations
     )
     return n_new
 
@@ -129,33 +164,50 @@ def compact_gram_df(
     spark: SparkSession,
     state_dir: str,
     buckets: int = 8,
-    max_file_ratio: float = 2.0,
+    max_generations: int = 3,
     force: bool = False,
 ) -> bool:
-    """Merge appended gram-df generations by SUMMING counts per gram —
-    the LSM merge step (counts add; contrast the FTS compaction, which
-    only re-concatenates postings). Gated on the same file-count ratio;
-    idempotent: re-compacting re-aggregates identical sums. Returns
-    True when a rewrite ran."""
-    gp = grams_path(state_dir)
-    n_files = _file_count(spark, gp)
-    if n_files == 0 or (not force and n_files <= max_file_ratio * buckets):
+    """Merge the live generations by SUMMING counts per gram — the LSM
+    merge step (counts add; contrast the FTS compaction, which only
+    re-concatenates postings). The merged table lands at ``gen=m<k>``
+    (k = highest batch id folded) BEFORE the folded directories are
+    GC'd, so readers never see a partial state: a crash mid-GC leaves
+    stale dirs that ``_live_generations`` excludes. Gated on the live
+    generation count; idempotent (sum is associative and the fold set
+    is re-derived from disk). Returns True when a merge ran."""
+    live = _live_generations(state_dir)
+    if len(live) <= 1 or (not force and len(live) <= max_generations):
         return False
+    gp = grams_path(state_dir)
+    suffixes = [
+        int(g[len("gen=m"):]) if g.startswith("gen=m")
+        else int(g[len("gen=b"):])
+        for g in live
+    ]
+    k = max(suffixes)
     merged = (
-        spark.read.parquet(gp)
-        .groupBy("g")
-        .agg(F.sum("gdf").cast("bigint").alias("gdf"))
-        .localCheckpoint()  # materialize BEFORE overwriting the source
+        gram_df(spark, state_dir)
+        .localCheckpoint()  # materialize BEFORE touching the source dirs
     )
-    merged.repartition(buckets, "g").write.mode("overwrite").parquet(gp)
+    merged.repartition(buckets, "g").write.mode("overwrite").parquet(
+        f"{gp}/gen=m{k}"
+    )
+    # post-commit GC (best-effort; stale dirs are reader-invisible)
+    for g in live:
+        if g != f"gen=m{k}":
+            shutil.rmtree(Path(gp) / g, ignore_errors=True)
     return True
 
 
 def gram_df(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The maintained (g, gdf) table — generations summed at read time,
-    so readers are correct between compactions too."""
+    """The maintained (g, gdf) table — LIVE generations summed at read
+    time, so readers are correct between compactions and immune to
+    stale folded directories."""
+    live = _live_generations(state_dir)
+    gp = grams_path(state_dir)
+    paths = [f"{gp}/{g}" for g in live]
     return (
-        spark.read.parquet(grams_path(state_dir))
+        spark.read.parquet(*paths)
         .groupBy("g")
         .agg(F.sum("gdf").cast("bigint").alias("gdf"))
     )
@@ -194,7 +246,7 @@ def spandf_maintenance_stream(
     text_col: str = "text",
     n: int = SPAN_N,
     buckets: int = 8,
-    max_file_ratio: float = 2.0,
+    max_generations: int = 3,
 ):
     """Attach the maintenance sink to a document stream (availableNow).
     Single-writer contract per ``state_dir``."""
@@ -203,7 +255,7 @@ def spandf_maintenance_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_docs_batch(
             spark, batch_df, batch_id, state_dir, id_col, text_col, n,
-            buckets, max_file_ratio,
+            buckets, max_generations,
         )
 
     return (

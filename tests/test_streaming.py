@@ -860,14 +860,13 @@ def test_spandf_maintenance_stream_matches_batch(spark, tmp_path):
         )
         SM.spandf_maintenance_stream(
             stream, state, checkpoint_dir=ckpt, buckets=8,
-            max_file_ratio=2.0,
+            max_generations=2,
         ).awaitTermination()
 
     drain(str(tmp_path / "ckpt1"))
-    # compaction fired: generations folded under the ratio gate
-    from hangarbay_spark.operators.fts import index_data_file_count
-
-    assert index_data_file_count(spark, SM.grams_path(state)) <= 16
+    # compaction fired: live generations folded under the count gate
+    assert len(SM._live_generations(state)) <= 2
+    assert any(g.startswith("gen=m") for g in SM._live_generations(state))
 
     # stream == batch: maintained gram-df equals one built in one shot
     got = {
@@ -910,6 +909,89 @@ def test_spandf_maintenance_stream_matches_batch(spark, tmp_path):
     assert {
         r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
     } == batch
+
+
+def test_spandf_crash_replay_never_double_counts(spark, tmp_path):
+    """Counts must never double-add across crashes: a crash AFTER the
+    generation write but BEFORE the id manifest/marker replays the
+    batch — the generation-dir OVERWRITE makes the replay rewrite
+    identical content instead of appending a duplicate; and a crash
+    between the compaction merge write and its GC leaves stale folded
+    dirs that readers provably ignore."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.streaming import spandf_maintenance as SM
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    assert SM.ingest_docs_batch(spark, b0, 0, state) == b0.count()
+
+    # crash during batch 1: generation written, manifest+marker not
+    real = SM._record_applied
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before marker")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(SM, "_record_applied", side_effect=boom):
+        try:
+            SM.ingest_docs_batch(spark, b1, 1, state)
+        except RuntimeError:
+            pass
+    assert SM._last_applied(state) == 0  # marker never advanced
+
+    # replay batch 1: the crashed attempt already landed BOTH the
+    # generation and the manifest, so the anti-join sees nothing new
+    # (returns 0) — and crucially the counts are NOT doubled, because
+    # the generation was written once and the replay appends nothing
+    assert SM.ingest_docs_batch(spark, b1, 1, state) == 0
+    got = {r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()}
+    from hangarbay_spark.operators import dedup as D
+
+    expect = {
+        r["g"]: r["gdf"]
+        for r in D.positional_gram_postings(docs, "doc_id", "text", 10)
+        .select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
+        .collect()
+    }
+    assert got == expect
+
+    # the other crash point — generation written, id manifest NOT:
+    # the replay recomputes the batch and OVERWRITES the generation
+    # dir, so even a half-written/poisoned gen=b<id> is replaced, never
+    # added to (simulated by planting a poisoned generation)
+    state2 = str(tmp_path / "state2")
+    assert SM.ingest_docs_batch(spark, b0, 0, state2) == b0.count()
+    spark.createDataFrame(
+        [("poison", 999)], "g string, gdf long"
+    ).write.mode("overwrite").parquet(
+        f"{SM.grams_path(state2)}/gen=b1"
+    )
+    assert SM.ingest_docs_batch(spark, b1, 1, state2) == b1.count()
+    got2 = {
+        r["g"]: r["gdf"] for r in SM.gram_df(spark, state2).collect()
+    }
+    assert got2 == expect and "poison" not in got2
+
+    # crash between compaction merge and GC: stale dirs are invisible
+    with mock.patch.object(
+        SM.shutil, "rmtree", side_effect=lambda *a, **k: None
+    ):
+        assert SM.compact_gram_df(spark, state, force=True)
+    # folded dirs still on disk, but readers exclude them
+    assert len(SM._generations(state)) > len(SM._live_generations(state))
+    assert {
+        r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
+    } == expect
+    assert real is SM._record_applied  # patch fully unwound
 
 
 def test_heavy_hitter_crash_replay_never_double_adds(
