@@ -784,3 +784,135 @@ def test_weighted_sssp_matches_dijkstra(spark):
                 heapq.heappush(pq_, (d + w, v))
     for n, d in got.items():
         assert d >= true[n]
+
+
+def test_hll_matches_pure_python(spark):
+    """agg_hll_distinct_estimate recomputed entirely in pure Python
+    from raw parquet — hashlib md5, bit_length ranks, integer harmonic
+    terms, the same alpha/linear-counting arithmetic retyped
+    independently — so a typo in the SHARED _HLL_EST formula text
+    cannot hide behind cross-engine agreement."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    HEXD = "0123456789abcdef"
+    R2 = 4398046511104  # 2^42
+    T43 = 8796093022208  # 2^43
+
+    def hashval(key) -> int:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        v = 0
+        for i in range(12):
+            v = v * 16 + HEXD.index(h[i])
+        return v
+
+    def est_of(keys) -> float:
+        regs = {}
+        for k in keys:
+            v = hashval(k)
+            b, r = divmod(v, R2)
+            rank = 43 if r == 0 else 43 - r.bit_length()
+            regs[b] = max(regs.get(b, 0), rank)
+        s = sum(1 << (43 - mr) for mr in regs.values())
+        s += (64 - len(regs)) * T43
+        v0 = 64 - len(regs)
+        alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+        raw = alpha * 64.0 * 64.0 * float(T43) / float(s)
+        if raw <= 160.0 and v0 > 0:
+            return _r6(64.0 * _r6(math.log(64.0 / v0)))
+        return _r6(raw)
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag"],
+    ).to_pydict()
+    expect = {
+        "partkey": (
+            est_of(set(li["l_partkey"])),
+            len(set(li["l_partkey"])),
+        ),
+        "returnflag": (
+            est_of(set(li["l_returnflag"])),
+            len(set(li["l_returnflag"])),
+        ),
+    }
+    got = {
+        r[0]: (r[1], r[2])
+        for r in _rows("agg_hll_distinct_estimate", spark)
+    }
+    for dom in expect:
+        assert got[dom][1] == expect[dom][1], dom
+        assert got[dom][0] == pytest.approx(expect[dom][0], abs=2e-6), dom
+
+
+def test_cms_matches_pure_python(spark):
+    """text_cms_token_counts recomputed with pure-Python counters from
+    raw parquet: same salted-md5 cell addressing, exact integer sums,
+    min over rows — independent of both engines' SQL."""
+    from collections import Counter
+
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    D_, PROBES = 4, ("the", "of", "data", "model", "zzz_never_seen")
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).to_pydict()
+    toks = []
+    for text in tbl["text"]:
+        toks.extend(text.lower().strip().split() or [""])
+    cells = Counter()
+    for t in toks:
+        for r in range(D_):
+            idx = int(hashlib.md5(f"{r}|{t}".encode()).hexdigest()[:3], 16)
+            cells[(r, idx)] += 1
+    exact = Counter(toks)
+    expect = {}
+    for p in PROBES:
+        est = min(
+            cells.get(
+                (r, int(hashlib.md5(f"{r}|{p}".encode()).hexdigest()[:3], 16)),
+                0,
+            )
+            for r in range(D_)
+        )
+        expect[p] = (est, exact.get(p, 0))
+    got = {
+        r[0]: (r[1], r[2]) for r in _rows("text_cms_token_counts", spark)
+    }
+    assert got == expect
+
+
+def test_ams_matches_pure_python(spark):
+    """agg_ams_selfjoin_size recomputed with pure-Python signed counts
+    from raw parquet (hashlib nibble parity, integer squares, the one
+    final /9) — no shared formula text with either engine."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    HEXD = "0123456789abcdef"
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_partkey"]
+    ).to_pydict()["l_partkey"]
+    z = [0] * 9
+    for k in li:
+        for r in range(9):
+            h = hashlib.md5(f"{r}|{k}".encode()).hexdigest()
+            z[r] += 2 * (HEXD.index(h[0]) % 2) - 1
+    est = sum(v * v for v in z) / 9.0
+    exact = 0
+    from collections import Counter
+
+    for c in Counter(li).values():
+        exact += c * c
+    (got,) = _rows("agg_ams_selfjoin_size", spark)
+    assert got[1] == exact
+    from decimal import ROUND_HALF_UP, Decimal
+
+    est6 = float(
+        Decimal(repr(est)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    assert got[0] == pytest.approx(est6, abs=1e-9)
