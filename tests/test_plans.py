@@ -187,6 +187,7 @@ BNLJ_ALLOWED = {
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
+    "sim_embedding_drift",          # 1-row bucket-count scalar
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
@@ -335,6 +336,9 @@ EXCHANGE_BOUNDS = {
     # sweep line: event rollup + supplier window (checkpointed, feeds
     # max + peak-day consumers) + the two tiny supplier joins
     "join_interval_concurrency": 5,
+    # drift monitor: bucket rollup behind a checkpoint; visible plan is
+    # the 64-row arm join + scalar aggregates
+    "sim_embedding_drift": 4,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
