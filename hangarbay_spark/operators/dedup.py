@@ -771,6 +771,98 @@ def winnow_pairs(
     )
 
 
+def write_winnow_fingerprint_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 5,
+    w: int = 4,
+    buckets: int = 32,
+) -> None:
+    """One-time winnowing fingerprint build: distinct (id, fp) rows
+    persisted fp-bucketed (searches join on fp, so fingerprint locality
+    is the read layout) — the MOSS twin of
+    :func:`write_minhash_signature_table`. Geometry (k, w) rides with
+    the artifact the same way band geometry does."""
+    from hangarbay_spark.operators.similarity import _write_side_json
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    fps.repartition(buckets, "fp").write.mode("overwrite").parquet(path)
+    _write_side_json(
+        path.rstrip("/") + "_geometry.json", {"k": k, "w": w}
+    )
+
+
+def _winnow_geometry(path: str) -> tuple[int, int]:
+    from hangarbay_spark.operators.similarity import _read_side_json
+
+    g = _read_side_json(path.rstrip("/") + "_geometry.json")
+    return (int(g["k"]), int(g["w"])) if g else (5, 4)
+
+
+def winnow_pairs_incremental(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fp_path: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Fingerprint-sharing pairs involving a NEW batch against an
+    existing persisted-fingerprint corpus — the winnowing twin of
+    :func:`minhash_pairs_incremental`: old text is never re-tokenized;
+    the corpus is touched only through its (id, fp) table, and the
+    batch's (k, w) geometry is DERIVED from the artifact's side file so
+    probe and corpus can never fingerprint differently. Returns
+    new-vs-old and new-vs-new pairs with fingerprint-set resemblance
+    (old-vs-old pairs were found at build time; id spaces are disjoint
+    across batches by contract)."""
+    k, w = _winnow_geometry(fp_path)
+    new_fps = winnow_fingerprints(
+        new_df, id_col, text_col, k, w
+    ).localCheckpoint()
+    old_fps = spark.read.parquet(fp_path)
+    all_fps = old_fps.select(
+        F.col(id_col), "fp", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_fps.select(F.col(id_col), "fp", F.lit(True).alias("is_new"))
+    )
+    sizes = all_fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = new_fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = all_fps.select(F.col(id_col).alias("id_b"), "fp", "is_new")
+    inter = (
+        a.join(b, "fp")
+        # new-new pairs counted once (ordered); new-old regardless of
+        # order — the minhash_pairs_incremental dedup rule
+        .filter((~F.col("is_new")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg((F.count(F.lit(1))).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("resemblance"),
+        )
+    )
+
+
 def minhash_pairs_incremental(
     spark,
     new_df: DataFrame,

@@ -63,6 +63,7 @@ ARTIFACTS = {
     "ivfpq_res_books": "ivfpq_res_books.parquet",
     "quantized": "quantized.parquet",
     "events_bydate": "events_bydate.parquet",
+    "winnow_fps": "winnow_fps.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -296,6 +297,24 @@ def ensure_ivfpq_residual_index(
             residual=True,
         )
     return codes_path, coarse_path, books_path
+
+
+def ensure_winnow_index(spark: SparkSession, corpus_dir: str) -> str:
+    """Persisted winnowing fingerprint table over the NON-BATCH
+    documents (doc_id % 10 != 0 — the incremental demo's frozen
+    corpus); returns its path. Geometry (k, w) rides in the side
+    file."""
+    path = artifact_path(corpus_dir, "winnow_fps")
+    if not _is_built(path):
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, corpus_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        D.write_winnow_fingerprint_table(
+            docs, "doc_id", "text", path, k=5, w=4
+        )
+    return path
 
 
 def ensure_events_partitioned(spark: SparkSession, corpus_dir: str) -> str:

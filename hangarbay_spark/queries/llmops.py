@@ -1122,6 +1122,83 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_winnow_incremental(k: int, w: int, min_shared: int) -> str:
+    """Oracle for the incremental winnowing ingest: fingerprints of
+    BOTH halves rebuilt from scratch in SQL (the maintained artifact
+    must equal a from-scratch build — that IS the check), then the
+    new-batch pair rule: new-new once (ordered), new-old regardless of
+    order."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+      FROM toks),
+    grams AS (
+      SELECT doc_id, i - 1 AS s,
+             md5({gram}) || '|' || lpad(CAST(i - 1 AS VARCHAR), 8, '0')
+               AS enc
+      FROM starts),
+    sel AS (
+      SELECT doc_id, s,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+             MIN(enc) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS sel
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp,
+             doc_id % 10 = 0 AS is_new
+      FROM sel WHERE s <= greatest(ng - {w}, 0)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY 1),
+    inter AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp
+      WHERE a.is_new
+        AND ((NOT b.is_new) OR a.doc_id < b.doc_id)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_shared})
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS resemblance
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """
+
+
+@register(
+    "dedup_winnow_incremental",
+    _o_winnow_incremental(WINNOW_K, WINNOW_W, 2),
+    "incremental winnowing ingest: a new batch (doc_id % 10 == 0) "
+    "fingerprinted and joined against the PERSISTED fingerprint table "
+    "of the remaining corpus — old text is never re-tokenized (the "
+    "corpus is touched only through its (id, fp) rows) and the "
+    "batch's (k, w) geometry is DERIVED from the artifact's side "
+    "file, so probe and corpus can never fingerprint differently. "
+    "Returns new-vs-old and new-vs-new pairs with resemblance; the "
+    "oracle rebuilds both halves from scratch, so the maintained "
+    "artifact provably equals a from-scratch build. Completes "
+    "incremental parity for the winnowing family (minhash/simhash/"
+    "FTS/PQ/gram-df precedents)",
+    "dedup extension (incremental winnowing ingest)",
+)
+def dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    fp_path = indexes.ensure_winnow_index(spark, sf_dir)
+    new = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return D.winnow_pairs_incremental(
+        spark, new, "doc_id", "text", fp_path, min_shared=2
+    )
+
+
 # Jensen-Shannon divergence between source unigram distributions from
 # exact counts: shared-token terms via one inner join (p ln(2p/(p+q))
 # sides, ln 6 dp-guarded, terms 9 dp, decimal-summed), exclusive-mass

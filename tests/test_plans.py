@@ -339,6 +339,9 @@ EXCHANGE_BOUNDS = {
     # drift monitor: bucket rollup behind a checkpoint; visible plan is
     # the 64-row arm join + scalar aggregates
     "sim_embedding_drift": 4,
+    # batch-only fingerprinting behind a checkpoint; fp join + two
+    # sizes joins + pair agg
+    "dedup_winnow_incremental": 6,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
