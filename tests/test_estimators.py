@@ -916,3 +916,47 @@ def test_ams_matches_pure_python(spark):
         Decimal(repr(est)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
     )
     assert got[0] == pytest.approx(est6, abs=1e-9)
+
+
+def test_interval_concurrency_matches_bruteforce(spark):
+    """join_interval_concurrency recomputed with a pure-Python day
+    sweep from raw parquet — per supplier, count intervals covering
+    each day, take the max and its first day."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    from datetime import date
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"],
+    ).to_pydict()
+    epoch = date(1970, 1, 1)
+    deltas = defaultdict(lambda: defaultdict(int))
+    for sk, sd, qty in zip(
+        li["l_suppkey"], li["l_shipdate"], li["l_quantity"]
+    ):
+        d0 = (sd.date() if hasattr(sd, "date") else sd) - epoch
+        s = d0.days
+        r = s + (int(qty) % 30 + 5)
+        deltas[sk][s] += 1
+        deltas[sk][r + 1] -= 1
+    expect = {}
+    for sk, dd in deltas.items():
+        conc, best, best_d = 0, -1, None
+        for d in sorted(dd):
+            conc += dd[d]
+            if conc > best:
+                best, best_d = conc, d
+        expect[sk] = (best, best_d)
+    top = sorted(
+        expect.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:15]
+    want = [(sk, mc, pd) for sk, (mc, pd) in top]
+    got = [
+        (r["l_suppkey"], r["max_concurrent"], r["peak_day"])
+        for r in REGISTRY["join_interval_concurrency"]
+        .fn(spark, SF_DIR)
+        .collect()
+    ]
+    assert got == want
