@@ -337,6 +337,121 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _o_cluster_safe_split() -> str:
+    """Recursive-CTE twin of the cluster-safe split: LSH pairs ->
+    reachability closure -> min-label clusters (singletons = own id)
+    -> split by hash of the CLUSTER id; the naive per-doc split is
+    computed alongside so the straddle comparison is part of the
+    hash-checked result."""
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    ctes, select = _o_minhash_parts()
+
+    def split_case(key: str) -> str:
+        return (
+            f"CASE WHEN {o_hash_bucket(key)} < 204 THEN 'train' "
+            f"WHEN {o_hash_bucket(key)} < 229 THEN 'val' "
+            "ELSE 'test' END"
+        )
+
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach
+              JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+    assigned AS (
+      SELECT doc_id, cluster,
+             {split_case("cluster")} AS split,
+             {split_case("doc_id")} AS naive_split
+      FROM alldocs),
+    straddle AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM (
+          SELECT cluster FROM assigned GROUP BY cluster
+          HAVING COUNT(DISTINCT naive_split) > 1)) AS BIGINT)
+          AS naive_straddling,
+        CAST((SELECT COUNT(*) FROM (
+          SELECT cluster FROM assigned GROUP BY cluster
+          HAVING COUNT(DISTINCT split) > 1)) AS BIGINT)
+          AS safe_straddling)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           naive_straddling, safe_straddling
+    FROM assigned CROSS JOIN straddle
+    GROUP BY split, naive_straddling, safe_straddling
+    ORDER BY split
+    """
+
+
+@register(
+    "sample_cluster_safe_split",
+    _o_cluster_safe_split(),
+    "near-dup-aware train/val/test split — the eval-leakage guard "
+    "every LLM pipeline needs beside doc-level dedup: near-dup "
+    "CLUSTERS (MinHash-LSH pairs -> connected components; singletons "
+    "are their own cluster) are assigned whole, by content-hash of "
+    "the cluster representative, so no near-duplicate of a training "
+    "doc can land in eval. The result carries the receipts: "
+    "safe_straddling = 0 by construction while naive_straddling "
+    "counts the clusters the per-doc split WOULD have torn across "
+    "splits (leakage the naive assignment silently ships). At "
+    "100 TB: the clusters are the dedup pipeline's existing CC "
+    "labels; assignment adds one hash projection + a broadcast-scale "
+    "label join",
+    "sampling extension (cluster-safe split / leakage guard)",
+)
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = D.connected_components(pairs)
+    alldocs = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    assigned = alldocs.select(
+        "doc_id",
+        "cluster",
+        split_expr(F.col("cluster")).alias("split"),
+        split_expr(F.col("doc_id")).alias("naive_split"),
+    ).localCheckpoint()  # CC pipeline feeds three consumers below
+    straddle = assigned.groupBy("cluster").agg(
+        F.countDistinct("naive_split").alias("nv"),
+        F.countDistinct("split").alias("sf"),
+    )
+    scal = straddle.agg(
+        F.sum((F.col("nv") > 1).cast("int"))
+        .cast("bigint")
+        .alias("naive_straddling"),
+        F.sum((F.col("sf") > 1).cast("int"))
+        .cast("bigint")
+        .alias("safe_straddling"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .orderBy("split")
+    )
+
+
 def _o_dedup_survivors() -> str:
     """Recursive-CTE twin of the end-to-end near-dedup: LSH pairs ->
     reachability closure -> min-label clusters -> drop every non-min

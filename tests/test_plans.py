@@ -188,6 +188,7 @@ BNLJ_ALLOWED = {
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "sim_embedding_drift",          # 1-row bucket-count scalar
+    "sample_cluster_safe_split",    # 1-row straddle-count scalars
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
@@ -342,6 +343,9 @@ EXCHANGE_BOUNDS = {
     # batch-only fingerprinting behind a checkpoint; fp join + two
     # sizes joins + pair agg
     "dedup_winnow_incremental": 6,
+    # checkpointed assignment frame feeds split rollup + straddle
+    # scalars; CC pipeline is pre-checkpoint
+    "sample_cluster_safe_split": 7,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
