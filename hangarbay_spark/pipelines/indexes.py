@@ -374,6 +374,7 @@ def publish_corpus_indexes(
         ensure_pq_index(spark, corpus_dir)
         ensure_ivfpq_index(spark, corpus_dir)
         ensure_ivfpq_residual_index(spark, corpus_dir)
+        ensure_winnow_index(spark, corpus_dir)
         ensure_quantized_table(spark, corpus_dir)
         ensure_events_partitioned(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
