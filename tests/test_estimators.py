@@ -960,3 +960,115 @@ def test_interval_concurrency_matches_bruteforce(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_span_removal_matches_pure_python(spark):
+    """dedup_span_removal recomputed end-to-end in pure Python from
+    raw parquet: tokenize, hash every 10-gram, find cross-doc grams,
+    merge covered intervals, splice, md5 — full per-doc equality
+    including the cleaned-text digest."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    toks = {
+        d: (t.lower().strip().split() or [""])
+        for d, t in zip(tbl["doc_id"], tbl["text"])
+    }
+    n = 10
+    owners = defaultdict(set)
+    starts = defaultdict(list)
+    for d, tt in toks.items():
+        for i in range(len(tt) - n + 1):
+            g = hashlib.md5(" ".join(tt[i : i + n]).encode()).hexdigest()
+            owners[g].add(d)
+            starts[d].append((i, g))
+    expect = {}
+    for d, tt in toks.items():
+        ivs = []
+        for i, g in starts[d]:
+            if len(owners[g]) >= 2:
+                s, e = i, i + n - 1
+                if ivs and s <= ivs[-1][1] + 1:
+                    ivs[-1] = (ivs[-1][0], max(ivs[-1][1], e))
+                else:
+                    ivs.append((s, e))
+        removed = sum(e - s + 1 for s, e in ivs)
+        kept = []
+        cursor = 0
+        for s, e in ivs:
+            kept.extend(tt[cursor:s])
+            cursor = e + 1
+        kept.extend(tt[cursor:])
+        cleaned = " ".join(kept)
+        expect[d] = (
+            len(ivs),
+            removed,
+            len(tt) - removed,
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in _rows("dedup_span_removal", spark)
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())  # corpus exercises it
+
+
+def test_winnow_pairs_matches_pure_python(spark):
+    """dedup_winnow_pairs recomputed in pure Python: k-gram hashes,
+    window-of-w minima with the (hash, position) tie-break, distinct
+    fingerprints with the short-doc fallback, pair counts and
+    resemblance — full row-set equality."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    k, w, min_shared = 5, 4, 2
+    fps = {}
+    for d, text in zip(tbl["doc_id"], tbl["text"]):
+        tt = text.lower().strip().split() or [""]
+        encs = []
+        for i in range(len(tt) - k + 1):
+            h = hashlib.md5(" ".join(tt[i : i + k]).encode()).hexdigest()
+            encs.append(f"{h}|{i:08d}")
+        sel = set()
+        ng = len(encs)
+        if ng:
+            last_start = max(ng - w, 0)
+            for s in range(last_start + 1):
+                m = min(encs[s : s + w])
+                sel.add(m[:32])
+        fps[d] = sel
+    post = defaultdict(set)
+    for d, s in fps.items():
+        for fp in s:
+            post[fp].add(d)
+    counts = defaultdict(int)
+    for fp, ds in post.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                counts[(ds[i], ds[j])] += 1
+    expect = {
+        (a, b): (c, c / (len(fps[a]) + len(fps[b]) - c))
+        for (a, b), c in counts.items()
+        if c >= min_shared
+    }
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _rows("dedup_winnow_pairs", spark)
+    }
+    assert got.keys() == expect.keys()
+    for key in expect:
+        assert got[key][0] == expect[key][0], key
+        assert got[key][1] == pytest.approx(expect[key][1], abs=1e-12)
+    assert expect  # corpus exercises it
