@@ -1429,6 +1429,95 @@ def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def _o_span_removed_clean() -> str:
+    """Oracle for the span-removal cleaning pipeline: the full
+    _o_span_removal CTE chain rebuilds the cleaned corpus, which then
+    flows through the SAME quality/split fragments pipeline_corpus_clean
+    uses — the rewrite operator proven inside the end-to-end DAG."""
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    en = _EN
+    quality = f"""
+      0.4 * least(CAST(len({O_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+      + 0.2 * least(((CAST(LENGTH(text) AS DOUBLE)
+                      - (CAST(len({O_TOKENS}) AS DOUBLE) - 1.0))
+                     / CAST(len({O_TOKENS}) AS DOUBLE)) / 8.0, 1.0)
+      + 0.2 * least((CAST(len(regexp_extract_all(lower(text), '\\b({en})\\b')) AS DOUBLE)
+                     / CAST(len({O_TOKENS}) AS DOUBLE)) * 3.0, 1.0)
+      + 0.2 * (1.0 - least((CAST(LENGTH(text)
+                             - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                            / CAST(LENGTH(text) AS DOUBLE)) * 10.0, 1.0))
+    """
+    # reuse the span-removal CTE chain up to kept_agg, then re-expose
+    # the cleaned text under the column name `text` so every downstream
+    # fragment (tokens, quality) applies verbatim
+    span_ctes = _o_span_removal(SPAN_N)
+    span_ctes = span_ctes[: span_ctes.index("SELECT d.doc_id,")].rstrip()
+    span_ctes = span_ctes.rstrip().rstrip(",")  # drop the final SELECT
+    return f"""{span_ctes},
+    cleaned_docs AS (
+      SELECT d.doc_id, COALESCE(k.cleaned, '') AS text
+      FROM documents d LEFT JOIN kept_agg k USING (doc_id)),
+    nonempty AS (
+      -- layered BEFORE quality: the punctuation term divides by
+      -- LENGTH(text), and WHERE-clause AND does not short-circuit
+      SELECT doc_id, text FROM cleaned_docs WHERE LENGTH(text) > 0),
+    gated AS (
+      SELECT doc_id, CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM nonempty WHERE ({quality}) >= 0.5),
+    split_assigned AS (
+      SELECT CASE WHEN {o_hash_bucket("doc_id")} < 204 THEN 'train'
+                  WHEN {o_hash_bucket("doc_id")} < 229 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM gated)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM split_assigned GROUP BY 1 ORDER BY split
+    """
+
+
+@register(
+    "pipeline_span_removed_clean",
+    _o_span_removed_clean(),
+    "the cleaning pipeline with ExactSubstr span REMOVAL slotted in: "
+    "cross-doc duplicated spans excised from every document, fully-"
+    "excised docs dropped, the CLEANED text quality-gated (same "
+    "score, now over what actually survives) and split-assigned — "
+    "the end-to-end DAG an LLM corpus actually ships through, proving "
+    "the rewrite operator composes (its oracle nests the whole "
+    "span-removal CTE chain inside the pipeline oracle). Catalyst "
+    "fuses the gate/split onto the splice projection; the only "
+    "added shuffles are span removal's own two",
+    "pipeline composition (span removal + quality + split)",
+)
+def pipeline_span_removed_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = D.duplicated_span_removal(
+        docs, "doc_id", "text", n=SPAN_N
+    ).select("doc_id", F.col("cleaned_text").alias("text"))
+    nonempty = cleaned.filter(F.length("text") > 0)
+    gated = nonempty.filter(
+        X.quality_score_expr("text") >= 0.5
+    ).select("doc_id", X.token_count_expr("text").alias("n_tokens"))
+    return (
+        gated.select(
+            split_expr("doc_id").alias("split"), "n_tokens"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 PACK_BUDGET = 2048
 
 

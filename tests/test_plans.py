@@ -346,6 +346,8 @@ EXCHANGE_BOUNDS = {
     # checkpointed assignment frame feeds split rollup + straddle
     # scalars; CC pipeline is pre-checkpoint
     "sample_cluster_safe_split": 7,
+    # span removal's own two shuffles + gate/split fused on the splice
+    "pipeline_span_removed_clean": 5,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
     "text_cms_token_counts": 6,
