@@ -583,7 +583,14 @@ def duplicated_span_removal(
         F.col(id_col), F.posexplode(gram_arr).alias("s", "g")
     )
     wg = W.partitionBy("g")
-    if min_df <= 2:
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if min_df == 1:
+        # degenerate semantics: every gram occurrence (df >= 1 always)
+        # is a duplicated span — the min!=max fast path below would
+        # silently skip single-doc grams, so handle it explicitly
+        dup = pos_grams.select(id_col, "s")
+    elif min_df == 2:
         # cross-doc iff the gram's occurrences span >1 distinct id:
         # min != max — O(1) window state, no distinct aggregation
         dup = (

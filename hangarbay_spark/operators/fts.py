@@ -310,6 +310,47 @@ def index_data_file_count(spark: SparkSession, path: str) -> int:
     return n
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _swap_in(spark: SparkSession, tmp: str, dst: str) -> None:
+    """Replace directory ``dst`` with the COMPLETE directory ``tmp``
+    via two renames (dst -> dst__old, tmp -> dst, delete dst__old).
+    Never a state where the data exists only in executor memory: every
+    crash point leaves at least one complete on-disk copy that
+    :func:`_recover_swap` puts back in place."""
+    fs, jvm = _hadoop_fs(spark, dst)
+    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(dst + "__old")
+    fs.delete(p_old, True)
+    if fs.exists(p_dst):
+        fs.rename(p_dst, p_old)
+    fs.rename(p_tmp, p_dst)
+    fs.delete(p_old, True)
+
+
+def _recover_swap(spark: SparkSession, dst: str) -> None:
+    """Finish an interrupted :func:`_swap_in`: if ``dst`` is missing,
+    prefer the complete (``_SUCCESS``-marked) new copy at
+    ``dst__compact_tmp``, else fall back to ``dst__old``; then clear
+    leftovers so a fresh compaction starts clean."""
+    fs, jvm = _hadoop_fs(spark, dst)
+    P = jvm.org.apache.hadoop.fs.Path
+    p_dst, p_tmp, p_old = P(dst), P(dst + "__compact_tmp"), P(dst + "__old")
+    if not fs.exists(p_dst):
+        if fs.exists(p_tmp) and fs.exists(P(dst + "__compact_tmp/_SUCCESS")):
+            fs.rename(p_tmp, p_dst)
+        elif fs.exists(p_old):
+            fs.rename(p_old, p_dst)
+    fs.delete(p_tmp, True)
+    fs.delete(p_old, True)
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -339,33 +380,36 @@ def compact_index(
     index (pure re-layout, row set untouched). Returns True when a
     rewrite ran.
 
-    Crash note: the rewrite materializes the full postings
-    (localCheckpoint) BEFORE overwriting the path being read — the
-    read-merge-overwrite recipe every maintenance sink in
-    ``streaming/`` uses; on a transactional table format the same
+    Crash note (ADVICE r6): the rewrite is write-new-then-swap — the
+    folded postings and manifest land COMPLETE in ``__compact_tmp``
+    siblings before two renames swap each into place, so no crash
+    point (or executor loss) can leave the only copy of the data in
+    checkpoint blocks; :func:`_recover_swap` (run at the top of every
+    compaction) finishes an interrupted swap from whichever complete
+    on-disk copy survives. On a transactional table format the same
     operation is a metadata-only OPTIMIZE."""
     from pyspark.errors import AnalysisException
 
+    ids_path = path.rstrip("/") + "_ids"
+    _recover_swap(spark, path.rstrip("/"))
+    _recover_swap(spark, ids_path)
     n_files = index_data_file_count(spark, path)
     if not force and n_files <= max_file_ratio * buckets:
         return False
     if n_files == 0:
         return False
-    idx = load_index(spark, path).localCheckpoint()
-    ids_path = path.rstrip("/") + "_ids"
-    ids = None
+    tmp_idx = path.rstrip("/") + "__compact_tmp"
+    save_index(load_index(spark, path), tmp_idx, buckets)
+    tmp_ids = None
     try:
-        ids = (
-            spark.read.parquet(ids_path)
-            .select(F.col(id_col))
-            .distinct()
-            .localCheckpoint()
-        )
+        ids = spark.read.parquet(ids_path).select(F.col(id_col)).distinct()
+        tmp_ids = ids_path + "__compact_tmp"
+        ids.coalesce(1).write.mode("overwrite").parquet(tmp_ids)
     except AnalysisException:
         pass  # no manifest (pre-manifest index): postings only
-    save_index(idx, path, buckets)
-    if ids is not None:
-        ids.coalesce(1).write.mode("overwrite").parquet(ids_path)
+    _swap_in(spark, tmp_idx, path.rstrip("/"))
+    if tmp_ids is not None:
+        _swap_in(spark, tmp_ids, ids_path)
     return True
 
 

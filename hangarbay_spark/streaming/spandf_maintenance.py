@@ -29,8 +29,17 @@ heavy-hitter lesson applied at design time):
   directories; readers select the highest m-generation plus b-
   generations NEWER than it, so a crash between the merge write and
   the GC leaves stale directories that every reader provably ignores;
-- the id manifest (anti-join guard) and the atomic batch marker are
-  the same two idempotency layers every sink in this package uses.
+- the id manifest (anti-join guard) is itself per-batch OVERWRITE
+  directories (``ids/b<j>``), and only batches at or below the atomic
+  batch marker are consulted — a replay anti-joins against exactly the
+  committed prefix and recomputes its generation from the FULL
+  original batch, so a crash mid-manifest-write can never turn into a
+  permanent undercount (an append + separate manifest always has that
+  window — CLAUDE.md invariant);
+- a generation directory is live only once its ``_SUCCESS`` job-commit
+  marker exists, so a crash mid-merge-write leaves a partial ``gen=m``
+  that readers provably ignore in favor of the previous m + its
+  still-present b-generations.
 
 At 100 TB: generations are token-hash-keyed parquet partition dirs (a
 Delta/Iceberg MERGE target in production); the compaction sum is one
@@ -63,6 +72,26 @@ def _ids_path(state_dir: str) -> str:
     return str(Path(state_dir) / IDS_SUBDIR)
 
 
+def _committed_id_batches(state_dir: str, upto: int) -> list[str]:
+    """Per-batch id manifest dirs (``ids/b<j>``) for batches j <=
+    ``upto`` — the committed prefix. A dir above the batch marker is a
+    possibly-partial write from a crashed attempt and must be ignored
+    so the replay recomputes from the full original batch."""
+    root = Path(_ids_path(state_dir))
+    if not root.exists():
+        return []
+    out = []
+    for p in sorted(root.iterdir()):
+        if p.is_dir() and p.name.startswith("b"):
+            try:
+                j = int(p.name[1:])
+            except ValueError:
+                continue
+            if j <= upto:
+                out.append(str(p))
+    return out
+
+
 def _last_applied(state_dir: str) -> int:
     try:
         with open(Path(state_dir) / META_FILE) as f:
@@ -87,12 +116,23 @@ def _generations(state_dir: str) -> list[str]:
     )
 
 
+def _committed(state_dir: str, gen: str) -> bool:
+    """A generation counts only once Spark's job-commit ``_SUCCESS``
+    marker exists (the ``indexes._is_built`` rule): a crash mid-write
+    of ``gen=m<k>`` must not shadow the still-present b-generations it
+    was folding (GC only runs after a COMPLETE merge write), and a
+    crash mid-write of ``gen=b<j>`` is replayed (batch marker not yet
+    advanced) so readers skip the partial attempt."""
+    return (Path(grams_path(state_dir)) / gen / "_SUCCESS").exists()
+
+
 def _live_generations(state_dir: str) -> list[str]:
-    """The generations a READER must see: the highest m-generation
-    (each m<k> folds every batch <= k) plus b-generations newer than
-    it. Stale folded directories a crashed GC left behind are excluded
-    by construction."""
-    gens = _generations(state_dir)
+    """The generations a READER must see: the highest COMMITTED
+    m-generation (each m<k> folds every batch <= k) plus committed
+    b-generations newer than it. Stale folded directories a crashed GC
+    left behind, and partial directories a crashed write left behind,
+    are excluded by construction."""
+    gens = [g for g in _generations(state_dir) if _committed(state_dir, g)]
     m_max = -1
     for g in gens:
         if g.startswith("gen=m"):
@@ -122,19 +162,19 @@ def ingest_docs_batch(
     generation (idempotent under replay at any crash point), then run
     the generation-count merge-compaction. Returns the number of newly
     ingested documents (0 for replays)."""
-    from pyspark.errors import AnalysisException
-
-    if batch_id <= _last_applied(state_dir):
+    applied = _last_applied(state_dir)
+    if batch_id <= applied:
         return 0
     Path(state_dir).mkdir(parents=True, exist_ok=True)
     batch = batch_df
-    try:  # id-manifest guard: a doc is counted at most once, ever
-        seen = spark.read.parquet(_ids_path(state_dir)).select(
-            F.col(id_col)
-        )
+    # id-manifest guard: a doc is counted at most once, ever. Only the
+    # COMMITTED prefix (batches <= marker) is consulted — a partial
+    # ids/b<batch_id> from a crashed attempt is invisible, so the
+    # replay recomputes the generation from the full original batch.
+    id_dirs = _committed_id_batches(state_dir, applied)
+    if id_dirs:
+        seen = spark.read.parquet(*id_dirs).select(F.col(id_col))
         batch = batch.join(seen, id_col, "left_anti")
-    except AnalysisException:
-        pass
     batch = batch.localCheckpoint(eager=True)
     n_new = batch.count()
     if n_new > 0:
@@ -150,8 +190,10 @@ def ingest_docs_batch(
         gen.repartition(buckets, "g").write.mode("overwrite").parquet(
             f"{grams_path(state_dir)}/gen=b{int(batch_id)}"
         )
-        batch.select(F.col(id_col)).write.mode("append").parquet(
-            _ids_path(state_dir)
+        # OVERWRITE the batch's own ids dir (same protocol as the
+        # generation): idempotent under replay, no append crash window
+        batch.select(F.col(id_col)).write.mode("overwrite").parquet(
+            f"{_ids_path(state_dir)}/b{int(batch_id)}"
         )
     _record_applied(state_dir, batch_id)
     compact_gram_df(
@@ -179,6 +221,11 @@ def compact_gram_df(
     if len(live) <= 1 or (not force and len(live) <= max_generations):
         return False
     gp = grams_path(state_dir)
+    # GC partial merge attempts a crash left behind (dir, no _SUCCESS)
+    # — reader-invisible already, this just reclaims the space
+    for g in _generations(state_dir):
+        if g.startswith("gen=m") and not _committed(state_dir, g):
+            shutil.rmtree(Path(gp) / g, ignore_errors=True)
     suffixes = [
         int(g[len("gen=m"):]) if g.startswith("gen=m")
         else int(g[len("gen=b"):])

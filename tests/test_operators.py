@@ -310,6 +310,33 @@ def test_duplicated_span_removal_hand_example(spark):
     )
 
 
+def test_duplicated_span_removal_min_df_edge_cases(spark):
+    """ADVICE r6: min_df=1 must mean 'every gram occurrence is a
+    duplicated span' (docs with >= n tokens are fully excised; shorter
+    docs untouched), NOT silently fall into the min!=max cross-doc
+    fast path; min_df < 1 raises."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(15))),  # 15 tokens
+            (2, "short doc only"),  # 3 tokens < n: no grams
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.duplicated_span_removal(
+            df, "doc_id", "text", n=10, min_df=1
+        ).collect()
+    }
+    assert got[1]["tokens_removed"] == 15 and got[1]["cleaned_text"] == ""
+    assert got[2]["tokens_removed"] == 0
+    assert got[2]["cleaned_text"] == "short doc only"
+    with pytest.raises(ValueError):
+        D.duplicated_span_removal(df, "doc_id", "text", n=10, min_df=0)
+
+
 def test_duplicated_span_removal_conservation(spark):
     """removed + kept = original token count for EVERY document of the
     real corpus, and kept equals the cleaned text's own token count

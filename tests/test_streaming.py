@@ -823,6 +823,43 @@ def test_fts_maintenance_stream_matches_batch_and_compacts(
     assert again.count() == len(before)
 
 
+def test_fts_compact_swap_recovery(spark, tmp_path):
+    """ADVICE r6: compaction is write-new-then-swap — a crash mid-swap
+    leaves either the complete folded copy in ``__compact_tmp`` or the
+    old copy in ``__old``, and the next compaction's recovery puts one
+    back in place before proceeding. The index is never lost to
+    checkpoint-block eviction or a partial overwrite."""
+    import shutil
+
+    from hangarbay_spark.operators import fts
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    fts.save_index(
+        fts.build_inverted_index(docs, "doc_id", "text"), path, buckets=4
+    )
+    before = sorted(map(tuple, fts.load_index(spark, path).collect()))
+
+    # crash after the tmp write, before swap-in: dst gone, tmp complete
+    shutil.copytree(path, path + "__compact_tmp")
+    shutil.rmtree(path)
+    fts.compact_index(spark, path, "doc_id", buckets=4)
+    assert sorted(map(tuple, fts.load_index(spark, path).collect())) == before
+    assert not (tmp_path / "idx__compact_tmp").exists()
+
+    # crash between the two renames: dst gone, __old complete
+    shutil.move(path, path + "__old")
+    fts.compact_index(spark, path, "doc_id", buckets=4)
+    assert sorted(map(tuple, fts.load_index(spark, path).collect())) == before
+    assert not (tmp_path / "idx__old").exists()
+
+    # and a real (forced) compaction through the swap path is lossless
+    assert fts.compact_index(spark, path, "doc_id", buckets=4, force=True)
+    assert sorted(map(tuple, fts.load_index(spark, path).collect())) == before
+
+
 def test_spandf_maintenance_stream_matches_batch(spark, tmp_path):
     """Gram-df maintenance drained over 4 time-split micro-batches
     converges to EXACTLY the batch-built gram document frequencies
@@ -945,11 +982,14 @@ def test_spandf_crash_replay_never_double_counts(spark, tmp_path):
             pass
     assert SM._last_applied(state) == 0  # marker never advanced
 
-    # replay batch 1: the crashed attempt already landed BOTH the
-    # generation and the manifest, so the anti-join sees nothing new
-    # (returns 0) — and crucially the counts are NOT doubled, because
-    # the generation was written once and the replay appends nothing
-    assert SM.ingest_docs_batch(spark, b1, 1, state) == 0
+    # replay batch 1: the crashed attempt landed the generation AND
+    # ids/b1, but the anti-join consults only the COMMITTED prefix
+    # (batches <= marker), so the replay recomputes from the FULL
+    # original batch and OVERWRITES both dirs with byte-identical
+    # content — crucially the counts are NOT doubled (ADVICE r6: an
+    # append + separate manifest would undercount here if the ids
+    # append had been partial)
+    assert SM.ingest_docs_batch(spark, b1, 1, state) == b1.count()
     got = {r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()}
     from hangarbay_spark.operators import dedup as D
 
@@ -992,6 +1032,69 @@ def test_spandf_crash_replay_never_double_counts(spark, tmp_path):
         r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()
     } == expect
     assert real is SM._record_applied  # patch fully unwound
+
+
+def test_spandf_partial_manifest_and_partial_merge_ignored(
+    spark, tmp_path
+):
+    """ADVICE r6 crash windows: (1) an id-manifest dir above the batch
+    marker (a crashed attempt's possibly-partial write) must NOT
+    shrink a replayed batch — the old append-manifest protocol
+    permanently undercounted here; (2) a ``gen=m`` merge dir without
+    ``_SUCCESS`` is invisible to readers (the previous generations it
+    was folding are still selected) and is GC'd by the next
+    compaction."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import dedup as D
+    from hangarbay_spark.streaming import spandf_maintenance as SM
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    assert SM.ingest_docs_batch(spark, b0, 0, state) == b0.count()
+
+    # (1) plant a crashed attempt's manifest for batch 1 claiming ALL
+    # of b1 was ingested, plus a poisoned generation — the replay must
+    # ignore both (marker still at 0) and recompute from the full batch
+    b1.select("doc_id").write.mode("overwrite").parquet(
+        f"{SM._ids_path(state)}/b1"
+    )
+    spark.createDataFrame(
+        [("poison", 999)], "g string, gdf long"
+    ).write.mode("overwrite").parquet(f"{SM.grams_path(state)}/gen=b1")
+    assert SM.ingest_docs_batch(spark, b1, 1, state) == b1.count()
+    expect = {
+        r["g"]: r["gdf"]
+        for r in D.positional_gram_postings(docs, "doc_id", "text", 10)
+        .select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
+        .collect()
+    }
+    got = {r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()}
+    assert got == expect and "poison" not in got
+
+    # (2) a partial merge write (no _SUCCESS) never shadows the
+    # b-generations it was folding
+    import os
+
+    spark.createDataFrame(
+        [("poison_m", 999)], "g string, gdf long"
+    ).write.mode("overwrite").parquet(f"{SM.grams_path(state)}/gen=m5")
+    os.remove(f"{SM.grams_path(state)}/gen=m5/_SUCCESS")
+    assert "gen=m5" not in SM._live_generations(state)
+    got = {r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()}
+    assert got == expect
+    # next compaction GCs the partial attempt and lands a real merge
+    assert SM.compact_gram_df(spark, state, force=True)
+    assert "gen=m5" not in SM._generations(state)
+    got = {r["g"]: r["gdf"] for r in SM.gram_df(spark, state).collect()}
+    assert got == expect
 
 
 def test_heavy_hitter_crash_replay_never_double_adds(
