@@ -734,6 +734,42 @@ def winnow_fingerprints(
     )
 
 
+WINNOW_MAX_DF_FLOOR = 1000
+WINNOW_MAX_DF_FRAC = 0.005
+
+
+def _prune_hot_fps(fps: DataFrame, id_col: str, max_df) -> DataFrame:
+    """Drop fingerprints whose document frequency exceeds ``max_df`` —
+    MOSS's own drop-over-common-fingerprints rule and the skew guard
+    :func:`prune_frequent` gives the Jaccard twin (a boilerplate
+    fingerprint shared by 10^8 docs would otherwise create a 10^16-row
+    self-join). ``max_df=None`` derives the cap from the corpus:
+    ``max(1000, ceil(0.005 * n_docs))`` — never binding at test scale
+    (corpus max df << 1000), df-bounding at web scale. The cap is
+    computed relationally (1-row aggregate broadcast), no driver
+    action."""
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__fdf"))
+    if max_df is None:
+        n_docs = fps.select(
+            F.countDistinct(F.col(id_col)).alias("__ndocs")
+        )
+        # bounded 1-row broadcast (BNLJ-allowlisted pattern)
+        hot = dfreq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__fdf")
+            > F.greatest(
+                F.lit(WINNOW_MAX_DF_FLOOR),
+                F.ceil(F.col("__ndocs") * WINNOW_MAX_DF_FRAC),
+            )
+        )
+    else:
+        hot = dfreq.filter(F.col("__fdf") > int(max_df))
+    # the hot set is tiny by construction (df above the cap): checkpoint
+    # it so BOTH self-join sides broadcast the same materialized frame
+    # instead of recomputing the df aggregation per consumer
+    hot = hot.select("fp").localCheckpoint()
+    return fps.join(F.broadcast(hot), "fp", "left_anti")
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,
@@ -741,17 +777,23 @@ def winnow_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
     with the fingerprint-set resemblance |A∩B| / |A∪B| — the MOSS
     ranked-match readout. Inverted-index self-join on the fingerprint
     (postings-scaled, never |docs|^2), identical shape to
     :func:`ngram_jaccard_pairs` but over the winnowed ~2/(w+1)
-    subsample of grams."""
+    subsample of grams. Over-common fingerprints are dropped from the
+    join by :func:`_prune_hot_fps` (``max_df``; None derives the cap
+    from corpus size) — set sizes in the resemblance denominator stay
+    UNPRUNED, so a binding cap can only lower a pair's score, never
+    raise it."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    joinable = _prune_hot_fps(fps, id_col, max_df)
+    a = joinable.select(F.col(id_col).alias("id_a"), "fp")
+    b = joinable.select(F.col(id_col).alias("id_b"), "fp")
     inter = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -786,26 +828,33 @@ def write_winnow_fingerprint_table(
     k: int = 5,
     w: int = 4,
     buckets: int = 32,
+    max_df: int | None = None,
 ) -> None:
     """One-time winnowing fingerprint build: distinct (id, fp) rows
     persisted fp-bucketed (searches join on fp, so fingerprint locality
     is the read layout) — the MOSS twin of
-    :func:`write_minhash_signature_table`. Geometry (k, w) rides with
-    the artifact the same way band geometry does."""
+    :func:`write_minhash_signature_table`. Geometry (k, w, max_df)
+    rides with the artifact the same way band geometry does, so every
+    reader prunes hot fingerprints with the SAME cutoff the corpus was
+    built to expect (None = corpus-derived default)."""
     from hangarbay_spark.operators.similarity import _write_side_json
 
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     fps.repartition(buckets, "fp").write.mode("overwrite").parquet(path)
     _write_side_json(
-        path.rstrip("/") + "_geometry.json", {"k": k, "w": w}
+        path.rstrip("/") + "_geometry.json",
+        {"k": k, "w": w, "max_df": max_df},
     )
 
 
-def _winnow_geometry(path: str) -> tuple[int, int]:
+def _winnow_geometry(path: str) -> tuple[int, int, int | None]:
     from hangarbay_spark.operators.similarity import _read_side_json
 
     g = _read_side_json(path.rstrip("/") + "_geometry.json")
-    return (int(g["k"]), int(g["w"])) if g else (5, 4)
+    if not g:
+        return (5, 4, None)
+    md = g.get("max_df")
+    return (int(g["k"]), int(g["w"]), None if md is None else int(md))
 
 
 def winnow_pairs_incremental(
@@ -820,12 +869,15 @@ def winnow_pairs_incremental(
     existing persisted-fingerprint corpus — the winnowing twin of
     :func:`minhash_pairs_incremental`: old text is never re-tokenized;
     the corpus is touched only through its (id, fp) table, and the
-    batch's (k, w) geometry is DERIVED from the artifact's side file so
-    probe and corpus can never fingerprint differently. Returns
-    new-vs-old and new-vs-new pairs with fingerprint-set resemblance
-    (old-vs-old pairs were found at build time; id spaces are disjoint
-    across batches by contract)."""
-    k, w = _winnow_geometry(fp_path)
+    batch's (k, w, max_df) geometry is DERIVED from the artifact's
+    side file so probe and corpus can never fingerprint (or prune)
+    differently. Returns new-vs-old and new-vs-new pairs with
+    fingerprint-set resemblance (old-vs-old pairs were found at build
+    time; id spaces are disjoint across batches by contract). The hot-
+    fingerprint cap is applied to the COMBINED (old+new) fingerprint
+    frame — df is corpus-wide, matching the batch operator; sizes stay
+    unpruned (same rule as :func:`winnow_pairs`)."""
+    k, w, max_df = _winnow_geometry(fp_path)
     new_fps = winnow_fingerprints(
         new_df, id_col, text_col, k, w
     ).localCheckpoint()
@@ -835,8 +887,11 @@ def winnow_pairs_incremental(
     ).unionByName(
         new_fps.select(F.col(id_col), "fp", F.lit(True).alias("is_new"))
     )
+    all_fps = all_fps.localCheckpoint()  # consumers: sizes, df-count,
+    # probe side, corpus side — one materialized subtree
     sizes = all_fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = new_fps.select(F.col(id_col).alias("id_a"), "fp")
+    all_fps = _prune_hot_fps(all_fps, id_col, max_df)
+    a = all_fps.filter("is_new").select(F.col(id_col).alias("id_a"), "fp")
     b = all_fps.select(F.col(id_col).alias("id_b"), "fp", "is_new")
     inter = (
         a.join(b, "fp")

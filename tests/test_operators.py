@@ -586,6 +586,53 @@ def test_winnow_fingerprint_guarantee_and_density(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_winnow_hot_fingerprint_guard(spark):
+    """VERDICT r6 watch item: a boilerplate fingerprint shared by many
+    docs must be excludable from the self-join (the MOSS over-common
+    drop / skew guard). Six docs share a hot passage; only docs 1-2
+    additionally share a rare one. With the cap binding on the hot
+    fingerprints, only (1, 2) survives; the corpus-derived default cap
+    (>= 1000) never binds at test scale so results are unchanged; and
+    the cap rides in the artifact's geometry side file."""
+    hot = " ".join(f"h{i}" for i in range(10))
+    rare = " ".join(f"r{i}" for i in range(10))
+    rows = [(1, f"{hot} one {rare}"), (2, f"{hot} two {rare}")]
+    rows += [(d, f"{hot} unique{d} filler{d}") for d in range(3, 7)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in D.winnow_pairs(
+                df, "doc_id", "text", k=5, w=4, min_shared=1, **kw
+            ).collect()
+        }
+
+    unpruned = pairs()
+    assert len(unpruned) == 15  # all C(6,2) pairs share the hot passage
+    assert pairs(max_df=10**9) == unpruned  # explicit non-binding cap
+    capped = pairs(max_df=3)  # hot fps have df=6 > 3; rare df=2 kept
+    assert capped == {(1, 2)}
+
+    # the cap rides with the persisted artifact and the incremental
+    # reader derives it from there
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="hb_winnow_") + "/fps.parquet"
+    D.write_winnow_fingerprint_table(
+        df.filter("doc_id <= 4"), "doc_id", "text", p, k=5, w=4, max_df=3
+    )
+    assert D._winnow_geometry(p) == (5, 4, 3)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in D.winnow_pairs_incremental(
+            spark, df.filter("doc_id > 4"), "doc_id", "text", p,
+            min_shared=1,
+        ).collect()
+    }
+    assert inc == set()  # new docs share only the (pruned) hot passage
+
+
 def test_source_jsd_bounds(spark):
     """JSD properties on hand corpora: identical distributions -> 0;
     disjoint vocabularies -> ln 2 (6 dp); everything in [0, ln 2]."""

@@ -314,8 +314,10 @@ EXCHANGE_BOUNDS = {
     # the checkpointed RDD)
     "dedup_span_removal": 3,
     # winnowing (round 6): fingerprint self-join + two sizes joins over
-    # the checkpointed fingerprint table + the pair agg
-    "dedup_winnow_pairs": 6,
+    # the checkpointed fingerprint table + the pair agg; +2 (round 7)
+    # for the hot-fingerprint guard's broadcast of the checkpointed
+    # over-cap set into each self-join side
+    "dedup_winnow_pairs": 8,
     # JSD (round 6): vocab groupBy+window behind a checkpoint; the
     # visible plan is token join + pair agg + sort
     "text_source_jsd": 3,
@@ -341,8 +343,9 @@ EXCHANGE_BOUNDS = {
     # the 64-row arm join + scalar aggregates
     "sim_embedding_drift": 4,
     # batch-only fingerprinting behind a checkpoint; fp join + two
-    # sizes joins + pair agg
-    "dedup_winnow_incremental": 6,
+    # sizes joins + pair agg; +2 (round 7) for the hot-fingerprint
+    # guard broadcasts (see dedup_winnow_pairs)
+    "dedup_winnow_incremental": 8,
     # checkpointed assignment frame feeds split rollup + straddle
     # scalars; CC pipeline is pre-checkpoint
     "sample_cluster_safe_split": 7,
