@@ -1103,33 +1103,78 @@ def _o_fd() -> str:
     "dimension-hierarchy validation). Each candidate is one "
     "map-side-combined (lhs, distinct-rhs) rollup collapsed to a "
     "1-row verdict; all counts exact integers, no float discipline. "
-    "At 100 TB candidates on one table can share a scan "
-    "(grouping-sets style) — here each audit is already "
-    "aggregation-bounded",
+    "Candidates on one table SHARE a scan (struct-array explode, "
+    "grouping-sets style): 3 table scans serve 6 audits — at 100 TB "
+    "the scan is the cost",
     "quality extension (functional-dependency / key discovery)",
 )
 def quality_functional_dependencies(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Candidates on the same table share ONE scan (VERDICT r6 task #6)
+    # via GROUPING SETS ((lhs1,rhs1),(lhs2,rhs2),...): the big shuffle
+    # keys keep their NATIVE types (an A/B against the struct-explode
+    # form with string-cast keys measured 1.65 s vs 2.9 s at sf0.1),
+    # and the output is already the distinct (lhs, rhs) CELL set per
+    # candidate — nd per lhs is then a count of non-null-rhs cells
+    # (count(distinct rhs) ignores nulls; a null-rhs cell must not
+    # count) and every downstream step runs on aggregated cells.
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for i, (t, lhs, rhs) in enumerate(_FD_CANDIDATES):
+        by_table.setdefault(t, []).append((i, lhs, rhs))
+    label = F.lit(None).cast("string")
+    for i, (t, lhs, rhs) in enumerate(_FD_CANDIDATES):
+        label = F.when(
+            F.col("cid") == i, F.lit(f"{t}.{lhs} -> {t}.{rhs}")
+        ).otherwise(label)
     out = None
-    for t, lhs, rhs in _FD_CANDIDATES:
+    for t, cands in by_table.items():
         tbl = load_table(spark, sf_dir, t)
-        per_lhs = tbl.groupBy(lhs).agg(
-            F.countDistinct(rhs).alias("nd")
+        cols = sorted({c for _, l, r in cands for c in (l, r)})
+        cells = tbl.groupingSets(
+            [[F.col(l), F.col(r)] for _, l, r in cands],
+            *[F.col(c) for c in cols],
+        ).agg(F.grouping_id().alias("gid"))
+        # grouping_id: bit j (MSB-first over ``cols``) set = column NOT
+        # grouped in this set — identifies which candidate a cell
+        # belongs to; data-level nulls don't perturb it
+        cid_e = F.lit(None).cast("int")
+        lhs_e = F.lit(None).cast("string")
+        rhs_nn = F.lit(None).cast("int")
+        for i, l, r in cands:
+            gid = 0
+            for j, c in enumerate(cols):
+                if c not in (l, r):
+                    gid |= 1 << (len(cols) - 1 - j)
+            cond = F.col("gid") == gid
+            cid_e = F.when(cond, F.lit(i)).otherwise(cid_e)
+            lhs_e = F.when(cond, F.col(l).cast("string")).otherwise(lhs_e)
+            rhs_nn = F.when(
+                cond, F.col(r).isNotNull().cast("int")
+            ).otherwise(rhs_nn)
+        per_lhs = (
+            cells.select(
+                cid_e.alias("cid"), lhs_e.alias("lhs"), rhs_nn.alias("rnn")
+            )
+            .groupBy("cid", "lhs")
+            .agg(F.sum("rnn").alias("nd"))
         )
-        verdict = per_lhs.agg(
-            F.lit(f"{t}.{lhs} -> {t}.{rhs}").alias("dependency"),
+        verdict = per_lhs.groupBy("cid").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
             F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
             .cast("bigint")
             .alias("violating_lhs"),
             F.max("nd").cast("bigint").alias("max_rhs_per_lhs"),
             F.when(F.max("nd") == 1, 1).otherwise(0).alias("holds"),
-        ).select(
-            "dependency", "n_lhs", "violating_lhs", "max_rhs_per_lhs", "holds"
         )
         out = verdict if out is None else out.unionByName(verdict)
-    return out.orderBy("dependency")
+    return out.select(
+        label.alias("dependency"),
+        "n_lhs",
+        "violating_lhs",
+        "max_rhs_per_lhs",
+        "holds",
+    ).orderBy("dependency")
 
 
 # per-cell MI term: p_xy * ln(p_xy / (p_x p_y)) with the ln 6 dp-rounded

@@ -383,7 +383,9 @@ EXCHANGE_BOUNDS = {
     "fts_proximity_topk": 2,
     "events_shapley_attribution": 5,
     # six independent (table, lhs->rhs) audits, two aggs each
-    "quality_functional_dependencies": 18,
+    # round 7: same-table candidates share one scan via GROUPING SETS
+    # (3 scans / 3 per-table chains serve 6 audits; was 18 exchanges)
+    "quality_functional_dependencies": 10,
     "events_gapfill_interpolate": 3,
     "graph_modularity_brands": 2,
     "sample_neyman_allocation": 3,
