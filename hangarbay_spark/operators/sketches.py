@@ -183,3 +183,160 @@ def heavy_hitters_exact_weighted(
         .filter(F.col("mass") * inv_phi > F.col("n"))
         .orderBy(F.col("mass").desc(), alias)
     )
+
+
+# --- GK-style mergeable quantile summary -------------------------------------
+# (Greenwald & Khanna, SIGMOD 2001; merge semantics per Agarwal et al.,
+# "Mergeable Summaries", PODS 2012; the equi-spaced per-partition
+# construction is the classic one-pass summary of Manku, Rajagopalan &
+# Lindsay, SIGMOD 1998.) The summary is GK's tuple algebra — kept
+# values v with a coverage count g (number of source items the tuple
+# accounts for, i.e. rmin increments) and implicit rank slack bounded
+# by the per-partition spacing — but the CONSTRUCTION is deliberately
+# order-independent: each deterministic hash partition keeps its
+# items at exact local ranks 1, 1+s_p, 1+2*s_p, ..., n_p (s_p =
+# max(1, n_p div err_div), i.e. s_p <= eps*n_p/2 for eps = 2/err_div),
+# so the summary is a pure function of the data MULTISET. GK's
+# insertion-order compress cannot be replayed by another engine;
+# this construction can, which is what makes the ESTIMATE itself
+# oracle-verifiable bit for bit (the HLL/CMS/AMS discipline applied
+# to quantiles). Spark's own approx_percentile is the insertion-order
+# GK variant and stays rows-only for exactly that reason.
+#
+# Guarantee: within a partition every unkept item sits between two
+# kept ranks < s_p apart, so a query rank t has a kept tuple whose
+# true global rank differs by at most max_p(s_p) + sum_p(s_p - 1)
+# <= (2/err_div)*n = eps*n. Summary size is bounded by construction:
+# <= 2*err_div + 2 tuples per partition (s_p = floor(n_p/err_div) >=
+# n_p/(2*err_div) once n_p >= err_div), independent of n_p.
+# Mergeability: the summary of a batch UNION equals the union of
+# per-batch summaries when partitions are kept distinct (ranks, n_p
+# and s_p are all per-(batch, p) quantities) — pinned in tests.
+
+
+def gk_summary(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    partitions: int = 32,
+    err_div: int = 100,
+    batch: str = "",
+    batch_col: str | None = None,
+) -> DataFrame:
+    """Bounded GK-style quantile summary tuples of ``df[value_col]``:
+    one row per KEPT item — ``(p, v, tb, r, g)`` where ``p`` is the
+    deterministic md5 hash partition (prefixed with ``batch``, or the
+    per-row ``batch_col`` value, so summaries from disjoint batches
+    union-merge without rank collisions; building with ``batch_col``
+    in ONE pass is bit-identical to building each batch separately and
+    unioning — ranks, n_p and s_p are all per-(batch, p) quantities),
+    ``r`` the exact local rank under the total order ``(v, tb)``
+    (``id_col`` must be a unique tie-break), and ``g`` the GK coverage
+    count (gap to the previous kept rank; sums to n). At most
+    ``2*err_div + 2`` rows per partition; eps = 2/err_div. All
+    arithmetic is exact integers — cross-engine reproducible."""
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    tag = (
+        F.col(batch_col).cast("string")
+        if batch_col is not None
+        else F.lit(batch)
+    )
+    cols = [F.col(value_col).alias("v"), F.col(id_col).alias("tb")]
+    if batch_col is not None:
+        cols.append(F.col(batch_col))
+    base = df.select(*cols).select(
+        "v",
+        "tb",
+        F.concat_ws(
+            "|",
+            tag,
+            (hash_bucket_expr(F.col("tb")) % partitions).cast("string"),
+        ).alias("p"),
+    )
+    wp = W.partitionBy("p")
+    ranked = base.select(
+        "p",
+        "v",
+        "tb",
+        F.row_number().over(wp.orderBy("v", "tb")).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    ).withColumn(
+        "sp", F.greatest(F.lit(1), F.expr(f"np div {int(err_div)}"))
+    )
+    kept = ranked.filter(
+        ((F.col("r") - 1) % F.col("sp") == 0) | (F.col("r") == F.col("np"))
+    )
+    return kept.select(
+        "p",
+        "v",
+        "tb",
+        "r",
+        (
+            F.col("r")
+            - F.coalesce(
+                F.lag("r").over(wp.orderBy("r")), F.lit(0)
+            )
+        ).cast("bigint").alias("g"),
+    )
+
+
+def gk_quantile_estimates(
+    kept: DataFrame,
+    quantiles_pm: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """Quantile answers from a (merged) GK summary: global rmin by a
+    running sum of ``g`` over the total order (the summary is bounded
+    — <= partitions*(2*err_div+2) rows — so the single-partition window
+    is by-contract small), target rank t = ceil(q*n) in exact integer
+    arithmetic (permille quantiles: (q_pm*n + 999) div 1000), answer =
+    the kept value whose rmin is nearest t (ties to the smaller
+    value). Returns (q_pm, quantile, target_rank, est, est_rmin, n)."""
+    from pyspark.sql.window import Window as W
+
+    g = kept.select("v", "tb", "g")
+    rmin = g.select(
+        "v",
+        "tb",
+        F.sum("g")
+        .over(
+            W.orderBy("v", "tb").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("rmin"),
+    )
+    n_row = g.agg(F.sum("g").cast("bigint").alias("n"))
+    tq = n_row.select(
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in quantiles_pm])
+        ).alias("q_pm"),
+        "n",
+    ).select(
+        "q_pm",
+        "n",
+        F.expr("(q_pm * n + 999) div 1000").cast("bigint").alias("t"),
+    )
+    cand = rmin.crossJoin(F.broadcast(tq)).select(
+        "q_pm",
+        "n",
+        "t",
+        "v",
+        "rmin",
+        F.row_number()
+        .over(
+            W.partitionBy("q_pm").orderBy(
+                F.abs(F.col("rmin") - F.col("t")), "v", "tb"
+            )
+        )
+        .alias("rn"),
+    )
+    return cand.filter(F.col("rn") == 1).select(
+        "q_pm",
+        (F.col("q_pm").cast("double") / F.lit(1000.0)).alias("quantile"),
+        F.col("t").alias("target_rank"),
+        F.col("v").alias("est"),
+        F.col("rmin").alias("est_rmin"),
+        "n",
+    )

@@ -2670,6 +2670,308 @@ def _set_sampled_quantiles_oracle() -> None:
 _set_sampled_quantiles_oracle()
 
 
+# --- GK-style mergeable quantile summary (see operators/sketches.py) --------
+# eps = 2/_GK_ERRDIV; every step is exact integer arithmetic (md5 hash
+# partition, integer ranks/gaps, integer ceil-div targets), so the
+# ESTIMATE — an actual data value — and its rank-envelope audit columns
+# are oracle-verified bit for bit. t = ceil(q_pm*n/1000) via
+# (q_pm*n + 999) div 1000; a float q*n would parse as DECIMAL in one
+# engine and DOUBLE in the other and can ceil differently at exact-
+# integer boundaries (the CLAUDE.md bare-literal rule).
+
+_GK_P = 32
+_GK_ERRDIV = 100  # eps = 0.02
+_GK_QPM = (250, 500, 750, 900, 990)
+
+
+def _o_gk_chain(part_sql: str, sfx: str) -> str:
+    """CTE chain building summary -> selection for one arm: partition
+    expression ``part_sql`` over vals(v, tb); emits sel{sfx}(q_pm, n,
+    t, est, est_rmin). Requires a prior CTE tq(q_pm, n, t)."""
+    return f"""
+    pb{sfx} AS (SELECT v, tb, {part_sql} AS p FROM vals),
+    rk{sfx} AS (SELECT v, tb, p,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, tb) AS r,
+             COUNT(*) OVER (PARTITION BY p) AS np
+           FROM pb{sfx}),
+    k0{sfx} AS (SELECT v, tb, p, r, np,
+              GREATEST(1, np // {_GK_ERRDIV}) AS sp FROM rk{sfx}),
+    kept{sfx} AS (SELECT v, tb, p, r FROM k0{sfx}
+            WHERE (r - 1) % sp = 0 OR r = np),
+    gg{sfx} AS (SELECT v, tb,
+             CAST(r - COALESCE(LAG(r) OVER (PARTITION BY p ORDER BY r),
+                               0) AS BIGINT) AS g
+           FROM kept{sfx}),
+    rmin{sfx} AS (SELECT v, tb,
+               CAST(SUM(g) OVER (ORDER BY v, tb ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS rmin
+             FROM gg{sfx}),
+    cand{sfx} AS (SELECT q_pm, n, t, v, rmin,
+               ROW_NUMBER() OVER (PARTITION BY q_pm
+                 ORDER BY ABS(rmin - t), v, tb) AS rn
+             FROM rmin{sfx} CROSS JOIN tq),
+    sel{sfx} AS (SELECT q_pm, n, t, v AS est, rmin AS est_rmin
+           FROM cand{sfx} WHERE rn = 1)"""
+
+
+def _o_gk_bucket() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"(({o_hash_bucket('tb')}) % {_GK_P})"
+
+
+def _o_gk_vals_tq() -> str:
+    qvals = ",".join(f"({q})" for q in _GK_QPM)
+    return f"""
+    vals AS (SELECT l_extendedprice AS v,
+                    l_orderkey * 10 + l_linenumber AS tb
+             FROM lineitem),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    tq AS (SELECT q_pm, n,
+                  CAST((q_pm * n + 999) // 1000 AS BIGINT) AS t
+           FROM (VALUES {qvals}) qs(q_pm) CROSS JOIN nn)"""
+
+
+_O_GK_SKETCH = f"""
+    WITH {_o_gk_vals_tq()},
+    {_o_gk_chain(f"'' || '|' || CAST({_o_gk_bucket()} AS VARCHAR)", "")},
+    env AS (SELECT s.q_pm,
+              CAST(SUM(CASE WHEN d.v < s.est THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS rank_lo,
+              CAST(SUM(CASE WHEN d.v <= s.est THEN 1 ELSE 0 END)
+                AS BIGINT) AS rank_le
+            FROM vals d CROSS JOIN sel s GROUP BY s.q_pm)
+    SELECT CAST(s.q_pm AS DOUBLE) / 1000.0 AS quantile,
+           s.t AS target_rank, s.est, s.est_rmin,
+           e.rank_lo, e.rank_le, s.n,
+           CASE WHEN e.rank_lo - s.t <= (2 * s.n) // {_GK_ERRDIV}
+                 AND s.t - e.rank_le <= (2 * s.n) // {_GK_ERRDIV}
+                THEN 1 ELSE 0 END AS within_eps
+    FROM sel s JOIN env e ON s.q_pm = e.q_pm
+    ORDER BY quantile
+    """
+
+
+def _gk_lineitem_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        F.col("l_returnflag"),
+    )
+
+
+def _gk_envelope(vals: DataFrame, est: DataFrame) -> DataFrame:
+    """Exact-rank audit of the estimates: one scan, 5-row broadcast
+    (bounded BNLJ by contract). rank_lo = count(< est)+1, rank_le =
+    count(<= est); the sketch guarantee is rank_lo - t <= eps*n and
+    t - rank_le <= eps*n, emitted as the within_eps column."""
+    return (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q_pm", "quantile", "target_rank", "est", "est_rmin", "n")
+        .agg(
+            (
+                F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)) + 1
+            )
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_le"),
+        )
+    )
+
+
+@register(
+    "agg_gk_quantile_sketch",
+    _O_GK_SKETCH,
+    "GK-style mergeable quantile summary (Greenwald-Khanna 2001 tuple "
+    "algebra over the order-independent equi-spaced construction of "
+    "Manku et al. 1998; merge semantics per Agarwal et al. 2012): each "
+    "md5 hash partition keeps items at exact local ranks 1, 1+s_p, "
+    "..., n_p (s_p = n_p div 100, eps = 0.02), global rmin is a "
+    "running sum of coverage counts over the bounded summary, and the "
+    "answer for target rank t = ceil(q*n) is the kept value nearest t "
+    "— every step exact integer arithmetic, so unlike Spark's own "
+    "insertion-order approx_percentile (rows-only in "
+    "agg_approx_sketches) the ESTIMATE is oracle-verified bit for "
+    "bit, alongside its exact-rank envelope audit columns "
+    "(rank_lo/rank_le/within_eps). Completes the deterministic sketch "
+    "family (HLL, CMS, AMS F2) with its most-used member. 100 TB "
+    "shape: one window pass per partition, summary <= 2*err_div+2 "
+    "tuples/partition regardless of n",
+    "2.4 extension (deterministic mergeable quantile sketch, "
+    "oracle-verified estimate)",
+)
+def agg_gk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        gk_quantile_estimates,
+        gk_summary,
+    )
+
+    vals = _gk_lineitem_vals(spark, sf_dir)
+    kept = gk_summary(
+        vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV
+    )
+    est = gk_quantile_estimates(kept, _GK_QPM)
+    return (
+        _gk_envelope(vals, est)
+        .select(
+            "quantile",
+            "target_rank",
+            "est",
+            "est_rmin",
+            "rank_lo",
+            "rank_le",
+            "n",
+            F.expr(
+                f"CASE WHEN rank_lo - target_rank <= (2 * n) div {_GK_ERRDIV}"
+                f" AND target_rank - rank_le <= (2 * n) div {_GK_ERRDIV}"
+                " THEN 1 ELSE 0 END"
+            ).alias("within_eps"),
+        )
+        .orderBy("quantile")
+    )
+
+
+_O_GK_MERGE = f"""
+    WITH {_o_gk_vals_tq()},
+    vals_rf AS (SELECT l_extendedprice AS v,
+                       l_orderkey * 10 + l_linenumber AS tb,
+                       l_returnflag AS rf
+                FROM lineitem),
+    {_o_gk_chain(f"'' || '|' || CAST({_o_gk_bucket()} AS VARCHAR)", "_d")},
+    pbm AS (SELECT v, tb,
+              rf || '|' || CAST({_o_gk_bucket()} AS VARCHAR) AS p
+            FROM vals_rf),
+    rkm AS (SELECT v, tb, p,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, tb) AS r,
+             COUNT(*) OVER (PARTITION BY p) AS np
+           FROM pbm),
+    k0m AS (SELECT v, tb, p, r, np,
+              GREATEST(1, np // {_GK_ERRDIV}) AS sp FROM rkm),
+    keptm AS (SELECT v, tb, p, r FROM k0m
+            WHERE (r - 1) % sp = 0 OR r = np),
+    ggm AS (SELECT v, tb,
+             CAST(r - COALESCE(LAG(r) OVER (PARTITION BY p ORDER BY r),
+                               0) AS BIGINT) AS g
+           FROM keptm),
+    rminm AS (SELECT v, tb,
+               CAST(SUM(g) OVER (ORDER BY v, tb ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS rmin
+             FROM ggm),
+    candm AS (SELECT q_pm, n, t, v, rmin,
+               ROW_NUMBER() OVER (PARTITION BY q_pm
+                 ORDER BY ABS(rmin - t), v, tb) AS rn
+             FROM rminm CROSS JOIN tq),
+    selm AS (SELECT q_pm, n, t, v AS est, rmin AS est_rmin
+           FROM candm WHERE rn = 1),
+    envd AS (SELECT s.q_pm,
+              CAST(SUM(CASE WHEN d.v < s.est THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS rank_lo,
+              CAST(SUM(CASE WHEN d.v <= s.est THEN 1 ELSE 0 END)
+                AS BIGINT) AS rank_le
+            FROM vals d CROSS JOIN sel_d s GROUP BY s.q_pm),
+    envm AS (SELECT s.q_pm,
+              CAST(SUM(CASE WHEN d.v < s.est THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS rank_lo,
+              CAST(SUM(CASE WHEN d.v <= s.est THEN 1 ELSE 0 END)
+                AS BIGINT) AS rank_le
+            FROM vals d CROSS JOIN selm s GROUP BY s.q_pm)
+    SELECT CAST(m.q_pm AS DOUBLE) / 1000.0 AS quantile,
+           m.t AS target_rank,
+           m.est AS est_merged, d.est AS est_direct,
+           CASE WHEN em.rank_lo - m.t <= (2 * m.n) // {_GK_ERRDIV}
+                 AND m.t - em.rank_le <= (2 * m.n) // {_GK_ERRDIV}
+                THEN 1 ELSE 0 END AS merged_within_eps,
+           CASE WHEN ed.rank_lo - d.t <= (2 * d.n) // {_GK_ERRDIV}
+                 AND d.t - ed.rank_le <= (2 * d.n) // {_GK_ERRDIV}
+                THEN 1 ELSE 0 END AS direct_within_eps,
+           m.n
+    FROM selm m JOIN sel_d d ON m.q_pm = d.q_pm
+    JOIN envm em ON m.q_pm = em.q_pm
+    JOIN envd ed ON m.q_pm = ed.q_pm
+    ORDER BY quantile
+    """
+
+
+@register(
+    "agg_gk_merge_rollup",
+    _O_GK_MERGE,
+    "GK summary MERGEABILITY as an invariant (the agg_hll_merge_rollup "
+    "shape): per-returnflag batch summaries union-merged — built in "
+    "one pass with (batch, partition) keys, which is bit-identical to "
+    "building each batch separately and unioning (ranks, n_p, s_p are "
+    "all per-(batch, p) quantities; frame equality pinned in tests) — "
+    "answer the same targets as a direct global build, and BOTH "
+    "estimates stay inside the eps*n rank envelope (the mergeable-"
+    "summaries property: merging never degrades the guarantee). This "
+    "is the 100 TB operating mode: per-day/per-tenant summaries "
+    "rolled up without re-reading raw data",
+    "2.4 extension (GK quantile summary merge rollup)",
+)
+def agg_gk_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        gk_quantile_estimates,
+        gk_summary,
+    )
+
+    vals = _gk_lineitem_vals(spark, sf_dir)
+    merged = gk_summary(
+        vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV,
+        batch_col="l_returnflag",
+    )
+    direct = gk_summary(
+        vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV
+    )
+    est_m = gk_quantile_estimates(merged, _GK_QPM).withColumn(
+        "arm", F.lit("merged")
+    )
+    est_d = gk_quantile_estimates(direct, _GK_QPM).withColumn(
+        "arm", F.lit("direct")
+    )
+    env = _gk_envelope(
+        vals,
+        est_m.unionByName(est_d)
+        .withColumnRenamed("arm", "q_arm")
+        .withColumn("q_pm", F.concat_ws("|", "q_arm", "q_pm"))
+        .drop("q_arm"),
+    ).withColumn("arm", F.split("q_pm", r"\|").getItem(0))
+    we = F.expr(
+        f"CASE WHEN rank_lo - target_rank <= (2 * n) div {_GK_ERRDIV}"
+        f" AND target_rank - rank_le <= (2 * n) div {_GK_ERRDIV}"
+        " THEN 1 ELSE 0 END"
+    )
+    arms = env.select("quantile", "target_rank", "n", "arm", "est", we.alias("w"))
+    return (
+        arms.groupBy("quantile", "target_rank", "n")
+        .agg(
+            F.max(F.when(F.col("arm") == "merged", F.col("est"))).alias(
+                "est_merged"
+            ),
+            F.max(F.when(F.col("arm") == "direct", F.col("est"))).alias(
+                "est_direct"
+            ),
+            F.max(F.when(F.col("arm") == "merged", F.col("w")))
+            .cast("int")
+            .alias("merged_within_eps"),
+            F.max(F.when(F.col("arm") == "direct", F.col("w")))
+            .cast("int")
+            .alias("direct_within_eps"),
+        )
+        .select(
+            "quantile",
+            "target_rank",
+            "est_merged",
+            "est_direct",
+            "merged_within_eps",
+            "direct_within_eps",
+            "n",
+        )
+        .orderBy("quantile")
+    )
+
+
 @register(
     "agg_skyline_parts",
     """

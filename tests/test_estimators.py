@@ -1072,3 +1072,113 @@ def test_winnow_pairs_matches_pure_python(spark):
         assert got[key][0] == expect[key][0], key
         assert got[key][1] == pytest.approx(expect[key][1], abs=1e-12)
     assert expect  # corpus exercises it
+
+
+def _gk_python(rows, q_pms, partitions=32, err_div=100, batch_of=None):
+    """Pure-Python GK-style summary + estimate: md5 hash partition,
+    sort, equi-spaced kept ranks, coverage cumsum, nearest-rmin
+    selection — no shared code or formula text with either engine.
+    rows = [(v, tb)] (or [(v, tb, batch)] with batch_of); returns
+    {q_pm: (t, est, est_rmin, n)} plus the kept tuple set."""
+    import hashlib
+
+    def bucket(tb):
+        h = hashlib.md5(str(tb).encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % partitions
+
+    parts = {}
+    for r in rows:
+        v, tb = r[0], r[1]
+        tag = batch_of(r) if batch_of else ""
+        parts.setdefault(f"{tag}|{bucket(tb)}", []).append((v, tb))
+    kept = []
+    for p, items in parts.items():
+        items.sort()
+        np_ = len(items)
+        sp = max(1, np_ // err_div)
+        prev = 0
+        for i, (v, tb) in enumerate(items):
+            r = i + 1
+            if (r - 1) % sp == 0 or r == np_:
+                kept.append((v, tb, p, r, r - prev))
+                prev = r
+    kept.sort(key=lambda k: (k[0], k[1]))
+    n = sum(g for *_, g in kept)
+    out = {}
+    for q_pm in q_pms:
+        t = (q_pm * n + 999) // 1000
+        cum = 0
+        best = None
+        for v, tb, p, r, g in kept:
+            cum += g
+            key = (abs(cum - t), v, tb)
+            if best is None or key < best[0]:
+                best = (key, v, cum)
+        out[q_pm] = (t, best[1], best[2], n)
+    return out, set(kept)
+
+
+def test_gk_quantile_sketch_matches_pure_python(spark):
+    """agg_gk_quantile_sketch recomputed from first principles
+    (hashlib md5 partitions, python sort, integer cumsum/selection):
+    estimates, rmin, target ranks and the exact-rank envelope columns
+    must match bit for bit — and every row must be within_eps."""
+    li = _duck(
+        "SELECT l_extendedprice, l_orderkey * 10 + l_linenumber"
+        " FROM lineitem"
+    )
+    est, _ = _gk_python(li, (250, 500, 750, 900, 990))
+    vs = sorted(v for v, _ in li)
+    import bisect
+
+    got = _rows("agg_gk_quantile_sketch", spark)
+    assert len(got) == 5
+    for quantile, t, e, rmin, rank_lo, rank_le, n, within in got:
+        q_pm = round(quantile * 1000)
+        pt, pe, prmin, pn = est[q_pm]
+        assert (t, e, rmin, n) == (pt, pe, prmin, pn)
+        assert rank_lo == bisect.bisect_left(vs, e) + 1
+        assert rank_le == bisect.bisect_right(vs, e)
+        eps_n = 2 * n // 100
+        assert rank_lo - t <= eps_n and t - rank_le <= eps_n
+        assert within == 1
+
+
+def test_gk_merge_rollup_and_union_merge_equals_refined(spark):
+    """Mergeability pins: (1) the one-pass batch_col build is
+    bit-identical to building each batch's summary separately and
+    UNIONING the frames (the merge operation — frame equality); (2)
+    the merged-summary estimates in agg_gk_merge_rollup stay inside
+    the eps*n envelope (merging never degrades the guarantee), as do
+    the direct arm's."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.sketches import gk_summary
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    vals = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        "l_returnflag",
+    )
+    one_pass = gk_summary(
+        vals, "v", "tb", partitions=8, batch_col="l_returnflag"
+    )
+    unioned = None
+    for rf in [r[0] for r in vals.select("l_returnflag").distinct().collect()]:
+        s = gk_summary(
+            vals.filter(F.col("l_returnflag") == rf),
+            "v",
+            "tb",
+            partitions=8,
+            batch=rf,
+        )
+        unioned = s if unioned is None else unioned.unionByName(s)
+    a = sorted(map(tuple, one_pass.collect()))
+    b = sorted(map(tuple, unioned.collect()))
+    assert a == b and a  # union-merge == refined one-pass, bit for bit
+
+    rows = _rows("agg_gk_merge_rollup", spark)
+    assert len(rows) == 5
+    for quantile, t, em, ed, mw, dw, n in rows:
+        assert mw == 1 and dw == 1

@@ -186,6 +186,8 @@ BNLJ_ALLOWED = {
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
+    "agg_gk_quantile_sketch",       # 5-row target-rank frame + envelope audit
+    "agg_gk_merge_rollup",          # same bounded target/estimate frames ×2 arms
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "sim_embedding_drift",          # 1-row bucket-count scalar
     "sample_cluster_safe_split",    # 1-row straddle-count scalars
@@ -330,6 +332,11 @@ EXCHANGE_BOUNDS = {
     "agg_hll_distinct_estimate": 12,
     "agg_hll_merge_rollup": 9,
     "agg_ams_selfjoin_size": 4,
+    # GK quantile sketch (round 7): partition window + bounded global
+    # rmin/selection windows + 5-row target broadcast + envelope scan
+    "agg_gk_quantile_sketch": 8,
+    # two summary arms + shared targets + one enveloped union
+    "agg_gk_merge_rollup": 14,
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,
