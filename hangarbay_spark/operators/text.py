@@ -374,6 +374,76 @@ def bpe_train_merges(
     return merges
 
 
+def bpe_pieces(text: str | None, ranks: dict):
+    """Pure-Python BPE ENCODE of one text with a trained merge table —
+    the canonical greedy merge-RANK application (Sennrich et al. 2016,
+    the apply loop of every shipped BPE tokenizer): per whitespace
+    word, start from characters and repeatedly apply the PRESENT pair
+    with the lowest merge rank (all its occurrences, left-to-right
+    non-overlapping — the same fold rule the trainer used), until no
+    learned pair remains. ``ranks`` maps (a, b) -> (rank, merged).
+    Returns (n_pieces, n_applied). Shared by the Arrow kernel and its
+    reference test so the distributed path is pinned to this exact
+    definition (the wordpiece_pieces precedent)."""
+    if text is None:
+        return None, None
+    pieces = 0
+    applied = 0
+    for w in text.lower().split():
+        s = list(w)
+        while len(s) >= 2:
+            best = None
+            for i in range(len(s) - 1):
+                rk = ranks.get((s[i], s[i + 1]))
+                if rk is not None and (best is None or rk[0] < best[0]):
+                    best = rk
+            if best is None:
+                break
+            _, a_b_merged = best
+            a, b, merged = a_b_merged
+            ns: list = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = merged
+                    applied += 1
+                else:
+                    ns.append(x)
+            s = ns
+        pieces += len(s)
+    return pieces, applied
+
+
+def bpe_ranks(merges: list[tuple[str, str, str, int]]) -> dict:
+    """(a, b) -> (rank, (a, b, merged)) lookup from a
+    :func:`bpe_train_merges` table (rank = list position)."""
+    return {
+        (a, b): (i, (a, b, merged))
+        for i, (a, b, merged, _n) in enumerate(merges)
+    }
+
+
+def bpe_encode_kernel(merges: list[tuple[str, str, str, int]]):
+    """mapInPandas kernel factory: (doc_id, text) batches ->
+    (doc_id, n_pieces, n_applied). The merge table travels once per
+    task in the closure (by-contract small: n_merges rows); the greedy
+    rank-application is pure Python per doc but Arrow-batched per
+    partition — closes the BPE train (bpe_train_merges) -> APPLY loop
+    the same way wordpiece_encode_kernel applies a trained vocab."""
+    ranks = bpe_ranks(merges)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            res = pdf["text"].map(lambda t: bpe_pieces(t, ranks))
+            out["n_pieces"] = res.map(lambda r: r[0]).astype("int64")
+            out["n_applied"] = res.map(lambda r: r[1]).astype("int64")
+            yield out
+
+    return run
+
+
 def bpe_train_reference(
     words: dict[str, int], n_merges: int = 6
 ) -> list[tuple[str, str, str, int]]:

@@ -3589,6 +3589,41 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_encode",
+    None,  # greedy merge-rank application has no SQL twin — rows-only;
+    # the kernel is pinned against hand examples and an independent
+    # reference apply in tests
+    "BPE tokenizer APPLICATION (the other half of the train->apply "
+    "loop text_bpe_train_merges opens, VERDICT r6 task #4): the merge "
+    "table trained on the corpus itself rides into an Arrow-batched "
+    "mapInPandas kernel that replays canonical greedy merge-RANK "
+    "application per word (lowest-rank present pair, all occurrences "
+    "left-to-right, repeat) — every doc returns its BPE piece count "
+    "and how many merges fired. Invariants pinned in tests: pieces + "
+    "applied == total chars of the words; zero merges -> pure "
+    "character segmentation; kernel == pure-Python reference on hand "
+    "examples. One bounded collect (the n_merges-row table), one "
+    "corpus pass to encode",
+    "text-analysis extension (BPE tokenizer application)",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train_merges(docs, "text", n_merges=6)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_applied", T.LongType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(
+        X.bpe_encode_kernel(merges), schema
+    )
+
+
+@register(
     "vocab_zipf_fit",
     f"""
     WITH toks AS (SELECT unnest({O_TOKENS}) AS token FROM documents),

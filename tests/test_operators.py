@@ -2453,6 +2453,92 @@ def test_wordpiece_kernel_matches_reference(spark):
         assert got[i] == wordpiece_pieces(txt, vocab)
 
 
+def test_bpe_encode_kernel_matches_reference(spark):
+    """BPE APPLY (VERDICT r6 task #4): hand-derived greedy merge-rank
+    segmentation, an INDEPENDENT naive reference apply, conservation
+    (pieces + applied == word chars), the zero-merge identity, and
+    kernel == shared pure function on real corpus docs."""
+    from pyspark.sql import types as T
+
+    from hangarbay_spark.operators.text import (
+        bpe_encode_kernel,
+        bpe_pieces,
+        bpe_ranks,
+        bpe_train_merges,
+    )
+
+    # merges in rank order: (l,o)->lo, (lo,w)->low, (e,r)->er
+    merges = [("l", "o", "lo", 9), ("lo", "w", "low", 7), ("e", "r", "er", 5)]
+    ranks = bpe_ranks(merges)
+    # "lower": l,o,w,e,r -> lo,w,e,r (rank0) -> low,e,r (rank1)
+    #          -> low,er (rank2): 2 pieces, 3 merges fired
+    assert bpe_pieces("lower", ranks) == (2, 3)
+    # "lol": l,o,l -> lo,l (one rank-0 fire), no other pair learned
+    assert bpe_pieces("lol", ranks) == (2, 1)
+    # "wool": no (w,o)/(o,o) learned; (o,l)? not learned -> 4 chars
+    assert bpe_pieces("wool", ranks) == (4, 0)
+    assert bpe_pieces("lower low", ranks) == (2 + 1, 3 + 2)
+    assert bpe_pieces(None, ranks) == (None, None)
+    # zero merges -> pure character segmentation
+    assert bpe_pieces("lower", bpe_ranks([])) == (5, 0)
+
+    def naive_apply(text, ms):
+        """Independent reference: repeatedly scan the merge table in
+        rank order and rewrite the first applicable pair only."""
+        pieces = applied = 0
+        for w in text.lower().split():
+            s = list(w)
+            while True:
+                hit = None
+                for rk, (a, b, m, _n) in enumerate(ms):
+                    for i in range(len(s) - 1):
+                        if s[i] == a and s[i + 1] == b:
+                            if hit is None or rk < hit[0]:
+                                hit = (rk, i, m)
+                            break
+                    if hit is not None and hit[0] == rk:
+                        break
+                if hit is None:
+                    break
+                _, i, m = hit
+                s[i:i + 2] = [m]
+                applied += 1
+            pieces += len(s)
+        return pieces, applied
+
+    # one-pair-at-a-time naive apply and the all-occurrences fold give
+    # the same final segmentation for these merge tables (the fold is
+    # just batched application of the same lowest-rank rule)
+    for txt in ["lower lowest owl", "lol lolol wool", "er lo low lower"]:
+        assert bpe_pieces(txt, ranks) == naive_apply(txt, merges)
+
+    # conservation: pieces + applied == total chars over words
+    for txt in ["lower lowest owl", "lol wool", "a", ""]:
+        p, a = bpe_pieces(txt, ranks)
+        assert p + a == sum(len(w) for w in txt.split())
+
+    # kernel == shared pure function on real corpus merges + docs
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    real = bpe_train_merges(docs, "text", n_merges=4)
+    assert len(real) == 4
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pieces", T.LongType()),
+        T.StructField("n_applied", T.LongType()),
+    ])
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_applied"])
+        for r in docs.select("doc_id", "text")
+        .mapInPandas(bpe_encode_kernel(real), schema)
+        .collect()
+    }
+    rranks = bpe_ranks(real)
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == bpe_pieces(row["text"], rranks)
+
+
 def test_bpe_train_matches_reference(spark):
     """The distributed BPE training loop must learn the identical
     merge table (same pairs, same order, same weighted counts) as the
