@@ -189,3 +189,63 @@ def make_media_rows(items: list[Mapping]) -> list[tuple]:
         )
         for m in items
     ]
+
+
+# --- JPEG SOF marker walk (codec-free, REAL — not a decode stub) -----------
+# JPEG dimensions live in a Start-Of-Frame segment (SOF0 baseline
+# FFC0 / SOF2 progressive FFC2) whose OFFSET depends on every segment
+# before it (APP0/JFIF, COM, DQT, DHT — all variable-length), so unlike
+# the PNG/GIF/BMP/WAV fixed-offset parses this needs an actual marker
+# walk: read FF<marker>, big-endian u16 segment length, skip, repeat.
+# ISO/IEC 10918-1 layout; every inter-SOI/SOS segment carries a length.
+
+
+def jpeg_sof_dims(
+    data: bytes | None, max_segments: int = 64
+) -> tuple[str, int, int] | None:
+    """Bounded SOF0/SOF2 marker walk over one JPEG payload: returns
+    (sof_kind, width, height) or None for non-JPEG / truncated /
+    SOF-less input. Pure function shared by the Arrow kernel and its
+    struct.pack-pinned tests (the wav/wordpiece discipline). The walk
+    is bounded by ``max_segments`` hops — real headers hold < 20
+    segments; a payload that hasn't produced a SOF by then is junk."""
+    if data is None or len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    off = 2
+    for _ in range(max_segments):
+        if off + 4 > len(data) or data[off] != 0xFF:
+            return None
+        marker = data[off + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+            return None
+        seglen = int.from_bytes(data[off + 2 : off + 4], "big")
+        if marker in (0xC0, 0xC2):
+            if off + 9 > len(data) or seglen < 7:
+                return None
+            return (
+                "sof0" if marker == 0xC0 else "sof2",
+                int.from_bytes(data[off + 7 : off + 9], "big"),
+                int.from_bytes(data[off + 5 : off + 7], "big"),
+            )
+        off += 2 + seglen
+    return None
+
+
+def jpeg_dims_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, sof, width,
+    height) — Arrow-batched :func:`jpeg_sof_dims` per payload; non-JPEG
+    rows come back with null sof/width/height (the caller filters or
+    coalesces)."""
+    for pdf in batches:
+        res = pdf["payload"].map(jpeg_sof_dims)
+        out = pdf[["doc_id"]].copy()
+        out["sof"] = res.map(lambda r: r[0] if r else None)
+        out["width"] = pd.array(
+            [r[1] if r else None for r in res], dtype="Int64"
+        )
+        out["height"] = pd.array(
+            [r[2] if r else None for r in res], dtype="Int64"
+        )
+        yield out

@@ -494,6 +494,68 @@ def test_image_dimension_parse_against_struct_pack(spark):
         assert got[d] == (w, h), (d, fmt, got[d], (w, h))
 
 
+def test_jpeg_sof_walk_against_struct_pack(spark):
+    """The JPEG marker walk recovers dimensions from headers built
+    independently with struct.pack in realistic ISO 10918-1 layouts —
+    variable APP0/COM/DQT/DHT segment chains, baseline SOF0 and
+    progressive SOF2, 3-component frames — and returns None for
+    non-JPEG, truncated, and SOF-less (straight-to-SOS) payloads; the
+    Arrow kernel matches the pure function on every row."""
+    import struct
+
+    from hangarbay_spark.operators.multimodal import (
+        jpeg_dims_kernel,
+        jpeg_sof_dims,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def sof_body(w, h, ncomp=3):
+        return (
+            b"\x08"
+            + struct.pack(">HH", h, w)
+            + bytes([ncomp])
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[: 3 * ncomp]
+        )
+
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    )
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    dht = seg(0xC4, b"\x00" + bytes(16) + bytes(12))
+    cases = [
+        # (payload, expected)
+        (b"\xff\xd8" + app0 + dqt + seg(0xC0, sof_body(640, 480)),
+         ("sof0", 640, 480)),
+        (b"\xff\xd8" + app0 + seg(0xFE, b"x" * 211) + dqt + dht
+         + seg(0xC2, sof_body(1920, 1080, 1)), ("sof2", 1920, 1080)),
+        (b"\xff\xd8" + dqt + seg(0xC0, sof_body(1, 65535)),
+         ("sof0", 1, 65535)),
+        (b"\x89PNG....", None),              # not a JPEG
+        (b"\xff\xd8" + app0[:6], None),      # truncated mid-segment
+        (b"\xff\xd8" + app0 + seg(0xDA, b"\x01\x01\x00"), None),  # SOS first
+        (b"\xff\xd8\xff\xd9", None),         # SOI then EOI
+        (None, None),
+    ]
+    for payload, want in cases:
+        assert jpeg_sof_dims(payload) == want, payload
+
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (r["sof"], r["width"], r["height"])
+        for r in df.mapInPandas(
+            jpeg_dims_kernel,
+            "doc_id long, sof string, width long, height long",
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == (want if want else (None, None, None))
+
+
 def test_wav_metadata_parse_against_stdlib_wave(spark):
     """The WAV header parse recovers channels/rate/bits/duration from a
     REAL file written by Python's stdlib `wave` module — the strongest

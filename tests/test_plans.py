@@ -327,6 +327,8 @@ EXCHANGE_BOUNDS = {
     # payload scan — zero exchanges
     "multimodal_image_dimensions": 0,
     "multimodal_audio_metadata": 0,
+    # JPEG SOF walk (round 7): payload projection into an Arrow kernel
+    "multimodal_jpeg_dimensions": 0,
     # deterministic HLL (round 6): per arm a distinct shuffle, the
     # 64-register rollup, and 1-row scalar aggregates; two arms
     "agg_hll_distinct_estimate": 12,
