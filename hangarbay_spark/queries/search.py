@@ -247,18 +247,69 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_INGEST_DIRS: dict[str, str] = {}
 
 
+def _o_streaming_dedup_admission() -> str:
+    """DuckDB twin of the streaming greedy admission (VERDICT r6 task
+    #2 — promoted from rows-only): the pair relation is the SAME
+    verified-MinHash-pair SQL every batch dedup oracle uses (band-
+    bucket candidacy is a property of the two docs alone, so the
+    incremental candidate sets equal the full-corpus pair set
+    restricted to each stage), and the four micro-batch admission
+    stages unroll exactly: batch b admits a doc iff it pairs with NO
+    already-admitted doc from earlier batches and NO smaller-id doc of
+    its own batch (the in-batch rule rejects against smaller ids
+    regardless of their own fate — ingest_batch's greatest() rule)."""
+    from hangarbay_spark.queries.llmops import _o_minhash_parts
+
+    ctes, select = _o_minhash_parts()
+    stages = []
+    for b in range(4):
+        cross = ""
+        if b:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM adm{j}" for j in range(b)
+            )
+            cross = (
+                f"AND NOT EXISTS (SELECT 1 FROM e WHERE e.x = dd.doc_id"
+                f" AND e.y IN ({prev}))"
+            )
+        stages.append(f"""
+    adm{b} AS (
+      SELECT dd.doc_id FROM d dd WHERE dd.bi = {b}
+      {cross}
+      AND NOT EXISTS (SELECT 1 FROM e JOIN d d2 ON e.y = d2.doc_id
+                      WHERE e.x = dd.doc_id AND d2.bi = {b}
+                        AND d2.doc_id < dd.doc_id))""")
+    admitted = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{b}" for b in range(4)
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS ({select}),
+    e AS (SELECT id_a AS x, id_b AS y FROM pairs
+          UNION ALL SELECT id_b AS x, id_a AS y FROM pairs),
+    d AS (SELECT doc_id, doc_id % 4 AS bi FROM documents),
+    {",".join(stages)},
+    admitted AS ({admitted})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_admitted
+    FROM documents JOIN admitted USING (doc_id)
+    GROUP BY source
+    """
+
+
 @register(
     "streaming_dedup_ingest",
-    None,  # genuinely non-SQL-expressible (stateful multi-batch admission)
-    "streaming near-dup-rejecting ingest: documents staged as 4 "
+    _o_streaming_dedup_admission(),
+    "streaming near-dup-rejecting ingest with a FULL oracle (was "
+    "rows-only through round 6): documents staged as 4 deterministic "
     "micro-batch files, drained with availableNow through "
     "foreachBatch; each batch is MinHash-checked against the persisted "
     "signature table of everything admitted so far (old text never "
-    "re-shingled) and survivors append rows + signatures. Returns "
-    "per-source admitted counts; greedy admission semantics + "
-    "exactly-once replay are pinned in "
-    "tests/test_streaming.py::test_streaming_dedup_ingest",
-    "streaming §2.7 extension (ingest-time dedup)",
+    "re-shingled) and survivors append rows + signatures. The DuckDB "
+    "oracle unrolls the four admission stages over the same verified-"
+    "pair relation, so the admitted per-source counts are hash-"
+    "compared; greedy admission semantics + exactly-once replay stay "
+    "pinned in tests/test_streaming.py::test_streaming_dedup_ingest",
+    "streaming §2.7 extension (ingest-time dedup, oracle-verified)",
 )
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.streaming import dedup_ingest as DI
@@ -303,6 +354,82 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
     )
+
+
+_FTS_STREAM_DIRS: dict[str, str] = {}
+
+
+def _register_streaming_fts_bm25() -> None:
+    """Registered via a setter so the oracle can be COMPOSED from the
+    batch BM25 query's own SQL (the search_hybrid_rrf precedent): the
+    streamed-and-compacted index must serve byte-identical BM25
+    results to a batch build, so the one-shot batch oracle IS the
+    streaming oracle."""
+    from hangarbay_spark.queries.base import REGISTRY as _R
+
+    @register(
+        "streaming_fts_bm25",
+        _R["fts_bm25_topk"].oracle,
+        "streaming FTS maintenance promoted to a FULL oracle (VERDICT "
+        "r6 task #2, the streaming_span_screening pattern): documents "
+        "drained as 4 micro-batches through the FTS LSM sink — boolean "
+        "postings appended + size-ratio compacted, tf and doclen "
+        "landed as crash-safe per-batch OVERWRITE generations with "
+        "merge-then-GC compaction — then BM25 top-20 is answered "
+        "ENTIRELY from the maintained artifacts. Term frequencies and "
+        "doc lengths are per-doc quantities and batches are disjoint, "
+        "so the streamed index serves bit-identical scores to a batch "
+        "build: hash-compared against the same DuckDB oracle as "
+        "fts_bm25_topk",
+        "streaming §2.7 extension (FTS LSM maintenance, "
+        "oracle-verified BM25)",
+    )
+    def streaming_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hangarbay_spark.streaming import fts_maintenance as FM
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        key = f"{sf_dir}|fts_stream"
+        dirs = _FTS_STREAM_DIRS.get(key)
+        if dirs is None:
+            import os as _os
+            import time as _time
+
+            stage = tempfile.mkdtemp(prefix="hb_ftsq_src_")
+            t0 = _time.time()
+            for b in range(4):
+                docs.filter(
+                    F.col("doc_id") % 4 == b
+                ).coalesce(1).write.parquet(f"{stage}/b{b}")
+                for root, _, files in _os.walk(f"{stage}/b{b}"):
+                    for fn in files:
+                        _os.utime(
+                            _os.path.join(root, fn), (t0 + b, t0 + b)
+                        )
+            index_dir = tempfile.mkdtemp(prefix="hb_ftsq_idx_")
+            ckpt = tempfile.mkdtemp(prefix="hb_ftsq_ckpt_")
+            _FTS_STREAM_DIRS[key] = f"{stage}|{index_dir}|{ckpt}"
+        stage, index_dir, ckpt = _FTS_STREAM_DIRS[key].split("|")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage}/*")
+        )
+        FM.fts_maintenance_stream(
+            stream, index_dir, checkpoint_dir=ckpt, buckets=8,
+            max_file_ratio=2.0,
+        ).awaitTermination()
+        return fts.bm25_topk(
+            FM.read_maintained_tf(spark, index_dir),
+            FM.read_maintained_doclen(spark, index_dir),
+            " ".join(BM25_TERMS),
+            "doc_id",
+            k=20,
+        ).select("doc_id", "bm25", "rk")
+
+
+_register_streaming_fts_bm25()
 
 
 # Reciprocal-rank fusion of a missing arm contributes 0.0; constant 60

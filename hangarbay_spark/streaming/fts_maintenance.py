@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,11 +46,106 @@ from pyspark.sql import DataFrame, SparkSession
 from hangarbay_spark.operators import fts
 
 INDEX_SUBDIR = "fts.parquet"
+TF_SUBDIR = "fts_tf.parquet"
+DL_SUBDIR = "fts_doclen.parquet"
 META_FILE = "_applied_batch.json"
+
+
+# --- generation-dir LSM for the BM25 artifacts (tf + doclen) ---------------
+# The boolean postings index tolerates plain appends (match_* queries
+# deduplicate at read), but term FREQUENCIES and doc lengths must never
+# double-land, so they use the spandf_maintenance protocol: each batch
+# OVERWRITEs its own ``gen=b<batch_id>`` dir (byte-identical under
+# replay), a generation is live only with its ``_SUCCESS`` job-commit
+# marker, and compaction writes ``gen=m<k>`` BEFORE GC'ing the folded
+# dirs (readers select max committed m + newer committed b). Unlike the
+# gram-df LSM the merge is pure CONCATENATION — tf/dl rows are per-doc
+# quantities and doc ids are disjoint across batches by contract.
+
+
+def _gens(root: str) -> list[str]:
+    rp = Path(root)
+    if not rp.exists():
+        return []
+    return sorted(
+        p.name for p in rp.iterdir()
+        if p.is_dir() and p.name.startswith("gen=")
+    )
+
+
+def _committed(root: str, gen: str) -> bool:
+    return (Path(root) / gen / "_SUCCESS").exists()
+
+
+def _live_gens(root: str) -> list[str]:
+    gens = [g for g in _gens(root) if _committed(root, g)]
+    m_max = -1
+    for g in gens:
+        if g.startswith("gen=m"):
+            m_max = max(m_max, int(g[len("gen=m"):]))
+    return [
+        g for g in gens
+        if (g.startswith("gen=m") and int(g[len("gen=m"):]) == m_max)
+        or (g.startswith("gen=b") and int(g[len("gen=b"):]) > m_max)
+    ]
+
+
+def _read_gens(spark: SparkSession, root: str) -> DataFrame:
+    live = _live_gens(root)
+    return spark.read.parquet(*[f"{root}/{g}" for g in live])
+
+
+def _write_gen(
+    df: DataFrame, root: str, batch_id: int, buckets: int, key: str
+) -> None:
+    from pyspark.sql import functions as F
+
+    df.repartition(buckets, F.col(key)).sortWithinPartitions(
+        key
+    ).write.mode("overwrite").parquet(f"{root}/gen=b{int(batch_id)}")
+
+
+def _compact_gens(
+    spark: SparkSession,
+    root: str,
+    buckets: int,
+    key: str,
+    max_generations: int = 3,
+    force: bool = False,
+) -> bool:
+    from pyspark.sql import functions as F
+
+    live = _live_gens(root)
+    if len(live) <= 1 or (not force and len(live) <= max_generations):
+        return False
+    for g in _gens(root):  # GC partial merge attempts (no _SUCCESS)
+        if g.startswith("gen=m") and not _committed(root, g):
+            shutil.rmtree(Path(root) / g, ignore_errors=True)
+    k = max(
+        int(g[len("gen=m"):]) if g.startswith("gen=m")
+        else int(g[len("gen=b"):])
+        for g in live
+    )
+    merged = _read_gens(spark, root).localCheckpoint()
+    merged.repartition(buckets, F.col(key)).sortWithinPartitions(
+        key
+    ).write.mode("overwrite").parquet(f"{root}/gen=m{k}")
+    for g in live:
+        if g != f"gen=m{k}":
+            shutil.rmtree(Path(root) / g, ignore_errors=True)
+    return True
 
 
 def index_path(index_dir: str) -> str:
     return str(Path(index_dir) / INDEX_SUBDIR)
+
+
+def tf_path(index_dir: str) -> str:
+    return str(Path(index_dir) / TF_SUBDIR)
+
+
+def dl_path(index_dir: str) -> str:
+    return str(Path(index_dir) / DL_SUBDIR)
 
 
 def _last_applied(index_dir: str) -> int:
@@ -77,20 +173,40 @@ def ingest_docs_batch(
     max_file_ratio: float = 2.0,
 ) -> int:
     """Apply one micro-batch: tokenize ONLY the batch, append its
-    postings generation, then run the size-ratio compaction check.
-    Returns the number of newly ingested documents (0 for replays)."""
+    postings generation, write its tf + doclen generations (the BM25
+    artifacts — per-batch OVERWRITE gen dirs, see the LSM note above),
+    then run the compaction checks. Returns the number of newly
+    ingested documents (0 for replays)."""
     if batch_id <= _last_applied(index_dir):
         return 0
     Path(index_dir).mkdir(parents=True, exist_ok=True)
+    raw = batch_df.localCheckpoint(eager=True)  # postings + tf + dl
+    if raw.count() == 0:
+        _record_applied(index_dir, batch_id)
+        return 0
     n = fts.append_to_index(
-        batch_df, index_path(index_dir), id_col, *text_cols,
+        raw, index_path(index_dir), id_col, *text_cols,
         buckets=buckets,
+    )
+    # unconditional (not gated on n): a crash between the postings
+    # append and these writes would otherwise skip them forever on the
+    # replay (append_to_index's manifest already knows the docs, n=0);
+    # the OVERWRITE gen protocol makes rewriting them exactly-once
+    _write_gen(
+        fts.build_tf_index(raw, id_col, text_cols[0]),
+        tf_path(index_dir), batch_id, buckets, "token",
+    )
+    _write_gen(
+        fts.build_doclen(raw, id_col, text_cols[0]),
+        dl_path(index_dir), batch_id, 1, id_col,
     )
     _record_applied(index_dir, batch_id)
     fts.compact_index(
         spark, index_path(index_dir), id_col,
         buckets=buckets, max_file_ratio=max_file_ratio,
     )
+    _compact_gens(spark, tf_path(index_dir), buckets, "token")
+    _compact_gens(spark, dl_path(index_dir), 1, id_col)
     return n
 
 
@@ -125,3 +241,15 @@ def fts_maintenance_stream(
 
 def read_maintained_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return fts.load_index(spark, index_path(index_dir))
+
+
+def read_maintained_tf(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(token, id, tf) rows from the live tf generations — equals the
+    batch-built ``build_tf_index`` over everything ingested (disjoint
+    doc ids across batches; pinned in tests)."""
+    return _read_gens(spark, tf_path(index_dir))
+
+
+def read_maintained_doclen(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(id, dl) rows from the live doclen generations."""
+    return _read_gens(spark, dl_path(index_dir))

@@ -816,11 +816,42 @@ def test_fts_maintenance_stream_matches_batch_and_compacts(
     ids = spark.read.parquet(FM.index_path(index_dir) + "_ids")
     assert ids.distinct().count() == docs.count()
 
+    # BM25 artifacts (r7): maintained tf + doclen generations equal the
+    # batch builds row for row, BM25 top-k is bit-identical, and the
+    # gen-count compaction fired (4 batches, max_generations=3)
+    tf_s = sorted(map(tuple, FM.read_maintained_tf(spark, index_dir).collect()))
+    tf_b = sorted(map(tuple, fts.build_tf_index(docs, "doc_id", "text").collect()))
+    assert tf_s == tf_b
+    dl_s = sorted(map(tuple, FM.read_maintained_doclen(spark, index_dir).collect()))
+    dl_b = sorted(map(tuple, fts.build_doclen(docs, "doc_id", "text").collect()))
+    assert dl_s == dl_b
+    bm_s = [
+        tuple(r)
+        for r in fts.bm25_topk(
+            FM.read_maintained_tf(spark, index_dir),
+            FM.read_maintained_doclen(spark, index_dir),
+            q, "doc_id", k=10,
+        ).collect()
+    ]
+    bm_b = [
+        tuple(r)
+        for r in fts.bm25_topk(
+            fts.build_tf_index(docs, "doc_id", "text"),
+            fts.build_doclen(docs, "doc_id", "text"),
+            q, "doc_id", k=10,
+        ).collect()
+    ]
+    assert bm_s == bm_b and bm_s
+    assert len(FM._live_gens(FM.tf_path(index_dir))) < 4  # compacted
+
     # replay with a fresh checkpoint: batch-id marker + id manifest
     # make every re-delivered batch a no-op
     drain(str(tmp_path / "ckpt2"))
     again = FM.read_maintained_index(spark, index_dir)
     assert again.count() == len(before)
+    assert sorted(
+        map(tuple, FM.read_maintained_tf(spark, index_dir).collect())
+    ) == tf_b
 
 
 def test_fts_compact_swap_recovery(spark, tmp_path):
