@@ -2720,11 +2720,11 @@ def _o_gk_bucket() -> str:
     return f"(({o_hash_bucket('tb')}) % {_GK_P})"
 
 
-def _o_gk_vals_tq() -> str:
+def _o_gk_vals_tq(vals_cols: str = "") -> str:
     qvals = ",".join(f"({q})" for q in _GK_QPM)
     return f"""
     vals AS (SELECT l_extendedprice AS v,
-                    l_orderkey * 10 + l_linenumber AS tb
+                    l_orderkey * 10 + l_linenumber AS tb{vals_cols}
              FROM lineitem),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
     tq AS (SELECT q_pm, n,
@@ -2732,9 +2732,12 @@ def _o_gk_vals_tq() -> str:
            FROM (VALUES {qvals}) qs(q_pm) CROSS JOIN nn)"""
 
 
-_O_GK_SKETCH = f"""
-    WITH {_o_gk_vals_tq()},
-    {_o_gk_chain(f"'' || '|' || CAST({_o_gk_bucket()} AS VARCHAR)", "")},
+def _o_gk_sketch_sql(part_sql: str, vals_cols: str = "") -> str:
+    """Full summary -> estimate -> envelope oracle for one partition-
+    key expression over vals(v, tb[, extra cols])."""
+    return f"""
+    WITH {_o_gk_vals_tq(vals_cols)},
+    {_o_gk_chain(part_sql, "")},
     env AS (SELECT s.q_pm,
               CAST(SUM(CASE WHEN d.v < s.est THEN 1 ELSE 0 END) + 1
                 AS BIGINT) AS rank_lo,
@@ -2750,6 +2753,11 @@ _O_GK_SKETCH = f"""
     FROM sel s JOIN env e ON s.q_pm = e.q_pm
     ORDER BY quantile
     """
+
+
+_O_GK_SKETCH = _o_gk_sketch_sql(
+    f"'' || '|' || CAST({_o_gk_bucket()} AS VARCHAR)"
+)
 
 
 def _gk_lineitem_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2969,6 +2977,184 @@ def agg_gk_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         .orderBy("quantile")
+    )
+
+
+_GK_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_gk_quantiles",
+    _o_gk_sketch_sql(
+        f"CAST(bi AS VARCHAR) || '|' || CAST({_o_gk_bucket()} AS VARCHAR)",
+        vals_cols=", l_orderkey % 4 AS bi",
+    ),
+    "streaming GK quantile maintenance with a FULL oracle (the third "
+    "oracle-verified streaming entry): lineitem values staged as 4 "
+    "micro-batches, each batch folded into a persisted bounded summary "
+    "GENERATION (the crash-safe gen-dir LSM; summary merge = union, "
+    "the mergeable-summaries property agg_gk_merge_rollup pins), then "
+    "quantiles answered from the MAINTAINED state without re-reading "
+    "any ingested row. The batch tag inside each partition key is "
+    "derived from the DATA (l_orderkey % 4), so the maintained "
+    "estimate is a pure function of the ingested multiset — identical "
+    "under any stream slicing — and hash-compares against the DuckDB "
+    "one-shot build with the same refined partitioning; the exact-rank "
+    "envelope audit rides along like agg_gk_quantile_sketch's",
+    "streaming §2.7 extension (mergeable quantile sketch maintenance, "
+    "oracle-verified)",
+)
+def streaming_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hangarbay_spark.operators.sketches import gk_quantile_estimates
+    from hangarbay_spark.streaming import gk_maintenance as GM
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        (F.col("l_orderkey") % 4).alias("bi"),
+    )
+    key = f"{sf_dir}|gk_stream"
+    dirs = _GK_STREAM_DIRS.get(key)
+    if dirs is None:
+        import os as _os
+        import time as _time
+
+        stage = tempfile.mkdtemp(prefix="hb_gkq_src_")
+        t0 = _time.time()
+        for b in range(4):
+            rows.filter(F.col("bi") == b).coalesce(1).write.parquet(
+                f"{stage}/b{b}"
+            )
+            for root, _, files in _os.walk(f"{stage}/b{b}"):
+                for fn in files:
+                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        state = tempfile.mkdtemp(prefix="hb_gkq_state_")
+        ckpt = tempfile.mkdtemp(prefix="hb_gkq_ckpt_")
+        _GK_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
+    stage, state, ckpt = _GK_STREAM_DIRS[key].split("|")
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    GM.gk_maintenance_stream(
+        stream, state, checkpoint_dir=ckpt,
+        value_col="v", id_col="tb", batch_col="bi",
+        partitions=_GK_P, err_div=_GK_ERRDIV,
+    ).awaitTermination()
+    est = gk_quantile_estimates(GM.read_summary(spark, state), _GK_QPM)
+    return (
+        _gk_envelope(rows, est)
+        .select(
+            "quantile",
+            "target_rank",
+            "est",
+            "est_rmin",
+            "rank_lo",
+            "rank_le",
+            "n",
+            F.expr(
+                f"CASE WHEN rank_lo - target_rank <= (2 * n) div {_GK_ERRDIV}"
+                f" AND target_rank - rank_le <= (2 * n) div {_GK_ERRDIV}"
+                " THEN 1 ELSE 0 END"
+            ).alias("within_eps"),
+        )
+        .orderBy("quantile")
+    )
+
+
+_GK_HIST_QPM = (200, 400, 600, 800)  # 4 interior edges -> 5 bins
+
+
+@register(
+    "agg_gk_equidepth_histogram",
+    f"""
+    WITH {_o_gk_vals_tq()},
+    hq AS (SELECT q_pm, n, CAST((q_pm * n + 999) // 1000 AS BIGINT) AS t
+           FROM (VALUES {",".join(f"({q})" for q in _GK_HIST_QPM)})
+             qs(q_pm) CROSS JOIN nn),
+    {_o_gk_chain(f"'' || '|' || CAST({_o_gk_bucket()} AS VARCHAR)", "")
+     .replace("CROSS JOIN tq", "CROSS JOIN hq")},
+    edges AS (SELECT
+        MAX(CASE WHEN q_pm = 200 THEN est END) AS e1,
+        MAX(CASE WHEN q_pm = 400 THEN est END) AS e2,
+        MAX(CASE WHEN q_pm = 600 THEN est END) AS e3,
+        MAX(CASE WHEN q_pm = 800 THEN est END) AS e4,
+        MAX(n) AS n
+      FROM sel),
+    binned AS (SELECT
+        CASE WHEN d.v <= e.e1 THEN 0 WHEN d.v <= e.e2 THEN 1
+             WHEN d.v <= e.e3 THEN 2 WHEN d.v <= e.e4 THEN 3
+             ELSE 4 END AS bin, e.n
+      FROM vals d CROSS JOIN edges e)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows, n,
+           CAST(ABS(COUNT(*) - n // 5) AS BIGINT) AS dev,
+           CASE WHEN ABS(COUNT(*) - n // 5) <= (4 * n) // {_GK_ERRDIV} + 1
+                THEN 1 ELSE 0 END AS within_tol
+    FROM binned GROUP BY bin, n
+    ORDER BY bin
+    """,
+    "equi-depth histogram from the GK sketch — the APPLICATION the "
+    "quantile summary exists for (optimizer statistics / feature "
+    "binning): interior edges at the 20/40/60/80 permille targets come "
+    "from the bounded summary, then ONE exact counting pass bins every "
+    "row. Each edge's rank error is <= eps*n, so each bin's depth "
+    "deviates from n/5 by <= 2*eps*n (two edges move independently) — "
+    "emitted as dev/within_tol audit columns, oracle-verified like the "
+    "sketch itself. 100 TB shape: sketch pass + one broadcast-CASE "
+    "counting pass, no sort of the raw data",
+    "2.4 extension (GK equi-depth histogram application)",
+)
+def agg_gk_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        gk_quantile_estimates,
+        gk_summary,
+    )
+
+    vals = _gk_lineitem_vals(spark, sf_dir)
+    kept = gk_summary(
+        vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV
+    )
+    est = gk_quantile_estimates(kept, _GK_HIST_QPM)
+    edges = est.groupBy().agg(
+        *[
+            F.max(F.when(F.col("q_pm") == q, F.col("est"))).alias(
+                f"e{i + 1}"
+            )
+            for i, q in enumerate(_GK_HIST_QPM)
+        ],
+        F.max("n").alias("n"),
+    )
+    binned = vals.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("v") <= F.col("e1"), 0)
+        .when(F.col("v") <= F.col("e2"), 1)
+        .when(F.col("v") <= F.col("e3"), 2)
+        .when(F.col("v") <= F.col("e4"), 3)
+        .otherwise(4)
+        .alias("bin"),
+        "n",
+    )
+    return (
+        binned.groupBy("bin", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "bin",
+            "n_rows",
+            "n",
+            F.abs(F.col("n_rows") - F.expr("n div 5"))
+            .cast("bigint")
+            .alias("dev"),
+            F.expr(
+                f"CASE WHEN ABS(n_rows - n div 5) <= (4 * n) div {_GK_ERRDIV} + 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("within_tol"),
+        )
+        .orderBy("bin")
     )
 
 

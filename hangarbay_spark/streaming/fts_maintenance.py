@@ -38,12 +38,19 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from hangarbay_spark.operators import fts
+from hangarbay_spark.streaming.genlsm import (
+    compact_generations as _compact_gens,
+)
+from hangarbay_spark.streaming.genlsm import live_generations as _live_gens
+from hangarbay_spark.streaming.genlsm import read_live as _read_gens
+from hangarbay_spark.streaming.genlsm import (
+    write_batch_generation as _write_gen,
+)
 
 INDEX_SUBDIR = "fts.parquet"
 TF_SUBDIR = "fts_tf.parquet"
@@ -51,89 +58,12 @@ DL_SUBDIR = "fts_doclen.parquet"
 META_FILE = "_applied_batch.json"
 
 
-# --- generation-dir LSM for the BM25 artifacts (tf + doclen) ---------------
 # The boolean postings index tolerates plain appends (match_* queries
 # deduplicate at read), but term FREQUENCIES and doc lengths must never
-# double-land, so they use the spandf_maintenance protocol: each batch
-# OVERWRITEs its own ``gen=b<batch_id>`` dir (byte-identical under
-# replay), a generation is live only with its ``_SUCCESS`` job-commit
-# marker, and compaction writes ``gen=m<k>`` BEFORE GC'ing the folded
-# dirs (readers select max committed m + newer committed b). Unlike the
-# gram-df LSM the merge is pure CONCATENATION — tf/dl rows are per-doc
+# double-land, so they ride the generation-dir LSM protocol
+# (:mod:`streaming.genlsm` — per-batch OVERWRITE gens, _SUCCESS-gated
+# liveness, merge-then-GC concat compaction). tf/dl rows are per-doc
 # quantities and doc ids are disjoint across batches by contract.
-
-
-def _gens(root: str) -> list[str]:
-    rp = Path(root)
-    if not rp.exists():
-        return []
-    return sorted(
-        p.name for p in rp.iterdir()
-        if p.is_dir() and p.name.startswith("gen=")
-    )
-
-
-def _committed(root: str, gen: str) -> bool:
-    return (Path(root) / gen / "_SUCCESS").exists()
-
-
-def _live_gens(root: str) -> list[str]:
-    gens = [g for g in _gens(root) if _committed(root, g)]
-    m_max = -1
-    for g in gens:
-        if g.startswith("gen=m"):
-            m_max = max(m_max, int(g[len("gen=m"):]))
-    return [
-        g for g in gens
-        if (g.startswith("gen=m") and int(g[len("gen=m"):]) == m_max)
-        or (g.startswith("gen=b") and int(g[len("gen=b"):]) > m_max)
-    ]
-
-
-def _read_gens(spark: SparkSession, root: str) -> DataFrame:
-    live = _live_gens(root)
-    return spark.read.parquet(*[f"{root}/{g}" for g in live])
-
-
-def _write_gen(
-    df: DataFrame, root: str, batch_id: int, buckets: int, key: str
-) -> None:
-    from pyspark.sql import functions as F
-
-    df.repartition(buckets, F.col(key)).sortWithinPartitions(
-        key
-    ).write.mode("overwrite").parquet(f"{root}/gen=b{int(batch_id)}")
-
-
-def _compact_gens(
-    spark: SparkSession,
-    root: str,
-    buckets: int,
-    key: str,
-    max_generations: int = 3,
-    force: bool = False,
-) -> bool:
-    from pyspark.sql import functions as F
-
-    live = _live_gens(root)
-    if len(live) <= 1 or (not force and len(live) <= max_generations):
-        return False
-    for g in _gens(root):  # GC partial merge attempts (no _SUCCESS)
-        if g.startswith("gen=m") and not _committed(root, g):
-            shutil.rmtree(Path(root) / g, ignore_errors=True)
-    k = max(
-        int(g[len("gen=m"):]) if g.startswith("gen=m")
-        else int(g[len("gen=b"):])
-        for g in live
-    )
-    merged = _read_gens(spark, root).localCheckpoint()
-    merged.repartition(buckets, F.col(key)).sortWithinPartitions(
-        key
-    ).write.mode("overwrite").parquet(f"{root}/gen=m{k}")
-    for g in live:
-        if g != f"gen=m{k}":
-            shutil.rmtree(Path(root) / g, ignore_errors=True)
-    return True
 
 
 def index_path(index_dir: str) -> str:

@@ -188,6 +188,8 @@ BNLJ_ALLOWED = {
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_gk_quantile_sketch",       # 5-row target-rank frame + envelope audit
     "agg_gk_merge_rollup",          # same bounded target/estimate frames ×2 arms
+    "streaming_gk_quantiles",       # 5-row target frame + envelope audit
+    "agg_gk_equidepth_histogram",   # 1-row edge frame + 4-row target frame
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "sim_embedding_drift",          # 1-row bucket-count scalar
     "sample_cluster_safe_split",    # 1-row straddle-count scalars
@@ -339,6 +341,11 @@ EXCHANGE_BOUNDS = {
     "agg_gk_quantile_sketch": 8,
     # two summary arms + shared targets + one enveloped union
     "agg_gk_merge_rollup": 14,
+    # maintained-state estimate (summary generations pre-built by the
+    # drain): bounded windows + envelope scan only
+    "streaming_gk_quantiles": 6,
+    # sketch pass + 1-row edge broadcast + one exact counting pass
+    "agg_gk_equidepth_histogram": 8,
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,

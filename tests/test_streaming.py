@@ -1128,6 +1128,85 @@ def test_spandf_partial_manifest_and_partial_merge_ignored(
     assert got == expect
 
 
+def test_gk_maintenance_stream_matches_batch(spark, tmp_path):
+    """Streamed GK summaries == the one-pass batch build with the same
+    data-derived batch tags (summary merge is union — generations
+    concatenate), quantile estimates from the maintained state are
+    identical, a replayed batch id no-ops, and delivery ORDER doesn't
+    matter (the tag comes from the data)."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.sketches import (
+        gk_quantile_estimates,
+        gk_summary,
+    )
+    from hangarbay_spark.streaming import gk_maintenance as GM
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rows = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        (F.col("l_orderkey") % 4).alias("bi"),
+    )
+    state = str(tmp_path / "state")
+    # deliver batches OUT of tag order: 2, 0, 3, 1
+    for batch_id, b in enumerate([2, 0, 3, 1]):
+        assert GM.ingest_batch(
+            spark, rows.filter(F.col("bi") == b), batch_id, state,
+            "v", "tb", "bi", partitions=8,
+        )
+    streamed = sorted(
+        map(tuple, GM.read_summary(spark, state).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            gk_summary(
+                rows, "v", "tb", partitions=8, batch_col="bi"
+            ).collect(),
+        )
+    )
+    assert streamed == direct and streamed
+
+    est_s = sorted(
+        map(
+            tuple,
+            gk_quantile_estimates(GM.read_summary(spark, state)).collect(),
+        )
+    )
+    est_b = sorted(
+        map(
+            tuple,
+            gk_quantile_estimates(
+                gk_summary(rows, "v", "tb", partitions=8, batch_col="bi")
+            ).collect(),
+        )
+    )
+    assert est_s == est_b
+
+    # replayed batch id: no-op; state unchanged
+    assert not GM.ingest_batch(
+        spark, rows.filter(F.col("bi") == 0), 1, state, "v", "tb", "bi",
+        partitions=8,
+    )
+    assert sorted(
+        map(tuple, GM.read_summary(spark, state).collect())
+    ) == streamed
+
+    # compaction fired during ingest (4 gens > max_generations=3) and
+    # a further forced fold leaves one generation — rows untouched
+    from hangarbay_spark.streaming import genlsm
+
+    assert len(genlsm.live_generations(GM.summary_path(state))) < 4
+    genlsm.compact_generations(
+        spark, GM.summary_path(state), buckets=1, key="p", force=True
+    )
+    assert len(genlsm.live_generations(GM.summary_path(state))) == 1
+    assert sorted(
+        map(tuple, GM.read_summary(spark, state).collect())
+    ) == streamed
+
+
 def test_heavy_hitter_crash_replay_never_double_adds(
     spark, tmp_path, monkeypatch
 ):
