@@ -399,7 +399,12 @@ def compact_index(
     if n_files == 0:
         return False
     tmp_idx = path.rstrip("/") + "__compact_tmp"
-    save_index(load_index(spark, path), tmp_idx, buckets)
+    # distinct: self-heals the one at-least-once artifact — a crash
+    # between a generation's postings append and its id-manifest append
+    # makes the replay re-append those docs' (token, id) rows. Readers
+    # already tolerate the duplicates (match_* dedup at read); the fold
+    # removes them. No legitimate duplicates exist (build dedups).
+    save_index(load_index(spark, path).distinct(), tmp_idx, buckets)
     tmp_ids = None
     try:
         ids = spark.read.parquet(ids_path).select(F.col(id_col)).distinct()
