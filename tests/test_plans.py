@@ -168,6 +168,7 @@ BNLJ_ALLOWED = {
     "text_lm_surprisal",            # 1-row corpus token total
     "tfidf_top_terms",              # 1-row corpus doc count
     "fts_bm25_topk",                # 1-row corpus stats scalar (nd, sdl)
+    "streaming_fts_bm25",           # same 1-row stats scalar over streamed artifacts
     "search_hybrid_rrf",            # bm25 stats scalar + fixed probe vector
     "sim_bruteforce_topk",          # fixed probe set (3 vectors)
     "sim_centroid_assign",          # fixed centroid table (8 vectors)
