@@ -227,12 +227,22 @@ def multimodal_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_hourly_rollup",
-    None,  # genuinely non-SQL-expressible (incremental watermark state)
+    """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     "Structured Streaming hourly rollup drained with availableNow over "
-    "a file source (events re-staged to a directory); result equals the "
-    "batch tumbling-window query — the rows-only check plus "
-    "tests/test_streaming.py's batch-equality assertion cover it",
-    "streaming §2.7 extension",
+    "a file source (events re-staged to a directory), complete output "
+    "mode — promoted to a FULL oracle in r7 (was rows-only): with the "
+    "whole source drained the watermarked tumbling windows equal the "
+    "batch GROUP BY hour exactly (events_tumbling_hourly's own oracle "
+    "shape), so the streaming result is hash-compared; the stream== "
+    "batch equality stays pinned in tests/test_streaming.py",
+    "streaming §2.7 extension (oracle-verified)",
 )
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.streaming import events as SE
