@@ -3519,10 +3519,52 @@ def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WP_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789.,!?'\"-"
+
+
+def _o_wordpiece_encode() -> str:
+    """Recursive-CTE twin of the greedy wordpiece segmentation
+    (promoted from rows-only in r7): the vocab re-derives in SQL
+    (top-200 tokens by count desc / token asc + the alphabet), each
+    DISTINCT word walks longest-match-first via a correlated
+    max-length vocab probe per recursion step (depth <= word length;
+    no match advances one char and counts an UNK — exactly
+    ``wordpiece_pieces``), and per-doc counts come from joining the
+    word segmentation back to the token occurrences. Two independent
+    implementations of the tokenizer, hash-compared."""
+    alpha_vals = ",".join(
+        "('" + c.replace("'", "''") + "')" for c in _WP_ALPHABET
+    )
+    probe = (
+        "(SELECT MAX(len(v.tok)) FROM vocab v WHERE len(v.tok) <= 12"
+        " AND substr(r.w, r.i + 1, len(v.tok)) = v.tok)"
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest({O_TOKENS}) AS w FROM documents),
+    cnt AS (SELECT w AS tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    top AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 200),
+    vocab AS (SELECT tok FROM top
+              UNION SELECT tok FROM (VALUES {alpha_vals}) a(tok)),
+    words AS (SELECT DISTINCT w FROM toks),
+    rec(w, i, pieces, unk) AS (
+      SELECT w, 0, 0, 0 FROM words
+      UNION ALL
+      SELECT r.w, r.i + COALESCE({probe}, 1), r.pieces + 1,
+             r.unk + CASE WHEN {probe} IS NULL THEN 1 ELSE 0 END
+      FROM rec r WHERE r.i < len(r.w)),
+    seg AS (SELECT w, pieces, unk FROM rec WHERE i >= len(w))
+    SELECT t.doc_id,
+           CAST(SUM(s.pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(s.unk) AS BIGINT) AS n_unk
+    FROM toks t JOIN seg s ON t.w = s.w
+    GROUP BY t.doc_id
+    """
+
+
 @register(
     "text_wordpiece_encode",
-    None,  # greedy subword segmentation has no SQL twin — rows-only;
-    # the kernel is pinned against its pure-Python reference in tests
+    _o_wordpiece_encode(),
     "wordpiece tokenizer APPLICATION (greedy longest-match-first over "
     "a real subword vocabulary): the vocab derives deterministically "
     "from the corpus itself (top-200 whole tokens by count with "
@@ -3531,9 +3573,13 @@ def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every doc comes back with its piece/UNK counts — the "
     "apply-tokenizer stage between vocabulary training "
     "(text_bpe_merge_candidates) and sequence packing "
-    "(text_pack_sequences). One bounded collect for the vocab (top-k "
-    "of a word-count shuffle), one corpus pass for the encode",
-    "text-analysis extension (subword tokenizer application)",
+    "(text_pack_sequences). Promoted to a FULL oracle in r7: a "
+    "recursive-CTE DuckDB implementation re-derives the vocab and "
+    "replays the greedy walk per distinct word, so the hash compare "
+    "verifies two independent tokenizer implementations. One bounded "
+    "collect for the vocab, one corpus pass for the encode",
+    "text-analysis extension (subword tokenizer application, "
+    "oracle-verified)",
 )
 def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
@@ -3547,7 +3593,7 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .collect()
     )
-    vocab = [r["tok"] for r in top] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?'\"-")
+    vocab = [r["tok"] for r in top] + list(_WP_ALPHABET)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
