@@ -1244,6 +1244,14 @@ def simhash_pairs_from_fingerprints(
     fp = fp.select(F.col(id_col), *wcols)
     if checkpoint:
         fp = fp.localCheckpoint()
+    else:
+        # parquet-backed fp: 5 small ints/doc compresses so well that a
+        # corpus-scale table scans as ONE input partition (1.3 MB at
+        # 500k docs) — and the block join's candidate EXPLOSION then
+        # runs single-threaded on duplicate-heavy data. Spread the
+        # fixed-width rows first; the shuffle is trivially cheap next
+        # to the work it parallelizes (sf1 A/B: 135 s -> see notes).
+        fp = fp.repartition(32, F.col(id_col))
     blocks = fp.select(
         F.col(id_col),
         *wcols,
@@ -1320,7 +1328,14 @@ def simhash_pairs_incremental(
         .select(F.col(id_col), *wcols)
         .localCheckpoint()  # two consumers: block rows + verify join
     )
-    old_fp = spark.read.parquet(fp_path).select(F.col(id_col), *wcols)
+    # spread the one-input-partition parquet scan before the block
+    # join's candidate explosion (same rule as
+    # simhash_pairs_from_fingerprints's checkpoint=False branch)
+    old_fp = (
+        spark.read.parquet(fp_path)
+        .select(F.col(id_col), *wcols)
+        .repartition(32, F.col(id_col))
+    )
 
     def blocks(fp: DataFrame, is_new: bool) -> DataFrame:
         return fp.select(

@@ -212,6 +212,16 @@ def heavy_hitters_exact_weighted(
 # Mergeability: the summary of a batch UNION equals the union of
 # per-batch summaries when partitions are kept distinct (ranks, n_p
 # and s_p are all per-(batch, p) quantities) — pinned in tests.
+#
+# Cost trade, stated plainly: the exact local ranks cost a per-hash-
+# partition SORT of the data — more than streaming GK's O(1/eps) state,
+# less than a global sort (32-way spillable partition sorts are Spark's
+# bread and butter), and it buys the multiset-purity that makes the
+# estimate verifiable. Where the sort matters, amortize it: the
+# streaming maintenance (streaming/gk_maintenance.py) sorts each batch
+# once into a bounded generation and every later quantile query reads
+# ONLY summaries; one-shot unsorted paths can still use Spark's own
+# approx_percentile (rows-only, agg_approx_sketches).
 
 
 def gk_summary(
@@ -333,6 +343,80 @@ def gk_quantile_estimates(
         .alias("rn"),
     )
     return cand.filter(F.col("rn") == 1).select(
+        "q_pm",
+        (F.col("q_pm").cast("double") / F.lit(1000.0)).alias("quantile"),
+        F.col("t").alias("target_rank"),
+        F.col("v").alias("est"),
+        F.col("rmin").alias("est_rmin"),
+        "n",
+    )
+
+
+def gk_grouped_quantile_estimates(
+    kept: DataFrame,
+    quantiles_pm: tuple[int, ...] = (500, 900),
+) -> DataFrame:
+    """Per-GROUP quantile answers from a group-tagged GK summary — the
+    distributed ``GROUP BY approx_percentile`` workload, deterministic
+    and oracle-verifiable: build the summary with
+    ``gk_summary(..., batch_col=<group>)`` so every partition key is
+    ``<group>|<bucket>``, then each group's rmin runs over ITS OWN
+    kept tuples (window partitioned by the group prefix) against its
+    own target ranks t_grp = ceil(q * n_grp). Returns (grp, q_pm,
+    quantile, target_rank, est, est_rmin, n) — one row per group and
+    quantile. Summary-sized input by contract; the group count only
+    widens the window partitioning."""
+    from pyspark.sql.window import Window as W
+
+    g = kept.select(
+        F.split(F.col("p"), r"\|").getItem(0).alias("grp"),
+        "v",
+        "tb",
+        "g",
+    )
+    rmin = g.select(
+        "grp",
+        "v",
+        "tb",
+        F.sum("g")
+        .over(
+            W.partitionBy("grp")
+            .orderBy("v", "tb")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("rmin"),
+    )
+    n_grp = g.groupBy("grp").agg(F.sum("g").cast("bigint").alias("n"))
+    tq = n_grp.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in quantiles_pm])
+        ).alias("q_pm"),
+    ).select(
+        "grp",
+        "q_pm",
+        "n",
+        F.expr("(q_pm * n + 999) div 1000").cast("bigint").alias("t"),
+    )
+    cand = rmin.join(F.broadcast(tq), "grp").select(
+        "grp",
+        "q_pm",
+        "n",
+        "t",
+        "v",
+        "rmin",
+        F.row_number()
+        .over(
+            W.partitionBy("grp", "q_pm").orderBy(
+                F.abs(F.col("rmin") - F.col("t")), "v", "tb"
+            )
+        )
+        .alias("rn"),
+    )
+    return cand.filter(F.col("rn") == 1).select(
+        "grp",
         "q_pm",
         (F.col("q_pm").cast("double") / F.lit(1000.0)).alias("quantile"),
         F.col("t").alias("target_rank"),

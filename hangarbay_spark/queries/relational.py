@@ -3158,6 +3158,120 @@ def agg_gk_equidepth_histogram(
     )
 
 
+_GK_GRP_QPM = (500, 900)
+
+
+@register(
+    "agg_gk_grouped_quantiles",
+    f"""
+    WITH vals AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
+                         l_orderkey * 10 + l_linenumber AS tb
+                  FROM lineitem),
+    pb AS (SELECT grp, v, tb,
+                  grp || '|' || CAST({_o_gk_bucket()} AS VARCHAR) AS p
+           FROM vals),
+    rk AS (SELECT grp, v, tb, p,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, tb) AS r,
+             COUNT(*) OVER (PARTITION BY p) AS np
+           FROM pb),
+    k0 AS (SELECT grp, v, tb, p, r, np,
+             GREATEST(1, np // {_GK_ERRDIV}) AS sp FROM rk),
+    kept AS (SELECT grp, v, tb, p, r FROM k0
+             WHERE (r - 1) % sp = 0 OR r = np),
+    gg AS (SELECT grp, v, tb,
+             CAST(r - COALESCE(LAG(r) OVER (PARTITION BY p ORDER BY r),
+                               0) AS BIGINT) AS g
+           FROM kept),
+    rmin AS (SELECT grp, v, tb,
+               CAST(SUM(g) OVER (PARTITION BY grp ORDER BY v, tb
+                                 ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS rmin
+             FROM gg),
+    ng AS (SELECT grp, CAST(SUM(g) AS BIGINT) AS n FROM gg GROUP BY grp),
+    tq AS (SELECT grp, n, q_pm,
+                  CAST((q_pm * n + 999) // 1000 AS BIGINT) AS t
+           FROM ng CROSS JOIN
+             (VALUES {",".join(f"({q})" for q in _GK_GRP_QPM)}) qs(q_pm)),
+    cand AS (SELECT r.grp, q_pm, n, t, v, rmin,
+               ROW_NUMBER() OVER (PARTITION BY r.grp, q_pm
+                 ORDER BY ABS(rmin - t), v, tb) AS rn
+             FROM rmin r JOIN tq ON r.grp = tq.grp),
+    sel AS (SELECT grp, q_pm, n, t, v AS est, rmin AS est_rmin
+            FROM cand WHERE rn = 1),
+    env AS (SELECT s.grp, s.q_pm,
+              CAST(SUM(CASE WHEN d.v < s.est THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS rank_lo,
+              CAST(SUM(CASE WHEN d.v <= s.est THEN 1 ELSE 0 END)
+                AS BIGINT) AS rank_le
+            FROM vals d JOIN sel s ON d.grp = s.grp
+            GROUP BY s.grp, s.q_pm)
+    SELECT s.grp, CAST(s.q_pm AS DOUBLE) / 1000.0 AS quantile,
+           s.t AS target_rank, s.est, s.est_rmin,
+           e.rank_lo, e.rank_le, s.n,
+           CASE WHEN e.rank_lo - s.t <= (2 * s.n) // {_GK_ERRDIV}
+                 AND s.t - e.rank_le <= (2 * s.n) // {_GK_ERRDIV}
+                THEN 1 ELSE 0 END AS within_eps
+    FROM sel s JOIN env e ON s.grp = e.grp AND s.q_pm = e.q_pm
+    ORDER BY s.grp, quantile
+    """,
+    "per-GROUP quantile sketch — the distributed 'GROUP BY "
+    "approx_percentile' workload, deterministic and oracle-verified: "
+    "one group-tagged summary build (partition key <group>|<bucket>), "
+    "per-group rmin windows over the bounded summary, per-group "
+    "targets t = ceil(q * n_grp), per-group exact-rank envelope audit "
+    "(median + p90 per returnflag, each within eps*n_grp). The group "
+    "count only widens window partitioning — state per group stays "
+    "<= partitions*(2*err_div+2) tuples",
+    "2.4 extension (grouped GK quantile sketch)",
+)
+def agg_gk_grouped_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        gk_grouped_quantile_estimates,
+        gk_summary,
+    )
+
+    vals = _gk_lineitem_vals(spark, sf_dir)
+    kept = gk_summary(
+        vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV,
+        batch_col="l_returnflag",
+    )
+    est = gk_grouped_quantile_estimates(kept, _GK_GRP_QPM)
+    env = (
+        vals.select(F.col("l_returnflag").alias("grp"), "v")
+        .join(F.broadcast(est), "grp")
+        .groupBy(
+            "grp", "q_pm", "quantile", "target_rank", "est", "est_rmin", "n"
+        )
+        .agg(
+            (
+                F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)) + 1
+            )
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_le"),
+        )
+    )
+    return env.select(
+        "grp",
+        "quantile",
+        "target_rank",
+        "est",
+        "est_rmin",
+        "rank_lo",
+        "rank_le",
+        "n",
+        F.expr(
+            f"CASE WHEN rank_lo - target_rank <= (2 * n) div {_GK_ERRDIV}"
+            f" AND target_rank - rank_le <= (2 * n) div {_GK_ERRDIV}"
+            " THEN 1 ELSE 0 END"
+        ).alias("within_eps"),
+    ).orderBy("grp", "quantile")
+
+
 @register(
     "agg_skyline_parts",
     """
