@@ -115,8 +115,12 @@ MEAN_WORD_LEN_RANGE = (3.0, 10.0)
     "LLM-pipeline extension (repetition/quality document filters)",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens_expr("text").alias("toks")
+    # repartition-to-spread-CPU: the gram transforms below are per-row
+    # compute; a one-split corpus scan would serialize them
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select("doc_id", X.tokens_expr("text").alias("toks"))
     )
     docfeat = toks.select(
         "doc_id",

@@ -1087,7 +1087,10 @@ def _o_cms() -> str:
     "text-analysis extension (count-min sketch, oracle-verified)",
 )
 def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition-to-spread-CPU (shingle_postings rationale): a single-
+    # file corpus scans as ONE split, and the 4-row hash explode would
+    # otherwise run single-threaded no matter the core count
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     toks = docs.select(F.explode(X.tokens_expr("text")).alias("token"))
 
     def idx_of(r, token_col):
@@ -2717,7 +2720,9 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text-analysis extension (bigram LM surprisal)",
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition-to-spread-CPU: the bigram struct transform is the
+    # cost; a one-split corpus scan would serialize it
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     t = X.tokens_expr("text")
     toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
     g = F.transform(
@@ -2829,7 +2834,10 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text-analysis extension (char-distribution entropy)",
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition-to-spread-CPU: char-array splitting and sorting is
+    # pure per-row compute; a one-split corpus scan would serialize it
+    # (sf1 A/B: 19.7 s single-split vs see BENCH_NOTES)
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     # Staged projections: every array consumed inside a higher-order
     # lambda is materialized as a plain column first — lambdas re-run

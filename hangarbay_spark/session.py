@@ -60,6 +60,16 @@ def get_spark(
         # 1024 rows x ~4 MB payload ≈ 4 GB worst-case without a cap.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Local-mode split sizing: single-file corpora compress far
+        # below the 128 MB default split, so CPU-heavy scans (text
+        # kernels, HOF pipelines) otherwise run on ONE task no matter
+        # how many cores local[N] has (sf1 A/B: text_char_entropy ran
+        # 14x the sf0.1 time on one core). 16 MB engages the cores on
+        # bench-scale files while leaving test-scale files (< 16 MB)
+        # as single splits — no tiny-task overhead at sf0.01. A real
+        # cluster deployment keeps the default (many files, and
+        # executor count — not split count — is the parallelism lever).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -1182,3 +1182,51 @@ def test_gk_merge_rollup_and_union_merge_equals_refined(spark):
     assert len(rows) == 5
     for quantile, t, em, ed, mw, dw, n in rows:
         assert mw == 1 and dw == 1
+
+
+def test_gk_grouped_quantiles_consistent_with_per_group_runs(spark):
+    """The grouped estimator must answer each group EXACTLY as a
+    standalone sketch over that group's rows (same partitions/eps):
+    grouping is pure bookkeeping, not an approximation change — plus
+    every registry row is within its per-group envelope."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators.sketches import (
+        gk_grouped_quantile_estimates,
+        gk_quantile_estimates,
+        gk_summary,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    vals = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        "l_returnflag",
+    )
+    grouped = {
+        (r["grp"], r["q_pm"]): (r["target_rank"], r["est"], r["est_rmin"], r["n"])
+        for r in gk_grouped_quantile_estimates(
+            gk_summary(
+                vals, "v", "tb", partitions=8,
+                batch_col="l_returnflag",
+            ),
+            (500, 900),
+        ).collect()
+    }
+    for rf in [r[0] for r in vals.select("l_returnflag").distinct().collect()]:
+        solo = {
+            r["q_pm"]: (r["target_rank"], r["est"], r["est_rmin"], r["n"])
+            for r in gk_quantile_estimates(
+                gk_summary(
+                    vals.filter(F.col("l_returnflag") == rf),
+                    "v", "tb", partitions=8, batch=rf,
+                ),
+                (500, 900),
+            ).collect()
+        }
+        for q in (500, 900):
+            assert grouped[(rf, q)] == solo[q], (rf, q)
+
+    rows = _rows("agg_gk_grouped_quantiles", spark)
+    assert len(rows) == 6  # 3 returnflags x 2 quantiles
+    assert all(r[-1] == 1 for r in rows)  # within_eps everywhere

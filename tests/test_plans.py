@@ -347,6 +347,9 @@ EXCHANGE_BOUNDS = {
     "streaming_gk_quantiles": 6,
     # sketch pass + 1-row edge broadcast + one exact counting pass
     "agg_gk_equidepth_histogram": 8,
+    # group-tagged summary build + per-group windows + group-keyed
+    # envelope join (broadcast hash, not BNLJ — est has a 3-group key)
+    "agg_gk_grouped_quantiles": 8,
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,
@@ -370,7 +373,10 @@ EXCHANGE_BOUNDS = {
     "pipeline_span_removed_clean": 5,
     # CMS (round 6): one 4N-row cell rollup + broadcast probe lookups
     # + the probe-filtered exact arm
-    "text_cms_token_counts": 6,
+    # +2 (r7): repartition-to-spread-CPU ahead of the 4-row hash
+    # explode (single-split corpus scans serialize it otherwise; one
+    # exchange per consumer of the token stream)
+    "text_cms_token_counts": 8,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
