@@ -424,3 +424,78 @@ def gk_grouped_quantile_estimates(
         F.col("rmin").alias("est_rmin"),
         "n",
     )
+
+
+def gk_weighted_summary(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    partitions: int = 32,
+    err_div: int = 100,
+    batch: str = "",
+) -> DataFrame:
+    """WEIGHTED GK-style summary: quantiles of the value distribution
+    where each row carries an integer weight (mass) — the mergeable
+    twin of the exact two-pass weighted quantiles. Same construction
+    as :func:`gk_summary` with ranks replaced by RUNNING WEIGHT: a row
+    is kept iff its cumulative weight crosses a multiple of
+    s_p = max(1, W_p div err_div) (a heavy row always crosses at least
+    one boundary, so no single weight can hide), plus the partition
+    maximum; ``g`` is the weight mass the tuple covers (sums to W).
+    Uncovered mass between consecutive kept tuples is < s_p, so a
+    query mass t has a kept tuple whose true weighted rank differs by
+    at most max_p(s_p) + sum_p(s_p - 1) <= (2/err_div)*W = eps*W.
+    Weights must be positive integers (exact arithmetic — pre-scale
+    decimals). Output (p, v, tb, g) feeds
+    :func:`gk_quantile_estimates` unchanged (its n is then W and
+    targets are mass ranks)."""
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+
+    base = df.select(
+        F.col(value_col).alias("v"),
+        F.col(weight_col).cast("bigint").alias("w"),
+        F.col(id_col).alias("tb"),
+    ).select(
+        "v",
+        "w",
+        "tb",
+        F.concat_ws(
+            "|",
+            F.lit(batch),
+            (hash_bucket_expr(F.col("tb")) % partitions).cast("string"),
+        ).alias("p"),
+    )
+    wp = W.partitionBy("p")
+    run = base.select(
+        "p",
+        "v",
+        "w",
+        "tb",
+        F.sum("w")
+        .over(wp.orderBy("v", "tb").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cumw"),
+        F.sum("w").over(wp).cast("bigint").alias("wp"),
+    ).withColumn(
+        "sp", F.greatest(F.lit(1), F.expr(f"wp div {int(err_div)}"))
+    )
+    kept = run.filter(
+        (
+            F.expr("cumw div sp") > F.expr("(cumw - w) div sp")
+        )
+        | (F.col("cumw") == F.col("wp"))
+    )
+    return kept.select(
+        "p",
+        "v",
+        "tb",
+        (
+            F.col("cumw")
+            - F.coalesce(
+                F.lag("cumw").over(wp.orderBy("v", "tb")), F.lit(0)
+            )
+        ).cast("bigint").alias("g"),
+    )

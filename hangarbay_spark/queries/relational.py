@@ -3273,6 +3273,127 @@ def agg_gk_grouped_quantiles(
 
 
 @register(
+    "agg_gk_weighted_quantile_sketch",
+    f"""
+    WITH vals AS (SELECT l_extendedprice AS v,
+                         CAST(l_quantity AS BIGINT) AS w,
+                         l_orderkey * 10 + l_linenumber AS tb
+                  FROM lineitem),
+    pb AS (SELECT v, w, tb,
+                  '' || '|' || CAST({_o_gk_bucket()} AS VARCHAR) AS p
+           FROM vals),
+    run AS (SELECT v, w, tb, p,
+              CAST(SUM(w) OVER (PARTITION BY p ORDER BY v, tb
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cumw,
+              CAST(SUM(w) OVER (PARTITION BY p) AS BIGINT) AS wp
+            FROM pb),
+    k0 AS (SELECT v, w, tb, p, cumw, wp,
+             GREATEST(1, wp // {_GK_ERRDIV}) AS sp FROM run),
+    kept AS (SELECT v, tb, p, cumw FROM k0
+             WHERE (cumw // sp) > ((cumw - w) // sp) OR cumw = wp),
+    gg AS (SELECT v, tb,
+             CAST(cumw - COALESCE(LAG(cumw) OVER (PARTITION BY p
+                                                  ORDER BY v, tb),
+                                  0) AS BIGINT) AS g
+           FROM kept),
+    rmin AS (SELECT v, tb,
+               CAST(SUM(g) OVER (ORDER BY v, tb ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS rmin
+             FROM gg),
+    nn AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM gg),
+    tq AS (SELECT q_pm, n,
+                  CAST((q_pm * n + 999) // 1000 AS BIGINT) AS t
+           FROM (VALUES {",".join(f"({q})" for q in _GK_QPM)}) qs(q_pm)
+           CROSS JOIN nn),
+    cand AS (SELECT q_pm, n, t, v, rmin,
+               ROW_NUMBER() OVER (PARTITION BY q_pm
+                 ORDER BY ABS(rmin - t), v, tb) AS rn
+             FROM rmin CROSS JOIN tq),
+    sel AS (SELECT q_pm, n, t, v AS est, rmin AS est_rmin
+            FROM cand WHERE rn = 1),
+    env AS (SELECT s.q_pm,
+              CAST(SUM(CASE WHEN d.v < s.est THEN d.w ELSE 0 END) + 1
+                AS BIGINT) AS rank_lo,
+              CAST(SUM(CASE WHEN d.v <= s.est THEN d.w ELSE 0 END)
+                AS BIGINT) AS rank_le
+            FROM vals d CROSS JOIN sel s GROUP BY s.q_pm)
+    SELECT CAST(s.q_pm AS DOUBLE) / 1000.0 AS quantile,
+           s.t AS target_mass, s.est, s.est_rmin,
+           e.rank_lo, e.rank_le, s.n AS w_total,
+           CASE WHEN e.rank_lo - s.t <= (2 * s.n) // {_GK_ERRDIV}
+                 AND s.t - e.rank_le <= (2 * s.n) // {_GK_ERRDIV}
+                THEN 1 ELSE 0 END AS within_eps
+    FROM sel s JOIN env e ON s.q_pm = e.q_pm
+    ORDER BY quantile
+    """,
+    "WEIGHTED GK quantile sketch — quantity-weighted price quantiles, "
+    "the mergeable-sketch twin of the exact two-pass "
+    "agg_weighted_quantiles: a row is kept iff its running weight "
+    "crosses a multiple of s_p = W_p div 100 (a heavy row always "
+    "crosses a boundary, so no mass hides between tuples; uncovered "
+    "mass per gap < s_p), targets are mass ranks t = ceil(q * W), and "
+    "the weighted exact-rank envelope |rank(est) - t| <= eps*W rides "
+    "as audit columns. All integer arithmetic (integral l_quantity "
+    "cast to BIGINT), oracle-verified like the unweighted family",
+    "2.4 extension (weighted mergeable quantile sketch)",
+)
+def agg_gk_weighted_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sketches import (
+        gk_quantile_estimates,
+        gk_weighted_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    kept = gk_weighted_summary(
+        vals, "v", "w", "tb", partitions=_GK_P, err_div=_GK_ERRDIV
+    )
+    est = gk_quantile_estimates(kept, _GK_QPM)
+    env = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q_pm", "quantile", "target_rank", "est", "est_rmin", "n")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("v") < F.col("est"), F.col("w")).otherwise(
+                        0
+                    )
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est"), F.col("w")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_le"),
+        )
+    )
+    return env.select(
+        "quantile",
+        F.col("target_rank").alias("target_mass"),
+        "est",
+        "est_rmin",
+        "rank_lo",
+        "rank_le",
+        F.col("n").alias("w_total"),
+        F.expr(
+            f"CASE WHEN rank_lo - target_rank <= (2 * n) div {_GK_ERRDIV}"
+            f" AND target_rank - rank_le <= (2 * n) div {_GK_ERRDIV}"
+            " THEN 1 ELSE 0 END"
+        ).alias("within_eps"),
+    ).orderBy("quantile")
+
+
+@register(
     "agg_skyline_parts",
     """
     WITH g AS (

@@ -1230,3 +1230,59 @@ def test_gk_grouped_quantiles_consistent_with_per_group_runs(spark):
     rows = _rows("agg_gk_grouped_quantiles", spark)
     assert len(rows) == 6  # 3 returnflags x 2 quantiles
     assert all(r[-1] == 1 for r in rows)  # within_eps everywhere
+
+
+def test_gk_weighted_quantile_sketch_matches_pure_python(spark):
+    """agg_gk_weighted_quantile_sketch recomputed from first
+    principles (md5 partitions, python sort, running-weight boundary
+    crossings, integer mass targets): estimates, rmin, targets and
+    weighted envelope columns bit-for-bit; every row within_eps."""
+    import hashlib
+
+    li = _duck(
+        "SELECT l_extendedprice, CAST(l_quantity AS BIGINT),"
+        " l_orderkey * 10 + l_linenumber FROM lineitem"
+    )
+    parts: dict = {}
+    for v, w, tb in li:
+        h = hashlib.md5(str(tb).encode()).hexdigest()
+        p = (int(h[0], 16) * 16 + int(h[1], 16)) % 32
+        parts.setdefault(p, []).append((v, tb, w))
+    kept = []
+    for p, items in parts.items():
+        items.sort()
+        wp = sum(w for *_, w in items)
+        sp = max(1, wp // 100)
+        cum = prev_kept = 0
+        for i, (v, tb, w) in enumerate(items):
+            cum += w
+            if (cum // sp) > ((cum - w) // sp) or cum == wp:
+                kept.append((v, tb, cum - prev_kept))
+                prev_kept = cum
+    kept.sort(key=lambda k: (k[0], k[1]))
+    W = sum(g for *_, g in kept)
+    expect = {}
+    for q_pm in (250, 500, 750, 900, 990):
+        t = (q_pm * W + 999) // 1000
+        cum = 0
+        best = None
+        for v, tb, g in kept:
+            cum += g
+            key = (abs(cum - t), v, tb)
+            if best is None or key < best[0]:
+                best = (key, v, cum)
+        expect[q_pm] = (t, best[1], best[2], W)
+
+    got = _rows("agg_gk_weighted_quantile_sketch", spark)
+    assert len(got) == 5
+    mass_lt: dict = {}
+    mass_le: dict = {}
+    for quantile, t, e, rmin, rank_lo, rank_le, w_total, within in got:
+        q_pm = round(quantile * 1000)
+        assert (t, e, rmin, w_total) == expect[q_pm]
+        lt = sum(w for v, w, _ in li if v < e)
+        le = sum(w for v, w, _ in li if v <= e)
+        assert (rank_lo, rank_le) == (lt + 1, le)
+        eps_w = 2 * w_total // 100
+        assert rank_lo - t <= eps_w and t - rank_le <= eps_w
+        assert within == 1

@@ -191,6 +191,7 @@ BNLJ_ALLOWED = {
     "agg_gk_merge_rollup",          # same bounded target/estimate frames ×2 arms
     "streaming_gk_quantiles",       # 5-row target frame + envelope audit
     "agg_gk_equidepth_histogram",   # 1-row edge frame + 4-row target frame
+    "agg_gk_weighted_quantile_sketch",  # 5-row target frame + envelope audit
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "sim_embedding_drift",          # 1-row bucket-count scalar
     "sample_cluster_safe_split",    # 1-row straddle-count scalars
@@ -350,6 +351,8 @@ EXCHANGE_BOUNDS = {
     # group-tagged summary build + per-group windows + group-keyed
     # envelope join (broadcast hash, not BNLJ — est has a 3-group key)
     "agg_gk_grouped_quantiles": 8,
+    # weighted twin: same shape with running-weight boundary crossings
+    "agg_gk_weighted_quantile_sketch": 8,
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,
