@@ -878,9 +878,10 @@ def winnow_pairs_incremental(
     frame — df is corpus-wide, matching the batch operator; sizes stay
     unpruned (same rule as :func:`winnow_pairs`)."""
     k, w, max_df = _winnow_geometry(fp_path)
-    new_fps = winnow_fingerprints(
-        new_df, id_col, text_col, k, w
-    ).localCheckpoint()
+    # single consumer (the union below, itself checkpointed) — no
+    # checkpoint here; r7's hot-fp guard moved the probe side from
+    # new_fps to the pruned union
+    new_fps = winnow_fingerprints(new_df, id_col, text_col, k, w)
     old_fps = spark.read.parquet(fp_path)
     all_fps = old_fps.select(
         F.col(id_col), "fp", F.lit(False).alias("is_new")

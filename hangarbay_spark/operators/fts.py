@@ -328,9 +328,13 @@ def _swap_in(spark: SparkSession, tmp: str, dst: str) -> None:
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     p_old = jvm.org.apache.hadoop.fs.Path(dst + "__old")
     fs.delete(p_old, True)
-    if fs.exists(p_dst):
-        fs.rename(p_dst, p_old)
-    fs.rename(p_tmp, p_dst)
+    # Hadoop FS rename signals failure by RETURN VALUE, not exception —
+    # a swallowed false would discard the fold silently (and the next
+    # compaction's recovery would then delete the complete tmp copy)
+    if fs.exists(p_dst) and not fs.rename(p_dst, p_old):
+        raise IOError(f"rename {dst} -> {dst}__old failed")
+    if not fs.rename(p_tmp, p_dst):
+        raise IOError(f"rename {tmp} -> {dst} failed")
     fs.delete(p_old, True)
 
 
@@ -344,9 +348,11 @@ def _recover_swap(spark: SparkSession, dst: str) -> None:
     p_dst, p_tmp, p_old = P(dst), P(dst + "__compact_tmp"), P(dst + "__old")
     if not fs.exists(p_dst):
         if fs.exists(p_tmp) and fs.exists(P(dst + "__compact_tmp/_SUCCESS")):
-            fs.rename(p_tmp, p_dst)
+            if not fs.rename(p_tmp, p_dst):
+                raise IOError(f"recovery rename {dst}__compact_tmp failed")
         elif fs.exists(p_old):
-            fs.rename(p_old, p_dst)
+            if not fs.rename(p_old, p_dst):
+                raise IOError(f"recovery rename {dst}__old failed")
     fs.delete(p_tmp, True)
     fs.delete(p_old, True)
 

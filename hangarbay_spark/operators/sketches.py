@@ -306,7 +306,11 @@ def gk_quantile_estimates(
     value). Returns (q_pm, quantile, target_rank, est, est_rmin, n)."""
     from pyspark.sql.window import Window as W
 
-    g = kept.select("v", "tb", "g")
+    # materialize the bounded summary once: rmin and the n scalar are
+    # differently-projected consumers, and without this each re-runs
+    # the full per-partition window/sort build of the source (the
+    # CLAUDE.md multi-consumer rule; the frame is summary-sized)
+    g = kept.select("v", "tb", "g").localCheckpoint()
     rmin = g.select(
         "v",
         "tb",
@@ -368,12 +372,15 @@ def gk_grouped_quantile_estimates(
     widens the window partitioning."""
     from pyspark.sql.window import Window as W
 
+    # group = the partition key minus its trailing '|<bucket>' (greedy
+    # match keeps group values containing '|' intact); materialize the
+    # bounded summary once for its three consumers (rmin, n_grp, cand)
     g = kept.select(
-        F.split(F.col("p"), r"\|").getItem(0).alias("grp"),
+        F.regexp_extract(F.col("p"), r"^(.*)\|", 1).alias("grp"),
         "v",
         "tb",
         "g",
-    )
+    ).localCheckpoint()
     rmin = g.select(
         "grp",
         "v",

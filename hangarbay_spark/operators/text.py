@@ -262,9 +262,17 @@ def wordpiece_pieces(text: str | None, vocab: frozenset, max_len: int = 12):
     test so the distributed path is pinned to this exact definition."""
     if text is None:
         return None, None
+    import re
+
     pieces = 0
     unk = 0
-    for w in text.lower().split():
+    # ASCII \s+ split (not str.split): the DuckDB oracle tokenizes with
+    # RE2 str_split_regex('\s+'), which does NOT treat U+00A0/U+0085 as
+    # whitespace the way Python's str.split does — the kernel must
+    # segment the same words the oracle walks
+    for w in (
+        t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t
+    ):
         i, n = 0, len(w)
         while i < n:
             j = min(n, i + max_len)
@@ -296,8 +304,13 @@ def wordpiece_encode_kernel(vocab: list[str], max_len: int = 12):
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
             res = pdf["text"].map(lambda t: wordpiece_pieces(t, vs, max_len))
-            out["n_pieces"] = res.map(lambda r: r[0]).astype("int64")
-            out["n_unk"] = res.map(lambda r: r[1]).astype("int64")
+            # nullable Int64 (the jpeg_dims_kernel pattern): a null text
+            # row returns (None, None) and a non-nullable astype would
+            # crash the whole task
+            out["n_pieces"] = pd.array(
+                [r[0] for r in res], dtype="Int64"
+            )
+            out["n_unk"] = pd.array([r[1] for r in res], dtype="Int64")
             yield out
 
     return run
@@ -437,8 +450,13 @@ def bpe_encode_kernel(merges: list[tuple[str, str, str, int]]):
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
             res = pdf["text"].map(lambda t: bpe_pieces(t, ranks))
-            out["n_pieces"] = res.map(lambda r: r[0]).astype("int64")
-            out["n_applied"] = res.map(lambda r: r[1]).astype("int64")
+            # nullable Int64: null text rows return (None, None)
+            out["n_pieces"] = pd.array(
+                [r[0] for r in res], dtype="Int64"
+            )
+            out["n_applied"] = pd.array(
+                [r[1] for r in res], dtype="Int64"
+            )
             yield out
 
     return run

@@ -128,3 +128,35 @@ def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
 def o_dsum(expr: str, alias: str, scale: int = 4) -> str:
     """Oracle-SQL twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def stage_micro_batches(
+    df: DataFrame,
+    batch_col: Column | str,
+    n: int,
+    prefix: str,
+    keep: list[str] | None = None,
+) -> str:
+    """Write ``df`` as ``n`` single-file micro-batch directories
+    (``b0..b{n-1}``, rows where ``batch_col == b``) with strictly
+    increasing mtimes, so Spark's file source under
+    ``maxFilesPerTrigger=1`` delivers them in batch order on any
+    filesystem (the source orders by (modTime, path)). Shared by every
+    streaming-maintenance registry query — batch determinism is what
+    makes their results oracle-comparable. Returns the staging dir."""
+    import os
+    import tempfile
+    import time
+
+    c = F.col(batch_col) if isinstance(batch_col, str) else batch_col
+    stage = tempfile.mkdtemp(prefix=prefix)
+    t0 = time.time()
+    for b in range(n):
+        part = df.filter(c == b)
+        if keep is not None:
+            part = part.select(*keep)
+        part.coalesce(1).write.parquet(f"{stage}/b{b}")
+        for root, _, files in os.walk(f"{stage}/b{b}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + b, t0 + b))
+    return stage

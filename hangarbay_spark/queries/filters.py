@@ -1133,6 +1133,21 @@ def quality_functional_dependencies(
         ).otherwise(label)
     out = None
     for t, cands in by_table.items():
+        # grouping_id identifies a candidate by its column SET, so two
+        # same-table candidates over the same {lhs, rhs} (a dependency
+        # and its reverse) would collide and silently mislabel both —
+        # refuse rather than corrupt the audit
+        sets = [frozenset((lhs, r)) for _, lhs, r in cands]
+        if len(set(sets)) != len(sets):
+            raise ValueError(
+                f"{t}: two FD candidates share a column set — "
+                "grouping_id cannot distinguish a dependency from its "
+                "reverse; audit them in separate queries"
+            )
+        # nb: an EMPTY table yields zero verdict rows here while the
+        # per-candidate oracle aggregate yields one all-zero row — the
+        # audited tables are never empty (enforced upstream by
+        # quality_constraint_audit's row-count floors)
         tbl = load_table(spark, sf_dir, t)
         cols = sorted({c for _, l, r in cands for c in (l, r)})
         cells = tbl.groupingSets(

@@ -918,19 +918,13 @@ def streaming_span_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}|spandf_stream"
     dirs = _SPANDF_STREAM_DIRS.get(key)
     if dirs is None:
-        import os as _os
         import tempfile
-        import time as _time
 
-        stage = tempfile.mkdtemp(prefix="hb_spandf_src_")
-        t0 = _time.time()
-        for b in range(4):
-            docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
-                f"{stage}/b{b}"
-            )
-            for root, _, files in _os.walk(f"{stage}/b{b}"):
-                for fn in files:
-                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        from hangarbay_spark.queries.base import stage_micro_batches
+
+        stage = stage_micro_batches(
+            docs, F.col("doc_id") % 4, 4, "hb_spandf_src_"
+        )
         state = tempfile.mkdtemp(prefix="hb_spandf_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_spandf_ckpt_")
         _SPANDF_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
@@ -3543,14 +3537,19 @@ def _o_wordpiece_encode() -> str:
     alpha_vals = ",".join(
         "('" + c.replace("'", "''") + "')" for c in _WP_ALPHABET
     )
+    # len >= 1 guard: an empty-string token in the vocab would match
+    # every position with length 0 and freeze the walk (infinite
+    # recursion); the depth cap is belt-and-braces like the JPEG walk
     probe = (
-        "(SELECT MAX(len(v.tok)) FROM vocab v WHERE len(v.tok) <= 12"
+        "(SELECT MAX(len(v.tok)) FROM vocab v"
+        " WHERE len(v.tok) BETWEEN 1 AND 12"
         " AND substr(r.w, r.i + 1, len(v.tok)) = v.tok)"
     )
     return f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, unnest({O_TOKENS}) AS w FROM documents),
-    cnt AS (SELECT w AS tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    cnt AS (SELECT w AS tok, COUNT(*) AS c FROM toks
+            WHERE w <> '' GROUP BY 1),
     top AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 200),
     vocab AS (SELECT tok FROM top
               UNION SELECT tok FROM (VALUES {alpha_vals}) a(tok)),
@@ -3560,8 +3559,8 @@ def _o_wordpiece_encode() -> str:
       UNION ALL
       SELECT r.w, r.i + COALESCE({probe}, 1), r.pieces + 1,
              r.unk + CASE WHEN {probe} IS NULL THEN 1 ELSE 0 END
-      FROM rec r WHERE r.i < len(r.w)),
-    seg AS (SELECT w, pieces, unk FROM rec WHERE i >= len(w))
+      FROM rec r WHERE r.i < len(r.w) AND r.i < 4096),
+    seg AS (SELECT w, pieces, unk FROM rec WHERE i >= len(w) OR i >= 4096)
     SELECT t.doc_id,
            CAST(SUM(s.pieces) AS BIGINT) AS n_pieces,
            CAST(SUM(s.unk) AS BIGINT) AS n_unk
@@ -3595,6 +3594,7 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     top = (
         docs.select(F.explode(X.tokens_expr("text")).alias("tok"))
+        .filter(F.col("tok") != "")  # '' would freeze the oracle walk
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "tok")

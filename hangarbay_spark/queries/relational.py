@@ -3019,18 +3019,9 @@ def streaming_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}|gk_stream"
     dirs = _GK_STREAM_DIRS.get(key)
     if dirs is None:
-        import os as _os
-        import time as _time
+        from hangarbay_spark.queries.base import stage_micro_batches
 
-        stage = tempfile.mkdtemp(prefix="hb_gkq_src_")
-        t0 = _time.time()
-        for b in range(4):
-            rows.filter(F.col("bi") == b).coalesce(1).write.parquet(
-                f"{stage}/b{b}"
-            )
-            for root, _, files in _os.walk(f"{stage}/b{b}"):
-                for fn in files:
-                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        stage = stage_micro_batches(rows, "bi", 4, "hb_gkq_src_")
         state = tempfile.mkdtemp(prefix="hb_gkq_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_gkq_ckpt_")
         _GK_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"

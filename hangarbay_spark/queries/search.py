@@ -328,24 +328,13 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}|dedup_ingest"
     dirs = _DEDUP_INGEST_DIRS.get(key)
     if dirs is None:
-        import os as _os
-        import time as _time
+        from hangarbay_spark.queries.base import stage_micro_batches
 
-        stage = tempfile.mkdtemp(prefix="hb_ingest_src_")
-        # 4 deterministic micro-batches (one file each); the file
-        # source orders by (modTime, path), so pin strictly increasing
-        # mtimes to make batch order — and thus greedy admission —
-        # reproducible across filesystems
-        t0 = _time.time()
-        for b in range(4):
-            docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.parquet(
-                f"{stage}/b{b}"
-            )
-            for root, _, files in _os.walk(f"{stage}/b{b}"):
-                for fn in files:
-                    _os.utime(
-                        _os.path.join(root, fn), (t0 + b, t0 + b)
-                    )
+        # 4 deterministic micro-batches: batch order — and thus greedy
+        # admission — must be reproducible for the unrolled oracle
+        stage = stage_micro_batches(
+            docs, F.col("doc_id") % 4, 4, "hb_ingest_src_"
+        )
         corpus_dir = tempfile.mkdtemp(prefix="hb_ingest_corpus_")
         ckpt = tempfile.mkdtemp(prefix="hb_ingest_ckpt_")
         _DEDUP_INGEST_DIRS[key] = f"{stage}|{corpus_dir}|{ckpt}"
@@ -403,20 +392,11 @@ def _register_streaming_fts_bm25() -> None:
         key = f"{sf_dir}|fts_stream"
         dirs = _FTS_STREAM_DIRS.get(key)
         if dirs is None:
-            import os as _os
-            import time as _time
+            from hangarbay_spark.queries.base import stage_micro_batches
 
-            stage = tempfile.mkdtemp(prefix="hb_ftsq_src_")
-            t0 = _time.time()
-            for b in range(4):
-                docs.filter(
-                    F.col("doc_id") % 4 == b
-                ).coalesce(1).write.parquet(f"{stage}/b{b}")
-                for root, _, files in _os.walk(f"{stage}/b{b}"):
-                    for fn in files:
-                        _os.utime(
-                            _os.path.join(root, fn), (t0 + b, t0 + b)
-                        )
+            stage = stage_micro_batches(
+                docs, F.col("doc_id") % 4, 4, "hb_ftsq_src_"
+            )
             index_dir = tempfile.mkdtemp(prefix="hb_ftsq_idx_")
             ckpt = tempfile.mkdtemp(prefix="hb_ftsq_ckpt_")
             _FTS_STREAM_DIRS[key] = f"{stage}|{index_dir}|{ckpt}"
@@ -991,21 +971,14 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}|hh_stream"
     dirs = _HH_STREAM_DIRS.get(key)
     if dirs is None:
-        import os as _os
-        import time as _time
+        from hangarbay_spark.queries.base import stage_micro_batches
 
-        stage = tempfile.mkdtemp(prefix="hb_hh_src_")
         toks = docs.select(
             F.col("doc_id"), F.explode(tokens_expr("text")).alias("tok")
         )
-        t0 = _time.time()
-        for b in range(4):
-            toks.filter(F.col("doc_id") % 4 == b).select(
-                "tok"
-            ).coalesce(1).write.parquet(f"{stage}/b{b}")
-            for root, _, files in _os.walk(f"{stage}/b{b}"):
-                for fn in files:
-                    _os.utime(_os.path.join(root, fn), (t0 + b, t0 + b))
+        stage = stage_micro_batches(
+            toks, F.col("doc_id") % 4, 4, "hb_hh_src_", keep=["tok"]
+        )
         state = tempfile.mkdtemp(prefix="hb_hh_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_hh_ckpt_")
         _HH_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
