@@ -891,6 +891,58 @@ def test_fts_compact_swap_recovery(spark, tmp_path):
     assert sorted(map(tuple, fts.load_index(spark, path).collect())) == before
 
 
+def test_fts_tf_generations_crash_windows(spark, tmp_path):
+    """The BM25 artifacts ride the gen-dir LSM: a poisoned gen=b from a
+    crashed attempt above the batch marker is OVERWRITTEN wholesale on
+    replay, and a partial gen=m (no _SUCCESS) is reader-invisible and
+    GC'd by the next compaction — tf counts can never double-land."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import fts
+    from hangarbay_spark.streaming import fts_maintenance as FM
+    from hangarbay_spark.streaming import genlsm
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    assert FM.ingest_docs_batch(spark, b0, 0, idx, buckets=4) == b0.count()
+
+    # crashed attempt left a poisoned tf generation for batch 1; the
+    # marker never advanced, so the replay rewrites it byte-identical
+    spark.createDataFrame(
+        [("poison", 1, 999)], "token string, doc_id long, tf long"
+    ).write.mode("overwrite").parquet(f"{FM.tf_path(idx)}/gen=b1")
+    assert FM.ingest_docs_batch(spark, b1, 1, idx, buckets=4) == b1.count()
+    tf_s = sorted(map(tuple, FM.read_maintained_tf(spark, idx).collect()))
+    tf_b = sorted(
+        map(tuple, fts.build_tf_index(docs, "doc_id", "text").collect())
+    )
+    assert tf_s == tf_b
+    assert not any(r[0] == "poison" for r in tf_s)
+
+    # partial merge attempt (no _SUCCESS): invisible, then GC'd
+    spark.createDataFrame(
+        [("poison_m", 1, 999)], "token string, doc_id long, tf long"
+    ).write.mode("overwrite").parquet(f"{FM.tf_path(idx)}/gen=m5")
+    os.remove(f"{FM.tf_path(idx)}/gen=m5/_SUCCESS")
+    assert "gen=m5" not in genlsm.live_generations(FM.tf_path(idx))
+    assert sorted(
+        map(tuple, FM.read_maintained_tf(spark, idx).collect())
+    ) == tf_b
+    assert genlsm.compact_generations(
+        spark, FM.tf_path(idx), buckets=4, key="token", force=True
+    )
+    assert "gen=m5" not in genlsm.generations(FM.tf_path(idx))
+    assert sorted(
+        map(tuple, FM.read_maintained_tf(spark, idx).collect())
+    ) == tf_b
+
+
 def test_spandf_maintenance_stream_matches_batch(spark, tmp_path):
     """Gram-df maintenance drained over 4 time-split micro-batches
     converges to EXACTLY the batch-built gram document frequencies
