@@ -5283,3 +5283,135 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_rate",
         F.expr("round(exp(entropy_rate), 6)").alias("perplexity_rate"),
     )
+
+
+def _o_hll_sliding() -> str:
+    from hangarbay_spark.queries.relational import (
+        _HLL_EST,
+        _HLL_R2,
+        _HLL_T43,
+        _o_kmv_hashval,
+    )
+
+    return f"""
+    WITH hu AS (
+      SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS h, user_id
+      FROM events),
+    hours AS (SELECT DISTINCT h FROM hu),
+    rk AS (
+      SELECT h, v // {_HLL_R2} AS bucket,
+             CASE WHEN v % {_HLL_R2} = 0 THEN 43
+                  ELSE 43 - length(bin(v % {_HLL_R2})) END AS rank
+      FROM (SELECT h, {_o_kmv_hashval("user_id")} AS v FROM hu)),
+    regs AS (SELECT h, bucket, MAX(rank) AS mr FROM rk GROUP BY 1, 2),
+    spread AS (
+      SELECT r.h + k * 3600000 AS target, r.bucket, r.mr
+      FROM regs r CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k)),
+    merged AS (
+      SELECT s.target, s.bucket, MAX(s.mr) AS mr
+      FROM spread s JOIN hours t ON s.target = t.h
+      GROUP BY 1, 2),
+    sums AS (
+      SELECT target,
+             CAST(SUM(1::BIGINT << (43 - mr)) +
+                  (64 - COUNT(*)) * {int(_HLL_T43)} AS BIGINT) AS s,
+             CAST(64 - COUNT(*) AS BIGINT) AS v0
+      FROM merged GROUP BY target),
+    uspread AS (
+      SELECT DISTINCT hu.h + k * 3600000 AS target, hu.user_id
+      FROM hu CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k)),
+    exact AS (
+      SELECT u.target, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+               AS exact_users
+      FROM uspread u JOIN hours t ON u.target = t.h
+      GROUP BY 1)
+    SELECT s.target AS window_start_ms, {_HLL_EST} AS est_users,
+           e.exact_users
+    FROM sums s JOIN exact e ON s.target = e.target
+    ORDER BY window_start_ms
+    """
+
+
+def _register_hll_sliding() -> None:
+    @register(
+        "events_hll_sliding_distinct",
+        _o_hll_sliding(),
+        "SLIDING distinct users per hour over a trailing 4-hour window "
+        "via HLL register algebra — the constant-state twin of the "
+        "exact events_rolling_wau: windowed COUNT DISTINCT can't merge "
+        "partials, but per-hour register blocks max-merge into any "
+        "trailing frame (one bounded 4x explode of SUMMARY rows, never "
+        "of raw events), so 100 TB sliding uniques cost one register "
+        "build + register-sized merges. The deterministic md5 HLL "
+        "(agg_hll_distinct_estimate) makes the per-window ESTIMATE "
+        "itself oracle-verified next to the exact trailing count",
+        "2.7/2.4 extension (sliding HLL distinct rollup)",
+    )
+    def events_hll_sliding_distinct(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from hangarbay_spark.queries.relational import (
+            _HLL_EST,
+            _HLL_R2,
+            _HLL_T43,
+            _kmv_hashval_col,
+        )
+
+        ev = load_events(spark, sf_dir)
+        hu = ev.select(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("h"),
+            "user_id",
+        ).distinct().localCheckpoint()  # consumers: registers, hours,
+        # exact arm — one distinct shuffle serves all three
+        hours = hu.select("h").distinct().withColumnRenamed("h", "target")
+        rk = hu.select(
+            "h", _kmv_hashval_col(F.col("user_id")).alias("v")
+        ).select(
+            "h",
+            F.expr(f"v div {_HLL_R2}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN v % {_HLL_R2} = 0 THEN 43"
+                f" ELSE 43 - length(bin(v % {_HLL_R2})) END"
+            ).alias("rank"),
+        )
+        regs = rk.groupBy("h", "bucket").agg(F.max("rank").alias("mr"))
+        ks = F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k")
+        spread = regs.select("h", "bucket", "mr", ks).select(
+            (F.col("h") + F.col("k") * 3600000).alias("target"),
+            "bucket",
+            "mr",
+        )
+        merged = (
+            spread.join(F.broadcast(hours), "target")
+            .groupBy("target", "bucket")
+            .agg(F.max("mr").alias("mr"))
+        )
+        sums = merged.groupBy("target").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - mr)"))
+                + (F.lit(64) - F.count(F.lit(1))) * F.lit(int(_HLL_T43))
+            )
+            .cast("bigint")
+            .alias("s"),
+            (F.lit(64) - F.count(F.lit(1))).cast("bigint").alias("v0"),
+        )
+        uspread = hu.select("h", "user_id", ks).select(
+            (F.col("h") + F.col("k") * 3600000).alias("target"), "user_id"
+        )
+        exact = (
+            uspread.join(F.broadcast(hours), "target")
+            .groupBy("target")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+        )
+        return (
+            sums.join(exact, "target")
+            .select(
+                F.col("target").alias("window_start_ms"),
+                F.expr(_HLL_EST).alias("est_users"),
+                "exact_users",
+            )
+            .orderBy("window_start_ms")
+        )
+
+
+_register_hll_sliding()

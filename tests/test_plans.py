@@ -353,6 +353,10 @@ EXCHANGE_BOUNDS = {
     "agg_gk_grouped_quantiles": 8,
     # weighted twin: same shape with running-weight boundary crossings
     "agg_gk_weighted_quantile_sketch": 8,
+    # sliding HLL: one checkpointed (hour,user) distinct serves the
+    # register arm, the hours dimension, and the exact arm; both arms
+    # spread via bounded 4x explodes of summary/distinct rows
+    "events_hll_sliding_distinct": 22,
     # screening join against the maintained gram-df (the drain itself
     # is imperative foreachBatch work, not part of the final plan)
     "streaming_span_screening": 4,
