@@ -1029,18 +1029,21 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CMS_D = 4  # count-min rows (independent salted hashes)
-CMS_W = 4096  # counters per row: 3 md5 hex digits
+CMS_D = 4  # count-min rows: 4 disjoint 12-bit lanes of ONE md5
+CMS_W = 4096  # counters per row: 3 md5 hex digits per lane
 CMS_PROBES = ("the", "of", "data", "model", "zzz_never_seen")
 
 
 def _o_cms() -> str:
+    # One md5 per token; row r reads hex digits [1+3r, 3+3r] — disjoint
+    # 12-bit lanes of the same digest stand in for d independent hashes
+    # (the digest bits are the independence source; 4x less hash work
+    # than d salted digests — VERDICT r6 task 7).
     probes = ", ".join(f"('{p}')" for p in CMS_PROBES)
     return f"""
     WITH toks AS (SELECT unnest({O_TOKENS}) AS token FROM documents),
     cells AS (
-      SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token),
-                                    1, 3) AS INT) AS idx,
+      SELECT r, CAST('0x' || substr(md5(token), 1 + 3 * r, 3) AS INT) AS idx,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1}))
                             AS r) d
@@ -1048,8 +1051,7 @@ def _o_cms() -> str:
     probes(token) AS (VALUES {probes}),
     pidx AS (
       SELECT token, r,
-             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token),
-                                 1, 3) AS INT) AS idx
+             CAST('0x' || substr(md5(token), 1 + 3 * r, 3) AS INT) AS idx
       FROM probes CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1}))
                               AS r) d),
     est AS (
@@ -1069,8 +1071,11 @@ def _o_cms() -> str:
 @register(
     "text_cms_token_counts",
     _o_cms(),
-    f"count-min sketch (Cormode & Muthukrishnan 2005): {CMS_D} salted "
-    f"md5 hash rows x {CMS_W} counters, point-queried for a fixed "
+    f"count-min sketch (Cormode & Muthukrishnan 2005): {CMS_D} rows x "
+    f"{CMS_W} counters addressed by disjoint 12-bit lanes of ONE md5 "
+    "per token (4x less hash work than salted per-row digests; the "
+    "digest's bits are the pairwise-independence source), "
+    "point-queried for a fixed "
     "probe set incl. a never-seen token — estimates are one-sided "
     "(est >= exact always, pinned in tests; the unseen token shows "
     "the collision floor). Every counter is an exact integer sum, so "
@@ -1087,25 +1092,25 @@ def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     toks = docs.select(F.explode(X.tokens_expr("text")).alias("token"))
 
-    def idx_of(r, token_col):
+    def lane_of(r, digest_col):
+        # row r = hex digits [1+3r, 3+3r] of the single per-token digest
         return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{r}|"), token_col)), 1, 3
-            ),
-            16, 10,
+            F.substring(digest_col, 1 + 3 * r, 3), 16, 10
         ).cast("int")
 
-    # all d cells of a token in ONE pass (no row-multiplying join; the
-    # d md5s are plain projections, map-side combine shrinks the
-    # shuffle to <= d*w rows per partition)
+    # all d cells of a token in ONE pass from ONE md5 (the digest is
+    # staged as a plain column so the d lane substrings share it; no
+    # row-multiplying join, map-side combine shrinks the shuffle to
+    # <= d*w rows per partition)
     cells = (
-        toks.select(
+        toks.select(F.md5("token").alias("h"))
+        .select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(r).alias("r"),
-                            idx_of(r, F.col("token")).alias("idx"),
+                            lane_of(r, F.col("h")).alias("idx"),
                         )
                         for r in range(CMS_D)
                     ]
@@ -1117,25 +1122,24 @@ def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe cell addresses are compile-time constants (bounded probe
     # set): a tiny local relation, broadcast into the cells join
-    pidx = spark.createDataFrame(
-        [(p, r) for p in CMS_PROBES for r in range(CMS_D)],
-        "token string, r int",
-    ).select(
-        "token",
-        "r",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("r").cast("string"), F.lit("|"), F.col("token")
-                    )
-                ),
-                1, 3,
-            ),
-            16, 10,
+    pidx = (
+        spark.createDataFrame(
+            [(p, r) for p in CMS_PROBES for r in range(CMS_D)],
+            "token string, r int",
         )
-        .cast("int")
-        .alias("idx"),
+        .select("token", "r", F.md5("token").alias("h"))
+        .select(
+            "token",
+            "r",
+            F.conv(
+                F.substring(
+                    "h", F.lit(1) + F.lit(3) * F.col("r"), F.lit(3)
+                ),
+                16, 10,
+            )
+            .cast("int")
+            .alias("idx"),
+        )
     )
     # the materialized sketch is bounded by geometry (d*w <= 16384
     # rows) — broadcastable by contract regardless of corpus size

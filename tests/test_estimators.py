@@ -848,8 +848,9 @@ def test_hll_matches_pure_python(spark):
 
 def test_cms_matches_pure_python(spark):
     """text_cms_token_counts recomputed with pure-Python counters from
-    raw parquet: same salted-md5 cell addressing, exact integer sums,
-    min over rows — independent of both engines' SQL."""
+    raw parquet: same one-md5-per-token disjoint-lane cell addressing
+    (row r = hex digits [3r, 3r+3)), exact integer sums, min over rows
+    — independent of both engines' SQL."""
     from collections import Counter
 
     import hashlib
@@ -863,20 +864,20 @@ def test_cms_matches_pure_python(spark):
     toks = []
     for text in tbl["text"]:
         toks.extend(text.lower().strip().split() or [""])
+
+    def lanes(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [int(h[3 * r : 3 * r + 3], 16) for r in range(D_)]
+
     cells = Counter()
     for t in toks:
-        for r in range(D_):
-            idx = int(hashlib.md5(f"{r}|{t}".encode()).hexdigest()[:3], 16)
+        for r, idx in enumerate(lanes(t)):
             cells[(r, idx)] += 1
     exact = Counter(toks)
     expect = {}
     for p in PROBES:
         est = min(
-            cells.get(
-                (r, int(hashlib.md5(f"{r}|{p}".encode()).hexdigest()[:3], 16)),
-                0,
-            )
-            for r in range(D_)
+            cells.get((r, idx), 0) for r, idx in enumerate(lanes(p))
         )
         expect[p] = (est, exact.get(p, 0))
     got = {
