@@ -1167,6 +1167,171 @@ def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K = 4  # partitioned-Bloom lanes: 4 disjoint 16-bit slices of ONE md5
+BLOOM_M = 65536  # bits per lane (4 hex digits)
+BLOOM_PROBES = ("the", "of", "data", "model", "zzz_never_seen")
+
+
+def _o_bloom() -> str:
+    probes = ", ".join(f"('{p}')" for p in BLOOM_PROBES)
+    lane = "CAST('0x' || substr(md5({t}), 1 + 4 * {r}, 4) AS INT)"
+    return f"""
+    WITH toks AS (SELECT lang, unnest({O_TOKENS}) AS token FROM documents),
+    members AS (SELECT DISTINCT token FROM toks WHERE lang = 'en'),
+    bits AS (
+      SELECT DISTINCT r, {lane.format(t="token", r="r")} AS idx
+      FROM members CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1}))
+                               AS r) d),
+    cands AS (
+      SELECT DISTINCT token FROM toks t WHERE lang <> 'en'
+      AND NOT EXISTS (SELECT 1 FROM members m WHERE m.token = t.token)),
+    cand_hits AS (
+      SELECT c.token, COUNT(*) AS hits
+      FROM cands c
+      CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS r) d
+      JOIN bits b ON b.r = d.r AND b.idx = {lane.format(t="c.token", r="d.r")}
+      GROUP BY 1),
+    probes(token) AS (VALUES {probes}),
+    probe_hits AS (
+      SELECT p.token, COUNT(b.r) AS hits
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS r) d
+      LEFT JOIN bits b ON b.r = d.r
+                      AND b.idx = {lane.format(t="p.token", r="d.r")}
+      GROUP BY 1)
+    SELECT metric, value FROM (
+      SELECT 'n_members' AS metric,
+             CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS value
+      UNION ALL
+      SELECT 'bits_r' || CAST(r AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+      FROM bits GROUP BY r
+      UNION ALL
+      SELECT 'n_candidates', (SELECT CAST(COUNT(*) AS BIGINT) FROM cands)
+      UNION ALL
+      SELECT 'false_positives',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_hits
+              WHERE hits = {BLOOM_K})
+      UNION ALL
+      SELECT 'probe:' || token,
+             CAST(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+      FROM probe_hits)
+    ORDER BY metric
+    """
+
+
+@register(
+    "text_bloom_membership",
+    _o_bloom(),
+    f"partitioned Bloom filter (Bloom 1970; blocked analysis as in "
+    f"Putze et al. 2007): {BLOOM_K} lanes x {BLOOM_M} bits addressed by "
+    "disjoint 16-bit slices of ONE md5 per token (the CMS lane trick). "
+    "Members = the distinct en-doc vocabulary; the full non-member "
+    "vocabulary is probed and the EXACT false-positive count reported, "
+    "so the oracle verifies the filter's bit content (per-lane set-bit "
+    "counts), its zero-false-negative contract (probe rows), and its "
+    "measured FPR — not just the API shape. The membership sketch for "
+    "100 TB join pruning: the bit set is bounded by geometry "
+    f"({BLOOM_K}x{BLOOM_M} rows worst case) and broadcast to every "
+    "probe task; lanes of one digest make the per-row hash cost one md5",
+    "sketch family extension (Bloom membership, oracle-verified)",
+)
+def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition-to-spread-CPU: single-file corpus scans as one split
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    toks = docs.select(
+        "lang", F.explode(X.tokens_expr("text")).alias("token")
+    )
+
+    def lane_of(r, digest_col):
+        # lane r = hex digits [1+4r, 4+4r] of the single per-token digest
+        return F.conv(
+            F.substring(digest_col, 1 + 4 * r, 4), 16, 10
+        ).cast("int")
+
+    def lanes_of(frame: DataFrame) -> DataFrame:
+        # all k (r, idx) addresses of each token in one projection pass
+        return (
+            frame.select("token", F.md5("token").alias("h"))
+            .select(
+                "token",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                lane_of(r, F.col("h")).alias("idx"),
+                            )
+                            for r in range(BLOOM_K)
+                        ]
+                    )
+                ).alias("c"),
+            )
+            .select("token", F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
+        )
+
+    # member vocabulary feeds two consumers (bit build + anti-join) and
+    # the bit set three (per-lane counts + both probe joins) — checkpoint
+    # both so the corpus tokenization runs once, not five times
+    members = (
+        toks.filter(F.col("lang") == "en").select("token").distinct()
+    ).localCheckpoint()
+    bits = lanes_of(members).select("r", "idx").distinct().localCheckpoint()
+
+    cands = (
+        toks.filter(F.col("lang") != "en")
+        .select("token")
+        .distinct()
+        .join(members, "token", "left_anti")
+    )
+    # the bit set is bounded by geometry — broadcastable by contract
+    fp = (
+        lanes_of(cands)
+        .join(F.broadcast(bits), ["r", "idx"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+        .select(F.lit("false_positives").alias("metric"), "value")
+    )
+    probe_rows = spark.createDataFrame(
+        [(p,) for p in BLOOM_PROBES], "token string"
+    )
+    probes = (
+        lanes_of(probe_rows)
+        .join(F.broadcast(bits), ["r", "idx"], "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .join(probe_rows, "token", "right")
+        .select(
+            F.concat(F.lit("probe:"), "token").alias("metric"),
+            F.when(F.col("hits") == BLOOM_K, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("value"),
+        )
+    )
+    summary = (
+        members.agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+        .select(F.lit("n_members").alias("metric"), "value")
+        .unionByName(
+            bits.groupBy("r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+            .select(
+                F.concat(F.lit("bits_r"), F.col("r").cast("string")).alias(
+                    "metric"
+                ),
+                "value",
+            )
+        )
+        .unionByName(
+            cands.agg(F.count(F.lit(1)).cast("bigint").alias("value")).select(
+                F.lit("n_candidates").alias("metric"), "value"
+            )
+        )
+    )
+    return summary.unionByName(fp).unionByName(probes).orderBy("metric")
+
+
 WINNOW_K = 5
 WINNOW_W = 4
 

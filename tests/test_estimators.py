@@ -886,6 +886,48 @@ def test_cms_matches_pure_python(spark):
     assert got == expect
 
 
+def test_bloom_matches_pure_python(spark):
+    """text_bloom_membership recomputed with pure-Python sets from raw
+    parquet: same one-md5-per-token 16-bit-lane addressing, exact
+    member/candidate vocabularies, all-lanes-present membership test —
+    independent of both engines' SQL. Also asserts the Bloom contract
+    directly: every member token passes its own filter (no false
+    negatives, checked over the whole vocabulary)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    K_, PROBES = 4, ("the", "of", "data", "model", "zzz_never_seen")
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text", "lang"]
+    ).to_pydict()
+
+    def lanes(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return [(r, int(h[4 * r : 4 * r + 4], 16)) for r in range(K_)]
+
+    members, others = set(), set()
+    for text, lang in zip(tbl["text"], tbl["lang"]):
+        toks = text.lower().strip().split() or [""]
+        (members if lang == "en" else others).update(toks)
+    cands = others - members
+    bits = {cell for t in members for cell in lanes(t)}
+    passes = lambda t: all(cell in bits for cell in lanes(t))  # noqa: E731
+
+    assert all(passes(t) for t in members)  # no false negatives, ever
+    expect = {
+        "n_members": len(members),
+        "n_candidates": len(cands),
+        "false_positives": sum(1 for t in cands if passes(t)),
+    }
+    for r in range(K_):
+        expect[f"bits_r{r}"] = sum(1 for rr, _ in bits if rr == r)
+    for p in PROBES:
+        expect[f"probe:{p}"] = int(passes(p))
+    got = {r[0]: r[1] for r in _rows("text_bloom_membership", spark)}
+    assert got == expect
+
+
 def test_ams_matches_pure_python(spark):
     """agg_ams_selfjoin_size recomputed with pure-Python signed counts
     from raw parquet (hashlib nibble parity, integer squares, the one
