@@ -3177,6 +3177,111 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIO_K = 512  # priority-sample size (threshold = the (K+1)-th priority)
+
+
+def _o_priority_subset() -> str:
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_extendedprice AS DOUBLE) AS w,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS key
+      FROM lineitem),
+    pri AS (
+      SELECT grp, w, key,
+             w / ((CAST('0x' || substr(md5('ps1:' || key), 1, 12) AS BIGINT)
+                   + 1) / 281474976710656.0) AS q
+      FROM base),
+    ranked AS (
+      SELECT grp, w, q,
+             row_number() OVER (ORDER BY q DESC, key) AS rn
+      FROM pri),
+    topk1 AS (SELECT * FROM ranked WHERE rn <= {PRIO_K + 1}),
+    tau AS (SELECT MIN(q) AS tau FROM topk1),
+    est AS (
+      SELECT grp,
+             SUM(CAST(round(greatest(w, (SELECT tau FROM tau)), 6)
+                      AS DECIMAL(30,6))) AS est_sum,
+             CAST(COUNT(*) AS BIGINT) AS sampled
+      FROM topk1 WHERE rn <= {PRIO_K}
+      GROUP BY grp),
+    exact AS (
+      SELECT l_returnflag AS grp,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS exact_sum
+      FROM lineitem GROUP BY 1)
+    SELECT e.grp, x.est_sum, x.sampled, e.exact_sum
+    FROM exact e LEFT JOIN est x USING (grp)
+    ORDER BY e.grp
+    """
+
+
+@register(
+    "sample_priority_subset_sum",
+    _o_priority_subset(),
+    "priority sampling (Duffield-Lund-Thorup 2007): every row draws a "
+    "deterministic uniform u from a seeded md5 (12 hex chars -> "
+    "(0,1]), gets priority q = w/u, and the global top-K priorities "
+    "form the sample with threshold tau = the (K+1)-th; any SUBSET sum "
+    "is then estimated unbiasedly as sum(max(w, tau)) over the "
+    "sample's members of that subset — here per-returnflag revenue "
+    "from one 512-row sample, reported against the exact rollup. The "
+    "sampling sketch for 100 TB: one distributed TakeOrdered pass "
+    "(map-side partial top-k, no global sort) yields a constant-size "
+    "summary that answers arbitrary group filters after the fact. "
+    "Parity: u is exact (48-bit int / 2^48), q the same IEEE divide, "
+    "max(w,tau) rounded at 6 dp then summed as exact DECIMAL",
+    "sampling extension (priority sampling / subset-sum estimator)",
+)
+def sample_priority_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("w"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ps1:"), F.col("key"))), 1, 12), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(281474976710656.0)
+    pri = base.select("grp", "w", "key", (F.col("w") / u).alias("q"))
+    # distributed top-(K+1): TakeOrderedAndProject (map-side partial
+    # top-k per partition), never a global sort/window over the corpus
+    topk1 = pri.orderBy(F.desc("q"), F.asc("key")).limit(PRIO_K + 1)
+    # the K+1 frame is constant-size: in-frame windows are single-task
+    # by construction (rank to drop the threshold row, min(q) = tau)
+    rn = F.row_number().over(Window.orderBy(F.desc("q"), F.asc("key")))
+    tau = F.min("q").over(Window.partitionBy())
+    est = (
+        topk1.select("grp", "w", rn.alias("rn"), tau.alias("tau"))
+        .filter(F.col("rn") <= PRIO_K)
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.round(F.greatest("w", "tau"), 6).cast("decimal(30,6)")
+            ).alias("est_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("sampled"),
+        )
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias(
+            "exact_sum"
+        )
+    )
+    return (
+        exact.join(est, "grp", "left")
+        .select("grp", "est_sum", "sampled", "exact_sum")
+        .orderBy("grp")
+    )
+
+
 @register(
     "text_bpe_merge_candidates",
     f"""

@@ -928,6 +928,58 @@ def test_bloom_matches_pure_python(spark):
     assert got == expect
 
 
+def test_priority_sample_matches_pure_python(spark):
+    """sample_priority_subset_sum recomputed with pure-Python priorities
+    from raw parquet (hashlib uniforms, the same IEEE w/u divide, tau =
+    the (K+1)-th priority, Decimal summation) — independent of both
+    engines' SQL. Also asserts the estimator is USEFUL: every
+    per-returnflag estimate from the one 512-row sample lands within
+    25% of its exact subset sum (deterministic, not a flaky draw)."""
+    import hashlib
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    K_ = 512
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_extendedprice"],
+    ).to_pydict()
+    rows = []
+    exact: dict[str, Decimal] = {}
+    for ok, ln, rf, px in zip(
+        t["l_orderkey"], t["l_linenumber"], t["l_returnflag"],
+        t["l_extendedprice"],
+    ):
+        key = f"{ok}-{ln}"
+        u = (
+            int(hashlib.md5(f"ps1:{key}".encode()).hexdigest()[:12], 16) + 1
+        ) / 281474976710656.0
+        w = float(px)
+        rows.append((rf, w, key, w / u))
+        exact[rf] = exact.get(rf, Decimal(0)) + Decimal(str(px))
+    rows.sort(key=lambda r: (-r[3], r[2]))
+    tau = rows[K_][3]
+    est: dict[str, Decimal] = {}
+    sampled: dict[str, int] = {}
+    for rf, w, _, _ in rows[:K_]:
+        est[rf] = est.get(rf, Decimal(0)) + Decimal(str(_r6(max(w, tau))))
+        sampled[rf] = sampled.get(rf, 0) + 1
+    got = {
+        r[0]: {"est_sum": r[1], "sampled": r[2], "exact_sum": r[3]}
+        for r in _rows("sample_priority_subset_sum", spark)
+    }
+    assert set(got) == set(exact)
+    for rf in exact:
+        assert got[rf]["exact_sum"] == exact[rf], rf
+        assert got[rf]["sampled"] == sampled.get(rf), rf
+        if rf in est:
+            assert got[rf]["est_sum"] == est[rf], rf
+            rel = abs(float(est[rf]) - float(exact[rf])) / float(exact[rf])
+            assert rel < 0.25, (rf, rel)
+
+
 def test_ams_matches_pure_python(spark):
     """agg_ams_selfjoin_size recomputed with pure-Python signed counts
     from raw parquet (hashlib nibble parity, integer squares, the one
