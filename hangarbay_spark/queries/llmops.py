@@ -1219,6 +1219,32 @@ def _o_bloom() -> str:
     """
 
 
+def bloom_lanes_of(frame: DataFrame) -> DataFrame:
+    """All k (r, idx) Bloom addresses of each ``token`` in one
+    projection pass — lane r = hex digits [1+4r, 4+4r] of the single
+    per-token md5 (the CMS disjoint-lane trick)."""
+    return (
+        frame.select("token", F.md5("token").alias("h"))
+        .select(
+            "token",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.conv(F.substring("h", 1 + 4 * r, 4), 16, 10)
+                            .cast("int")
+                            .alias("idx"),
+                        )
+                        for r in range(BLOOM_K)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("token", F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
+    )
+
+
 @register(
     "text_bloom_membership",
     _o_bloom(),
@@ -1242,40 +1268,15 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(X.tokens_expr("text")).alias("token")
     )
 
-    def lane_of(r, digest_col):
-        # lane r = hex digits [1+4r, 4+4r] of the single per-token digest
-        return F.conv(
-            F.substring(digest_col, 1 + 4 * r, 4), 16, 10
-        ).cast("int")
-
-    def lanes_of(frame: DataFrame) -> DataFrame:
-        # all k (r, idx) addresses of each token in one projection pass
-        return (
-            frame.select("token", F.md5("token").alias("h"))
-            .select(
-                "token",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(r).alias("r"),
-                                lane_of(r, F.col("h")).alias("idx"),
-                            )
-                            for r in range(BLOOM_K)
-                        ]
-                    )
-                ).alias("c"),
-            )
-            .select("token", F.col("c.r").alias("r"), F.col("c.idx").alias("idx"))
-        )
-
     # member vocabulary feeds two consumers (bit build + anti-join) and
     # the bit set three (per-lane counts + both probe joins) — checkpoint
     # both so the corpus tokenization runs once, not five times
     members = (
         toks.filter(F.col("lang") == "en").select("token").distinct()
     ).localCheckpoint()
-    bits = lanes_of(members).select("r", "idx").distinct().localCheckpoint()
+    bits = (
+        bloom_lanes_of(members).select("r", "idx").distinct()
+    ).localCheckpoint()
 
     cands = (
         toks.filter(F.col("lang") != "en")
@@ -1283,9 +1284,21 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(members, "token", "left_anti")
     )
+    return _bloom_report(spark, members, bits, cands)
+
+
+def _bloom_report(
+    spark: SparkSession,
+    members: DataFrame,
+    bits: DataFrame,
+    cands: DataFrame,
+) -> DataFrame:
+    """Shared summary tail of the batch and streaming Bloom queries:
+    per-lane set-bit counts, exact false-positive count over the
+    candidate vocabulary, fixed-probe answers."""
     # the bit set is bounded by geometry — broadcastable by contract
     fp = (
-        lanes_of(cands)
+        bloom_lanes_of(cands)
         .join(F.broadcast(bits), ["r", "idx"])
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("hits"))
@@ -1297,7 +1310,7 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p,) for p in BLOOM_PROBES], "token string"
     )
     probes = (
-        lanes_of(probe_rows)
+        bloom_lanes_of(probe_rows)
         .join(F.broadcast(bits), ["r", "idx"], "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("hits"))
@@ -1330,6 +1343,63 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.unionByName(fp).unionByName(probes).orderBy("metric")
+
+
+_BLOOM_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_bloom_membership",
+    _o_bloom(),
+    "streaming Bloom-filter maintenance with a FULL oracle: documents "
+    "drained as 4 micro-batches, each appending its member-vocabulary "
+    "tokens and Bloom bit addresses as plain parquet postings — no "
+    "LSM, no batch marker, no manifest, because SET UNION is "
+    "idempotent on replay (the deliberate contrast to the counts-"
+    "shaped gram-df generations protocol: crash-safety here comes "
+    "from the ALGEBRA, and the replay-idempotence test appends a "
+    "batch twice to prove it). The report is then computed entirely "
+    "from the maintained artifacts and hash-compared against the "
+    "same DuckDB oracle as the batch filter — union order cannot "
+    "matter, so streamed == batch bit for bit",
+    "streaming §2.7 extension (Bloom maintenance, oracle-verified)",
+)
+def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.streaming import bloom_maintenance as BM
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"{sf_dir}|bloom_stream"
+    dirs = _BLOOM_STREAM_DIRS.get(key)
+    if dirs is None:
+        import tempfile
+
+        from hangarbay_spark.queries.base import stage_micro_batches
+
+        stage = stage_micro_batches(
+            docs, F.col("doc_id") % 4, 4, "hb_bloom_src_"
+        )
+        root = tempfile.mkdtemp(prefix="hb_bloom_root_")
+        ckpt = tempfile.mkdtemp(prefix="hb_bloom_ckpt_")
+        _BLOOM_STREAM_DIRS[key] = f"{stage}|{root}|{ckpt}"
+    stage, root, ckpt = _BLOOM_STREAM_DIRS[key].split("|")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    BM.bloom_ingest_stream(stream, root, ckpt).awaitTermination()
+    # everything below reads ONLY the maintained artifacts (+ the
+    # corpus for the candidate probe workload, as in the batch twin)
+    members = BM.read_members(spark, root).localCheckpoint()
+    bits = BM.read_bits(spark, root).localCheckpoint()
+    cands = (
+        docs.repartition("doc_id")
+        .filter(F.col("lang") != "en")
+        .select(F.explode(X.tokens_expr("text")).alias("token"))
+        .distinct()
+        .join(members, "token", "left_anti")
+    )
+    return _bloom_report(spark, members, bits, cands)
 
 
 WINNOW_K = 5

@@ -1429,3 +1429,61 @@ def test_sequence_pattern_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert g == b and len(g) > 0
+
+
+def test_bloom_maintenance_replay_idempotent(spark, tmp_path):
+    """Streaming Bloom maintenance survives replay by ALGEBRA: ingest
+    two batches, re-ingest batch 0 (a crash-replay double-apply), and
+    the maintained member vocabulary and bit set are UNCHANGED — set
+    union is idempotent, so no marker/manifest protocol is needed.
+    Also pins streamed == batch-built artifacts on the same docs."""
+    from hangarbay_spark.operators import text as X
+    from hangarbay_spark.queries.llmops import bloom_lanes_of
+    from hangarbay_spark.streaming import bloom_maintenance as BM
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "voila un document", "fr"),
+            (3, "data model the pipeline", "en"),
+            (4, "quick data quick data", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    root = str(tmp_path / "bloom")
+    b0 = docs.filter(F.col("doc_id") <= 2)
+    b1 = docs.filter(F.col("doc_id") > 2)
+    BM.ingest_batch(b0, root)
+    BM.ingest_batch(b1, root)
+    members = sorted(r[0] for r in BM.read_members(spark, root).collect())
+    bits = sorted(tuple(r) for r in BM.read_bits(spark, root).collect())
+
+    BM.ingest_batch(b0, root)  # replayed batch: plain re-append
+    assert (
+        sorted(r[0] for r in BM.read_members(spark, root).collect())
+        == members
+    )
+    assert (
+        sorted(tuple(r) for r in BM.read_bits(spark, root).collect()) == bits
+    )
+
+    # streamed artifacts == one-shot batch build over the same corpus
+    exp_members = sorted(
+        r[0]
+        for r in docs.filter(F.col("lang") == "en")
+        .select(F.explode(X.tokens_expr("text")).alias("token"))
+        .distinct()
+        .collect()
+    )
+    exp_bits = sorted(
+        tuple(r)
+        for r in bloom_lanes_of(
+            docs.filter(F.col("lang") == "en").select(
+                F.explode(X.tokens_expr("text")).alias("token")
+            )
+        )
+        .select("r", "idx")
+        .distinct()
+        .collect()
+    )
+    assert members == exp_members and bits == exp_bits
