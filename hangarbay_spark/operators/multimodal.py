@@ -249,3 +249,72 @@ def jpeg_dims_kernel(
             [r[2] if r else None for r in res], dtype="Int64"
         )
         yield out
+
+
+# ISO base media (MP4, ISO/IEC 14496-12) is a sequence of length-
+# prefixed boxes: [u32 BE size][4-char type][payload]; movie metadata
+# (timescale, duration) lives in moov/mvhd, whose OFFSET depends on
+# every box before it (ftyp brand list, free/skip padding — all
+# variable-length), so like JPEG this needs an actual box walk, not
+# fixed-offset arithmetic. size == 0 is the legal "extends to EOF"
+# terminal (mdat commonly uses it).
+
+
+def mp4_moov_info(
+    data: bytes | None, max_boxes: int = 16
+) -> tuple[str | None, int, int] | None:
+    """Bounded top-level box walk over one ISO-BMFF payload: returns
+    (major_brand, timescale, duration) from ftyp + moov/mvhd(v0), or
+    None for non-MP4 / truncated / moov-less input. Pure function
+    shared by the Arrow kernel and its struct.pack-pinned tests (the
+    wav/jpeg discipline)."""
+    if data is None or len(data) < 16 or data[4:8] != b"ftyp":
+        return None
+    brand: str | None = None
+    off = 0
+    for _ in range(max_boxes):
+        if off + 8 > len(data):
+            return None
+        size = int.from_bytes(data[off : off + 4], "big")
+        btype = data[off + 4 : off + 8]
+        if btype == b"ftyp":
+            if off + 12 > len(data):
+                return None
+            brand = data[off + 8 : off + 12].decode("ascii", "replace")
+        if btype == b"moov":
+            c = off + 8  # first child box
+            if c + 28 > len(data) or data[c + 4 : c + 8] != b"mvhd":
+                return None
+            if data[c + 8] != 0:  # mvhd v1 carries 64-bit times
+                return None
+            return (
+                brand,
+                int.from_bytes(data[c + 20 : c + 24], "big"),
+                int.from_bytes(data[c + 24 : c + 28], "big"),
+            )
+        if size == 0:  # to-EOF box before any moov: metadata absent
+            return None
+        if size < 8:  # malformed: would loop in place
+            return None
+        off += size
+    return None
+
+
+def mp4_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, brand,
+    timescale, duration) — Arrow-batched :func:`mp4_moov_info` per
+    payload; non-MP4 rows come back with nulls (nullable Int64 per the
+    null-input discipline)."""
+    for pdf in batches:
+        res = pdf["payload"].map(mp4_moov_info)
+        out = pdf[["doc_id"]].copy()
+        out["brand"] = res.map(lambda r: r[0] if r else None)
+        out["timescale"] = pd.array(
+            [r[1] if r else None for r in res], dtype="Int64"
+        )
+        out["duration"] = pd.array(
+            [r[2] if r else None for r in res], dtype="Int64"
+        )
+        yield out

@@ -946,6 +946,132 @@ def multimodal_jpeg_dimensions(
     )
 
 
+# The unity transform matrix + reserved/predefined tail of an mvhd v0
+# box (rate 1.0, volume 1.0, 8 reserved bytes, 36-byte matrix, 24-byte
+# predefined, next_track_id 2) — fixed bytes shared by the Spark and
+# oracle payload constructions.
+_MVHD_TAIL_HEX = (
+    "00010000" "0100" "0000" + "00" * 8
+    + "0001000000000000000000000000000000010000000000000000000000000000"
+    + "40000000" + "00" * 24 + "00000002"
+)
+
+
+def _o_mp4_meta() -> str:
+    """DuckDB twin of multimodal_mp4_metadata: the SAME variable-length
+    payloads, walked by a RECURSIVE CTE over top-level boxes (off' =
+    off + 2*size in hex-char coordinates) until the moov box — the
+    oracle genuinely parses the box chain and reads ftyp's brand and
+    mvhd's timescale/duration from their walked offsets."""
+    return f"""
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+             600 + doc_id % 9000 AS ts0,
+             (doc_id * 37) % 1000000 AS dur0,
+             CAST(doc_id % 23 AS INT) AS fn,
+             CAST((doc_id * 3) % 11 AS INT) AS sn,
+             CASE WHEN doc_id % 2 = 0 THEN '69736F6D'
+                  ELSE '6D703432' END AS brand0,
+             encode(text) AS body
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+        upper('00000010' || '66747970' || brand0 || '00000000'
+          || lpad(hex(fn + 8), 8, '0') || '66726565' || repeat('00', fn)
+          || lpad(hex(sn + 8), 8, '0') || '736B6970' || repeat('00', sn)
+          || '00000074' || '6D6F6F76'
+          || '0000006C' || '6D766864' || '00000000'
+          || '00000000' || '00000000'
+          || lpad(hex(ts0), 8, '0') || lpad(hex(dur0), 8, '0')
+          || '{_MVHD_TAIL_HEX}'
+          || '00000000' || '6D646174') || hex(body) AS h
+      FROM m),
+    walk(doc_id, h, off, depth) AS (
+      SELECT doc_id, h, 1, 0 FROM p
+      UNION ALL
+      SELECT doc_id, h,
+             off + 2 * CAST('0x' || substr(h, off, 8) AS BIGINT),
+             depth + 1
+      FROM walk
+      WHERE depth < 12
+        AND substr(h, off + 8, 8) <> '6D6F6F76'
+        AND CAST('0x' || substr(h, off, 8) AS BIGINT) >= 8),
+    ftyp AS (
+      SELECT doc_id, decode(unhex(substr(h, off + 16, 8))) AS brand
+      FROM walk WHERE substr(h, off + 8, 8) = '66747970'),
+    moov AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, off + 56, 8) AS BIGINT) AS timescale,
+             CAST('0x' || substr(h, off + 64, 8) AS BIGINT) AS duration
+      FROM walk WHERE substr(h, off + 8, 8) = '6D6F6F76'
+        AND substr(h, off + 24, 8) = '6D766864'
+        AND substr(h, off + 32, 2) = '00')
+    SELECT f.doc_id, f.brand, v.timescale, v.duration,
+           CAST(v.duration * 1000 // v.timescale AS BIGINT) AS duration_ms
+    FROM ftyp f JOIN moov v USING (doc_id)
+    """
+
+
+@register(
+    "multimodal_mp4_metadata",
+    _o_mp4_meta(),
+    "MP4/ISO-BMFF movie metadata via a REAL top-level box walk "
+    "(ISO/IEC 14496-12: [u32 size][type] length-prefixed boxes; "
+    "moov/mvhd's offset depends on every variable-length box before "
+    "it): payloads synthesized with genuine layout — ftyp with a "
+    "per-doc major brand, free + skip padding boxes whose sizes VARY "
+    "per doc, a 108-byte mvhd v0 carrying timescale/duration, then a "
+    "size-0 to-EOF mdat — and the Spark side walks boxes in an Arrow "
+    "mapInPandas kernel (mp4_moov_info, struct.pack-pinned in tests) "
+    "while the DuckDB oracle walks the SAME chain with a recursive "
+    "CTE, so the hash compare verifies two independent parsers "
+    "against each other (the jpeg_dimensions discipline). 100 TB "
+    "shape: one payload-projected scan, no shuffle",
+    "multimodal extension (ISO-BMFF box walk, codec-free)",
+)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts0 = (600 + F.col("doc_id") % 9000).cast("int")
+    dur0 = ((F.col("doc_id") * 37) % 1000000).cast("int")
+    fn = (F.col("doc_id") % 23).cast("int")
+    sn = ((F.col("doc_id") * 3) % 11).cast("int")
+    brand0 = F.when(F.col("doc_id") % 2 == 0, F.lit("69736F6D")).otherwise(
+        F.lit("6D703432")
+    )
+    hdr = F.concat(
+        F.lit("0000001066747970"),
+        brand0,
+        F.lit("00000000"),
+        F.lpad(F.hex(fn + 8), 8, "0"),
+        F.lit("66726565"),
+        F.repeat(F.lit("00"), fn),
+        F.lpad(F.hex(sn + 8), 8, "0"),
+        F.lit("736B6970"),
+        F.repeat(F.lit("00"), sn),
+        F.lit("000000746D6F6F76"),
+        F.lit("0000006C6D766864"),
+        F.lit("00000000" "00000000" "00000000"),
+        F.lpad(F.hex(ts0), 8, "0"),
+        F.lpad(F.hex(dur0), 8, "0"),
+        F.lit(_MVHD_TAIL_HEX),
+        F.lit("000000006D646174"),
+    )
+    payload = F.concat(F.unhex(hdr), F.encode("text", "utf-8"))
+    parsed = docs.select("doc_id", payload.alias("payload")).mapInPandas(
+        M.mp4_kernel,
+        "doc_id long, brand string, timescale long, duration long",
+    )
+    return parsed.select(
+        "doc_id",
+        "brand",
+        "timescale",
+        "duration",
+        F.expr("CAST(duration * 1000 DIV timescale AS BIGINT)").alias(
+            "duration_ms"
+        ),
+    )
+
+
 _HH_STREAM_DIRS: dict[str, str] = {}
 
 

@@ -556,6 +556,71 @@ def test_jpeg_sof_walk_against_struct_pack(spark):
         assert got[i] == (want if want else (None, None, None))
 
 
+def test_mp4_box_walk_against_struct_pack(spark):
+    """The ISO-BMFF box walk recovers brand/timescale/duration from
+    headers built independently with struct.pack in realistic ISO/IEC
+    14496-12 layouts — ftyp with compatible-brand lists, variable
+    free/skip/uuid padding chains, full 108-byte mvhd v0 — and returns
+    None for non-MP4, truncated, mvhd-v1, to-EOF-before-moov, and
+    malformed (size<8) payloads; the Arrow kernel matches the pure
+    function on every row."""
+    import struct
+
+    from hangarbay_spark.operators.multimodal import (
+        mp4_kernel,
+        mp4_moov_info,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def mvhd(ts, dur, version=0):
+        body = (
+            bytes([version]) + b"\x00\x00\x00"
+            + struct.pack(">II", 0, 0)          # ctime mtime
+            + struct.pack(">II", ts, dur)
+            + struct.pack(">I", 0x00010000)     # rate
+            + struct.pack(">H", 0x0100)         # volume
+            + b"\x00" * 10                      # reserved
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)           # unity matrix
+            + b"\x00" * 24 + struct.pack(">I", 2)
+        )
+        return box(b"mvhd", body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2mp41")
+    cases = [
+        (ftyp + box(b"moov", mvhd(600, 3000)), ("isom", 600, 3000)),
+        (box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"free", b"\x00" * 17)
+         + box(b"skip", b"") + box(b"uuid", b"x" * 16)
+         + box(b"moov", mvhd(90000, 123456789)),
+         ("mp42", 90000, 123456789)),
+        (ftyp + box(b"moov", mvhd(1000, 0)), ("isom", 1000, 0)),
+        (b"RIFF....WAVE", None),                       # not ISO-BMFF
+        (ftyp[:10], None),                             # truncated
+        (ftyp + box(b"moov", mvhd(600, 1, version=1)), None),  # v1 times
+        (ftyp + struct.pack(">I", 0) + b"mdat" + b"x" * 32, None),
+        (ftyp + struct.pack(">I", 4) + b"junk", None),  # size < 8
+        (None, None),
+    ]
+    for payload, want in cases:
+        assert mp4_moov_info(payload) == want, payload
+
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(cases)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (r["brand"], r["timescale"], r["duration"])
+        for r in df.mapInPandas(
+            mp4_kernel,
+            "doc_id long, brand string, timescale long, duration long",
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == (want if want else (None, None, None))
+
+
 def test_wav_metadata_parse_against_stdlib_wave(spark):
     """The WAV header parse recovers channels/rate/bits/duration from a
     REAL file written by Python's stdlib `wave` module — the strongest
