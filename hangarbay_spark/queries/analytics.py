@@ -1424,6 +1424,173 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+_PLC_HOPS = 4
+_PLC_SEEDS = 3
+
+
+def _o_path_load() -> str:
+    """Unrolled Brandes-style oracle: forward levels l{k} carry exact
+    shortest-path counts sigma (sum over level-(k-1) predecessors),
+    backward levels c{k} carry tail counts (1 + sum over level-(k+1)
+    successors) — the same two sweeps the Spark loops run."""
+    ctes = [
+        _COPURCHASE_SMALL_SQL.strip(),
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        f"l0 AS (SELECT node AS seed, node, 0 AS dist, "
+        f"CAST(1 AS BIGINT) AS sigma FROM "
+        f"(SELECT DISTINCT src AS node FROM und "
+        f"ORDER BY node LIMIT {_PLC_SEEDS}))",
+        "a0 AS (SELECT seed, node FROM l0)",
+    ]
+    for k in range(1, _PLC_HOPS + 1):
+        ctes.append(
+            f"l{k} AS (SELECT seed, node, {k} AS dist, sigma FROM ("
+            f"SELECT p.seed AS seed, u.dst AS node, "
+            f"CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM und u JOIN l{k - 1} p ON u.src = p.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM a{k - 1} v "
+            f"WHERE v.seed = p.seed AND v.node = u.dst) "
+            f"GROUP BY 1, 2) t)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT seed, node FROM a{k - 1} "
+            f"UNION ALL SELECT seed, node FROM l{k})"
+        )
+    ctes.append(
+        f"c{_PLC_HOPS} AS (SELECT seed, node, CAST(1 AS BIGINT) AS c "
+        f"FROM l{_PLC_HOPS})"
+    )
+    for k in range(_PLC_HOPS - 1, -1, -1):
+        ctes.append(
+            f"c{k} AS (SELECT v.seed, v.node, "
+            f"CAST(1 + COALESCE(SUM(c.c), 0) AS BIGINT) AS c "
+            f"FROM l{k} v "
+            f"LEFT JOIN und u ON u.src = v.node "
+            f"LEFT JOIN c{k + 1} c ON c.seed = v.seed AND c.node = u.dst "
+            f"GROUP BY 1, 2)"
+        )
+    lall = " UNION ALL ".join(
+        f"SELECT * FROM l{k}" for k in range(1, _PLC_HOPS + 1)
+    )
+    call = " UNION ALL ".join(
+        f"SELECT * FROM c{k}" for k in range(_PLC_HOPS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    lall AS ({lall}),
+    call AS ({call})
+    SELECT CAST(l.node AS BIGINT) AS node,
+           CAST(SUM(l.sigma * c.c) AS BIGINT) AS path_load
+    FROM lall l JOIN call c ON c.seed = l.seed AND c.node = l.node
+    GROUP BY 1
+    ORDER BY path_load DESC, node
+    LIMIT 20
+    """
+    )
+
+
+@register(
+    "graph_path_load_centrality",
+    _o_path_load(),
+    f"shortest-path LOAD centrality (the integer path-count variant "
+    f"of Brandes 2001's betweenness accumulation): from the "
+    f"{_PLC_SEEDS} smallest seeds, a forward BFS sweep computes exact "
+    f"shortest-path counts sigma(s,v) level by level (sum over "
+    f"level-(k-1) predecessors — the BFS DAG), a backward sweep "
+    f"computes tail counts C(v) = 1 + sum over level-(k+1) successors, "
+    f"and load(v) = sigma*C counts every {_PLC_HOPS}-hop-bounded "
+    "shortest-path instance through v. Staying with PATH COUNTS "
+    "instead of Brandes' fractional dependencies keeps the whole "
+    "computation in exact integers — fully hash-verifiable, no float "
+    "discipline. Per level: ONE edge-frontier join + a map-side-"
+    "combined sum, frames checkpointed per round (the BFS/SSSP loop "
+    "shape); the backward sweep reuses the same checkpointed edge "
+    "set. Output: top-20 load-bearing nodes — the bridge parts of the "
+    "co-purchase graph",
+    "analytics extension (shortest-path load centrality)",
+)
+def graph_path_load_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        und.select("src").distinct().orderBy("src").limit(_PLC_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    l0 = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = [l0]
+    visited = l0.select("seed", "node").localCheckpoint(eager=True)
+    for k in range(1, _PLC_HOPS + 1):
+        prev = levels[-1]
+        nxt = (
+            und.join(prev, und["src"] == prev["node"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(k).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("seed", "node")
+        ).localCheckpoint(eager=True)
+    # backward tail-count sweep over the same checkpointed edge set
+    c = levels[_PLC_HOPS].select(
+        "seed", "node", F.lit(1).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    tails = [c]
+    for k in range(_PLC_HOPS - 1, -1, -1):
+        contrib = (
+            und.alias("u")
+            .join(c.alias("cc"), F.col("u.dst") == F.col("cc.node"))
+            .groupBy(
+                F.col("cc.seed").alias("seed"), F.col("u.src").alias("node")
+            )
+            .agg(F.sum("cc.c").alias("sc"))
+        )
+        c = (
+            levels[k]
+            .select("seed", "node")
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                (F.lit(1) + F.coalesce("sc", F.lit(0)))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tails.append(c)
+    lall = levels[1]
+    for lv in levels[2:]:
+        lall = lall.unionByName(lv)
+    call = tails[0]
+    for tv in tails[1:]:
+        call = call.unionByName(tv)
+    return (
+        lall.join(call, ["seed", "node"])
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("sigma") * F.col("c"))
+            .cast("bigint")
+            .alias("path_load")
+        )
+        .orderBy(F.desc("path_load"), "node")
+        .limit(20)
+        .select(F.col("node").cast("bigint").alias("node"), "path_load")
+    )
+
+
 @register(
     "agg_revenue_concentration",
     f"""

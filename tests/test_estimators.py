@@ -715,6 +715,92 @@ def test_source_jsd_matches_bruteforce(spark):
         assert got[k][1] == pytest.approx(expect[k][1], abs=2e-6), k
 
 
+def test_path_load_centrality_matches_pure_python(spark):
+    """graph_path_load_centrality recomputed with pure-Python BFS
+    sigma counts + backward tail counts over edges rebuilt from raw
+    parquet — no shared code with either engine. Also sanity-checks
+    the semantics on a hand-built path graph where every count is
+    derivable by eye."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    # hand-built: path 1-2-3 plus 1-4, seed={1} (smallest), 2 hops
+    adj0 = {1: [2, 4], 2: [1, 3], 3: [2], 4: [1]}
+
+    def load_from(adj, seeds, hops):
+        load = defaultdict(int)
+        for s in seeds:
+            level = {s: 1}  # node -> sigma
+            dist = {s: 0}
+            levels = [dict(level)]
+            for k in range(1, hops + 1):
+                nxt: dict[int, int] = {}
+                for u, sg in level.items():
+                    for v in adj.get(u, []):
+                        if v not in dist:
+                            nxt[v] = nxt.get(v, 0) + sg
+                for v in nxt:
+                    dist[v] = k
+                levels.append(nxt)
+                level = nxt
+            tails = [dict.fromkeys(levels[hops], 1)]
+            for k in range(hops - 1, -1, -1):
+                cur = {}
+                for v in levels[k]:
+                    cur[v] = 1 + sum(
+                        tails[-1].get(w, 0) for w in adj.get(v, [])
+                    )
+                tails.append(cur)
+            call: dict[int, int] = {}
+            for t in tails:
+                call.update(t)
+            for k in range(1, hops + 1):
+                for v, sg in levels[k].items():
+                    load[v] += sg * call[v]
+        return dict(load)
+
+    # seed 1, 2 hops: levels {2:1,4:1}, {3:1}; tails: 3->1, 2->2, 4->1
+    # loads: 2 -> 1*2, 4 -> 1*1, 3 -> 1*1
+    assert load_from(adj0, [1], 2) == {2: 2, 4: 1, 3: 1}
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pydict()
+    part = pq.read_table(
+        f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_size"]
+    ).to_pydict()
+    small = {
+        k for k, s in zip(part["p_partkey"], part["p_size"]) if s <= 5
+    }
+    orders = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        if pk in small:
+            orders[ok].add(pk)
+    adj = defaultdict(set)
+    for items in orders.values():
+        its = sorted(items)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                adj[its[i]].add(its[j])
+                adj[its[j]].add(its[i])
+    adj = {k: sorted(v) for k, v in adj.items()}
+    seeds = sorted(adj)[:3]
+    load = load_from(adj, seeds, 4)
+    expect = sorted(load.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    from hangarbay_spark.queries import REGISTRY
+
+    got = [
+        (r["node"], r["path_load"])
+        for r in REGISTRY["graph_path_load_centrality"]
+        .fn(spark, SF_DIR)
+        .collect()
+    ]
+    assert got == expect
+
+
 def test_weighted_sssp_matches_dijkstra(spark):
     """graph_weighted_sssp recomputed with a pure-Python
     4-hop-bounded Bellman-Ford over edges rebuilt from raw parquet —
