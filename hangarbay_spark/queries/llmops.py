@@ -452,6 +452,76 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_softdedup_weights() -> str:
+    """Recursive-CTE twin of soft dedup: LSH pairs -> reachability
+    closure -> min-label clusters (singletons = own id) -> per-doc
+    training weight 1/cluster_size."""
+    ctes, select = _o_minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+    csizes AS (SELECT cluster, COUNT(*) AS csize
+               FROM alldocs GROUP BY cluster)
+    SELECT a.doc_id, a.cluster, CAST(s.csize AS BIGINT) AS csize,
+           round(CAST(1 AS DOUBLE) / s.csize, 6) AS weight
+    FROM alldocs a JOIN csizes s USING (cluster)
+    ORDER BY a.doc_id
+    """
+
+
+@register(
+    "sample_softdedup_weights",
+    _o_softdedup_weights(),
+    "SOFT dedup by reweighting instead of removal (the SlimPajama/"
+    "D4-era alternative when near-dups carry signal): every doc gets "
+    "training weight 1/|its near-dup cluster| — a cluster contributes "
+    "exactly one doc's worth of expected gradient mass, singletons "
+    "keep weight 1, and nothing is discarded. Clusters come free from "
+    "the same MinHash-LSH + connected-components chain the hard-dedup "
+    "queries run (min-label propagation, checkpointed rounds); "
+    "weighting adds ONE size rollup + a cluster-keyed join. The "
+    "division is the same IEEE op both engines (int sizes, CAST(1 AS "
+    "DOUBLE) guards the literal-typing trap), rounded at 6 dp",
+    "sampling extension (soft dedup / duplication-aware weights)",
+)
+def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = D.connected_components(pairs)
+    alldocs = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    ).localCheckpoint()  # CC pipeline feeds the rollup AND the join
+    sizes = alldocs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    return (
+        alldocs.join(sizes, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "csize",
+            F.round(F.lit(1).cast("double") / F.col("csize"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _o_dedup_survivors() -> str:
     """Recursive-CTE twin of the end-to-end near-dedup: LSH pairs ->
     reachability closure -> min-label clusters -> drop every non-min
