@@ -2151,6 +2151,98 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_matryoshka() -> str:
+    def top5(vec_p: str, vec_c: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY {_o_cosine(vec_p, vec_c)} DESC, c.vec_id)
+                 AS BIGINT) AS rk
+        FROM embeddings c CROSS JOIN p
+        WHERE c.vec_id <> p.probe_id) t
+      WHERE rk <= 5)"""
+
+    def overlap(pre: str, d: int, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT p.probe_id, {d} AS prefix_dim,
+             CAST(COUNT(j.neighbor_id) AS BIGINT) AS n_overlap
+      FROM p LEFT JOIN (
+        SELECT f.probe_id, f.neighbor_id
+        FROM full5 f JOIN {pre} g USING (probe_id, neighbor_id)) j
+        ON j.probe_id = p.probe_id
+      GROUP BY 1)"""
+
+    return f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    {top5("p.pv", "c.embedding", "full5")},
+    {top5("p.pv[1:16]", "c.embedding[1:16]", "pre16")},
+    {top5("p.pv[1:32]", "c.embedding[1:32]", "pre32")},
+    {overlap("pre16", 16, "o16")},
+    {overlap("pre32", 32, "o32")}
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(prefix_dim AS BIGINT) AS prefix_dim, n_overlap
+    FROM (SELECT * FROM o16 UNION ALL SELECT * FROM o32) u
+    ORDER BY probe_id, prefix_dim
+    """
+
+
+@register(
+    "sim_matryoshka_recall",
+    _o_matryoshka(),
+    "Matryoshka-truncation retrieval audit (Kusupati et al. 2022 MRL; "
+    "the dimension-elasticity check every prefix-truncated vector "
+    "index deploy runs): exact cosine top-5 on the full 64-dim "
+    "embeddings vs top-5 on the 16- and 32-dim PREFIXES, per-probe "
+    "overlap counts hash-compared. Prefix scoring is a zero-copy "
+    "array slice inside the same scan — no re-embedding, no second "
+    "table; at 100 TB the prefix arm reads the identical column and "
+    "cuts the dot-product FLOPs by 4x/2x, which is the decision this "
+    "audit's overlap@k quantifies. Cosines use the sequential "
+    "decimal-accumulated path (9 dp) so ranks are engine-independent",
+    "similarity-search extension (Matryoshka prefix-dim recall)",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    # the full-dim baseline is consumed once per prefix arm
+    full5 = (
+        S.brute_force_topk(emb, probes, k=5)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    out = None
+    for d in (16, 32):
+        embd = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        probesd = probes.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        pre5 = S.brute_force_topk(embd, probesd, k=5).select(
+            "probe_id", "neighbor_id"
+        )
+        inter = (
+            full5.join(pre5, ["probe_id", "neighbor_id"])
+            .groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        o = (
+            probes.select(F.col("vec_id").alias("probe_id"))
+            .join(inter, "probe_id", "left")
+            .select(
+                F.col("probe_id").cast("bigint").alias("probe_id"),
+                F.lit(d).cast("bigint").alias("prefix_dim"),
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_overlap"),
+            )
+        )
+        out = o if out is None else out.unionByName(o)
+    return out.orderBy("probe_id", "prefix_dim")
+
+
 @register(
     "sim_ivf_topk",
     f"""
