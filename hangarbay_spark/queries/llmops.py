@@ -3156,6 +3156,151 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interpolated Kneser-Ney with fixed discount D=0.75 (exact binary —
+# 3/4). All inputs are exact integers; the ONE shared formula text
+# compiles on both engines so IEEE ops run in identical order. The
+# continuation distribution is add-1 smoothed over the continuation
+# vocabulary (vv = distinct train w2) so unseen-w2 bigrams stay
+# defined; unseen-w1 contexts back off to pure continuation.
+_PKN_TEXT = (
+    # every operand CAST to DOUBLE: Spark parses bare 0.75/1.0 literals
+    # as DECIMAL, and decimal-vs-int division is a ROUNDED decimal op
+    # (not the IEEE divide DuckDB runs) — the literal-typing trap
+    "CASE WHEN c1 > 0 THEN "
+    "(greatest(CAST(c2 AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) "
+    "+ 0.75 * CAST(n1f AS DOUBLE) "
+    "* ((CAST(n1b AS DOUBLE) + 1.0) / CAST(nall + vv AS DOUBLE))) "
+    "/ CAST(c1 AS DOUBLE) "
+    "ELSE (CAST(n1b AS DOUBLE) + 1.0) / CAST(nall + vv AS DOUBLE) END"
+)
+
+
+@register(
+    "text_kneser_ney_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i + 1])) AS w2,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks WHERE len(t) >= 2),
+    tr AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM bg WHERE doc_id % 2 = 1),
+    c2t AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr GROUP BY b),
+    w1t AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1,
+                   CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1f
+            FROM tr GROUP BY w1),
+    w2t AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1b
+            FROM tr GROUP BY w2),
+    g AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nall,
+                 CAST(COUNT(DISTINCT w2) AS BIGINT) AS vv
+          FROM tr),
+    coal AS (
+      SELECT te.doc_id,
+             COALESCE(c2t.c2, 0) AS c2,
+             COALESCE(w1t.c1, 0) AS c1,
+             COALESCE(w1t.n1f, 0) AS n1f,
+             COALESCE(w2t.n1b, 0) AS n1b,
+             g.nall, g.vv
+      FROM te
+      LEFT JOIN c2t USING (b)
+      LEFT JOIN w1t USING (w1)
+      LEFT JOIN w2t USING (w2)
+      CROSS JOIN g),
+    sc AS (SELECT doc_id, round(-ln({_PKN_TEXT}), 6) AS s FROM coal)
+    SELECT doc_id,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS sum_kn,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_kn
+    FROM sc GROUP BY doc_id
+    ORDER BY mean_kn DESC, doc_id
+    LIMIT 30
+    """,
+    "interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995; the "
+    "smoothing KenLM-style quality filters actually use): trained on "
+    "the even-doc half, scoring the odd-doc half — P = (max(c2-D,0) + "
+    "D*N1+(w1,.)*Pcont(w2))/c1 with D=3/4 and an add-1-smoothed "
+    "continuation distribution over the train continuation vocabulary "
+    "(unseen contexts back off to pure continuation, so every held-out "
+    "bigram scores). Continuation counts answer 'how many contexts "
+    "does w2 follow' — the fix for bare MLE overweighting frequent-"
+    "but-fixed collocates. All counts exact integers, three "
+    "map-side-combined rollups off one bigram explode; the formula is "
+    "ONE shared text, ln 6 dp, per-doc sums decimal-exact. The "
+    "held-out-perplexity filter for 100 TB corpus triage",
+    "text-analysis extension (Kneser-Ney held-out surprisal)",
+)
+def text_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition-to-spread-CPU: the bigram transform dominates; a
+    # one-split corpus scan would serialize it
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    t = X.tokens_expr("text")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + 1).alias("w2"),
+            F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ).alias("b"),
+        ),
+    )
+    bg = (
+        toks.select("doc_id", F.explode(g).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.b")
+        .localCheckpoint(eager=False)  # train rollups x3 + test scan
+    )
+    tr = bg.filter(F.col("doc_id") % 2 == 0)
+    te = bg.filter(F.col("doc_id") % 2 == 1)
+    c2t = tr.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    w1t = tr.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"),
+        F.countDistinct("w2").cast("bigint").alias("n1f"),
+    )
+    w2t = tr.groupBy("w2").agg(
+        F.countDistinct("w1").cast("bigint").alias("n1b")
+    )
+    scal = tr.agg(
+        F.countDistinct("b").cast("bigint").alias("nall"),
+        F.countDistinct("w2").cast("bigint").alias("vv"),
+    )
+    coal = (
+        te.join(c2t, "b", "left")
+        .join(w1t, "w1", "left")
+        .join(w2t, "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("n1f", F.lit(0)).alias("n1f"),
+            F.coalesce("n1b", F.lit(0)).alias("n1b"),
+            "nall",
+            "vv",
+        )
+    )
+    sc = coal.select(
+        "doc_id", F.expr(f"round(-ln({_PKN_TEXT}), 6)").alias("s")
+    )
+    sum_dec = F.sum(F.col("s").cast("decimal(30,6)"))
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            sum_dec.cast("double").alias("sum_kn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (sum_dec.cast("double") / F.count(F.lit(1))).alias("mean_kn"),
+        )
+        .orderBy(F.desc("mean_kn"), "doc_id")
+        .limit(30)
+    )
+
+
 @register(
     "sample_fixed_per_source",
     """

@@ -166,6 +166,7 @@ BNLJ_ALLOWED = {
     "subquery_rich_no_orders",      # 1-row avg-balance scalar
     "subquery_scalar_above_avg",    # 1-row global average scalar
     "text_lm_surprisal",            # 1-row corpus token total
+    "text_kneser_ney_surprisal",    # 1-row train nall/vv scalar
     "tfidf_top_terms",              # 1-row corpus doc count
     "fts_bm25_topk",                # 1-row corpus stats scalar (nd, sdl)
     "streaming_fts_bm25",           # same 1-row stats scalar over streamed artifacts
