@@ -1432,3 +1432,94 @@ def quality_duplicate_transactions(
         .distinct()
     )
     return pairs.orderBy("custkey", "order_a", "order_b")
+
+
+@register(
+    "quality_snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, source, text FROM documents),
+    v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, source,
+             'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 151 = 0),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.source || '|' || a.text)
+                       <> md5(b.source || '|' || b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS kind
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM j GROUP BY kind ORDER BY kind
+    """,
+    "table-snapshot DIFF (the lakehouse version-audit every "
+    "Delta/Iceberg rollout runs before swapping a table pointer): v2 "
+    "is derived deterministically in-query (every 97th doc deleted, "
+    "every 13th text revised, every 151st re-inserted under a shifted "
+    "key), rows are keyed full-outer-joined and classified "
+    "added/removed/changed/unchanged by a row-content fingerprint "
+    "md5(source || text) — content comparison, not column-by-column "
+    "drift-prone equality. One key shuffle; the fingerprint is a scan-"
+    "side projection, so at 100 TB the diff costs one sort-merge join "
+    "over the two snapshots regardless of column count",
+    "quality extension (snapshot diff / version audit)",
+)
+def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "source", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 151 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.concat(
+                    F.lit("new doc "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    fp = lambda s, t: F.md5(F.concat(s, F.lit("|"), t))  # noqa: E731
+    a = v1.select(
+        F.col("doc_id").alias("id_a"),
+        fp(F.col("source"), F.col("text")).alias("fp_a"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id_b"),
+        fp(F.col("source"), F.col("text")).alias("fp_b"),
+    )
+    j = a.join(b, a["id_a"] == b["id_b"], "full_outer").select(
+        F.coalesce("id_a", "id_b").alias("doc_id"),
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+    )
+    return (
+        j.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("kind")
+    )
