@@ -1523,3 +1523,74 @@ def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# Flesch reading-ease, every operand forced to DOUBLE in ONE shared
+# formula text (the decimal-literal-typing guard): 206.835 - 1.015*
+# (words/sentences) - 84.6*(syllables/words), rounded at 6 dp.
+_FLESCH_TEXT = (
+    "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) "
+    "- 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)"
+)
+
+
+@register(
+    "quality_readability_flesch",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(len(str_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents
+      FROM documents)
+    SELECT doc_id, lang, n_words, n_sents, n_syll,
+           {_FLESCH_TEXT} AS flesch
+    FROM c WHERE n_words > 0
+    ORDER BY flesch ASC, doc_id
+    LIMIT 30
+    """,
+    "Flesch reading-ease scoring (Flesch 1948; the readability gate in "
+    "classic quality-filter stacks next to stopword/length ratios): "
+    "words = whitespace tokens, syllables approximated as vowel-group "
+    "runs ([aeiouy]+ — the standard regex proxy), sentences = "
+    "terminal-punctuation runs floored at 1. All three counts are "
+    "exact integers from JVM-side regex projections (zero shuffle "
+    "before the top-k); the formula is one shared DOUBLE-cast text "
+    "rounded at 6 dp. Returns the 30 hardest-to-read docs — the "
+    "low-readability tail a corpus triage inspects first",
+    "quality extension (Flesch readability scoring)",
+)
+def quality_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "lang",
+        X.token_count_expr("text").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("bigint")
+        .alias("n_syll"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+    )
+    return (
+        c.filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_sents",
+            "n_syll",
+            F.expr(_FLESCH_TEXT).alias("flesch"),
+        )
+        .orderBy(F.asc("flesch"), "doc_id")
+        .limit(30)
+    )
