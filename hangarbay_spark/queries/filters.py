@@ -1564,7 +1564,10 @@ _FLESCH_TEXT = (
     "quality extension (Flesch readability scoring)",
 )
 def quality_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition-to-spread-CPU: two regexp_extract_all passes over the
+    # full text are the cost, and a single-file corpus scans as ONE
+    # split (sf1 A/B: 2.8 s single-split vs 1.5 s spread)
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     c = docs.select(
         "doc_id",
         "lang",
