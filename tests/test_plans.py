@@ -386,6 +386,31 @@ EXCHANGE_BOUNDS = {
     # explode (single-split corpus scans serialize it otherwise; one
     # exchange per consumer of the token stream)
     "text_cms_token_counts": 8,
+    # round-7 continuation additions (audited at sf0.001):
+    # bloom: cands chain (corpus distinct + anti-join + lane probe) +
+    # the unioned summary branches — every post-checkpoint frame is
+    # geometry-bounded (<= 4x65536 bits) or probe-sized
+    "text_bloom_membership": 26,
+    # one TakeOrdered pass + constant-size sample windows + exact arm
+    "sample_priority_subset_sum": 6,
+    # pure projection + Arrow kernel: no shuffle at all
+    "multimodal_mp4_metadata": 0,
+    # two bounded sweeps over checkpointed frames; visible plan is the
+    # final load rollup + top-k (per-level joins are pre-checkpoint)
+    "graph_path_load_centrality": 7,
+    # CC chain is pre-checkpoint; visible = size rollup + join + sort
+    "sample_softdedup_weights": 7,
+    # three brute-force arms (full + 2 prefixes) by construction, each
+    # a probe-broadcast scan + per-probe window + overlap join
+    "sim_matryoshka_recall": 30,
+    # three count rollups (two with countDistinct = 2 exchanges each)
+    # off one checkpointed bigram stream + test-side joins + top-k —
+    # the honest cost of KN's context/continuation statistics
+    "text_kneser_ney_surprisal": 24,
+    # keyed full-outer join of the two snapshots + class rollup
+    "quality_snapshot_diff": 8,
+    # repartition-to-spread-CPU + distributed top-k
+    "quality_readability_flesch": 2,
     "report_ols_price_drivers": 2,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
