@@ -1444,7 +1444,7 @@ def quality_duplicate_transactions(
                   ELSE text END AS text
       FROM documents WHERE doc_id % 97 <> 0
       UNION ALL
-      SELECT doc_id + 1000000, source,
+      SELECT -(doc_id + 1), source,
              'new doc ' || CAST(doc_id AS VARCHAR)
       FROM documents WHERE doc_id % 151 = 0),
     j AS (
@@ -1463,8 +1463,9 @@ def quality_duplicate_transactions(
     "table-snapshot DIFF (the lakehouse version-audit every "
     "Delta/Iceberg rollout runs before swapping a table pointer): v2 "
     "is derived deterministically in-query (every 97th doc deleted, "
-    "every 13th text revised, every 151st re-inserted under a shifted "
-    "key), rows are keyed full-outer-joined and classified "
+    "every 13th text revised, every 151st re-inserted under a negated "
+    "key — disjoint from the non-negative id domain at ANY scale), "
+    "rows are keyed full-outer-joined and classified "
     "added/removed/changed/unchanged by a row-content fingerprint "
     "md5(source || text) — content comparison, not column-by-column "
     "drift-prone equality. One key shuffle; the fingerprint is a scan-"
@@ -1489,7 +1490,7 @@ def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 151 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (-(F.col("doc_id") + 1)).alias("doc_id"),
                 "source",
                 F.concat(
                     F.lit("new doc "), F.col("doc_id").cast("string")
