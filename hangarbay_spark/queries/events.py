@@ -5415,3 +5415,222 @@ def _register_hll_sliding() -> None:
 
 
 _register_hll_sliding()
+
+
+# --- Markov removal-effect attribution -------------------------------------
+
+_MRE_K = 8  # absorption iterations (journeys are short; geometric tail)
+_MRE_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _o_markov_removal() -> str:
+    """Unrolled oracle: journey transitions (truncated at each user's
+    first purchase; __start/__end boundary states), then one absorption
+    chain per arm — full plus one per removed channel — each K
+    iterations of v(s) <- sum_t p(s,t)*v(t) with 12 dp terms summed as
+    exact decimals (the events_markov_steady_state float discipline)."""
+    states = "('__start'), ('purchase'), ('__end'), " + ", ".join(
+        f"('{c}')" for c in _MRE_CHANNELS
+    )
+
+    def chain(tag: str, removed: str | None) -> list[str]:
+        cut = f"AND tp.next_type <> '{removed}'" if removed else ""
+        ctes = [
+            f"""a{tag}0 AS (
+      SELECT state,
+             CASE WHEN state = 'purchase' THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS v
+      FROM states)"""
+        ]
+        for k in range(1, _MRE_K + 1):
+            ctes.append(f"""a{tag}{k} AS (
+      SELECT s.state,
+             CASE WHEN s.state = 'purchase' THEN CAST(1 AS DOUBLE)
+                  WHEN s.state = '__end' THEN CAST(0 AS DOUBLE)
+                  ELSE COALESCE(x.v, CAST(0 AS DOUBLE)) END AS v
+      FROM states s LEFT JOIN (
+        SELECT tp.prev_type AS state,
+               CAST(SUM(CAST(round(tp.p * a.v, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS v
+        FROM tp JOIN a{tag}{k - 1} a ON a.state = tp.next_type
+        WHERE 1 = 1 {cut}
+        GROUP BY tp.prev_type) x ON x.state = s.state)""")
+        return ctes
+
+    chains = chain("f", None)
+    for c in _MRE_CHANNELS:
+        chains.extend(chain(c, c))
+    effs = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, "
+        f"(SELECT v FROM af{_MRE_K} WHERE state = '__start') AS p_full, "
+        f"(SELECT v FROM a{c}{_MRE_K} WHERE state = '__start') AS p_removed"
+        for c in _MRE_CHANNELS
+    )
+    return f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (SELECT user_id, MIN(rn) AS frn FROM r
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    kept AS (
+      SELECT r.user_id, r.event_type, r.rn
+      FROM r LEFT JOIN fp USING (user_id)
+      WHERE fp.frn IS NULL OR r.rn <= fp.frn),
+    seq AS (
+      SELECT user_id, event_type, rn,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+               AS prev_type,
+             MAX(rn) OVER (PARTITION BY user_id) AS mx
+      FROM kept),
+    trans AS (
+      SELECT prev_type, event_type AS next_type FROM seq
+      WHERE prev_type IS NOT NULL
+      UNION ALL
+      SELECT '__start', event_type FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT event_type, '__end' FROM seq
+      WHERE rn = mx AND event_type <> 'purchase'),
+    tc AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM trans GROUP BY 1, 2),
+    tp AS (SELECT prev_type, next_type,
+                  CAST(n AS DOUBLE) /
+                    SUM(n) OVER (PARTITION BY prev_type) AS p
+           FROM tc),
+    states(state) AS (VALUES {states}),
+    {",".join(chains)},
+    eff AS (
+      SELECT channel, round(p_full, 9) AS p_full,
+             round(p_removed, 9) AS p_removed,
+             round(CAST(1 AS DOUBLE) - p_removed / p_full, 9) AS effect
+      FROM ({effs}) e),
+    tot AS (SELECT CAST(SUM(CAST(effect AS DECIMAL(38,9))) AS DOUBLE)
+              AS te FROM eff)
+    SELECT channel, p_full, p_removed, effect,
+           round(effect / tot.te, 9) AS share
+    FROM eff CROSS JOIN tot
+    ORDER BY channel
+    """
+
+
+@register(
+    "events_markov_removal_attribution",
+    _o_markov_removal(),
+    "Markov REMOVAL-EFFECT attribution (Anderl et al. 2014 — the "
+    "data-driven attribution standard, completing the family beside "
+    "last-touch/time-decay/U-shape/Shapley): per-user journeys "
+    "truncated at first purchase become a __start/channel/purchase/"
+    "__end chain; a channel's effect is 1 - P(convert with every "
+    "transition INTO it redirected to dropout)/P(convert), shares "
+    "normalized over channels. Journey + transition construction is "
+    "fully distributed (one user window + one pair rollup); the "
+    "absorption iterations then run driver-side on the COLLECTED "
+    "transition matrix — bounded by contract at (#states)^2 <= 49 "
+    "rows (the broadcast-lookup-table rule), each arm K=8 iterations "
+    "of v <- Pv with 12 dp terms summed as exact decimals, the "
+    "markov_steady_state float discipline. The oracle unrolls all "
+    "five absorption chains in SQL and hash-matches every arm",
+    "analytics extension (Markov removal-effect attribution)",
+)
+def events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("frn"))
+    )
+    kept = r.join(fp, "user_id", "left").filter(
+        F.col("frn").isNull() | (F.col("rn") <= F.col("frn"))
+    )
+    wk = W.partitionBy("user_id").orderBy("rn")
+    seq = kept.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.lag("event_type").over(wk).alias("prev_type"),
+        F.max("rn").over(W.partitionBy("user_id")).alias("mx"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("__start").alias("prev_type"),
+                F.col("event_type").alias("next_type"),
+            )
+        )
+        .unionByName(
+            seq.filter(
+                (F.col("rn") == F.col("mx"))
+                & (F.col("event_type") != "purchase")
+            ).select(
+                F.col("event_type").alias("prev_type"),
+                F.lit("__end").alias("next_type"),
+            )
+        )
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded by contract: <= (#states)^2 = 49 cells — the transition
+    # matrix is the aggregate, the absorption algebra is O(K * cells)
+    cells = trans.collect()
+    totals: dict[str, int] = {}
+    for row in cells:
+        totals[row["prev_type"]] = totals.get(row["prev_type"], 0) + row["n"]
+    matrix = [
+        (row["prev_type"], row["next_type"], row["n"] / totals[row["prev_type"]])
+        for row in cells
+    ]
+    transient = {s for s, _, _ in matrix}
+
+    def d12(x: float) -> Decimal:
+        # Spark/DuckDB round(double, 12): shortest-repr then HALF_UP
+        return Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+
+    def r9(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    def absorb(removed: str | None) -> float:
+        v = {s: 0.0 for s in transient}
+        v["purchase"], v["__end"] = 1.0, 0.0
+        for c in _MRE_CHANNELS:
+            v.setdefault(c, 0.0)
+        for _ in range(_MRE_K):
+            nxt: dict[str, Decimal] = {}
+            for s, t, p in matrix:
+                if removed is not None and t == removed:
+                    continue
+                nxt[s] = nxt.get(s, Decimal(0)) + d12(p * v[t])
+            v = {s: (float(nxt[s]) if s in nxt else 0.0) for s in transient}
+            v["purchase"], v["__end"] = 1.0, 0.0
+            for c in _MRE_CHANNELS:
+                v.setdefault(c, 0.0)
+        return v["__start"]
+
+    p_full = absorb(None)
+    rows = []
+    for c in _MRE_CHANNELS:
+        p_rem = absorb(c)
+        rows.append(
+            (c, r9(p_full), r9(p_rem), r9(1.0 - p_rem / p_full))
+        )
+    te = float(sum(Decimal(repr(e)) for _, _, _, e in rows))
+    out = [
+        (c, pf, pr, e, r9(e / te)) for (c, pf, pr, e) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full double, p_removed double, "
+        "effect double, share double",
+    ).orderBy("channel")
