@@ -5634,3 +5634,78 @@ def events_markov_removal_attribution(
         "channel string, p_full double, p_removed double, "
         "effect double, share double",
     ).orderBy("channel")
+
+
+# 7-day rolling OLS trend: x = epoch-day number (exact int), y = daily
+# purchase count; slope/intercept from integer window moments through
+# ONE shared all-DOUBLE formula text, 9 dp.
+_SLOPE7 = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+    "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)"
+)
+_INTERCEPT7 = (
+    "round((CAST(sy AS DOUBLE) - slope7 * sx) / n, 9)"
+)
+
+
+@register(
+    "events_rolling_slope",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT d, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    s AS (SELECT d, y, n, sx, sy, {_SLOPE7} AS slope7 FROM m WHERE n = 7)
+    SELECT d, y, slope7, {_INTERCEPT7} AS intercept7
+    FROM s ORDER BY d
+    """,
+    "7-day rolling OLS trend of daily purchase volume: slope and "
+    "intercept per day from exact integer window moments (x = epoch-"
+    "day number, y = daily count; moments never leave BIGINT), the "
+    "regression twin of events_rolling_corr and the continuous "
+    "upgrade of day-over-day deltas — a slope crossing zero IS the "
+    "trend reversal. Slope computed one CTE layer before the "
+    "intercept that reuses it (the lateral-alias layering rule); one "
+    "map-side-combined daily rollup, windows on the bounded one-row-"
+    "per-day frame",
+    "events extension (rolling OLS trend)",
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-6, W.currentRow)
+    m = daily.select(
+        "d",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    s = m.filter(F.col("n") == 7).select(
+        "d", "y", "n", "sx", "sy", F.expr(_SLOPE7).alias("slope7")
+    )
+    return s.select(
+        "d", "y", "slope7", F.expr(_INTERCEPT7).alias("intercept7")
+    ).orderBy("d")
