@@ -4236,3 +4236,148 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# Per-decile uplift and cumulative qini from exact integer counts —
+# ONE shared all-DOUBLE formula text each, 9 dp.
+_UPLIFT_TXT = (
+    # trailing + 0.0 normalizes the zero sign: DuckDB round() keeps
+    # -0.0 from a tiny-negative input, Spark's BigDecimal path does not
+    "round(CASE WHEN nt > 0 AND nc > 0 THEN "
+    "CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc "
+    "ELSE CAST(0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE)"
+)
+_QINI_TXT = (
+    "round(CASE WHEN cum_nc > 0 THEN "
+    "CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE) "
+    "* (CAST(cum_nt AS DOUBLE) / cum_nc) "
+    "ELSE CAST(cum_ct AS DOUBLE) END, 9) + CAST(0 AS DOUBLE)"
+)
+
+
+def _o_uplift_qini() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {o_hash_bucket("user_id", "ab")} < 128
+                  THEN 'T' ELSE 'C' END AS arm,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS converted
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT arm, converted,
+             CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+                  AS BIGINT) AS decile
+      FROM u),
+    agg AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(SUM(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(SUM(CASE WHEN arm = 'T' THEN converted ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN arm = 'C' THEN converted ELSE 0 END)
+                  AS BIGINT) AS cc
+      FROM d GROUP BY decile),
+    c AS (
+      SELECT decile, nt, nc, ct, cc,
+             CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+             CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+             CAST(SUM(ct) OVER w AS BIGINT) AS cum_ct,
+             CAST(SUM(cc) OVER w AS BIGINT) AS cum_cc
+      FROM agg
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT decile, nt, nc, ct, cc,
+           {_UPLIFT_TXT} AS uplift,
+           {_QINI_TXT} AS qini
+    FROM c ORDER BY decile
+    """
+
+
+@register(
+    "events_uplift_qini",
+    _o_uplift_qini(),
+    "uplift-by-decile + cumulative Qini (Radcliffe 2007 — the "
+    "incrementality readout for targeted campaigns, complementing the "
+    "response-only lift table): users scored by pre-treatment "
+    "engagement (click count), assigned T/C by the same deterministic "
+    "user-id hash the z-test uses, bucketed into score deciles "
+    "(ntile, id tie-break), then per-decile treated-minus-control "
+    "conversion uplift and the cumulative Qini curve Q(k) = "
+    "cumT_conv - cumC_conv * cumT_n/cumC_n — all from exact integer "
+    "counts, divisions in shared all-DOUBLE texts at 9 dp. One "
+    "per-user rollup; everything after runs on the 10-row decile "
+    "frame",
+    "analytics extension (uplift modeling / Qini curve)",
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import hash_bucket_expr
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("converted"),
+    ).select(
+        F.when(hash_bucket_expr("user_id", "ab") < 128, "T")
+        .otherwise("C")
+        .alias("arm"),
+        "score",
+        "converted",
+        "user_id",
+    )
+    d = u.select(
+        "arm",
+        "converted",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    agg = d.groupBy("decile").agg(
+        F.sum(F.expr("CASE WHEN arm = 'T' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.expr("CASE WHEN arm = 'C' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.expr("CASE WHEN arm = 'T' THEN converted ELSE 0 END"))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.expr("CASE WHEN arm = 'C' THEN converted ELSE 0 END"))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    cw = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = agg.select(
+        "decile",
+        "nt",
+        "nc",
+        "ct",
+        "cc",
+        F.sum("nt").over(cw).cast("bigint").alias("cum_nt"),
+        F.sum("nc").over(cw).cast("bigint").alias("cum_nc"),
+        F.sum("ct").over(cw).cast("bigint").alias("cum_ct"),
+        F.sum("cc").over(cw).cast("bigint").alias("cum_cc"),
+    )
+    return c.select(
+        "decile",
+        "nt",
+        "nc",
+        "ct",
+        "cc",
+        F.expr(_UPLIFT_TXT).alias("uplift"),
+        F.expr(_QINI_TXT).alias("qini"),
+    ).orderBy("decile")
