@@ -4381,3 +4381,107 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_UPLIFT_TXT).alias("uplift"),
         F.expr(_QINI_TXT).alias("qini"),
     ).orderBy("decile")
+
+
+_TRUSS_K = 4  # keep edges in >= (k-2) = 2 triangles of the survivor graph
+_TRUSS_ROUNDS = 3
+
+
+def _o_ktruss() -> str:
+    """Unrolled k-truss oracle: each round recounts per-edge triangle
+    support inside the CURRENT survivor subgraph (wedge join through
+    common neighbors + closing-edge join) and keeps edges with
+    support >= k-2 — exactly the Spark loop's rounds."""
+    ctes = [
+        _COPURCHASE_SMALL_SQL.strip(),
+        "e0 AS (SELECT src, dst FROM e)",
+    ]
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        ctes.append(
+            f"und{r - 1} AS (SELECT src, dst FROM e{r - 1} "
+            f"UNION ALL SELECT dst, src FROM e{r - 1})"
+        )
+        ctes.append(
+            f"""sup{r} AS (
+      SELECT a.src AS u, b.src AS v, COUNT(*) AS s
+      FROM und{r - 1} a JOIN und{r - 1} b
+        ON a.dst = b.dst AND a.src < b.src
+      JOIN e{r - 1} ee ON ee.src = a.src AND ee.dst = b.src
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"e{r} AS (SELECT ee.src, ee.dst FROM e{r - 1} ee "
+            f"JOIN sup{r} s ON s.u = ee.src AND s.v = ee.dst "
+            f"WHERE s.s >= {_TRUSS_K - 2})"
+        )
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        f"CAST(COUNT(DISTINCT src) + 0 AS BIGINT) AS n_src FROM e{r}"
+        for r in range(_TRUSS_ROUNDS + 1)
+    )
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT round, n_edges, n_src FROM ({rounds}) t ORDER BY round
+    """
+
+
+@register(
+    "graph_ktruss_edges",
+    _o_ktruss(),
+    f"k-truss decomposition (Cohen 2008; k={_TRUSS_K}): iteratively "
+    "drop every edge lying in fewer than k-2 triangles OF THE "
+    "SURVIVOR GRAPH, the edge-cohesion upgrade of k-core — a truss "
+    "edge is peer-certified by two common neighbors, which is why "
+    "k-truss survives the noisy-hub failure mode of degree-based "
+    "cores. Per round: one wedge join through common neighbors + the "
+    "closing-edge join (map-side-combined count), survivor frame "
+    f"checkpointed; {_TRUSS_ROUNDS} bounded rounds (the anytime cut "
+    "— support only shrinks, so counts are a certified upper "
+    "envelope). All integers; the oracle unrolls the identical "
+    "rounds. Output: per-round surviving edge/endpoint counts",
+    "analytics extension (k-truss cohesion)",
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    rounds = [e.localCheckpoint(eager=True)]
+    cur = rounds[0]
+    for _ in range(_TRUSS_ROUNDS):
+        und = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        sup = (
+            und.alias("a")
+            .join(
+                und.alias("b"),
+                (F.col("a.dst") == F.col("b.dst"))
+                & (F.col("a.src") < F.col("b.src")),
+            )
+            .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+            .join(
+                cur.select(
+                    F.col("src").alias("u"), F.col("dst").alias("v")
+                ),
+                ["u", "v"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") >= _TRUSS_K - 2)
+        )
+        cur = (
+            cur.join(
+                sup.select(
+                    F.col("u").alias("src"), F.col("v").alias("dst")
+                ),
+                ["src", "dst"],
+                "left_semi",
+            )
+        ).localCheckpoint(eager=True)
+        rounds.append(cur)
+    out = None
+    for r, frame in enumerate(rounds):
+        o = frame.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.countDistinct("src").cast("bigint").alias("n_src"),
+        ).select(F.lit(r).cast("bigint").alias("round"), "n_edges", "n_src")
+        out = o if out is None else out.unionByName(o)
+    return out.orderBy("round")
