@@ -522,6 +522,116 @@ def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_MIN_TOKENS = 20  # curation gate: drop short docs before weighting
+
+
+def _o_curation_mixture() -> str:
+    """Compositional oracle: the soft-dedup CTE chain (LSH pairs ->
+    reachability -> cluster sizes -> 1/size weights) nested inside a
+    quality gate and a per-source effective-token rollup — the
+    pipeline_span_removed_clean compositionality precedent."""
+    ctes, select = _o_minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({select}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT s AS id, d AS r FROM edges
+              UNION
+              SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id),
+    gated AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens,
+             COALESCE(lab.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+      WHERE len({O_TOKENS}) >= {_MIX_MIN_TOKENS}),
+    csizes AS (SELECT cluster, COUNT(*) AS csize FROM gated
+               GROUP BY cluster),
+    wtok AS (
+      SELECT g.source,
+             round(CAST(1 AS DOUBLE) / s.csize * g.n_tokens, 6) AS wt
+      FROM gated g JOIN csizes s USING (cluster)),
+    eff AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE) AS eff_tokens
+      FROM wtok GROUP BY source),
+    tot AS (SELECT CAST(SUM(CAST(eff_tokens AS DECIMAL(30,6)))
+                        AS DOUBLE) AS te FROM eff)
+    SELECT source, n_docs_kept, eff_tokens,
+           round(eff_tokens / tot.te, 9) AS share
+    FROM eff CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+@register(
+    "pipeline_curation_mixture",
+    _o_curation_mixture(),
+    "end-to-end CURATION MIXTURE readout — the table a pretraining "
+    "data committee actually looks at: short docs gated out, every "
+    "survivor weighted 1/|near-dup cluster| (soft dedup), and each "
+    "source's EFFECTIVE token mass (sum of weight x tokens) plus its "
+    "normalized mixture share. Duplicated-everywhere boilerplate "
+    "contributes one doc's worth of tokens no matter how many copies "
+    "a source ships, so the shares resist crawl-duplication "
+    "inflation. The oracle nests the full LSH+CC chain inside the "
+    "gate and rollup (compositional-parity discipline); per-doc "
+    "weighted tokens rounded at 6 dp, decimal-summed, shares at 9 dp. "
+    "Cluster labels come free from the dedup pipeline at 100 TB",
+    "pipeline extension (curation mixture / effective tokens)",
+)
+def pipeline_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = D.connected_components(pairs)
+    gated = (
+        docs.select(
+            "doc_id",
+            "source",
+            X.token_count_expr("text").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= _MIX_MIN_TOKENS)
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    ).localCheckpoint()  # feeds the size rollup AND the weight join
+    csizes = gated.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    wtok = gated.join(csizes, "cluster").select(
+        "source",
+        F.round(
+            F.lit(1).cast("double") / F.col("csize") * F.col("n_tokens"), 6
+        ).alias("wt"),
+    )
+    eff = wtok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum(F.col("wt").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("eff_tokens"),
+    )
+    tot = eff.agg(
+        F.sum(F.col("eff_tokens").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("te")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs_kept",
+            "eff_tokens",
+            F.round(F.col("eff_tokens") / F.col("te"), 9).alias("share"),
+        )
+        .orderBy("source")
+    )
+
+
 def _o_dedup_survivors() -> str:
     """Recursive-CTE twin of the end-to-end near-dedup: LSH pairs ->
     reachability closure -> min-label clusters -> drop every non-min

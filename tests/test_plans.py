@@ -197,6 +197,7 @@ BNLJ_ALLOWED = {
     "agg_ams_selfjoin_size",        # 1-row signed-count scalars
     "sim_embedding_drift",          # 1-row bucket-count scalar
     "sample_cluster_safe_split",    # 1-row straddle-count scalars
+    "pipeline_curation_mixture",    # 1-row effective-token total scalar
     "agg_kmv_set_overlap",          # 1-row sketch/exact scalars
     "text_heavy_hitter_bytes",      # 1-row mass-total scalar
     "agg_revenue_concentration",    # 1-row revenue-total scalar
