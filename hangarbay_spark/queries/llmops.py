@@ -6769,3 +6769,69 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
     )
+
+
+# Variance-to-mean ratio over ALL docs (absent docs contribute 0, so
+# the postings moments s1/s2 over present docs are the full-corpus
+# moments) — one shared all-DOUBLE text, 9 dp.
+_VMR_TXT = (
+    "round((CAST(s2 AS DOUBLE) / n "
+    "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+    "/ (CAST(s1 AS DOUBLE) / n), 9)"
+)
+
+
+@register(
+    "text_term_burstiness",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS term
+                  FROM documents),
+    tf AS (SELECT term, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    st AS (SELECT term, CAST(SUM(c) AS BIGINT) AS s1,
+                  CAST(SUM(c * c) AS BIGINT) AS s2,
+                  CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    top AS (SELECT * FROM st ORDER BY s1 DESC, term LIMIT 20)
+    SELECT term, s1 AS total_tf, df, {_VMR_TXT} AS vmr
+    FROM top CROSS JOIN nd
+    ORDER BY total_tf DESC, term
+    """,
+    "term BURSTINESS (Church & Gale 1995 dispersion): variance-to-"
+    "mean ratio of each top-20 term's per-document count over the "
+    "whole corpus — VMR ~ 1 is Poisson scatter (function words), "
+    "VMR >> 1 is bursty topical mass, the signal behind stopword "
+    "lists, keyword weighting, and boilerplate alarms. Absent "
+    "documents contribute zero, so the postings moments ARE the "
+    "full-corpus moments: one tf rollup + one term rollup, no "
+    "N-way doc join; exact integer s1/s2/df with the VMR as one "
+    "shared all-DOUBLE text at 9 dp; corpus size is a 1-row "
+    "broadcast scalar",
+    "text-analysis extension (term burstiness / dispersion)",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(X.tokens_expr("text")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = tf.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = st.orderBy(F.desc("s1"), "term").limit(20)
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            F.col("s1").alias("total_tf"),
+            "df",
+            F.expr(_VMR_TXT).alias("vmr"),
+        )
+        .orderBy(F.desc("total_tf"), "term")
+    )

@@ -186,6 +186,7 @@ BNLJ_ALLOWED = {
     "sample_group_split",           # 1-row leakage-audit scalar
     "sim_hard_negatives",           # fixed probe set (3 vectors)
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
+    "text_term_burstiness",         # 1-row corpus-doc-count scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
