@@ -2354,6 +2354,55 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_filtered_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+               FROM embeddings WHERE vec_id IN {PROBE_IDS}),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             {_o_cosine("p.pv", "c.embedding")} AS cosine
+      FROM cand c CROSS JOIN p
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id)
+        AS BIGINT) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    "FILTERED vector search (the metadata-predicate + ANN workload "
+    "every vector store special-cases): exact cosine top-5 restricted "
+    "to candidates whose DOCUMENT row passes lang = 'en' — the "
+    "predicate lands as a semi-join BEFORE any distance math, the "
+    "pre-filter strategy that stays exact at any selectivity (post-"
+    "filtering a fixed-k ANN result under-returns when the filter is "
+    "selective). At 100 TB the semi-join prunes the scan the same "
+    "way, and the filter column can double as a partition key so "
+    "pruning happens at the file level. Sequential-accumulation "
+    "cosines (9 dp) keep ranks engine-independent",
+    "similarity-search extension (filtered / predicate vector search)",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cand = emb.join(
+        docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.brute_force_topk(cand, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
     "sim_ivf_topk",
     f"""
     WITH p AS (SELECT vec_id AS probe_id, embedding AS pv,

@@ -173,6 +173,7 @@ BNLJ_ALLOWED = {
     "search_hybrid_rrf",            # bm25 stats scalar + fixed probe vector
     "sim_bruteforce_topk",          # fixed probe set (3 vectors)
     "sim_matryoshka_recall",        # same fixed probe set, 3 prefix arms
+    "sim_filtered_topk",            # same fixed probe set, semi-join filter
     "sim_centroid_assign",          # fixed centroid table (8 vectors)
     "sim_jl_project_topk",          # fixed probe set
     "sim_quantized_topk",           # fixed probe set
