@@ -4485,3 +4485,78 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(r).cast("bigint").alias("round"), "n_edges", "n_src")
         out = o if out is None else out.unionByName(o)
     return out.orderBy("round")
+
+
+# Order-statistic ranks for the distribution-free median CI: one
+# shared all-DOUBLE text (z = 1.959964), floored to an integer rank;
+# the upper rank is the symmetric reflection n + 1 - lo.
+_MEDCI_LO = (
+    "CAST(floor((CAST(n AS DOUBLE) "
+    "- 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)"
+)
+
+
+@register(
+    "agg_median_ci",
+    f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    rk AS (SELECT n, {_MEDCI_LO} AS lo_rank,
+                  n + 1 - {_MEDCI_LO} AS hi_rank,
+                  (n + 1) // 2 AS med_rank
+           FROM nn),
+    r AS (SELECT o_totalprice AS v,
+                 CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice,
+                                         o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+    SELECT rk.n, rk.lo_rank, rk.med_rank, rk.hi_rank,
+           MAX(CASE WHEN r.rn = rk.lo_rank THEN r.v END) AS lo_value,
+           MAX(CASE WHEN r.rn = rk.med_rank THEN r.v END) AS med_value,
+           MAX(CASE WHEN r.rn = rk.hi_rank THEN r.v END) AS hi_value
+    FROM r CROSS JOIN rk
+    GROUP BY rk.n, rk.lo_rank, rk.med_rank, rk.hi_rank
+    """,
+    "distribution-free median confidence interval (order-statistic / "
+    "sign-test inversion, Hahn & Meeker): the 95% CI is [value at "
+    "rank floor((n - 1.96*sqrt(n))/2), value at the symmetric rank "
+    "n+1-lo] — NO normality assumption, valid for any continuous "
+    "distribution, which a bootstrap needs thousands of resamples to "
+    "approximate. Ranks come from one shared all-DOUBLE formula "
+    "floored to exact integers; the three order statistics are read "
+    "in ONE spillable ranked pass (the quantile-treatment-effect "
+    "precedent) with a 1-row broadcast rank frame. Median rank is "
+    "integer (n+1) DIV 2 — never a float ceil",
+    "aggregation extension (distribution-free median CI)",
+)
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    nn = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = nn.select(
+        "n",
+        F.expr(_MEDCI_LO).alias("lo_rank"),
+        (F.col("n") + 1 - F.expr(_MEDCI_LO)).alias("hi_rank"),
+        F.expr("(n + 1) DIV 2").alias("med_rank"),
+    )
+    r = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    return (
+        r.crossJoin(F.broadcast(rk))
+        .groupBy("n", "lo_rank", "med_rank", "hi_rank")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("v"))).alias(
+                "lo_value"
+            ),
+            F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("v"))).alias(
+                "med_value"
+            ),
+            F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("v"))).alias(
+                "hi_value"
+            ),
+        )
+    )

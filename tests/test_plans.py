@@ -189,6 +189,7 @@ BNLJ_ALLOWED = {
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "text_term_burstiness",         # 1-row corpus-doc-count scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
+    "agg_median_ci",                # 1-row order-statistic rank frame
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_gk_quantile_sketch",       # 5-row target-rank frame + envelope audit
