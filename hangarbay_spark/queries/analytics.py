@@ -4560,3 +4560,103 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Local clustering coefficient 2t/(d(d-1)) and the global (transitivity)
+# ratio 6T/sum(d(d-1)) — shared all-DOUBLE texts, 9 dp.
+_LOCAL_CC_TXT = (
+    "round(CAST(2 AS DOUBLE) * t / (CAST(d AS DOUBLE) * (d - 1)), 9)"
+)
+_GLOBAL_CC_TXT = "round(CAST(6 AS DOUBLE) * n_triangles / wedges2, 9)"
+_AVG_CC_TXT = "round(CAST(sloc AS DOUBLE) / n_nodes, 9)"
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM e a JOIN e b ON a.dst = b.src
+            JOIN e c ON c.src = a.src AND c.dst = b.dst),
+    tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+             SELECT unnest([x, y, z]) AS node FROM tri) u
+           GROUP BY node),
+    loc AS (
+      SELECT deg.node, COALESCE(tn.t, 0) AS t, deg.d
+      FROM deg LEFT JOIN tn USING (node) WHERE deg.d >= 2),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             SUM(CAST({_LOCAL_CC_TXT} AS DECIMAL(30,9))) AS sloc,
+             CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges2
+      FROM loc),
+    tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri)
+    SELECT n_nodes, n_triangles,
+           {_GLOBAL_CC_TXT} AS global_cc,
+           {_AVG_CC_TXT} AS avg_local_cc
+    FROM s CROSS JOIN tc
+    """,
+    "clustering coefficients (Watts-Strogatz local average + the "
+    "global transitivity ratio 3T/W): per-node triangle counts from "
+    "the compact-forward enumeration (each triangle once, exploded to "
+    "its three corners), wedges from the degree rollup, local ratios "
+    "2t/(d(d-1)) rounded at 9 dp and decimal-summed so the average is "
+    "order-independent. The two coefficients DISAGREE on hub-heavy "
+    "graphs (global is wedge-weighted, local is node-weighted) — "
+    "reporting both is the standard small-world diagnostic. All "
+    "integer counts; one shared all-DOUBLE text per ratio",
+    "analytics extension (clustering coefficients / transitivity)",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    two_hop = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    tri = two_hop.join(
+        e.alias("c"),
+        (F.col("c.src") == F.col("x")) & (F.col("c.dst") == F.col("z")),
+        "left_semi",
+    ).localCheckpoint()  # feeds the per-node explode AND the count
+    tn = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    loc = (
+        deg.join(tn, "node", "left")
+        .select(
+            "node", F.coalesce("t", F.lit(0)).alias("t"), "d"
+        )
+        .filter(F.col("d") >= 2)
+    )
+    s = loc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr(_LOCAL_CC_TXT).cast("decimal(30,9)")).alias("sloc"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges2"),
+    )
+    tc = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        s.crossJoin(F.broadcast(tc))
+        .select(
+            "n_nodes",
+            "n_triangles",
+            F.expr(_GLOBAL_CC_TXT).alias("global_cc"),
+            F.expr(_AVG_CC_TXT).alias("avg_local_cc"),
+        )
+    )

@@ -232,6 +232,7 @@ BNLJ_ALLOWED = {
     "events_windowed_funnel",           # 1-row count/median scalars
     "events_shapley_attribution",       # 3x8 channel/subset lattice
     "graph_modularity_brands",          # 1-row edge-count scalar
+    "graph_clustering_coefficient",     # 1-row triangle-count scalar
     "sample_neyman_allocation",         # 1-row weight-total scalar
     "quality_mutual_information",       # 1-row label-entropy scalar
     "events_forecast_conformal",        # 1-row day-split scalars
