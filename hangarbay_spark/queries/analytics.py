@@ -4660,3 +4660,86 @@ def graph_clustering_coefficient(
             F.expr(_AVG_CC_TXT).alias("avg_local_cc"),
         )
     )
+
+
+_RICH_KS = (2, 4, 8)
+# rich-club density among nodes of degree > k — shared all-DOUBLE text
+_PHI_TXT = (
+    "round(CAST(2 AS DOUBLE) * n_edges "
+    "/ (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)), 9)"
+)
+
+
+def _o_rich_club() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+      SELECT {k} AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM deg
+              WHERE d > {k}) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+              JOIN deg da ON da.node = e.src AND da.d > {k}
+              JOIN deg db ON db.node = e.dst AND db.d > {k}) AS n_edges"""
+        for k in _RICH_KS
+    )
+    return f"""
+    WITH {_COPURCHASE_SMALL_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    arms AS ({arms})
+    SELECT k, n_nodes, n_edges,
+           CASE WHEN n_nodes >= 2 THEN {_PHI_TXT}
+                ELSE CAST(0 AS DOUBLE) END AS phi
+    FROM arms ORDER BY k
+    """
+
+
+@register(
+    "graph_rich_club",
+    _o_rich_club(),
+    "rich-club coefficient battery (Zhou & Mondragon 2004): for each "
+    "degree cutoff k, the edge density among nodes of degree > k — a "
+    "rising phi(k) means hubs preferentially interconnect (the "
+    "core-periphery signature; flat phi is hub-egalitarian). One "
+    "degree rollup feeds every cutoff; per-k membership is two "
+    "broadcast-scale semi-joins against the degree table, edges "
+    "counted among survivors, density from exact integers through "
+    "one shared all-DOUBLE text at 9 dp",
+    "analytics extension (rich-club / core-periphery)",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_small(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()  # consumed by every cutoff arm
+    )
+    out = None
+    for k in _RICH_KS:
+        rich = deg.filter(F.col("d") > k).select("node")
+        nn = rich.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        ne = (
+            e.join(
+                rich.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                rich.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        )
+        o = (
+            nn.crossJoin(F.broadcast(ne))
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_nodes",
+                "n_edges",
+                F.when(F.col("n_nodes") >= 2, F.expr(_PHI_TXT))
+                .otherwise(F.lit(0).cast("double"))
+                .alias("phi"),
+            )
+        )
+        out = o if out is None else out.unionByName(o)
+    return out.orderBy("k")

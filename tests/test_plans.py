@@ -233,6 +233,7 @@ BNLJ_ALLOWED = {
     "events_shapley_attribution",       # 3x8 channel/subset lattice
     "graph_modularity_brands",          # 1-row edge-count scalar
     "graph_clustering_coefficient",     # 1-row triangle-count scalar
+    "graph_rich_club",                  # 1-row per-cutoff count scalars
     "sample_neyman_allocation",         # 1-row weight-total scalar
     "quality_mutual_information",       # 1-row label-entropy scalar
     "events_forecast_conformal",        # 1-row day-split scalars
