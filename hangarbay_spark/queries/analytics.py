@@ -4308,7 +4308,11 @@ def _o_uplift_qini() -> str:
     "response-only lift table): users scored by pre-treatment "
     "engagement (click count), assigned T/C by the same deterministic "
     "user-id hash the z-test uses, bucketed into score deciles "
-    "(ntile, id tie-break), then per-decile treated-minus-control "
+    "(NTILE semantics, id tie-break — computed from DISTRIBUTED "
+    "exact ranks via operators/ranks.range_rank + the integer NTILE "
+    "formula, so the user frame is never sorted through one "
+    "partition and the oracle's NTILE hashes are unchanged), then "
+    "per-decile treated-minus-control "
     "conversion uplift and the cumulative Qini curve Q(k) = "
     "cumT_conv - cumC_conv * cumT_n/cumC_n — all from exact integer "
     "counts, divisions in shared all-DOUBLE texts at 9 dp. One "
@@ -4338,13 +4342,19 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
         "user_id",
     )
-    d = u.select(
+    from hangarbay_spark.operators.ranks import ntile_sql, range_rank
+
+    # checkpoint: the range boundary-sampling pass would otherwise
+    # re-run the per-user rollup a second time
+    rr = range_rank(
+        u.localCheckpoint(eager=True),
+        [F.col("score").desc(), F.col("user_id").asc()],
+        32,
+    )
+    d = rr.select(
         "arm",
         "converted",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("decile"),
+        F.expr(ntile_sql("rn", "__n", 10)).alias("decile"),
     )
     agg = d.groupBy("decile").agg(
         F.sum(F.expr("CASE WHEN arm = 'T' THEN 1 ELSE 0 END"))
@@ -4522,40 +4532,54 @@ _MEDCI_LO = (
     "distribution, which a bootstrap needs thousands of resamples to "
     "approximate. Ranks come from one shared all-DOUBLE formula "
     "floored to exact integers; the three order statistics are read "
-    "in ONE spillable ranked pass (the quantile-treatment-effect "
-    "precedent) with a 1-row broadcast rank frame. Median rank is "
-    "integer (n+1) DIV 2 — never a float ceil",
+    "from the DISTRIBUTED distinct-value prefix sum (operators/"
+    "ranks.value_prefix — the agg_equidepth_histogram two-level "
+    "value-grid scan): the rank-k value is the unique distinct-value "
+    "row with cb < k <= cb + c, so no global Sort+Window ever sees "
+    "the row-scale frame and n rides in the prefix frame itself (no "
+    "rank-frame cross join). The oracle's row_number tie-break "
+    "(o_orderkey) cannot change the VALUE at a rank — tied rows "
+    "share it. Median rank is integer (n+1) DIV 2 — never a float "
+    "ceil",
     "aggregation extension (distribution-free median CI)",
 )
 def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from hangarbay_spark.operators.ranks import hit_rank as hit
+    from hangarbay_spark.operators.ranks import value_prefix
 
     orders = load_table(spark, sf_dir, "orders")
-    nn = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    rk = nn.select(
+    r = value_prefix(
+        orders.select("o_totalprice"), [], "o_totalprice", 1000.0
+    ).select(
+        F.col("__v").alias("v"),
+        "__c",
+        "__cb",
+        F.col("__n").alias("n"),
+    )
+    rk = r.select(
+        "v",
+        "__c",
+        "__cb",
         "n",
         F.expr(_MEDCI_LO).alias("lo_rank"),
         (F.col("n") + 1 - F.expr(_MEDCI_LO)).alias("hi_rank"),
         F.expr("(n + 1) DIV 2").alias("med_rank"),
     )
-    r = orders.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number()
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .cast("bigint")
-        .alias("rn"),
-    )
     return (
-        r.crossJoin(F.broadcast(rk))
+        rk.filter(
+            hit(F.col("lo_rank"))
+            | hit(F.col("med_rank"))
+            | hit(F.col("hi_rank"))
+        )
         .groupBy("n", "lo_rank", "med_rank", "hi_rank")
         .agg(
-            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("v"))).alias(
+            F.max(F.when(hit(F.col("lo_rank")), F.col("v"))).alias(
                 "lo_value"
             ),
-            F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("v"))).alias(
+            F.max(F.when(hit(F.col("med_rank")), F.col("v"))).alias(
                 "med_value"
             ),
-            F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("v"))).alias(
+            F.max(F.when(hit(F.col("hi_rank")), F.col("v"))).alias(
                 "hi_value"
             ),
         )

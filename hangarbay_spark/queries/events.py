@@ -966,14 +966,21 @@ def events_scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-decimal aggregate per user, the reference max-date as a "
     "broadcast 1-row scalar, and three NTILE(5) quintile scores with "
     "unique tie-breaks (user_id) so bucket boundaries are "
-    "deterministic cross-engine. The global NTILE is a single-"
-    "partition window over the USER aggregate (cardinality = users, "
-    "not events) — at 100 TB score via windowed percent_rank over "
-    "range-partitioned sort or the GK sketch instead; the per-user "
-    "rollup stays one shuffle",
+    "deterministic cross-engine. Quintiles come from DISTRIBUTED "
+    "exact ranks (operators/ranks.range_rank — the TeraSort "
+    "construction: range-partition on the full unique ordering, "
+    "per-partition row_number, P-row cumulative offset pass) fed "
+    "through the integer NTILE formula (ranks.ntile_sql) — the USER "
+    "frame is never sorted through one partition (the old plan ran "
+    "three serialized global Sort+Windows over it, user-domain-scale "
+    "at 100x); rank outputs are boundary-independent so the oracle's "
+    "NTILE hashes are unchanged. Per-user rollup stays one shuffle; "
+    "the checkpointed user frame feeds all three rank passes",
     "analytics extension (RFM segmentation)",
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.ranks import ntile_sql, range_rank
+
     ev = load_events(spark, sf_dir)
     p = ev.filter(F.col("event_type") == "purchase")
     # Reference date = max over ALL events (matches the oracle's mx
@@ -998,24 +1005,43 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint(eager=True)  # output + three rank consumers
     )
-    return u.select(
-        "user_id",
+
+    def score(dim: str, order, name: str) -> DataFrame:
+        rr = range_rank(u.select("user_id", dim), order, 32)
+        return rr.select(
+            "user_id", F.expr(ntile_sql("rn", "__n", 5)).alias(name)
+        )
+
+    r_s = score(
         "recency_days",
+        [F.col("recency_days").desc(), F.col("user_id").asc()],
+        "r_score",
+    )
+    f_s = score(
         "frequency",
+        [F.col("frequency").asc(), F.col("user_id").asc()],
+        "f_score",
+    )
+    m_s = score(
         "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_days").desc(), "user_id"))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").asc(), "user_id"))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").asc(), "user_id"))
-        .cast("bigint")
-        .alias("m_score"),
+        [F.col("monetary").asc(), F.col("user_id").asc()],
+        "m_score",
+    )
+    return (
+        u.join(r_s, "user_id")
+        .join(f_s, "user_id")
+        .join(m_s, "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
@@ -2456,30 +2482,33 @@ def events_session_cooccurrence_pmi(
 
 
 def _group_quantiles_10_90(df: DataFrame, val_col: str) -> DataFrame:
-    """Exact interpolated per-event_type p10/p90 in ONE ranked pass —
-    the _group_median two-pass boundary-row plan generalized to two
-    quantiles (both boundary pairs picked from the same spillable
-    sort; no per-group buffer). Same (n-1)*p formula as DuckDB's
+    """Exact interpolated per-event_type p10/p90 from the DISTRIBUTED
+    distinct-value prefix sum (operators/ranks.value_prefix — the
+    agg_equidepth_histogram two-level value-grid scan; events value
+    domain is generator-bounded [0, ~500] so /10 grids to ~50 bins):
+    the 0-indexed boundary value is the unique distinct-value row with
+    cb <= idx < cb + c — no per-group Sort+Window over the row-scale
+    frame, no per-group buffer. Same (n-1)*p formula as DuckDB's
     quantile_cont, rounded 6 dp."""
-    grp = W.partitionBy("event_type")
-    ranked = df.select("event_type", F.col(val_col).alias("__v")).select(
-        "event_type",
-        "__v",
-        (F.row_number().over(grp.orderBy("__v")) - 1).alias("__idx"),
-        F.count(F.lit(1)).over(grp).alias("__n"),
+    from hangarbay_spark.operators.ranks import hit_idx, value_prefix
+
+    ranked = value_prefix(
+        df.select("event_type", F.col(val_col).alias("__val")),
+        ["event_type"],
+        "__val",
+        10.0,
     )
-    idx = F.col("__idx")
     sel = F.lit(False)
     aggs = [F.max("__n").alias("__n")]
     for tag, p in (("10", 0.1), ("90", 0.9)):
         pos = (F.col("__n") - 1).cast("double") * F.lit(p)
         lo, hi = F.floor(pos), F.ceil(pos)
-        sel = sel | (idx == lo) | (idx == hi)
+        sel = sel | hit_idx(lo) | hit_idx(hi)
         aggs.append(
-            F.max(F.when(idx == lo, F.col("__v"))).alias(f"__vlo{tag}")
+            F.max(F.when(hit_idx(lo), F.col("__v"))).alias(f"__vlo{tag}")
         )
         aggs.append(
-            F.max(F.when(idx == hi, F.col("__v"))).alias(f"__vhi{tag}")
+            F.max(F.when(hit_idx(hi), F.col("__v"))).alias(f"__vhi{tag}")
         )
     agg = ranked.filter(sel).groupBy("event_type").agg(*aggs)
     outs = []
@@ -4651,11 +4680,13 @@ def _o_qte() -> str:
     "difference between hash-assigned arms — WHERE in the outcome "
     "distribution a treatment moves users, which a mean-shift z-test "
     "cannot see (a tail-only effect has zero median shift). All three "
-    "quantiles per arm come from ONE spillable ranked pass (the "
-    "boundary-row interpolation plan — no per-group value buffer), "
-    "interpolated exactly as DuckDB quantile_cont, 6 dp rounds; the "
-    "effect is one shared-text subtract. At 100 TB: one arm-keyed "
-    "ordered pass, 2-row frames after",
+    "quantiles per arm come from the distributed distinct-value "
+    "prefix sum (operators/ranks.value_prefix — no per-arm "
+    "Sort+Window over the row-scale frame, no per-group value "
+    "buffer), interpolated exactly as DuckDB quantile_cont, 6 dp "
+    "rounds; the effect is one shared-text subtract. At 100 TB: one "
+    "map-side-combined distinct-value shuffle, bounded bin windows, "
+    "2-row frames after",
     "analytics extension (quantile treatment effects)",
 )
 def events_quantile_treatment_effect(
@@ -4672,22 +4703,27 @@ def events_quantile_treatment_effect(
         .alias("arm"),
         "value",
     )
-    grp = W.partitionBy("arm")
-    ranked = assigned.select(
-        "arm",
-        F.col("value").alias("__v"),
-        (F.row_number().over(grp.orderBy("value")) - 1).alias("__idx"),
-        F.count(F.lit(1)).over(grp).alias("__n"),
-    )
-    idx = F.col("__idx")
+    # Distributed distinct-value prefix sum (operators/ranks.value_prefix
+    # — the agg_equidepth_histogram two-level value-grid scan; purchase
+    # values are generator-bounded so /10 grids to ~40 bins): the
+    # 0-indexed boundary value is the unique distinct-value row with
+    # cb <= idx < cb + c — no per-arm Sort+Window over the row-scale
+    # frame (the old plan serialized each arm through one ranked sort).
+    from hangarbay_spark.operators.ranks import hit_idx, value_prefix
+
+    ranked = value_prefix(assigned, ["arm"], "value", 10.0)
     sel = F.lit(False)
     aggs = [F.max("__n").alias("__n")]
     for tag, p in _QTE_PS:
         pos = (F.col("__n") - 1).cast("double") * F.lit(p)
         lo, hi = F.floor(pos), F.ceil(pos)
-        sel = sel | (idx == lo) | (idx == hi)
-        aggs.append(F.max(F.when(idx == lo, F.col("__v"))).alias(f"__l{tag}"))
-        aggs.append(F.max(F.when(idx == hi, F.col("__v"))).alias(f"__h{tag}"))
+        sel = sel | hit_idx(lo) | hit_idx(hi)
+        aggs.append(
+            F.max(F.when(hit_idx(lo), F.col("__v"))).alias(f"__l{tag}")
+        )
+        aggs.append(
+            F.max(F.when(hit_idx(hi), F.col("__v"))).alias(f"__h{tag}")
+        )
     agg = ranked.filter(sel).groupBy("arm").agg(*aggs)
     outs = ["arm"]
     for tag, p in _QTE_PS:
@@ -5583,6 +5619,22 @@ def events_markov_removal_attribution(
     # bounded by contract: <= (#states)^2 = 49 cells — the transition
     # matrix is the aggregate, the absorption algebra is O(K * cells)
     cells = trans.collect()
+    # The oracle pins its state list to _MRE_CHANNELS + boundary
+    # states; if the events event_type domain ever grows past that
+    # set, the oracle would silently drop transitions into unlisted
+    # states while this side kept them — fail loudly instead of
+    # producing a parity mismatch that looks like a float bug.
+    pinned = set(_MRE_CHANNELS) | {"purchase", "__start", "__end"}
+    observed = {row["prev_type"] for row in cells} | {
+        row["next_type"] for row in cells
+    }
+    unknown = observed - pinned
+    if unknown:
+        raise ValueError(
+            "events_markov_removal_attribution: event_type values "
+            f"outside the pinned state set: {sorted(unknown)} — extend "
+            "_MRE_CHANNELS (and the oracle's states VALUES list)"
+        )
     totals: dict[str, int] = {}
     for row in cells:
         totals[row["prev_type"]] = totals.get(row["prev_type"], 0) + row["n"]

@@ -1063,7 +1063,7 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_counts(docs, "doc_id", "text", n=SPAN_N)
 
 
-_SPANDF_STREAM_DIRS: dict[str, str] = {}
+_SPANDF_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
 
 
 @register(
@@ -1107,8 +1107,8 @@ def streaming_span_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = tempfile.mkdtemp(prefix="hb_spandf_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_spandf_ckpt_")
-        _SPANDF_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
-    stage, state, ckpt = _SPANDF_STREAM_DIRS[key].split("|")
+        _SPANDF_STREAM_DIRS[key] = (stage, state, ckpt)
+    stage, state, ckpt = _SPANDF_STREAM_DIRS[key]
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -1525,7 +1525,7 @@ def _bloom_report(
     return summary.unionByName(fp).unionByName(probes).orderBy("metric")
 
 
-_BLOOM_STREAM_DIRS: dict[str, str] = {}
+_BLOOM_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
 
 
 @register(
@@ -1560,8 +1560,8 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         root = tempfile.mkdtemp(prefix="hb_bloom_root_")
         ckpt = tempfile.mkdtemp(prefix="hb_bloom_ckpt_")
-        _BLOOM_STREAM_DIRS[key] = f"{stage}|{root}|{ckpt}"
-    stage, root, ckpt = _BLOOM_STREAM_DIRS[key].split("|")
+        _BLOOM_STREAM_DIRS[key] = (stage, root, ckpt)
+    stage, root, ckpt = _BLOOM_STREAM_DIRS[key]
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -3734,7 +3734,12 @@ def _o_priority_subset() -> str:
              row_number() OVER (ORDER BY q DESC, key) AS rn
       FROM pri),
     topk1 AS (SELECT * FROM ranked WHERE rn <= {PRIO_K + 1}),
-    tau AS (SELECT MIN(q) AS tau FROM topk1),
+    -- Duffield-Lund-Thorup degenerate case: with n <= K every row is
+    -- sampled and tau = 0, so the estimate is the exact sum (a MIN
+    -- over all rows would inflate it, since q = w/u >= w always)
+    tau AS (SELECT CASE WHEN COUNT(*) <= {PRIO_K}
+                        THEN CAST(0 AS DOUBLE) ELSE MIN(q) END AS tau
+            FROM topk1),
     est AS (
       SELECT grp,
              SUM(CAST(round(greatest(w, (SELECT tau FROM tau)), 6)
@@ -3794,7 +3799,12 @@ def sample_priority_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the K+1 frame is constant-size: in-frame windows are single-task
     # by construction (rank to drop the threshold row, min(q) = tau)
     rn = F.row_number().over(Window.orderBy(F.desc("q"), F.asc("key")))
-    tau = F.min("q").over(Window.partitionBy())
+    # DLT degenerate case: n <= K means every row is sampled and
+    # tau = 0 (estimate = exact sum); min(q) would inflate it
+    cnt = F.count(F.lit(1)).over(Window.partitionBy())
+    tau = F.when(cnt <= PRIO_K, F.lit(0.0)).otherwise(
+        F.min("q").over(Window.partitionBy())
+    )
     est = (
         topk1.select("grp", "w", rn.alias("rn"), tau.alias("tau"))
         .filter(F.col("rn") <= PRIO_K)

@@ -151,52 +151,57 @@ def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
-    "exact interpolated percentiles per group via distributed two-pass "
-    "interpolation: window row_number over a spillable external sort + "
-    "per-group count, filter to the <=4 boundary rows per group, then "
-    "v_lo + frac*(v_hi - v_lo) — the same (n-1)*p double formula Spark's "
-    "percentile() and DuckDB's quantile_cont use, so cross-engine parity "
-    "is unchanged. Unlike the builtin percentile() (which buffers a "
-    "value->count map per group in ONE aggregation buffer and OOMs when "
-    "a group holds tens of millions of near-unique doubles), this plan's "
-    "only per-group state is Spark's external sort, which spills. The "
-    "constant-memory sketch twin for 100 TB remains agg_approx_sketches. "
-    "Rounded to 6 dp: both engines interpolate the same sorted doubles "
-    "and only the last multiply can drift 1 ulp",
+    "exact interpolated percentiles per group from the DISTRIBUTED "
+    "distinct-value prefix sum (operators/ranks.value_prefix — the "
+    "agg_equidepth_histogram two-level value-grid scan): the value at "
+    "0-indexed position k is the unique distinct-price row with "
+    "cb <= k < cb + c, so NO per-group Sort+Window ever sees the "
+    "row-scale frame (the old plan serialized each group through one "
+    "ranked sort — 3 tasks total at any scale); the only corpus-scale "
+    "shuffle is the map-side-combined distinct-value groupBy, and "
+    "within-bin window partitions are price-domain-bounded (a $1000 "
+    "band holds <= 100k cent values). Boundary values then feed "
+    "v_lo + frac*(v_hi - v_lo) — the same (n-1)*p double formula "
+    "Spark's percentile() and DuckDB's quantile_cont use, so "
+    "cross-engine parity is unchanged. Unlike the builtin "
+    "percentile() (which buffers a value->count map per group in ONE "
+    "aggregation buffer and OOMs when a group holds tens of millions "
+    "of near-unique doubles), every stage here is a hash shuffle or a "
+    "bounded window. The constant-memory sketch twin for 100 TB "
+    "remains agg_approx_sketches. Rounded to 6 dp: both engines "
+    "interpolate the same sorted doubles and only the last multiply "
+    "can drift 1 ulp",
     "A1 (+exact percentile aggregation)",
 )
 def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.ranks import hit_idx, value_prefix
+
     li = load_table(spark, sf_dir, "lineitem")
-    grp = W.partitionBy("l_returnflag")
-    # 0-indexed position within the group's sorted values. row_number and
-    # the unordered count share one hash-partitioning on l_returnflag —
-    # a single shuffle; the final groupBy reuses that partitioning.
-    ranked = li.select("l_returnflag", "l_extendedprice").select(
-        "l_returnflag",
+    r = value_prefix(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
         "l_extendedprice",
-        (F.row_number().over(grp.orderBy("l_extendedprice")) - 1).alias("idx"),
-        F.count(F.lit(1)).over(grp).alias("n"),
-    )
+        1000.0,
+    ).withColumnRenamed("__n", "n")
 
     def pos(p: float):  # Spark Percentile.getPercentile: (count-1)*p
         return (F.col("n") - 1).cast("double") * F.lit(p)
 
     lo50, hi50 = F.floor(pos(0.5)), F.ceil(pos(0.5))
     lo90, hi90 = F.floor(pos(0.9)), F.ceil(pos(0.9))
-    idx = F.col("idx")
     boundary = (
-        (idx == lo50) | (idx == hi50) | (idx == lo90) | (idx == hi90)
+        hit_idx(lo50) | hit_idx(hi50) | hit_idx(lo90) | hit_idx(hi90)
     )
 
-    def pick(cond):  # each boundary index matches exactly one row
-        return F.max(F.when(cond, F.col("l_extendedprice")))
+    def pick(cond):  # each boundary index matches exactly one value row
+        return F.max(F.when(cond, F.col("__v")))
 
-    agg = ranked.filter(boundary).groupBy("l_returnflag").agg(
+    agg = r.filter(boundary).groupBy("l_returnflag").agg(
         F.max("n").alias("n"),
-        pick(idx == lo50).alias("v_lo50"),
-        pick(idx == hi50).alias("v_hi50"),
-        pick(idx == lo90).alias("v_lo90"),
-        pick(idx == hi90).alias("v_hi90"),
+        pick(hit_idx(lo50)).alias("v_lo50"),
+        pick(hit_idx(hi50)).alias("v_hi50"),
+        pick(hit_idx(lo90)).alias("v_lo90"),
+        pick(hit_idx(hi90)).alias("v_hi90"),
     )
 
     def interp(p: float, v_lo: str, v_hi: str):
@@ -2980,7 +2985,7 @@ def agg_gk_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GK_STREAM_DIRS: dict[str, str] = {}
+_GK_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
 
 
 @register(
@@ -3024,8 +3029,8 @@ def streaming_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = stage_micro_batches(rows, "bi", 4, "hb_gkq_src_")
         state = tempfile.mkdtemp(prefix="hb_gkq_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_gkq_ckpt_")
-        _GK_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
-    stage, state, ckpt = _GK_STREAM_DIRS[key].split("|")
+        _GK_STREAM_DIRS[key] = (stage, state, ckpt)
+    stage, state, ckpt = _GK_STREAM_DIRS[key]
     stream = (
         spark.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", "1")

@@ -355,7 +355,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FTS_STREAM_DIRS: dict[str, str] = {}
+_FTS_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
 
 
 def _register_streaming_fts_bm25() -> None:
@@ -399,8 +399,8 @@ def _register_streaming_fts_bm25() -> None:
             )
             index_dir = tempfile.mkdtemp(prefix="hb_ftsq_idx_")
             ckpt = tempfile.mkdtemp(prefix="hb_ftsq_ckpt_")
-            _FTS_STREAM_DIRS[key] = f"{stage}|{index_dir}|{ckpt}"
-        stage, index_dir, ckpt = _FTS_STREAM_DIRS[key].split("|")
+            _FTS_STREAM_DIRS[key] = (stage, index_dir, ckpt)
+        stage, index_dir, ckpt = _FTS_STREAM_DIRS[key]
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", "1")
@@ -1072,7 +1072,7 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HH_STREAM_DIRS: dict[str, str] = {}
+_HH_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
 
 
 @register(
@@ -1107,8 +1107,8 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = tempfile.mkdtemp(prefix="hb_hh_state_")
         ckpt = tempfile.mkdtemp(prefix="hb_hh_ckpt_")
-        _HH_STREAM_DIRS[key] = f"{stage}|{state}|{ckpt}"
-    stage, state, ckpt = _HH_STREAM_DIRS[key].split("|")
+        _HH_STREAM_DIRS[key] = (stage, state, ckpt)
+    stage, state, ckpt = _HH_STREAM_DIRS[key]
     stream = (
         spark.readStream.schema("tok string")
         .option("maxFilesPerTrigger", "1")

@@ -70,12 +70,28 @@ def bloom_ingest_stream(stream: DataFrame, root: str, checkpoint_dir: str):
     )
 
 
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a postings subdir, or return an empty typed frame when no
+    batch has landed yet (e.g. a stream whose first batch crashed
+    before its first append) — an empty Bloom filter is a valid state
+    of the set algebra, not an error."""
+    import os
+
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path).distinct()
+
+
 def read_members(spark: SparkSession, root: str) -> DataFrame:
     """The maintained member vocabulary (distinct-on-read)."""
-    return spark.read.parquet(f"{root}/{MEMBERS_SUBDIR}").distinct()
+    return _read_or_empty(
+        spark, f"{root}/{MEMBERS_SUBDIR}", "token string"
+    )
 
 
 def read_bits(spark: SparkSession, root: str) -> DataFrame:
     """The maintained Bloom bit set (distinct-on-read; bounded by
     geometry, broadcastable by contract)."""
-    return spark.read.parquet(f"{root}/{BITS_SUBDIR}").distinct()
+    return _read_or_empty(
+        spark, f"{root}/{BITS_SUBDIR}", "r int, idx int"
+    )

@@ -1046,7 +1046,8 @@ def test_priority_sample_matches_pure_python(spark):
         rows.append((rf, w, key, w / u))
         exact[rf] = exact.get(rf, Decimal(0)) + Decimal(str(px))
     rows.sort(key=lambda r: (-r[3], r[2]))
-    tau = rows[K_][3]
+    # DLT degenerate case mirror: n <= K -> tau = 0 (sample is exact)
+    tau = rows[K_][3] if len(rows) > K_ else 0.0
     est: dict[str, Decimal] = {}
     sampled: dict[str, int] = {}
     for rf, w, _, _ in rows[:K_]:

@@ -145,15 +145,52 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
 
 
 def test_percentiles_no_buffering_agg(spark):
-    """agg_percentiles_by_flag must use the two-pass window
-    interpolation, never the builtin percentile() whose per-group
-    value->count buffer OOMs on near-unique doubles at scale: exactly
-    one exchange (the window partitioning, reused by the final agg),
-    a Window with row_number, and no Percentile aggregate."""
+    """agg_percentiles_by_flag must use the distributed distinct-value
+    prefix sum (operators/ranks.value_prefix), never the builtin
+    percentile() whose per-group value->count buffer OOMs on
+    near-unique doubles at scale, and never a per-group row-scale
+    Sort+Window (the pre-round-8 plan serialized each group through
+    one ranked sort): no Percentile aggregate, no row_number, and no
+    single-partition exchange anywhere (every window partitions by
+    group or by (group, value-grid bin))."""
     plan = _plan(spark, "agg_percentiles_by_flag")
     assert "percentile(" not in plan
-    assert "row_number()" in plan
-    assert plan.count("Exchange") == 1
+    assert "row_number" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+# The round-8 distributed exact-rank migrations: no query in this
+# family may rank a row-scale frame through one task.  Quantile
+# selections use the distinct-value prefix sum (ranks.value_prefix —
+# windows partition by (group, value-grid bin); the only permitted
+# SinglePartition exchange is a bin-offset or decile-cumulative pass
+# over a grid-bounded frame).  NTILE scores use ranks.range_rank
+# (TeraSort construction — row_number only within range partitions,
+# offset pass bounded at P rows).  (query -> (max SinglePartition
+# exchanges, row_number allowed)).
+RANK_FAMILY = {
+    "agg_median_ci": (1, False),            # global bin-offset pass (~500-row grid)
+    "agg_percentiles_by_flag": (0, False),
+    "events_winsorized_stats": (0, False),
+    "events_quantile_treatment_effect": (0, False),
+    "events_rfm_segments": (3, True),       # 3 range_rank offset passes (32 rows each)
+    "events_uplift_qini": (2, True),        # offset pass + 10-row decile cumulative
+}
+
+
+@pytest.mark.parametrize("name", sorted(RANK_FAMILY))
+def test_rank_family_no_single_task_sorts(spark, name):
+    plan = _plan(spark, name)
+    max_sp, rn_ok = RANK_FAMILY[name]
+    assert "ntile(" not in plan, f"{name}: global ntile window came back"
+    if not rn_ok:
+        assert "row_number" not in plan, (
+            f"{name}: row_number over a row-scale ranked pass came back"
+        )
+    assert plan.count("Exchange SinglePartition") <= max_sp, (
+        f"{name}: unexpected single-partition exchange — a row-scale "
+        "frame is being sorted through one task"
+    )
 
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -189,7 +226,6 @@ BNLJ_ALLOWED = {
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "text_term_burstiness",         # 1-row corpus-doc-count scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
-    "agg_median_ci",                # 1-row order-statistic rank frame
     "agg_hll_distinct_estimate",    # 1-row exact-count scalar per arm
     "agg_hll_merge_rollup",         # 1-row register-sum scalars
     "agg_gk_quantile_sketch",       # 5-row target-rank frame + envelope audit
@@ -303,7 +339,16 @@ EXCHANGE_BOUNDS = {
     "events_time_decay_attribution": 4,
     "events_rolling_corr": 2,
     "events_interarrival_stats": 4,
-    "events_winsorized_stats": 4,
+    # round 8: distributed distinct-value quantiles — more (but
+    # parallel, grid-bounded) exchanges replace the per-group
+    # serialized ranked sort
+    "events_winsorized_stats": 10,
+    "agg_median_ci": 7,
+    "agg_percentiles_by_flag": 7,
+    # round 8: range_rank deciles/quintiles (3 rank passes + 3
+    # user_id joins for RFM; one rank pass + decile rollup for qini)
+    "events_rfm_segments": 15,
+    "events_uplift_qini": 6,
     "events_debounce_rate": 3,
     "events_adoption_curve": 3,
     "report_mom_revenue_growth": 2,
