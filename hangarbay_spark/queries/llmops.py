@@ -4497,6 +4497,182 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UG_TOPN = 200  # seed-encode vocab size (bounded collect, by contract)
+
+
+def _o_unigram_seed_encode() -> str:
+    """Unrolled-DP DuckDB twin of the Viterbi unigram segmentation
+    (the graph_bfs_hops / JPEG-marker-walk unrolling discipline): the
+    seed vocabulary re-derives in SQL (top-200 substrings of the
+    truncated words by weighted count, integer milli-nat costs via the
+    shared round(-1000*ln(wt/t)) text), then MAXW=16 forward DP stages
+    d1..d16 each take MIN over the <=6 predecessor-piece candidates —
+    candidate composite = cost*100000 + 100 + unk_flag, an additive
+    integer objective, so MIN(sum) is lexicographic (cost, pieces,
+    unk) with no float anywhere in the DP.  The length-1 branch LEFT
+    JOINs the vocab with the UNK fallback so every word segments."""
+    scale = X._UG_SCALE
+    unk = X.UNIGRAM_UNK_COST
+    maxw, maxp = X.UNIGRAM_MAXW, X.UNIGRAM_MAXP
+    stages = []
+    for i in range(1, maxw + 1):
+        branches = [
+            # L = 1: vocab match or the UNK fallback (advance one char)
+            f"SELECT d.w, d.comp + COALESCE(v.cost * {scale} + 100, "
+            f"{unk * scale + 101}) AS comp "
+            f"FROM d{i - 1} d LEFT JOIN vocab v "
+            f"ON len(v.piece) = 1 AND v.piece = substr(d.w, {i}, 1) "
+            f"WHERE len(d.w) >= {i}"
+        ]
+        for L in range(2, min(maxp, i) + 1):
+            branches.append(
+                f"SELECT d.w, d.comp + v.cost * {scale} + 100 AS comp "
+                f"FROM d{i - L} d JOIN vocab v "
+                f"ON len(v.piece) = {L} "
+                f"AND v.piece = substr(d.w, {i - L + 1}, {L}) "
+                f"WHERE len(d.w) >= {i}"
+            )
+        # AS MATERIALIZED: each stage is referenced by up to MAXP later
+        # stages — inlined CTEs would re-scan the parquet per reference
+        # (DuckDB "too many open files" at ~80 references)
+        stages.append(
+            f"d{i} AS MATERIALIZED (SELECT w, MIN(comp) AS comp FROM ("
+            + " UNION ALL ".join(branches)
+            + ") c GROUP BY w)"
+        )
+    seg = " UNION ALL ".join(
+        f"SELECT w, comp FROM d{i} WHERE len(w) = {i}"
+        for i in range(1, maxw + 1)
+    )
+    lens = ",".join(f"({L})" for L in range(1, maxp + 1))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({O_TOKENS}) AS w0 FROM documents),
+    tw AS MATERIALIZED (SELECT doc_id, substr(w0, 1, {maxw}) AS w
+           FROM toks WHERE w0 <> ''),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tw GROUP BY w),
+    starts AS (SELECT w, c, unnest(generate_series(1, len(w))) AS s
+               FROM cnt),
+    subs AS (SELECT substr(st.w, st.s, l.l) AS piece, st.c
+             FROM starts st JOIN (VALUES {lens}) l(l)
+               ON st.s + l.l - 1 <= len(st.w)),
+    vagg AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS wt FROM subs
+             GROUP BY piece),
+    vtop AS (SELECT piece, wt FROM vagg
+             ORDER BY wt DESC, piece LIMIT {_UG_TOPN}),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vtop),
+    vocab AS MATERIALIZED (SELECT piece,
+                     CAST(round(-1000 * ln(CAST(wt AS DOUBLE)
+                                           / CAST(t AS DOUBLE)), 0)
+                          AS BIGINT) AS cost
+              FROM vtop, tot),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+    d0 AS (SELECT w, CAST(0 AS BIGINT) AS comp FROM words),
+    {",".join(stages)},
+    seg AS ({seg})
+    SELECT t.doc_id,
+           CAST(SUM(s.comp // {scale}) AS BIGINT) AS cost_milli,
+           CAST(SUM((s.comp % {scale}) // 100) AS BIGINT) AS n_pieces,
+           CAST(SUM(s.comp % 100) AS BIGINT) AS n_unk
+    FROM tw t JOIN seg s ON t.w = s.w
+    GROUP BY t.doc_id
+    """
+
+
+@register(
+    "text_unigram_seed_encode",
+    _o_unigram_seed_encode(),
+    "unigram-LM Viterbi tokenizer APPLICATION under the seed-"
+    "probability vocabulary, FULLY ORACLE-VERIFIED: the vocab derives "
+    "deterministically from the corpus (top-200 substring pieces of "
+    "the truncated words by weighted count, wt-desc/piece-asc "
+    "tie-break), piece probabilities become INTEGER milli-nat costs "
+    "(round(-1000*ln(wt/t)) — one shared transcendental rounding, the "
+    "_stats_formula discipline, and the only float op anywhere), and "
+    "each word takes its MIN-composite Viterbi segmentation where "
+    "composite = cost*100000 + 100*pieces + unk encodes the exact "
+    "lexicographic objective in one integer. The DuckDB twin re-"
+    "derives the vocab and replays the DP as 16 unrolled min-stages — "
+    "two independent implementations of Viterbi, hash-compared (the "
+    "wordpiece recursive-CTE promotion precedent, upgraded from "
+    "greedy matching to true shortest-path segmentation). Spark side: "
+    "one bounded vocab collect, then one Arrow-batched kernel pass "
+    "over the (repartitioned single-file) corpus",
+    "text-analysis extension (unigram-LM Viterbi tokenizer, "
+    "oracle-verified)",
+)
+def text_unigram_seed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = X.unigram_word_counts(docs, "text")
+    costs = X.unigram_costs(X.unigram_seed_vocab(wc, _UG_TOPN))
+    return (
+        docs.select("doc_id", "text")
+        .repartition(32)  # single-file corpus; CPU-heavy per-row kernel
+        .mapInPandas(
+            X.unigram_encode_kernel(costs),
+            "doc_id long, n_pieces long, n_unk long, cost_milli long",
+        )
+        .filter(F.col("n_pieces") > 0)  # oracle emits only docs with tokens
+    )
+
+
+@register(
+    "text_unigram_train",
+    None,  # iterative EM/prune loop has no SQL twin — rows-only;
+    # pinned against the sequential pure-Python reference in tests
+    "unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018, "
+    "hard-EM variant — VERDICT r7 task #2): corpus -> (word, count) "
+    "collapse ONCE, seed vocab from the top-300 weighted substrings, "
+    "then EM rounds that Viterbi-resegment every distinct word under "
+    "the current integer milli-nat costs (Arrow kernel over the "
+    "vocabulary-scale word table, cost map in the closure), recount "
+    "piece usage (map-side-combined; bounded collect), and prune to a "
+    "3/4-shrinking vocabulary with costs recomputed — hard (Viterbi) "
+    "expectations instead of forward-backward keep every trained "
+    "quantity an exact integer, so the loop is deterministic and "
+    "pinnable. Emits the final vocabulary (piece, cost, won weight). "
+    "At 100 TB every post-collapse pass touches vocabulary rows, not "
+    "corpus rows (the BPE-train discipline)",
+    "text-analysis extension (unigram-LM tokenizer training loop)",
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = X.unigram_train(docs, "text", seed_n=300, rounds=2, final_n=150)
+    rows = [(i + 1, p, c, n) for i, (p, c, n) in enumerate(vocab)]
+    return spark.createDataFrame(
+        rows, "rk int, piece string, cost_milli bigint, won bigint"
+    )
+
+
+@register(
+    "text_unigram_encode",
+    None,  # applies the EM-trained vocabulary (no SQL twin of the
+    # training loop) — rows-only; kernel pinned + conservation law in tests
+    "unigram-LM tokenizer APPLICATION with the EM-TRAINED vocabulary "
+    "— closes the train->apply loop the same way text_bpe_encode "
+    "closes BPE's: the trained integer cost table rides into the "
+    "Arrow Viterbi kernel and every doc returns its piece/UNK/cost "
+    "totals. Invariants pinned in tests: piece char lengths exactly "
+    "reconstruct each word (conservation), the composite decomposes "
+    "as cost*100000 + 100*pieces + unk, kernel == pure-Python "
+    "reference per word, and the trained-vocab encode never costs "
+    "MORE than the seed-vocab encode on the same corpus (EM only "
+    "improves the Viterbi objective it optimizes)",
+    "text-analysis extension (unigram-LM tokenizer application)",
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = X.unigram_train(docs, "text", seed_n=300, rounds=2, final_n=150)
+    costs = {p: c for p, c, _ in vocab}
+    return (
+        docs.select("doc_id", "text")
+        .repartition(32)
+        .mapInPandas(
+            X.unigram_encode_kernel(costs),
+            "doc_id long, n_pieces long, n_unk long, cost_milli long",
+        )
+    )
+
+
 @register(
     "vocab_zipf_fit",
     f"""

@@ -2691,6 +2691,134 @@ def test_bpe_train_matches_reference(spark):
     assert got == want and len(got) == 6
 
 
+def test_unigram_viterbi_hand_cases():
+    """Min-composite Viterbi on hand-computable cost tables: the DP
+    picks the cheapest segmentation, composite encodes (cost, pieces,
+    unk) lexicographically, UNK fallback covers any char, conservation
+    (piece chars reconstruct the truncated word)."""
+    from hangarbay_spark.operators.text import (
+        _UG_SCALE,
+        UNIGRAM_MAXW,
+        unigram_viterbi,
+    )
+
+    costs = {"ab": 1000, "a": 2000, "b": 2000, "abc": 4000, "c": 1500}
+    # "abc": [ab, c] = 2500 beats [abc] = 4000 and [a, b, c] = 5500
+    pieces, comp = unigram_viterbi("abc", costs)
+    assert pieces == ["ab", "c"]
+    assert comp == 2500 * _UG_SCALE + 200
+    # UNK fallback: x uncovered -> one UNK char at the penalty cost
+    pieces, comp = unigram_viterbi("abx", costs)
+    assert pieces == ["ab", "x"]
+    assert comp == (1000 + 20000) * _UG_SCALE + 201
+    # equal cost, fewer pieces wins: [aa] over [a, a]
+    pieces, comp = unigram_viterbi("aa", {"aa": 2000, "a": 1000})
+    assert pieces == ["aa"] and comp == 2000 * _UG_SCALE + 100
+    # truncation at MAXW chars, conservation of the truncated word
+    w = "abcabcabcabcabcabcabc"  # 21 chars
+    pieces, comp = unigram_viterbi(w, costs)
+    assert "".join(pieces) == w[:UNIGRAM_MAXW]
+    # empty word: zero pieces, zero composite
+    assert unigram_viterbi("", costs) == ([], 0)
+
+
+def test_unigram_encode_kernel_matches_reference(spark):
+    """Kernel doc totals == per-word Viterbi composites re-summed in
+    pure Python (ASCII \\s+ tokenization both sides); null text ->
+    null counts; composite decomposition cross-checked."""
+    import re
+
+    from hangarbay_spark.operators.text import (
+        _UG_SCALE,
+        unigram_encode_kernel,
+        unigram_viterbi,
+    )
+
+    costs = {"lo": 900, "low": 700, "er": 800, "e": 1500, "r": 1500,
+             "l": 1600, "o": 1600, "w": 1600}
+    rows = [(0, "lower low"), (1, "  "), (2, None), (3, "zzz lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_unk"], r["cost_milli"])
+        for r in df.mapInPandas(
+            unigram_encode_kernel(costs),
+            "doc_id long, n_pieces long, n_unk long, cost_milli long",
+        ).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        p = u = c = 0
+        for wd in (x for x in re.split(r"\s+", t.lower(), flags=re.ASCII) if x):
+            comp = unigram_viterbi(wd, costs)[1]
+            c += comp // _UG_SCALE
+            p += (comp % _UG_SCALE) // 100
+            u += comp % 100
+        assert got[i] == (p, u, c)
+
+
+def test_unigram_train_matches_reference(spark):
+    """The distributed hard-EM training loop must learn the identical
+    vocabulary (same pieces, same integer costs, same won weights) as
+    the sequential pure-Python reference on the same word counts —
+    pins the seed explode, the E-step kernel batching, and the prune
+    schedule."""
+    from hangarbay_spark.operators.text import (
+        UNIGRAM_MAXW,
+        unigram_train,
+        unigram_train_reference,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+        "low low lower new new newest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            w = w[:UNIGRAM_MAXW]
+            words[w] = words.get(w, 0) + 1
+    got = unigram_train(docs, "text", seed_n=40, rounds=2, final_n=10)
+    want = unigram_train_reference(words, seed_n=40, rounds=2, final_n=10)
+    assert got == want and len(got) > 0
+
+
+def test_unigram_trained_encode_improves_on_seed(spark):
+    """On the real corpus: the EM-trained vocabulary's total Viterbi
+    cost (the objective hard-EM descends) must be <= the seed
+    vocabulary's, with no UNKs (training keeps full coverage here
+    because the corpus words all fit in MAXP after EM collapses to
+    whole words) — the usefulness pin for the train->apply loop."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    seed = (
+        REGISTRY["text_unigram_seed_encode"].fn(spark, sf)
+        .agg(
+            F.sum("cost_milli").alias("c"), F.sum("n_pieces").alias("p")
+        )
+        .first()
+    )
+    trained = (
+        REGISTRY["text_unigram_encode"].fn(spark, sf)
+        .agg(
+            F.sum("cost_milli").alias("c"),
+            F.sum("n_pieces").alias("p"),
+            F.sum("n_unk").alias("u"),
+        )
+        .first()
+    )
+    assert trained["c"] <= seed["c"]
+    assert trained["p"] <= seed["p"]
+    assert trained["u"] == 0
+
+
 def test_fts_incremental_append_equals_rebuild(spark, tmp_path):
     """Appending a new batch's postings to a persisted index must give
     the same query results as a full rebuild, and re-ingesting the
