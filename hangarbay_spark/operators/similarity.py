@@ -2609,3 +2609,411 @@ def ivfpq_append_to_index(
         .parquet(codes_path)
     )
     return n_new
+
+
+# --- NSW graph ANN (layer-0 navigable small world) -------------------------
+#
+# The graph member of the ANN menu (VERDICT r7 task #4) beside the
+# IVF/PQ/LSH families: a bounded-degree k-NN graph built from the
+# banded-LSH candidate pairs (never an all-pairs scan), augmented with
+# a deterministic id-ring backbone for reachability, searched by a
+# fixed-round beam expansion (frontier joins — the graph_bfs_hops loop
+# discipline).  Reference (/root/reference) has no ANN surface at all;
+# parity target is the industry-standard NSW/HNSW layer-0 shape
+# (Malkov & Yashunin 2016) re-expressed as DataFrame joins.
+
+NSW_DEGREE = 8  # bounded out-degree for knn edges (reader-enforced)
+# Search budget tuned on the synthetic embeddings (near-random space —
+# the hard case for graph ANN: true neighbors are rarely direct LSH
+# edges, so recall comes from exploration): beam 16 x 5 rounds x 8
+# entries measures recall 1.0 @ sf0.001 / 0.867 @ sf0.01 vs brute
+# force (the ivfpq 0.867 precedent); beam 24 x 6 reaches 1.0/1.0 for
+# callers who want it.  Per-probe work stays
+# O(rounds * beam * degree) score joins regardless of corpus size.
+NSW_BEAM = 16  # beam width per expansion round
+NSW_ROUNDS = 5  # fixed rounds: bounded work, unrollable shape
+NSW_ENTRIES = 8  # entry points = smallest corpus ids (deterministic)
+
+
+def auto_nsw_beam(n: int, beam: int = NSW_BEAM) -> int:
+    """Search-budget floor that scales with corpus size.  On
+    STRUCTURELESS (near-random) embeddings graph navigation degrades
+    toward sampling — there is no gradient to route along — so holding
+    a recall floor requires the visited set to be a bounded FRACTION
+    of the corpus (exactly the ivfpq nprobe/nlist = 1/4 scan-fraction
+    precedent): beam = max(default, ~n/85) keeps the measured floors
+    (1.0 @ n=500, 0.8 @ n=2000 with beam 24) on the synthetic
+    embeddings, the worst case for any sublinear index.  Clustered
+    real corpora route in few hops and just use the floor; an NND
+    graph-improvement round was measured WORSE here (0.60 vs 0.80 at
+    equal budget — tighter local graphs reduce exploration diversity
+    when there is no cluster structure to exploit)."""
+    return max(beam, n // 85 + 1)
+
+
+def _nsw_score_edges(
+    edges: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(src, dst) -> (src, dst, cos): fetch both endpoint vectors by id
+    join and score with the sequential-exact cosine."""
+    a = corpus.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("__va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_expr(F.col("__va"), F.col("__vb")).alias("cos"),
+        )
+    )
+
+
+def _nsw_ring_edges(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic connectivity backbone: each id links to its
+    id-order successor (wrapping), both directions.  Successor ranks
+    come from the DISTRIBUTED TeraSort rank (operators/ranks.range_rank
+    — no global Sort+Window over the corpus id frame), so the backbone
+    build is shuffle-parallel at any scale."""
+    from hangarbay_spark.operators.ranks import range_rank
+
+    rr = range_rank(
+        corpus.select(id_col), [F.col(id_col).asc()], 32
+    ).select(F.col(id_col).alias("src"), "rn", "__n")
+    succ = rr.select(
+        "src", (F.col("rn") % F.col("__n") + 1).alias("__rn2")
+    )
+    ring = succ.join(
+        rr.select(F.col("src").alias("dst"), F.col("rn").alias("__rn2")),
+        "__rn2",
+    ).select("src", "dst")
+    return (
+        ring.unionByName(
+            ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def nsw_build_adjacency(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    degree: int = NSW_DEGREE,
+    nbits: int | None = None,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Edge table (src, dst, cos, kind) of the NSW graph: 'knn' edges =
+    per-node top-``degree`` banded-LSH candidates by exact cosine
+    (candidates from equi-joined band buckets — the
+    embedding_near_dup_pairs machinery, never all-pairs), 'ring' edges
+    = the id-successor backbone that keeps every node reachable even
+    when its LSH buckets are empty.  Degree is READER-enforced
+    (:func:`nsw_edges_view`): the table itself is idempotent edge
+    postings, so incremental appends are crash-safe by set algebra
+    (the Bloom-maintenance contrast to counts-shaped LSMs)."""
+    if sigs is None:
+        if nbits is None:
+            nbits = auto_hyperplane_nbits(corpus.count(), bands)
+        sigs = hyperplane_signatures(
+            corpus, id_col, vec_col, dim, nbits, bands, seed
+        )
+    cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
+    und = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    knn = _nsw_score_edges(und, corpus, id_col, vec_col)
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    knn_top = (
+        knn.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= degree)
+        .drop("rk")
+        .select("src", "dst", "cos", F.lit("knn").alias("kind"))
+    )
+    ring = _nsw_score_edges(
+        _nsw_ring_edges(corpus, id_col), corpus, id_col, vec_col
+    ).select("src", "dst", "cos", F.lit("ring").alias("kind"))
+    return knn_top.unionByName(ring)
+
+
+def nsw_edges_view(adj: DataFrame, degree: int = NSW_DEGREE) -> DataFrame:
+    """Reader-side view of an edge-postings table: dedup (src, dst)
+    keeping the best kind/score, trim 'knn' edges to ``degree`` per
+    src, keep every 'ring' edge (connectivity must survive append
+    back-links outranking the backbone).  Windows partition by src —
+    bounded by construction."""
+    d = adj.groupBy("src", "dst").agg(
+        F.max("cos").alias("cos"), F.min("kind").alias("kind")
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    knn = (
+        d.filter(F.col("kind") == "knn")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= degree)
+        .drop("rk")
+    )
+    return knn.unionByName(d.filter(F.col("kind") == "ring"))
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    adj: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    entries: int = NSW_ENTRIES,
+    degree: int = NSW_DEGREE,
+) -> DataFrame:
+    """Beam search over the NSW graph: start from the ``entries``
+    smallest node ids, expand ``rounds`` fixed rounds (frontier x
+    adjacency join -> anti-join visited -> score by id-join -> keep
+    top-``beam`` per probe), answer top-k from everything visited.
+    All per-probe frames are (probes x beam x degree)-bounded; the
+    corpus is touched only by id-joins fetching candidate vectors
+    (bucket-prunable against an id-bucketed vector table at cluster
+    scale).  Output matches brute_force_topk:
+    (probe_id, neighbor_id, cosine, rk) excluding self-matches."""
+    edges = (
+        nsw_edges_view(adj, degree)
+        .select(F.col("src").alias("nid"), "dst")
+        .localCheckpoint(eager=True)
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    )
+    ent = (
+        edges.select("nid").distinct().orderBy("nid").limit(entries)
+    )
+    visited = (
+        ent.crossJoin(F.broadcast(pv))
+        .join(cv, "nid")
+        .select(
+            "probe_id",
+            "nid",
+            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    wb = W.partitionBy("probe_id").orderBy(F.desc("cos"), "nid")
+    for _ in range(rounds):
+        cand = (
+            frontier.select("probe_id", "nid")
+            .join(edges, "nid")
+            .select("probe_id", F.col("dst").alias("nid"))
+            .distinct()
+            .join(
+                visited.select("probe_id", "nid"),
+                ["probe_id", "nid"],
+                "left_anti",
+            )
+        )
+        scored = (
+            cand.join(F.broadcast(pv), "probe_id")
+            .join(cv, "nid")
+            .select(
+                "probe_id",
+                "nid",
+                cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(scored).localCheckpoint(eager=True)
+        frontier = (
+            scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= beam)
+            .drop("rk")
+        )
+    return (
+        visited.filter(F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                W.partitionBy("probe_id").orderBy(
+                    F.desc("cosine"), "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def write_nsw_index(
+    corpus: DataFrame,
+    adj_path: str,
+    sigs_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    degree: int = NSW_DEGREE,
+    nbits: int | None = None,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    buckets: int = 32,
+) -> None:
+    """One-time NSW index build: its OWN signature table (so appends
+    never mutate the shared hyperplane_sigs artifact) + the edge
+    postings, both id-bucketed; band geometry and graph parameters
+    ride in side files (CLAUDE.md: persisted geometry must travel WITH
+    the artifact — every reader derives it from there)."""
+    n = corpus.count()
+    if nbits is None:
+        nbits = auto_hyperplane_nbits(n, bands)
+    sigs = hyperplane_signatures(
+        corpus, id_col, vec_col, dim, nbits, bands, seed
+    )
+    sigs.repartition(buckets, F.col(id_col)).write.mode(
+        "overwrite"
+    ).parquet(sigs_path)
+    _write_geometry(sigs_path, nbits, bands, seed)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    adj = nsw_build_adjacency(
+        corpus,
+        id_col,
+        vec_col,
+        dim,
+        degree,
+        sigs=spark.read.parquet(sigs_path),
+        bands=bands,
+    )
+    adj.repartition(buckets, F.col("src")).write.mode(
+        "overwrite"
+    ).parquet(adj_path)
+    _write_side_json(
+        adj_path.rstrip("/") + "_nsw.json",
+        {"degree": degree, "entries": NSW_ENTRIES,
+         "beam": auto_nsw_beam(n), "rounds": NSW_ROUNDS},
+    )
+
+
+def nsw_topk_from_index(
+    spark,
+    adj_path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Beam search against the PERSISTED edge postings with the
+    build's recorded graph parameters (side file — never the
+    module defaults, which may drift)."""
+    meta = _read_side_json(adj_path.rstrip("/") + "_nsw.json") or {}
+    return nsw_topk(
+        corpus,
+        probes,
+        spark.read.parquet(adj_path),
+        id_col,
+        vec_col,
+        k=k,
+        beam=int(meta.get("beam", NSW_BEAM)),
+        rounds=int(meta.get("rounds", NSW_ROUNDS)),
+        entries=int(meta.get("entries", NSW_ENTRIES)),
+        degree=int(meta.get("degree", NSW_DEGREE)),
+    )
+
+
+def nsw_append_to_index(
+    spark,
+    new: DataFrame,
+    adj_path: str,
+    sigs_path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> int:
+    """Incremental NSW insert: signatures for the NEW batch only (the
+    persisted table's geometry), candidates = new-vs-all band-bucket
+    equi-join (old signatures read from parquet — old vectors are
+    touched only by the candidate id-join), per-new-node top-degree
+    'knn' edges appended in BOTH directions (the back-links old nodes
+    need to reach new ones; the reader view re-trims old nodes'
+    degree), plus a 'ring' anchor to the global min id so a new node
+    with empty buckets stays reachable.  Ids already in the signature
+    table are skipped (idempotent at-least-once, the
+    pq_append_to_index contract).  Returns newly inserted count."""
+    nbits, bands, seed = _read_geometry(sigs_path)
+    meta = _read_side_json(adj_path.rstrip("/") + "_nsw.json") or {}
+    degree = int(meta.get("degree", NSW_DEGREE))
+    old_sigs = spark.read.parquet(sigs_path)
+    batch = new.join(
+        old_sigs.select(F.col(id_col)), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_new = batch.count()
+    if n_new == 0:
+        return 0
+    new_sigs = hyperplane_signatures(
+        batch, id_col, vec_col, dim, nbits, bands, seed
+    ).localCheckpoint(eager=True)
+    nb = _bucket_rows(new_sigs, id_col, bands).withColumnRenamed(
+        id_col, "src"
+    )
+    ab = (
+        _bucket_rows(old_sigs, id_col, bands)
+        .unionByName(_bucket_rows(new_sigs, id_col, bands))
+        .withColumnRenamed(id_col, "dst")
+    )
+    cand = (
+        nb.join(ab, ["blk", "val"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    scored = _nsw_score_edges(cand, corpus, id_col, vec_col)
+    w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    knn_new = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= degree)
+        .drop("rk")
+    )
+    back = knn_new.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+    )
+    edges = (
+        knn_new.unionByName(back)
+        .select("src", "dst", "cos", F.lit("knn").alias("kind"))
+    )
+    anchor_id = corpus.agg(F.min(id_col).alias("m")).first()["m"]
+    anchors = _nsw_score_edges(
+        batch.select(F.col(id_col).alias("src")).select(
+            "src", F.lit(anchor_id).alias("dst")
+        ),
+        corpus,
+        id_col,
+        vec_col,
+    ).filter(F.col("src") != F.col("dst"))
+    anchors = anchors.unionByName(
+        anchors.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+        )
+    ).select("src", "dst", "cos", F.lit("ring").alias("kind"))
+    edges.unionByName(anchors).write.mode("append").parquet(adj_path)
+    new_sigs.write.mode("append").parquet(sigs_path)
+    return n_new

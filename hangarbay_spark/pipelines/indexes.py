@@ -64,6 +64,8 @@ ARTIFACTS = {
     "quantized": "quantized.parquet",
     "events_bydate": "events_bydate.parquet",
     "winnow_fps": "winnow_fps.parquet",
+    "nsw_adj": "nsw_adj.parquet",
+    "nsw_sigs": "nsw_sigs.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -299,6 +301,21 @@ def ensure_ivfpq_residual_index(
     return codes_path, coarse_path, books_path
 
 
+def ensure_nsw_index(
+    spark: SparkSession, corpus_dir: str
+) -> tuple[str, str]:
+    """NSW graph-ANN index for embeddings: edge postings + the index's
+    OWN signature table (appends never mutate the shared
+    hyperplane_sigs artifact); returns (adj_path, sigs_path).  Graph
+    parameters and band geometry ride in side files."""
+    adj_path = artifact_path(corpus_dir, "nsw_adj")
+    sigs_path = artifact_path(corpus_dir, "nsw_sigs")
+    if not (_is_built(adj_path) and _is_built(sigs_path)):
+        emb = load_table(spark, corpus_dir, "embeddings")
+        S.write_nsw_index(emb, adj_path, sigs_path, dim=EMB_DIM)
+    return adj_path, sigs_path
+
+
 def ensure_winnow_index(spark: SparkSession, corpus_dir: str) -> str:
     """Persisted winnowing fingerprint table over the NON-BATCH
     documents (doc_id % 10 != 0 — the incremental demo's frozen
@@ -375,6 +392,7 @@ def publish_corpus_indexes(
         ensure_ivfpq_index(spark, corpus_dir)
         ensure_ivfpq_residual_index(spark, corpus_dir)
         ensure_winnow_index(spark, corpus_dir)
+        ensure_nsw_index(spark, corpus_dir)
         ensure_quantized_table(spark, corpus_dir)
         ensure_events_partitioned(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
@@ -398,6 +416,10 @@ def publish_corpus_indexes(
                 "pq_ksub": 16,
                 "ivfpq_nlist": 16,
                 "ivfpq_nprobe": 4,
+                "nsw_degree": S.NSW_DEGREE,
+                "nsw_beam": S.NSW_BEAM,
+                "nsw_rounds": S.NSW_ROUNDS,
+                "nsw_entries": S.NSW_ENTRIES,
             },
             "elapsed_sec": round(time.time() - t0, 2),
         }

@@ -4341,6 +4341,103 @@ def sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_nsw_topk",
+    None,  # graph beam search has no SQL twin — rows-only; recall
+    # floors vs brute force + graph invariants are pinned in tests
+    "graph ANN (NSW layer-0, Malkov & Yashunin 2016 — VERDICT r7 "
+    "task #4, completing the ANN menu beside IVF/PQ/LSH): a bounded-"
+    "degree k-NN graph built from the banded-LSH candidate pairs "
+    "(equi-joined band buckets, never all-pairs; per-node top-8 by "
+    "exact cosine) plus a deterministic id-ring backbone whose "
+    "successor ranks come from the DISTRIBUTED TeraSort rank — then "
+    "probes answer by fixed-round beam search: frontier x adjacency "
+    "join, anti-join visited, score by id-join, keep top-beam per "
+    "probe (the graph_bfs_hops frontier discipline; per-probe frames "
+    "stay O(beam x degree) at any corpus size). Recall vs brute "
+    "force: 1.0 @ sf0.001, 0.867 @ sf0.01 at the default budget "
+    "(floors pinned in tests, the ivfpq precedent)",
+    "similarity extension (NSW graph ANN)",
+)
+def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    adj = S.nsw_build_adjacency(emb)
+    beam = S.auto_nsw_beam(emb.count())
+    return S.nsw_topk(emb, probes, adj, k=5, beam=beam).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+@register(
+    "sim_nsw_persisted_topk",
+    None,  # rows-only like its inline twin
+    "graph ANN from the PERSISTED NSW index: the edge-postings table "
+    "and the index's own signature table are durable artifacts "
+    "(publish_corpus_indexes builds them; graph parameters + band "
+    "geometry ride in side files and every reader derives them from "
+    "there), so the timed search pays only the beam expansion — the "
+    "graph build's candidate generation and scoring never recompute. "
+    "The reader view re-trims knn edges to the recorded degree and "
+    "keeps every ring edge, which is what makes the postings table "
+    "append-safe by set algebra. Results identical to the inline "
+    "sim_nsw_topk (same deterministic build; pinned in tests)",
+    "similarity extension (persisted NSW graph index)",
+)
+def sim_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+
+    adj_path, _sigs_path = indexes.ensure_nsw_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.nsw_topk_from_index(spark, adj_path, emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
+_NSW_OLD_PATHS: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "sim_nsw_incremental",
+    None,  # rows-only; append/idempotency/recall semantics pinned in
+    # test_nsw_append_recall_and_idempotence
+    "incremental NSW insert: a new batch (vec_id % 10 == 0) joins the "
+    "PERSISTED graph of the remaining corpus — new signatures under "
+    "the index's recorded geometry, candidates from a new-vs-all "
+    "band-bucket equi-join (old vectors touched only by the candidate "
+    "id-join, never re-signed), per-new-node top-degree edges "
+    "appended in BOTH directions (back-links make new nodes "
+    "reachable; the reader view re-trims affected old nodes) plus a "
+    "ring anchor for bucket-miss nodes. Append is idempotent via an "
+    "id anti-join and crash-safe by set algebra (edge postings, "
+    "distinct-on-read — the Bloom-maintenance contrast to "
+    "counts-shaped LSMs). Emits the post-append probe search over "
+    "the full corpus",
+    "similarity extension (incremental NSW graph ingest)",
+)
+def sim_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    key = f"{sf_dir}|nsw_incremental_corpus"
+    paths = _NSW_OLD_PATHS.get(key)
+    if paths is None:
+        root = tempfile.mkdtemp(prefix="hb_nsw_corpus_")
+        adj_path, sigs_path = f"{root}/adj", f"{root}/sigs"
+        old = emb.filter(F.col("vec_id") % 10 != 0)
+        S.write_nsw_index(old, adj_path, sigs_path, dim=64)
+        _NSW_OLD_PATHS[key] = (adj_path, sigs_path)
+    else:
+        adj_path, sigs_path = paths
+    S.nsw_append_to_index(spark, new, adj_path, sigs_path, emb, dim=64)
+    probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    return S.nsw_topk_from_index(spark, adj_path, emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rk"
+    )
+
+
 _WP_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789.,!?'\"-"
 
 

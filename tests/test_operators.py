@@ -2176,6 +2176,129 @@ def test_ivfpq_recall_floor(spark):
     assert len(bf & got) / len(bf) >= 0.8
 
 
+def test_nsw_recall_floor(spark):
+    """NSW graph ANN (build from banded-LSH candidates + ring
+    backbone, auto-scaled beam search) recovers >=0.8 of the exact
+    top-5 on the synthetic embeddings — the worst case for graph
+    routing (near-random space, no cluster gradient). Measured 1.0 at
+    sf0.001/sf0.01 and 0.8 at sf0.1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.operators.similarity import brute_force_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    bf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    adj = S.nsw_build_adjacency(emb)
+    beam = S.auto_nsw_beam(emb.count())
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.nsw_topk(emb, probes, adj, k=5, beam=beam).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.8
+
+
+def test_nsw_graph_invariants(spark):
+    """Every corpus id has out-edges (ring backbone covers bucket-miss
+    nodes), the reader view bounds knn out-degree at NSW_DEGREE, and
+    ring edges survive the trim."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    adj = S.nsw_build_adjacency(emb).localCheckpoint()
+    view = S.nsw_edges_view(adj)
+    n = emb.count()
+    assert view.select("src").distinct().count() == n
+    maxdeg = (
+        view.filter(F.col("kind") == "knn")
+        .groupBy("src")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert maxdeg <= S.NSW_DEGREE
+    assert view.filter(F.col("kind") == "ring").count() > 0
+
+
+def test_nsw_persisted_matches_inline(spark, tmp_path):
+    """Persisted-index search == inline search (same deterministic
+    build; graph parameters come from the side file), and the side
+    files exist next to the artifacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    adj_path = str(tmp_path / "nsw_adj")
+    sigs_path = str(tmp_path / "nsw_sigs")
+    S.write_nsw_index(emb, adj_path, sigs_path, dim=64)
+    assert os.path.exists(adj_path + "_nsw.json")
+    assert os.path.exists(sigs_path + "_geometry.json")
+    inline = S.nsw_topk(
+        emb,
+        probes,
+        S.nsw_build_adjacency(emb),
+        k=5,
+        beam=S.auto_nsw_beam(emb.count()),
+    )
+    persisted = S.nsw_topk_from_index(spark, adj_path, emb, probes, k=5)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, persisted.collect()))
+    assert a == b and len(a) == 15
+
+
+def test_nsw_append_recall_and_idempotence(spark, tmp_path):
+    """Incremental NSW insert: the appended index still clears the
+    0.8 recall floor on the FULL corpus (new nodes reachable via
+    back-links/anchors), re-appending the same batch is a no-op, and
+    appended new nodes carry knn edges in the reader view."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+    from hangarbay_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    adj_path = str(tmp_path / "adj")
+    sigs_path = str(tmp_path / "sigs")
+    S.write_nsw_index(old, adj_path, sigs_path, dim=64)
+    n = S.nsw_append_to_index(spark, new, adj_path, sigs_path, emb, dim=64)
+    assert n == new.count()
+    assert (
+        S.nsw_append_to_index(spark, new, adj_path, sigs_path, emb, dim=64)
+        == 0
+    )
+    view = S.nsw_edges_view(spark.read.parquet(adj_path))
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    srcs = {r["src"] for r in view.select("src").distinct().collect()}
+    assert new_ids <= srcs
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    bf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in S.nsw_topk_from_index(
+            spark, adj_path, emb, probes, k=5
+        ).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.8
+
+
 def test_auto_hyperplane_geometry(spark, tmp_path):
     """Band width floors at the fixed 8-bit default for every
     oracle-compared corpus size (n <= 2048), grows ~log2(n) beyond, and

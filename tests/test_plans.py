@@ -223,6 +223,9 @@ BNLJ_ALLOWED = {
     "agg_chisq_priority_status",    # 1-row grand-total/dof scalar
     "sample_group_split",           # 1-row leakage-audit scalar
     "sim_hard_negatives",           # fixed probe set (3 vectors)
+    "sim_nsw_topk",                 # fixed probe set x entry seeds
+    "sim_nsw_persisted_topk",       # same bounded probe/entry frames
+    "sim_nsw_incremental",          # same + 1-row anchor-id scalar
     "text_heavy_hitter_tokens",     # 1-row stream-total scalar
     "text_term_burstiness",         # 1-row corpus-doc-count scalar
     "agg_kmv_distinct_estimate",    # 1-row exact-count scalar
