@@ -21,7 +21,11 @@ Ordering (two distinct concerns, deliberately different):
   System.gc() boundary is forced before the timed run of any query
   whose warmup exceeded 1 s — the timed run then starts from a clean
   heap instead of inheriting its neighbors' (and its own warmup's)
-  garbage.
+  garbage. Queries whose timed run still exceeds 2 s get ONE
+  fresh-boundary retake and report the min of the two reads:
+  contamination only ever adds time, so min-of-two bounds the
+  one-shot noise that inflated single driver reads up to 4x
+  (VERDICT r7, textrank 9.38 s vs 2.33 s on identical code).
 * EMISSION prints fastest-first too, with the aggregate fields AFTER
   the queries map: the driver keeps only the TAIL of stdout, so the
   slowest (most informative) timings and the total must sit at the end
@@ -82,7 +86,20 @@ def main() -> None:
             jvm_gc()  # heavy query: time it from a clean heap
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        t = time.perf_counter() - t0
+        if t > 2.0:
+            # Slow-tail retry (VERDICT r7 task #3): even with the GC
+            # boundary, a heavy neighbor's heap/JIT residue can
+            # inflate a single read 4x (driver r7 read textrank at
+            # 9.38 s vs 2.33 s on identical code). One fresh-boundary
+            # retake and min-of-two bounds that one-shot noise; the
+            # min is the right estimator because contamination only
+            # ever ADDS time.
+            jvm_gc()
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            t = min(t, time.perf_counter() - t1)
+        timings[name] = round(t, 4)
 
     total = round(sum(timings.values()), 4)
     # Fastest-first emission; aggregates last (see module docstring).
@@ -96,9 +113,11 @@ def main() -> None:
     }
     print(json.dumps(payload))
     # Durable local copy — survives any stdout truncation. Only a full
-    # (unfiltered) run may overwrite it: a BENCH_ONLY subset would wipe
-    # the registry-wide record used for execution ordering.
-    if not only:
+    # (unfiltered) run AT THE DRIVER'S SCALE FACTOR may overwrite it: a
+    # BENCH_ONLY subset would wipe the registry-wide record used for
+    # execution ordering, and an sf1 headroom sweep would poison the
+    # sf0.1 fastest-first order with 10x timings.
+    if not only and abs(sf - 0.1) < 1e-9:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:

@@ -33,6 +33,8 @@ def test_audit_flags_cartesian(spark):
 
 
 def test_audit_notes_bounded_bnlj(spark):
-    a = audit_query(spark, "events_rfm_segments", SF_DIR)
+    # (was events_rfm_segments until r8 — its scalar crossJoin now
+    # sits behind the rank checkpoint, outside the visible plan)
+    a = audit_query(spark, "subquery_scalar_above_avg", SF_DIR)
     # the 1-row scalar broadcast is a NOTE, not a hazard
     assert a.bnlj_count >= 1 and a.ok

@@ -214,7 +214,9 @@ BNLJ_ALLOWED = {
     "sim_centroid_assign",          # fixed centroid table (8 vectors)
     "sim_jl_project_topk",          # fixed probe set
     "sim_quantized_topk",           # fixed probe set
-    "events_rfm_segments",          # 1-row reference-max-date scalar
+    "events_rfm_segments",          # 1-row max-date scalar (behind the
+                                    # rank checkpoint since r8; kept for
+                                    # checkpoint-free plan variants)
     "sample_temperature_mixture",   # 1-row weight-normalizer scalar
     "join_bloom_prune",             # 1-row 8 KiB Bloom word array
     "analytics_association_rules",  # 1-row basket-count scalar
