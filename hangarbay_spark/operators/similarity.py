@@ -2728,12 +2728,20 @@ def nsw_build_adjacency(
             corpus, id_col, vec_col, dim, nbits, bands, seed
         )
     cand = _banded_candidate_pairs(sigs, id_col, bands, max_bucket)
-    und = cand.unionByName(
-        cand.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    knn = _nsw_score_edges(und, corpus, id_col, vec_col)
+    # score each undirected pair ONCE and mirror: the sequential-exact
+    # cosine is bit-symmetric (per-element multiply commutes, the
+    # accumulation order over i is identical either way), and the
+    # zip_with/aggregate kernel is interpreted — halving evaluations
+    # is the dominant build cost lever
+    half = _nsw_score_edges(
+        cand.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        corpus,
+        id_col,
+        vec_col,
+    )
+    knn = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
+    )
     w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
     knn_top = (
         knn.withColumn("rk", F.row_number().over(w))
@@ -2835,7 +2843,9 @@ def nsw_topk(
             )
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(scored).localCheckpoint(eager=True)
+        # visited is a union chain of <= rounds checkpointed frames —
+        # no checkpoint needed (each leg is already materialized)
+        visited = visited.unionByName(scored)
         frontier = (
             scored.withColumn("rk", F.row_number().over(wb))
             .filter(F.col("rk") <= beam)
