@@ -85,6 +85,102 @@ def shingle_postings(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 70,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING (Bayardo,
+    Ma & Srikant 2007 "Scaling Up All Pairs" / the PPJoin candidate
+    principle) — the exact-result counterpart of the banded-LSH
+    candidate generators: order the shingle vocabulary rarest-first
+    (df asc, shingle asc — ranks from the DISTRIBUTED TeraSort rank,
+    operators/ranks.range_rank, so the vocabulary is never sorted
+    through one task), keep each doc's first
+    m - ceil(t*m) + 1 shingles in that order, and generate candidates
+    only from PREFIX-to-PREFIX matches: any pair with J >= t must
+    share a prefix shingle, so the pruning is lossless while hot
+    common shingles (which explode a full postings self-join) never
+    generate a candidate unless they are some doc's rare tail.
+    Verification counts intersections candidate-driven (two id-keyed
+    posting joins), and the threshold compare is pure integer
+    arithmetic (100*inter >= pct*union) — ``threshold_pct`` is an
+    integer percent so no float literal can parse differently across
+    engines.  Output: (id_a, id_b, inter_sz, union_sz, jaccard@6dp).
+    """
+    from pyspark.sql.window import Window as W
+
+    from hangarbay_spark.operators.ranks import range_rank
+
+    post = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, n)
+    ).localCheckpoint(eager=True)  # consumers: df, sizes, prefix, verify x2
+    dfreq = post.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    rnk = range_rank(
+        dfreq, [F.col("__df").asc(), F.col("shingle").asc()], 32, out="__rnk"
+    ).select("shingle", "__rnk")
+    sizes = post.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    t = int(threshold_pct)
+    wd = W.partitionBy(id_col).orderBy("__rnk")
+    prefix = (
+        post.join(rnk, "shingle")
+        .join(sizes, id_col)
+        .withColumn("__pos", F.row_number().over(wd))
+        .filter(
+            F.col("__pos")
+            <= F.col("__m") - F.expr(f"({t} * __m + 99) DIV 100") + 1
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = post.select(F.col(id_col).alias("id_a"), "shingle")
+    fb = post.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_sz"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__m").alias("__ma"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__m").alias("__mb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "union_sz",
+            (F.col("__ma") + F.col("__mb") - F.col("inter_sz")).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.expr(f"100 * inter_sz >= {t} * union_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_sz",
+            "union_sz",
+            F.expr(
+                "round(CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE), 6)"
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -851,6 +851,150 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERM_B = 64  # deterministic pseudo-permutations (bounded by contract)
+# conversion-rate difference, one shared all-DOUBLE text at 9 dp
+_PERM_D = (
+    "round(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) "
+    "- CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE), 9)"
+)
+_PERM_P = (
+    f"round(CAST(1 + n_ge AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE), 6)"
+)
+
+
+def _o_permutation_test() -> str:
+    from hangarbay_spark.operators.sampling import HEX_DIGITS
+
+    salts = ", ".join(
+        "(0, 'ab')" if i == 0 else f"({i}, 'perm{i}')"
+        for i in range(_PERM_B + 1)
+    )
+    h = "md5(s.salt || CAST(u.user_id AS VARCHAR))"
+    bucket = (
+        f"CAST((strpos('{HEX_DIGITS}', substr({h}, 1, 1)) - 1) * 16 + "
+        f"(strpos('{HEX_DIGITS}', substr({h}, 2, 1)) - 1) AS INTEGER)"
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1),
+    s(perm, salt) AS (SELECT * FROM (VALUES {salts})),
+    a AS (
+      SELECT s.perm,
+             CASE WHEN {bucket} < 128 THEN 1 ELSE 0 END AS is_t,
+             u.conv
+      FROM u CROSS JOIN s),
+    cells AS (
+      SELECT perm,
+             CAST(SUM(is_t) AS BIGINT) AS nt,
+             CAST(SUM(is_t * conv) AS BIGINT) AS ct,
+             CAST(SUM(1 - is_t) AS BIGINT) AS nc,
+             CAST(SUM((1 - is_t) * conv) AS BIGINT) AS cc
+      FROM a GROUP BY perm),
+    d AS (SELECT perm, {_PERM_D} AS d FROM cells),
+    obs AS (SELECT d AS d_obs FROM d WHERE perm = 0),
+    cnt AS (
+      SELECT obs.d_obs,
+             CAST(SUM(CASE WHEN abs(d.d) >= abs(obs.d_obs)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM d CROSS JOIN obs WHERE d.perm >= 1
+      GROUP BY obs.d_obs)
+    SELECT CAST({_PERM_B} AS BIGINT) AS n_perms, d_obs, n_ge,
+           {_PERM_P} AS p_value
+    FROM cnt
+    """
+
+
+@register(
+    "events_permutation_test",
+    _o_permutation_test(),
+    "randomization/permutation test for the A/B difference in mean "
+    "per-user purchase count (the distribution-free gold standard "
+    "when the z approximation is suspect — skewed per-user counts, "
+    "small arms; conversion itself is degenerate on this corpus, "
+    "every user purchases): the "
+    f"observed split plus {_PERM_B} deterministic pseudo-permutations "
+    "(md5 content-hash reassignments under distinct salts — rerun- "
+    "and repartition-stable, never rand()), each arm split's exact "
+    "integer conversion cells computed in ONE map-side-combined pass "
+    "over the per-user rollup crossed with the bounded salt table; "
+    "p = (1 + #{|d_perm| >= |d_obs|}) / (B + 1), the add-one "
+    "permutation p-value. All comparisons on 9-dp-rounded shared-text "
+    "rates. At 100 TB: one user-rollup shuffle, then a 65x map-side "
+    "fan-out that combines straight back down to 65 cells",
+    "analytics extension (permutation / randomization test)",
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators.sampling import HEX_DIGITS
+
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("conv")
+    )
+    arr = (
+        "array("
+        + ",".join(
+            f"struct({i} AS perm, '{'ab' if i == 0 else f'perm{i}'}' AS salt)"
+            for i in range(_PERM_B + 1)
+        )
+        + ")"
+    )
+    a = u.select(
+        "user_id", "conv", F.explode(F.expr(arr)).alias("s")
+    ).select(
+        "user_id", "conv", F.col("s.perm").alias("perm"),
+        F.col("s.salt").alias("salt"),
+    )
+    h = F.md5(F.concat(F.col("salt"), F.col("user_id").cast("string")))
+    bucket = (
+        (F.instr(F.lit(HEX_DIGITS), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(HEX_DIGITS), F.substring(h, 2, 1)) - 1)
+    )
+    is_t = F.when(bucket < 128, 1).otherwise(0)
+    cells = (
+        a.select("perm", is_t.alias("is_t"), "conv")
+        .groupBy("perm")
+        .agg(
+            F.sum("is_t").cast("bigint").alias("nt"),
+            F.sum(F.col("is_t") * F.col("conv")).cast("bigint").alias("ct"),
+            F.sum(1 - F.col("is_t")).cast("bigint").alias("nc"),
+            F.sum((1 - F.col("is_t")) * F.col("conv"))
+            .cast("bigint")
+            .alias("cc"),
+        )
+    )
+    d = cells.select("perm", F.expr(_PERM_D).alias("d")).localCheckpoint(
+        eager=True
+    )  # two consumers: the observed scalar + the permutation arms
+    obs = d.filter(F.col("perm") == 0).select(F.col("d").alias("d_obs"))
+    cnt = (
+        d.filter(F.col("perm") >= 1)
+        .crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge")
+        )
+    )
+    return cnt.select(
+        F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+        "d_obs",
+        "n_ge",
+        F.expr(_PERM_P).alias("p_value"),
+    )
+
+
 _LPA_ITERS = 4
 
 

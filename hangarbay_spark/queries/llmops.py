@@ -180,6 +180,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+@register(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    post AS (SELECT doc_id, unnest({o_shingles(3)}) AS shingle FROM toks),
+    {O_JACCARD_TAIL}
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter_sz,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 100 * inter >= 70 * (sa.sz + sb.sz - inter)
+    """,
+    "EXACT Jaccard-threshold (t=0.70) near-dup pairs via PREFIX "
+    "FILTERING (Bayardo/Ma/Srikant 2007, the PPJoin candidate "
+    "principle) — the exact-result counterpart of banded LSH: "
+    "shingle vocabulary ordered rarest-first (ranks from the "
+    "distributed TeraSort rank — the vocabulary is never sorted "
+    "through one task), each doc keeps its first m - ceil(t*m) + 1 "
+    "shingles, candidates come only from prefix-to-prefix matches "
+    "(provably lossless at the threshold), and verification counts "
+    "intersections candidate-driven. The threshold compare is pure "
+    "integer arithmetic (100*inter >= 70*union — no float literal to "
+    "parse differently). THE ORACLE IS THE LOSSLESSNESS PROOF: it "
+    "computes the pair set with a FULL postings self-join and no "
+    "prefix pruning, so a hash match certifies the pruning dropped "
+    "nothing on this corpus. At 100 TB the full self-join explodes "
+    "on hot shingles; the prefix join touches only rare-tail "
+    "postings",
+    "dedup extension (prefix-filter exact Jaccard join)",
+)
+def dedup_prefix_filter_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold_pct=70
+    )
+
+
 def _o_minhash_parts() -> tuple[str, str]:
     k, bands = D.DEFAULT_MINHASH_K, D.DEFAULT_BANDS
     rpb = k // bands
@@ -4789,6 +4831,193 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UG_TOPN = 200  # seed-encode vocab size (bounded collect, by contract)
 
 
+def _o_ug_forward(pfx: str, vocab: str) -> str:
+    """CTE text for the unigram Viterbi forward DP: stages
+    d{pfx}0..d{pfx}MAXW over an existing CTE ``words(w)`` against the
+    cost CTE ``vocab(piece, cost)``, ending in seg{pfx}(w, comp) — the
+    min integer composite per word (composite = cost*100000 +
+    100*pieces + unk; the length-1 branch LEFT JOINs the vocab with
+    the UNK fallback so every word segments)."""
+    scale, unk = X._UG_SCALE, X.UNIGRAM_UNK_COST
+    maxw, maxp = X.UNIGRAM_MAXW, X.UNIGRAM_MAXP
+    ctes = [f"d{pfx}0 AS (SELECT w, CAST(0 AS BIGINT) AS comp FROM words)"]
+    for i in range(1, maxw + 1):
+        branches = [
+            f"SELECT d.w, d.comp + COALESCE(v.cost * {scale} + 100, "
+            f"{unk * scale + 101}) AS comp "
+            f"FROM d{pfx}{i - 1} d LEFT JOIN {vocab} v "
+            f"ON len(v.piece) = 1 AND v.piece = substr(d.w, {i}, 1) "
+            f"WHERE len(d.w) >= {i}"
+        ]
+        for L in range(2, min(maxp, i) + 1):
+            branches.append(
+                f"SELECT d.w, d.comp + v.cost * {scale} + 100 AS comp "
+                f"FROM d{pfx}{i - L} d JOIN {vocab} v "
+                f"ON len(v.piece) = {L} "
+                f"AND v.piece = substr(d.w, {i - L + 1}, {L}) "
+                f"WHERE len(d.w) >= {i}"
+            )
+        ctes.append(
+            f"d{pfx}{i} AS MATERIALIZED (SELECT w, MIN(comp) AS comp FROM ("
+            + " UNION ALL ".join(branches)
+            + ") c GROUP BY w)"
+        )
+    seg = " UNION ALL ".join(
+        f"SELECT w, comp FROM d{pfx}{i} WHERE len(w) = {i}"
+        for i in range(1, maxw + 1)
+    )
+    ctes.append(f"seg{pfx} AS MATERIALIZED ({seg})")
+    return ",\n    ".join(ctes)
+
+
+def _o_ug_usage(pfx: str, vocab: str) -> str:
+    """CTE text for the Viterbi E-step piece usage: backtrack the
+    d{pfx}* DP (bl{pfx} = the SMALLEST step length whose predecessor
+    composite + step cost reproduces dp[i] — exactly the kernel's
+    ascending-L strict-< tie rule), walk each word back from len(w)
+    in MAXW unrolled hops emitting the chosen piece per hop, and
+    weight by word count.  Ends in use{pfx}(piece, n) — UNK hops emit
+    pieces outside the vocab and are excluded, as in the kernel."""
+    scale, unk = X._UG_SCALE, X.UNIGRAM_UNK_COST
+    maxw, maxp = X.UNIGRAM_MAXW, X.UNIGRAM_MAXP
+    dpall = " UNION ALL ".join(
+        f"SELECT w, {i} AS i, comp FROM d{pfx}{i}" for i in range(maxw + 1)
+    )
+    cands = [
+        f"SELECT cur.w, cur.i, 1 AS l "
+        f"FROM dpall{pfx} cur "
+        f"JOIN dpall{pfx} prev ON prev.w = cur.w AND prev.i = cur.i - 1 "
+        f"LEFT JOIN {vocab} v "
+        f"ON len(v.piece) = 1 AND v.piece = substr(cur.w, cur.i, 1) "
+        f"WHERE cur.i >= 1 AND prev.comp "
+        f"+ COALESCE(v.cost * {scale} + 100, {unk * scale + 101}) = cur.comp"
+    ]
+    for L in range(2, maxp + 1):
+        cands.append(
+            f"SELECT cur.w, cur.i, {L} AS l "
+            f"FROM dpall{pfx} cur "
+            f"JOIN dpall{pfx} prev ON prev.w = cur.w AND prev.i = cur.i - {L} "
+            f"JOIN {vocab} v ON len(v.piece) = {L} "
+            f"AND v.piece = substr(cur.w, cur.i - {L} + 1, {L}) "
+            f"WHERE cur.i >= {L} AND prev.comp + v.cost * {scale} + 100 "
+            f"= cur.comp"
+        )
+    ctes = [
+        f"dpall{pfx} AS MATERIALIZED ({dpall})",
+        f"bl{pfx} AS MATERIALIZED (SELECT w, i, MIN(l) AS l FROM ("
+        + " UNION ALL ".join(cands)
+        + ") c GROUP BY w, i)",
+        f"wk{pfx}0 AS (SELECT w, len(w) AS pos FROM words)",
+    ]
+    emits = []
+    for k in range(1, maxw + 1):
+        ctes.append(
+            f"wk{pfx}{k} AS (SELECT wk.w, CAST(wk.pos - bl.l AS BIGINT) "
+            f"AS pos FROM wk{pfx}{k - 1} wk "
+            f"JOIN bl{pfx} bl ON bl.w = wk.w AND bl.i = wk.pos "
+            f"WHERE wk.pos > 0)"
+        )
+        emits.append(
+            f"SELECT wk.w, substr(wk.w, CAST(wk.pos - bl.l + 1 AS INT), "
+            f"CAST(bl.l AS INT)) AS piece "
+            f"FROM wk{pfx}{k - 1} wk "
+            f"JOIN bl{pfx} bl ON bl.w = wk.w AND bl.i = wk.pos "
+            f"WHERE wk.pos > 0"
+        )
+    ctes.append(f"pieces{pfx} AS ({' UNION ALL '.join(emits)})")
+    ctes.append(
+        f"use{pfx} AS MATERIALIZED ("
+        f"SELECT p.piece, CAST(SUM(c.c) AS BIGINT) AS n "
+        f"FROM pieces{pfx} p "
+        f"JOIN {vocab} v ON v.piece = p.piece "
+        f"JOIN cnt c ON c.w = p.w GROUP BY 1)"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _o_ug_seed_and_words() -> str:
+    """Shared head CTEs: tokenization, truncated word counts, the
+    substring seed vocabulary (top-300 by weighted count) with integer
+    milli-nat costs, and the distinct word list the DP runs over."""
+    maxw, maxp = X.UNIGRAM_MAXW, X.UNIGRAM_MAXP
+    lens = ",".join(f"({L})" for L in range(1, maxp + 1))
+    return f"""toks AS (SELECT doc_id, unnest({O_TOKENS}) AS w0 FROM documents),
+    tw AS MATERIALIZED (SELECT doc_id, substr(w0, 1, {maxw}) AS w
+           FROM toks WHERE w0 <> ''),
+    cnt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM tw GROUP BY w),
+    starts AS (SELECT w, c, unnest(generate_series(1, len(w))) AS s
+               FROM cnt),
+    subs AS (SELECT substr(st.w, st.s, l.l) AS piece, st.c
+             FROM starts st JOIN (VALUES {lens}) l(l)
+               ON st.s + l.l - 1 <= len(st.w)),
+    vagg AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS wt FROM subs
+             GROUP BY piece),
+    vtop0 AS (SELECT piece, wt FROM vagg
+              ORDER BY wt DESC, piece LIMIT 300),
+    tot0 AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vtop0),
+    vocab0 AS MATERIALIZED (SELECT piece,
+                     CAST(round(-1000 * ln(CAST(wt AS DOUBLE)
+                                           / CAST(t AS DOUBLE)), 0)
+                          AS BIGINT) AS cost
+              FROM vtop0, tot0),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM tw)"""
+
+
+def _o_ug_round(pfx: str, vocab_in: str, keep: int, vocab_out: str) -> str:
+    """One hard-EM round: DP + usage under ``vocab_in``, prune to the
+    top-``keep`` pieces (n desc, piece asc — the kernel's schedule),
+    recompute integer costs from the kept counts -> ``vocab_out``."""
+    return f"""{_o_ug_forward(pfx, vocab_in)},
+    {_o_ug_usage(pfx, vocab_in)},
+    kept{pfx} AS (SELECT piece, n FROM (
+        SELECT piece, n, ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS rn
+        FROM use{pfx}) t
+      WHERE rn <= {keep} AND n > 0),
+    t{pfx} AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM kept{pfx}),
+    {vocab_out} AS MATERIALIZED (SELECT piece,
+        CAST(round(-1000 * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 0)
+             AS BIGINT) AS cost, n
+      FROM kept{pfx}, t{pfx})"""
+
+
+def _o_unigram_train() -> str:
+    """Full train-loop oracle: seed -> two unrolled hard-EM rounds
+    (forward DP + backtrack walk + prune, the r1/r2 keep schedule
+    max(150, 3/4-shrink) = 225 then 168) -> final vocabulary with
+    integer costs, ordered (won desc, piece asc) — replays
+    operators/text.unigram_train(seed_n=300, rounds=2, final_n=150)
+    end to end in SQL."""
+    return f"""
+    WITH {_o_ug_seed_and_words()},
+    {_o_ug_round("r1", "vocab0", 225, "vocab1")},
+    {_o_ug_round("r2", "vocab1", 168, "vocab2")}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS INT) AS rk,
+           piece, cost AS cost_milli, n AS won
+    FROM vocab2
+    """
+
+
+def _o_unigram_encode() -> str:
+    """Trained-apply oracle: the train-loop CTEs produce vocab2, a
+    THIRD forward DP segments every word under it, and per-doc sums
+    decompose the composites — closing the train->apply loop entirely
+    in SQL."""
+    scale = X._UG_SCALE
+    return f"""
+    WITH {_o_ug_seed_and_words()},
+    {_o_ug_round("r1", "vocab0", 225, "vocab1")},
+    {_o_ug_round("r2", "vocab1", 168, "vocab2")},
+    {_o_ug_forward("e", "vocab2")}
+    SELECT t.doc_id,
+           CAST(SUM(s.comp // {scale}) AS BIGINT) AS cost_milli,
+           CAST(SUM((s.comp % {scale}) // 100) AS BIGINT) AS n_pieces,
+           CAST(SUM(s.comp % 100) AS BIGINT) AS n_unk
+    FROM tw t JOIN sege s ON t.w = s.w
+    GROUP BY t.doc_id
+    """
+
+
 def _o_unigram_seed_encode() -> str:
     """Unrolled-DP DuckDB twin of the Viterbi unigram segmentation
     (the graph_bfs_hops / JPEG-marker-walk unrolling discipline): the
@@ -4906,8 +5135,9 @@ def text_unigram_seed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_train",
-    None,  # iterative EM/prune loop has no SQL twin — rows-only;
-    # pinned against the sequential pure-Python reference in tests
+    _o_unigram_train(),  # the full EM/prune loop REPLAYED IN SQL
+    # (unrolled forward DP + backtrack walk per round) — plus the
+    # sequential pure-Python reference pin in tests
     "unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018, "
     "hard-EM variant — VERDICT r7 task #2): corpus -> (word, count) "
     "collapse ONCE, seed vocab from the top-300 weighted substrings, "
@@ -4918,7 +5148,10 @@ def text_unigram_seed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3/4-shrinking vocabulary with costs recomputed — hard (Viterbi) "
     "expectations instead of forward-backward keep every trained "
     "quantity an exact integer, so the loop is deterministic and "
-    "pinnable. Emits the final vocabulary (piece, cost, won weight). "
+    "FULLY ORACLE-VERIFIED: the DuckDB twin replays seed + both EM "
+    "rounds (forward DP, backtrack walk with the same ascending-L "
+    "tie rule, prune schedule) end to end. "
+    "Emits the final vocabulary (piece, cost, won weight). "
     "At 100 TB every post-collapse pass touches vocabulary rows, not "
     "corpus rows (the BPE-train discipline)",
     "text-analysis extension (unigram-LM tokenizer training loop)",
@@ -4934,13 +5167,17 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_encode",
-    None,  # applies the EM-trained vocabulary (no SQL twin of the
-    # training loop) — rows-only; kernel pinned + conservation law in tests
+    _o_unigram_encode(),  # the trained vocabulary re-derives in SQL
+    # (the train-loop CTEs) and a third unrolled DP applies it —
+    # kernel pin + conservation law additionally in tests
     "unigram-LM tokenizer APPLICATION with the EM-TRAINED vocabulary "
     "— closes the train->apply loop the same way text_bpe_encode "
     "closes BPE's: the trained integer cost table rides into the "
     "Arrow Viterbi kernel and every doc returns its piece/UNK/cost "
-    "totals. Invariants pinned in tests: piece char lengths exactly "
+    "totals — FULLY ORACLE-VERIFIED (the DuckDB twin re-trains the "
+    "vocabulary with the unrolled EM CTEs and applies it with a third "
+    "unrolled DP). Invariants additionally pinned in tests: piece "
+    "char lengths exactly "
     "reconstruct each word (conservation), the composite decomposes "
     "as cost*100000 + 100*pieces + unk, kernel == pure-Python "
     "reference per word, and the trained-vocab encode never costs "
@@ -4959,6 +5196,7 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.unigram_encode_kernel(costs),
             "doc_id long, n_pieces long, n_unk long, cost_milli long",
         )
+        .filter(F.col("n_pieces") > 0)  # oracle emits only docs with tokens
     )
 
 

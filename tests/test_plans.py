@@ -286,6 +286,7 @@ BNLJ_ALLOWED = {
     "events_markov_entropy_rate",       # composes two scalar components
     "text_cluster_labels_ctfidf",       # 1-row mean-tokens scalar
     "events_quantile_treatment_effect", # 1-row per-arm quantile scalars
+    "events_permutation_test",          # 1-row observed-statistic scalar
 }
 
 
