@@ -2759,10 +2759,14 @@ def nsw_edges_view(adj: DataFrame, degree: int = NSW_DEGREE) -> DataFrame:
     """Reader-side view of an edge-postings table: dedup (src, dst)
     keeping the best kind/score, trim 'knn' edges to ``degree`` per
     src, keep every 'ring' edge (connectivity must survive append
-    back-links outranking the backbone).  Windows partition by src —
+    back-links outranking the backbone).  The kind-collapse keeps
+    MAX(kind) — 'ring' sorts after 'knn', so a backbone edge that also
+    arrives as a knn back-link stays 'ring' and is exempt from the
+    degree trim (collapsing to 'knn' could drop a bucket-miss node's
+    only guaranteed link; ADVICE r8).  Windows partition by src —
     bounded by construction."""
     d = adj.groupBy("src", "dst").agg(
-        F.max("cos").alias("cos"), F.min("kind").alias("kind")
+        F.max("cos").alias("cos"), F.max("kind").alias("kind")
     )
     w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
     knn = (
@@ -2933,8 +2937,18 @@ def nsw_topk_from_index(
 ) -> DataFrame:
     """Beam search against the PERSISTED edge postings with the
     build's recorded graph parameters (side file — never the
-    module defaults, which may drift)."""
-    meta = _read_side_json(adj_path.rstrip("/") + "_nsw.json") or {}
+    module defaults, which may drift).  A missing side file is an
+    INCOMPLETE artifact and raises (the _read_geometry discipline,
+    hardened per ADVICE r8: defaults here would silently search with
+    the wrong beam/degree)."""
+    sp = adj_path.rstrip("/") + "_nsw.json"
+    meta = _read_side_json(sp)
+    if meta is None:
+        raise FileNotFoundError(
+            f"NSW side file missing at {sp}: the persisted index is "
+            "incomplete — rebuild it (graph parameters must ride with "
+            "the artifact, never module defaults)"
+        )
     return nsw_topk(
         corpus,
         probes,
@@ -2968,9 +2982,20 @@ def nsw_append_to_index(
     degree), plus a 'ring' anchor to the global min id so a new node
     with empty buckets stays reachable.  Ids already in the signature
     table are skipped (idempotent at-least-once, the
-    pq_append_to_index contract).  Returns newly inserted count."""
+    pq_append_to_index contract).  Returns newly inserted count.
+
+    ``corpus`` need not contain the new batch: edge scoring runs
+    against corpus ∪ batch (id-deduped), so a caller passing the OLD
+    corpus cannot silently drop every new-node edge (ADVICE r8)."""
     nbits, bands, seed = _read_geometry(sigs_path)
-    meta = _read_side_json(adj_path.rstrip("/") + "_nsw.json") or {}
+    sp = adj_path.rstrip("/") + "_nsw.json"
+    meta = _read_side_json(sp)
+    if meta is None:
+        raise FileNotFoundError(
+            f"NSW side file missing at {sp}: the persisted index is "
+            "incomplete — rebuild it (graph parameters must ride with "
+            "the artifact, never module defaults)"
+        )
     degree = int(meta.get("degree", NSW_DEGREE))
     old_sigs = spark.read.parquet(sigs_path)
     batch = new.join(
@@ -2979,6 +3004,11 @@ def nsw_append_to_index(
     n_new = batch.count()
     if n_new == 0:
         return 0
+    corpus = (
+        corpus.select(id_col, vec_col)
+        .join(batch.select(id_col), id_col, "left_anti")
+        .unionByName(batch.select(id_col, vec_col))
+    )
     new_sigs = hyperplane_signatures(
         batch, id_col, vec_col, dim, nbits, bands, seed
     ).localCheckpoint(eager=True)

@@ -4540,9 +4540,10 @@ def _o_nsw_incremental() -> str:
     (the dedup_winnow_incremental discipline): the old-corpus graph
     (old-vs-old knn top-degree + old id-ring), the append (per-NEW-node
     top-degree knn over new-vs-all buckets, back-links, min-id ring
-    anchors), then the READER VIEW — dedup (src, dst) keeping min(kind)
-    ('knn' sorts before 'ring'), re-trim knn per src to degree, keep
-    ring — and the same unrolled beam walk.  Beam = the side file's
+    anchors), then the READER VIEW — dedup (src, dst) keeping max(kind)
+    ('ring' sorts after 'knn', so dual-kind edges survive the degree
+    trim; ADVICE r8), re-trim knn per src to degree, keep ring — and
+    the same unrolled beam walk.  Beam = the side file's
     build-time value = GREATEST(16, n_old // 85 + 1)."""
     deg = S.NSW_DEGREE
     cos_sd = _o_cosine("ea.embedding", "eb.embedding")
@@ -4611,7 +4612,7 @@ def _o_nsw_incremental() -> str:
                UNION ALL SELECT * FROM app_knn
                UNION ALL SELECT * FROM anc),
     d AS MATERIALIZED (
-      SELECT src, dst, MAX(cos) AS cos, MIN(kind) AS kind
+      SELECT src, dst, MAX(cos) AS cos, MAX(kind) AS kind
       FROM posted GROUP BY src, dst),
     view_knn AS (SELECT src, dst FROM (
                    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY src

@@ -74,12 +74,16 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a postings subdir, or return an empty typed frame when no
     batch has landed yet (e.g. a stream whose first batch crashed
     before its first append) — an empty Bloom filter is a valid state
-    of the set algebra, not an error."""
-    import os
+    of the set algebra, not an error.  Existence is probed through the
+    Spark reader itself (catching the PATH_NOT_FOUND / schema-inference
+    AnalysisException), not os.path — a local-fs check would misread a
+    populated hdfs://-or-s3:// store as empty (ADVICE r8)."""
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(path):
+    try:
+        return spark.read.parquet(path).distinct()
+    except AnalysisException:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(path).distinct()
 
 
 def read_members(spark: SparkSession, root: str) -> DataFrame:
