@@ -7598,3 +7598,305 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_tf"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (train + corpus-scale apply)
+# ---------------------------------------------------------------------------
+#
+# A DCLM/FineWeb-style LEARNED quality filter distilling the heuristic
+# quality gate (quality_score_expr >= 0.55 — the planted cohort this
+# synthetic corpus actually separates on): logistic regression over 32
+# md5-hashed token-tf buckets + bias + saturated-length, trained by
+# _QC_ROUNDS unrolled rounds of deterministic FULL-BATCH gradient
+# descent (the _o_unigram_train unrolled-EM discipline).  Everything
+# cross-engine-summed is an EXACT INTEGER in micro units (the
+# DECIMAL(38,0) moment rule): features x = tf*1e6 DIV m, labels
+# y in {0, 1e6}, weights in micro units updated by integer-division
+# steps (sign/abs keeps Spark DIV == DuckDB // on the non-negative
+# operand).  The only float op per round is the sigmoid — ONE shared
+# all-DOUBLE formula text rounded to integral micro-p (the ln/BM25
+# 6-dp transcendental guard; a flip needs sigma(z)*1e6 to land exactly
+# on a .5 boundary, impossible for the rational z grid).  Weights are
+# feature-dim-bounded (34 rows — the contract-bounded driver-scalar
+# rule), so each round is ONE map-side-combined corpus pass: per-doc
+# z agg + per-bucket gradient agg, never a driver-side feature matrix.
+# Integer-overflow headroom: |G| <= n*1e12, so the 6*|G| step term
+# stays inside BIGINT through n ~ 1e6 docs per partition-of-training;
+# beyond that shard the training set (the gradient is a sum — shards
+# merge exactly).
+
+_QC_B = 32          # hashed token-feature buckets
+_QC_BIAS = 32       # bias feature id
+_QC_LENF = 33       # saturated-length feature id
+_QC_LR = 6          # integer learning-rate numerator
+_QC_ROUNDS = 6      # fixed full-batch GD rounds
+_QC_THR = 550000    # micro quality-gate threshold (0.55)
+
+# sigmoid in micro units — shared formula text on both engines
+_QC_P = (
+    "CAST(ROUND(CAST(1000000 AS DOUBLE) / (CAST(1 AS DOUBLE) + "
+    "EXP(-(CAST({z} AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))), 0) "
+    "AS BIGINT)"
+)
+
+_O_QUALITY_DOC = f"""
+        0.4 * least(CAST(len({O_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+        + 0.2 * least(((CAST(LENGTH(text) AS DOUBLE)
+                        - (CAST(len({O_TOKENS}) AS DOUBLE) - 1.0))
+                       / CAST(len({O_TOKENS}) AS DOUBLE)) / 8.0, 1.0)
+        + 0.2 * least((CAST(len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS DOUBLE)
+                       / CAST(len({O_TOKENS}) AS DOUBLE)) * 3.0, 1.0)
+        + 0.2 * (1.0 - least((CAST(LENGTH(text)
+                               - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                              / CAST(LENGTH(text) AS DOUBLE)) * 10.0, 1.0))
+"""
+
+
+def _qc_features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(feats, labels): feats = (doc_id, bucket, x) integer micro-tf
+    features (hashed buckets + bias + saturated length), labels =
+    (doc_id, y) with y in {0, 1000000}.  Both localCheckpointed — the
+    GD loop consumes them once per round (multi-consumer invariant)."""
+    tk = docs.select(
+        "doc_id",
+        X.tokens_expr("text").alias("t"),
+        F.when(
+            X.quality_score_expr("text") >= F.lit(0.55),
+            F.lit(1000000),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint()
+    tf = (
+        tk.select("doc_id", F.size("t").alias("m"), F.explode("t").alias("tok"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) "
+                f"% {_QC_B}"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.expr(
+                "(COUNT(*) * CAST(1000000 AS BIGINT)) DIV MIN(m)"
+            ).alias("x")
+        )
+    )
+    feats = (
+        tf.unionByName(
+            tk.select(
+                "doc_id",
+                F.lit(_QC_BIAS).cast("bigint").alias("bucket"),
+                F.lit(1000000).cast("bigint").alias("x"),
+            )
+        )
+        .unionByName(
+            tk.select(
+                "doc_id",
+                F.lit(_QC_LENF).cast("bigint").alias("bucket"),
+                F.expr(
+                    "CAST(LEAST(size(t), 100) * 10000 AS BIGINT)"
+                ).alias("x"),
+            )
+        )
+        .localCheckpoint()
+    )
+    return feats, tk.select("doc_id", "y").localCheckpoint()
+
+
+def _qc_train(feats: DataFrame, labels: DataFrame, n: int) -> dict[int, int]:
+    """Fixed-round full-batch GD; returns the final micro-weight per
+    feature id.  Weights live driver-side (34 values, contract-bounded)
+    as exact Python ints — the update is the SAME integer formula the
+    oracle runs (`sign(G) * (lr*|G|) // (n*1e6)`, floor == truncate on
+    the non-negative operand)."""
+    spark = feats.sparkSession
+    w = {b: 0 for b in range(_QC_B + 2)}
+    for _ in range(_QC_ROUNDS):
+        wdf = spark.createDataFrame(
+            [(b, wv) for b, wv in w.items()], "bucket bigint, w bigint"
+        )
+        z = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("z")
+            )
+        )
+        p = z.select("doc_id", F.expr(_QC_P.format(z="z")).alias("p"))
+        grad = (
+            feats.join(p.join(labels, "doc_id"), "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST((p - y) * x AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("g")
+            )
+        )
+        for row in grad.collect():  # bounded: <= 34 feature cells
+            gv = row["g"]
+            b = int(row["bucket"])
+            step = (1 if gv >= 0 else -1) * (
+                (_QC_LR * abs(gv)) // (n * 1000000)
+            )
+            w[b] = w[b] - step
+    return w
+
+
+def _o_qc_chain() -> str:
+    """The shared oracle CTE chain: features, labels, and the unrolled
+    GD rounds ending in CTE ``w{_QC_ROUNDS}`` = (bucket, w)."""
+    p_txt = _QC_P.format(z="z")
+    parts = [
+        f"""tk AS MATERIALIZED (
+      SELECT doc_id, {O_TOKENS} AS t FROM documents),
+    lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN {_O_QUALITY_DOC} >= CAST(0.55 AS DOUBLE)
+                  THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (SELECT doc_id, len(t) AS m, unnest(t) AS tok FROM tk),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {_QC_B}
+               AS bucket,
+             (COUNT(*) * CAST(1000000 AS BIGINT)) // MIN(m) AS x
+      FROM tok GROUP BY 1, 2),
+    feats AS MATERIALIZED (
+      SELECT doc_id, bucket, CAST(x AS BIGINT) AS x FROM tf
+      UNION ALL
+      SELECT doc_id, CAST({_QC_BIAS} AS BIGINT),
+             CAST(1000000 AS BIGINT) FROM tk
+      UNION ALL
+      SELECT doc_id, CAST({_QC_LENF} AS BIGINT),
+             CAST(LEAST(len(t), 100) * 10000 AS BIGINT) FROM tk),
+    w0 AS (SELECT CAST(r AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+           FROM range({_QC_B + 2}) s(r))"""
+    ]
+    for r in range(1, _QC_ROUNDS + 1):
+        parts.append(f"""z{r} AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{r - 1} w USING (bucket) GROUP BY f.doc_id),
+    p{r} AS (SELECT doc_id, {p_txt} AS p FROM z{r}),
+    g{r} AS (
+      SELECT f.bucket,
+             CAST(SUM(CAST((p.p - l.y) * f.x AS DECIMAL(38,0))) AS BIGINT)
+               AS g
+      FROM feats f JOIN p{r} p USING (doc_id) JOIN lab l USING (doc_id)
+      GROUP BY f.bucket),
+    w{r} AS (
+      SELECT w.bucket,
+             w.w - CAST(SIGN(COALESCE(g.g, 0)) AS BIGINT)
+                   * (({_QC_LR} * ABS(COALESCE(g.g, 0)))
+                      // ((SELECT n FROM nn) * 1000000)) AS w
+      FROM w{r - 1} w LEFT JOIN g{r} g USING (bucket))""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "quality_classifier_train",
+    f"""
+    WITH {_o_qc_chain()}
+    SELECT bucket, w AS w_micro FROM w{_QC_ROUNDS} ORDER BY bucket
+    """,
+    "TRAINED quality classifier, train step: logistic regression over "
+    "32 md5-hashed token-tf buckets + bias + saturated-length, "
+    f"distilling the heuristic quality gate (score >= 0.55) by "
+    f"{_QC_ROUNDS} deterministic full-batch GD rounds. All "
+    "cross-engine sums are exact integers in micro units (features "
+    "tf*1e6 DIV m, labels {{0,1e6}}, integer-division weight steps); "
+    "the sigmoid is one shared all-DOUBLE text rounded to micro-p. "
+    "Weights are feature-dim-bounded (34 rows) so each round is one "
+    "map-side-combined corpus pass — no driver-side feature matrix, "
+    "the corpus is touched 2x per round at any SF",
+    "LLM-pipeline extension (trained quality filter, train)",
+)
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats, labels = _qc_features(docs)
+    w = _qc_train(feats, labels, labels.count())
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket bigint, w_micro bigint"
+    ).orderBy("bucket")
+
+
+@register(
+    "quality_classifier_apply",
+    f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    pred AS (
+      SELECT sc.doc_id,
+             {_QC_P.format(z="z")} AS p,
+             l.y // 1000000 AS y_label
+      FROM sc JOIN lab l USING (doc_id))
+    SELECT y_label,
+           CASE WHEN p >= 500000 THEN 1 ELSE 0 END AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "TRAINED quality classifier, corpus-scale apply: re-derives the "
+    "trained micro-weights (same chain as quality_classifier_train), "
+    "scores EVERY document with the broadcast 34-row model (one "
+    "map-side-combined pass), and emits the confusion matrix against "
+    "the heuristic-gate labels with per-cell mean predicted "
+    "probability — the distillation scorecard. Output is 4 bounded "
+    "cells regardless of corpus size",
+    "LLM-pipeline extension (trained quality filter, apply)",
+)
+def quality_classifier_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats, labels = _qc_features(docs)
+    w = _qc_train(feats, labels, labels.count())
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, w bigint"
+        )
+    )
+    z = (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("z")
+        )
+    )
+    pred = z.join(labels, "doc_id").select(
+        F.expr("y DIV 1000000").alias("y_label"),
+        F.expr(_QC_P.format(z="z")).alias("p"),
+    )
+    return (
+        pred.select(
+            "y_label",
+            F.expr("CASE WHEN p >= 500000 THEN 1 ELSE 0 END").alias("pred"),
+            "p",
+        )
+        .groupBy("y_label", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("mean_p"),
+        )
+        .orderBy("y_label", "pred")
+    )

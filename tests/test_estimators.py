@@ -1484,3 +1484,29 @@ def test_hll_sliding_distinct_accuracy(spark):
         "SELECT COUNT(DISTINCT date_trunc('hour', ts)) FROM events"
     )[0][0]
     assert len(rows) == hours
+
+
+def test_quality_classifier_learns_and_calibrates(spark):
+    """The trained quality filter must actually LEARN: accuracy on the
+    distillation labels beats the majority-class baseline by a wide
+    margin, the confusion matrix covers the corpus exactly once, and
+    the per-cell mean probabilities are rank-consistent with the
+    predicted class (predicted-positive cells score above
+    predicted-negative ones within each true label)."""
+    rows = _rows("quality_classifier_apply", spark)
+    total = sum(n for _, _, n, _ in rows)
+    n_docs = _duck("SELECT COUNT(*) FROM documents")[0][0]
+    assert total == n_docs
+    correct = sum(n for y, p, n, _ in rows if y == p)
+    pos = sum(n for y, _, n, _ in rows if y == 1)
+    majority = max(pos, total - pos) / total
+    assert correct / total >= majority + 0.10
+    assert correct / total >= 0.90
+    mp = {(y, p): m for y, p, _, m in rows}
+    for y in (0, 1):
+        if (y, 0) in mp and (y, 1) in mp:
+            assert mp[(y, 1)] > mp[(y, 0)]
+    # the trained weight vector is feature-dim-bounded and non-trivial
+    w = _rows("quality_classifier_train", spark)
+    assert len(w) == 34
+    assert any(v != 0 for _, v in w)
