@@ -1323,3 +1323,126 @@ def fts_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.proximity_topk(
         idx, PROX_TERMS[0], PROX_TERMS[1], "doc_id", k=15
     )
+
+
+# --- multimodal perceptual near-dup (BMP dHash) ------------------------------
+# Payload synthesis (shared SQL text — evaluated by BOTH engines so the
+# bytes are identical): honest 9x8 24bpp bottom-up BMPs whose grayscale
+# rows come from md5 hex of a FAMILY key (family = doc_id DIV 4), with
+# members m in 1..3 perturbing exactly one pixel ((row m, col 0) ->
+# 0xff). A perturbed pixel at column 0 touches only dHash bit (m, 0),
+# so within-family Hamming distances are <= 2 — inside the d<=3
+# pigeonhole guarantee — while cross-family fingerprints differ in ~32
+# bits. Division is (doc_id - doc_id % 4) / 4 (exact-integer double on
+# both engines), never DIV-vs-// drift.
+
+
+def _mm_bmp_payload_sql() -> str:
+    import struct
+
+    w, h = 9, 8
+    rowsz = (w * 3 + 3) // 4 * 4
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + rowsz * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rowsz * h, 0, 0, 0, 0
+        )
+    )
+    fam = "CAST(CAST((doc_id - (doc_id % 4)) / 4 AS BIGINT) AS STRING)"
+    rows = []
+    for r_file in range(h):  # file order is bottom-up
+        r = h - 1 - r_file
+        terms = []
+        for c in range(w):
+            base = f"substr(md5({fam} || '-{r}'), {2 * c + 1}, 2)"
+            if c == 0 and 1 <= r <= 3:
+                base = (
+                    f"CASE WHEN (doc_id % 4) = {r} THEN 'ff' "
+                    f"ELSE {base} END"
+                )
+            terms.append(f"repeat({base}, 3)")
+        rows.append(" || ".join(terms) + " || '00'")
+    body = " || ".join(rows)
+    return f"unhex('{hdr.hex()}' || {body})"
+
+
+def _o_multimodal_near_dup(max_hamming: int = 3) -> str:
+    # dHash bit (r, c) reads gray bytes (r, c) and (r, c+1); in hex
+    # coordinates of the whole file: byte k sits at substr position
+    # k*2+1, and pixel (r, c)'s blue byte is k = 54 + (7-r)*28 + c*3
+    # (bottom-up rows, 28-byte padded rows) -> pos = 109+(7-r)*56+c*6.
+    block_rows = "\n      UNION ALL ".join(
+        f"SELECT media_id, {j} AS blk, w{j} AS val FROM fp" for j in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(CAST(xor(fa.w{j}, fb.w{j}) AS BIGINT))" for j in range(4)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      {_mm_bmp_payload_sql()} AS payload
+               FROM documents),
+    hx AS MATERIALIZED (SELECT media_id, hex(payload) AS h FROM m),
+    bits AS (
+      SELECT media_id, r, c,
+             CASE WHEN CAST('0x' || substr(h, 109 + (7 - r) * 56 + c * 6, 2)
+                            AS BIGINT)
+                     < CAST('0x' || substr(h, 115 + (7 - r) * 56 + c * 6, 2)
+                            AS BIGINT)
+                  THEN 1 ELSE 0 END AS bit
+      FROM hx, generate_series(0, 7) rs(r), generate_series(0, 7) cs(c)),
+    fp AS MATERIALIZED (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN (r * 8 + c) // 16 = 0
+                           THEN bit * (1 << ((r * 8 + c) % 16))
+                           ELSE 0 END) AS INT) AS w0,
+             CAST(SUM(CASE WHEN (r * 8 + c) // 16 = 1
+                           THEN bit * (1 << ((r * 8 + c) % 16))
+                           ELSE 0 END) AS INT) AS w1,
+             CAST(SUM(CASE WHEN (r * 8 + c) // 16 = 2
+                           THEN bit * (1 << ((r * 8 + c) % 16))
+                           ELSE 0 END) AS INT) AS w2,
+             CAST(SUM(CASE WHEN (r * 8 + c) // 16 = 3
+                           THEN bit * (1 << ((r * 8 + c) % 16))
+                           ELSE 0 END) AS INT) AS w3
+      FROM bits GROUP BY media_id),
+    blocks AS ({block_rows}),
+    cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+             FROM blocks a JOIN blocks b
+               ON a.blk = b.blk AND a.val = b.val
+              AND a.media_id < b.media_id)
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.media_id = id_a
+    JOIN fp fb ON fb.media_id = id_b
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@register(
+    "multimodal_near_dup",
+    _o_multimodal_near_dup(3),
+    "multimodal PERCEPTUAL near-dup over decodable image payloads: "
+    "honest 24bpp BMP parse (pixel offset/width/height/padding from "
+    "the real headers) -> dHash difference fingerprints (64 bits as "
+    "four 16-bit words) via an Arrow mapInPandas kernel, then the "
+    "SimHash block-pigeonhole machinery verbatim: candidates from a "
+    "(block, value) equi-join, popcount verification on candidates "
+    "only. Closes the gap between payload-EXACT dedup (sha256) and "
+    "text near-dup — pixels nearly match even when bytes differ. "
+    "Oracle replays the pixel walk in hex-string coordinates (the "
+    "JPEG SOF-walk discipline), certifying the kernel bit-for-bit",
+    "multimodal extension (perceptual-hash near-dup)",
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hangarbay_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_mm_bmp_payload_sql()).alias("payload"),
+    )
+    fp = M.bmp_dhash_fingerprints(media)
+    return DD.simhash_pairs_from_fingerprints(
+        fp, "media_id", max_hamming=3
+    )

@@ -3492,3 +3492,46 @@ def test_embedding_drift_monitor_behaves(spark):
         if q:
             jsd += 0.5 * q * math.log(q / m)
     assert jsd > base["jsd"]
+
+
+def test_multimodal_near_dup_planted_recall(spark):
+    """The perceptual-hash search must recover EVERY planted family
+    pair: members of a doc_id-DIV-4 family share a base image and
+    differ by at most one perturbed pixel each, so all within-family
+    pairs sit at Hamming <= 2 — inside the d<=3 pigeonhole guarantee.
+    Also pins the kernel against a pure-Python struct-level dHash
+    (the JPEG struct.pack discipline)."""
+    import hashlib as _h
+
+    import numpy as _np
+
+    from hangarbay_spark.queries.base import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["multimodal_near_dup"].fn(spark, sf).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    n = spark.read.parquet(f"{sf}/documents.parquet").count()
+
+    def fp(doc_id: int) -> list[int]:
+        fam, m = doc_id // 4, doc_id % 4
+        gray = _np.zeros((8, 9), dtype=_np.int64)
+        for r in range(8):
+            hx = _h.md5(f"{fam}-{r}".encode()).hexdigest()
+            gray[r] = [int(hx[2 * c : 2 * c + 2], 16) for c in range(9)]
+        if m > 0:
+            gray[m, 0] = 0xFF
+        bits = (gray[:, :-1] < gray[:, 1:]).astype(int).flatten()
+        return [
+            int(sum(b << i for i, b in enumerate(bits[j * 16 : j * 16 + 16])))
+            for j in range(4)
+        ]
+
+    for fam_start in range(0, n, 4):
+        members = list(range(fam_start, min(fam_start + 4, n)))
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                ham = sum(
+                    bin(x ^ y).count("1") for x, y in zip(fp(a), fp(b))
+                )
+                assert ham <= 2
+                assert got.get((a, b)) == ham, (a, b, ham, got.get((a, b)))
