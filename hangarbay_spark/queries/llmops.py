@@ -7801,6 +7801,23 @@ def _o_qc_chain() -> str:
     return ",\n    ".join(parts)
 
 
+_QC_WEIGHTS: dict[str, dict[int, int]] = {}
+
+
+def _qc_weights_for(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """Train once per corpus per process (the _SIMHASH_FP_PATHS
+    module-cache precedent — train and apply share the model, and the
+    suite/bench would otherwise pay the 6-round GD twice)."""
+    w = _QC_WEIGHTS.get(sf_dir)
+    if w is None:
+        feats, labels = _qc_features(
+            load_table(spark, sf_dir, "documents")
+        )
+        w = _qc_train(feats, labels, labels.count())
+        _QC_WEIGHTS[sf_dir] = w
+    return w
+
+
 @register(
     "quality_classifier_train",
     f"""
@@ -7822,9 +7839,7 @@ def _o_qc_chain() -> str:
 def quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    feats, labels = _qc_features(docs)
-    w = _qc_train(feats, labels, labels.count())
+    w = _qc_weights_for(spark, sf_dir)
     return spark.createDataFrame(
         sorted(w.items()), "bucket bigint, w_micro bigint"
     ).orderBy("bucket")
@@ -7865,7 +7880,7 @@ def quality_classifier_apply(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats, labels = _qc_features(docs)
-    w = _qc_train(feats, labels, labels.count())
+    w = _qc_weights_for(spark, sf_dir)
     wdf = F.broadcast(
         spark.createDataFrame(
             sorted(w.items()), "bucket bigint, w bigint"

@@ -14,6 +14,10 @@ import pytest
 from hangarbay_spark.queries import REGISTRY
 from hangarbay_spark.queries.compare import compare_query, duckdb_connection
 
+# The slow gate: deselect with `-m "not oracle"` for the fast dev loop;
+# the full suite (no -m) still runs everything — zero skips either way.
+pytestmark = pytest.mark.oracle
+
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
