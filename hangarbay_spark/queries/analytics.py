@@ -1574,6 +1574,9 @@ _PLC_SEEDS = 3
 
 def _o_path_load() -> str:
     """Unrolled Brandes-style oracle: forward levels l{k} carry exact
+    (all levels MATERIALIZED — DuckDB otherwise inlines the
+    multi-referenced a{k}/l{k} chains and the expansion goes
+    superlinear: 144 s -> 0.8 s at sf0.01, identical rows)
     shortest-path counts sigma (sum over level-(k-1) predecessors),
     backward levels c{k} carry tail counts (1 + sum over level-(k+1)
     successors) — the same two sweeps the Spark loops run."""
@@ -1588,7 +1591,7 @@ def _o_path_load() -> str:
     ]
     for k in range(1, _PLC_HOPS + 1):
         ctes.append(
-            f"l{k} AS (SELECT seed, node, {k} AS dist, sigma FROM ("
+            f"l{k} AS MATERIALIZED (SELECT seed, node, {k} AS dist, sigma FROM ("
             f"SELECT p.seed AS seed, u.dst AS node, "
             f"CAST(SUM(p.sigma) AS BIGINT) AS sigma "
             f"FROM und u JOIN l{k - 1} p ON u.src = p.node "
@@ -1597,16 +1600,16 @@ def _o_path_load() -> str:
             f"GROUP BY 1, 2) t)"
         )
         ctes.append(
-            f"a{k} AS (SELECT seed, node FROM a{k - 1} "
+            f"a{k} AS MATERIALIZED (SELECT seed, node FROM a{k - 1} "
             f"UNION ALL SELECT seed, node FROM l{k})"
         )
     ctes.append(
-        f"c{_PLC_HOPS} AS (SELECT seed, node, CAST(1 AS BIGINT) AS c "
+        f"c{_PLC_HOPS} AS MATERIALIZED (SELECT seed, node, CAST(1 AS BIGINT) AS c "
         f"FROM l{_PLC_HOPS})"
     )
     for k in range(_PLC_HOPS - 1, -1, -1):
         ctes.append(
-            f"c{k} AS (SELECT v.seed, v.node, "
+            f"c{k} AS MATERIALIZED (SELECT v.seed, v.node, "
             f"CAST(1 + COALESCE(SUM(c.c), 0) AS BIGINT) AS c "
             f"FROM l{k} v "
             f"LEFT JOIN und u ON u.src = v.node "

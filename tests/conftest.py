@@ -13,6 +13,10 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(
-        app_name="hangarbay_spark_tests", master="local[8]", shuffle_partitions="8"
+        app_name="hangarbay_spark_tests",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
+        shuffle_partitions=os.environ.get(
+            "SPARK_GRAFT_TEST_SHUFFLE", "8"
+        ),
     )
     yield spark
