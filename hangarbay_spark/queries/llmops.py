@@ -8049,3 +8049,104 @@ def quality_classifier_source_yield(
         )
         .orderBy("source")
     )
+
+
+def _o_classifier_gated_pipeline() -> str:
+    from hangarbay_spark.operators.sampling import o_hash_bucket
+
+    return f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    gate AS (
+      SELECT sc.doc_id, {_QC_P.format(z="z")} AS p
+      FROM sc WHERE {_QC_P.format(z="z")} >= 500000),
+    fpk AS (
+      SELECT g.doc_id, g.p, md5({O_NORM}) AS fp
+      FROM gate g JOIN documents USING (doc_id)),
+    surv AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fpk) t WHERE rn = 1),
+    sp AS (
+      SELECT CASE WHEN {o_hash_bucket("doc_id")} < 204 THEN 'train'
+                  WHEN {o_hash_bucket("doc_id")} < 229 THEN 'val'
+                  ELSE 'test' END AS split,
+             p
+      FROM surv)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p
+    FROM sp GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "pipeline_classifier_gated_corpus",
+    _o_classifier_gated_pipeline(),
+    "the LEARNED-filter curation pipeline end-to-end: trained quality "
+    "classifier gate (p >= 0.5) -> exact dedup over the survivors "
+    "(whitespace-normalized md5 fingerprint, keep min doc id) -> "
+    "deterministic content-hash train/val/test split, with per-split "
+    "counts and mean predicted quality. The DCLM/FineWeb-shaped "
+    "composition: classifier scoring is one broadcast-model pass, "
+    "dedup shuffles digests only, the split is hash-stable across "
+    "runs and incremental loads — the whole DAG is three narrow "
+    "shuffles at any SF",
+    "LLM-pipeline extension (classifier-gated curation pipeline)",
+)
+def pipeline_classifier_gated_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.sampling import split_expr
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats, _labels = _qc_features(docs)
+    w = _qc_weights_for(spark, sf_dir)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, w bigint"
+        )
+    )
+    z = (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("z")
+        )
+    )
+    gate = z.select(
+        "doc_id", F.expr(_QC_P.format(z="z")).alias("p")
+    ).filter(F.col("p") >= 500000)
+    fpk = gate.join(
+        docs.select("doc_id", X.fingerprint_expr("text").alias("fp")),
+        "doc_id",
+    )
+    surv = (
+        fpk.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "p")
+    )
+    return (
+        surv.select(split_expr("doc_id").alias("split"), "p")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("mean_p"),
+        )
+        .orderBy("split")
+    )

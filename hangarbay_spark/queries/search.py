@@ -1446,3 +1446,60 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs_from_fingerprints(
         fp, "media_id", max_hamming=3
     )
+
+
+def _o_multimodal_near_dup_clusters() -> str:
+    """Recursive-CTE closure over the perceptual-hash pair set — the
+    cluster-level variant every near-dup family ships (the
+    _o_semantic_dedup shape): reachability -> min-label clusters ->
+    per-cluster member counts."""
+    # reuse the pair chain up to the verified pair set
+    pair_sql = _o_multimodal_near_dup(3)
+    head, tail = pair_sql.split("SELECT id_a, id_b,", 1)
+    body = "SELECT id_a, id_b," + tail
+    return f"""{head.replace("WITH m AS", "WITH RECURSIVE m AS", 1)}
+    , vp AS MATERIALIZED ({body}),
+    eg AS (SELECT id_a AS s, id_b AS d FROM vp
+           UNION SELECT id_b, id_a FROM vp),
+    reach AS (SELECT s AS id, d AS r FROM eg
+              UNION
+              SELECT reach.id, eg.d FROM reach JOIN eg ON reach.r = eg.s),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id)
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY cluster
+    ORDER BY n_members DESC, cluster LIMIT 25
+    """
+
+
+@register(
+    "multimodal_near_dup_clusters",
+    _o_multimodal_near_dup_clusters(),
+    "cluster-level variant of the perceptual-hash near-dup search "
+    "(the pair-enumeration alternative every near-dup family ships): "
+    "connected components over the Hamming<=3 dHash pairs, min-label "
+    "cluster ids, member counts — the groups a dedup pass keeps one "
+    "representative from. Oracle replays pixels -> fingerprints -> "
+    "pairs -> recursive reachability closure",
+    "multimodal extension (perceptual near-dup clusters)",
+)
+def multimodal_near_dup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_mm_bmp_payload_sql()).alias("payload"),
+    )
+    fp = M.bmp_dhash_fingerprints(media)
+    pairs = DD.simhash_pairs_from_fingerprints(fp, "media_id", max_hamming=3)
+    comp = DD.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(F.col("cluster").cast("bigint").alias("cluster"), "n_members")
+        .orderBy(F.desc("n_members"), "cluster")
+        .limit(25)
+    )
