@@ -307,6 +307,19 @@ def test_registry_wide_no_unbounded_nested_loops(spark, name):
 # audited executedPlan Exchange totals at sf0.01; a regression above
 # the bound means a consumer started re-deriving a shared subtree.
 EXCHANGE_BOUNDS = {
+    # trained quality classifier family (r9): scoring is one broadcast
+    # 34-row model join over the checkpointed feature postings — the
+    # exchanges are the per-doc z agg + the bounded output rollups. A
+    # regression above these bounds means the feature subtree is being
+    # recomputed per consumer or the model join stopped broadcasting.
+    "quality_classifier_apply": 5,
+    "quality_classifier_uncertainty": 3,
+    "quality_classifier_source_yield": 5,
+    "pipeline_classifier_gated_corpus": 7,
+    # perceptual-hash near-dup (r9): fingerprint kernel feeds the
+    # block-pigeonhole join; clusters add only checkpointed CC rounds.
+    "multimodal_near_dup": 5,
+    "multimodal_near_dup_clusters": 2,
     "events_scd2_user_tier": 1,
     "events_ab_test_ztest": 1,
     "events_markov_transitions": 3,
