@@ -8150,3 +8150,171 @@ def pipeline_classifier_gated_corpus(
         )
         .orderBy("split")
     )
+
+
+@register(
+    "quality_classifier_calibration",
+    f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    pr AS (
+      SELECT sc.doc_id, {_QC_P.format(z="z")} AS p,
+             l.y // 1000000 AS y
+      FROM sc JOIN lab l USING (doc_id)),
+    bins AS (
+      SELECT LEAST(p // 100000, 9) AS bin, p, y FROM pr)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p,
+           ROUND(CAST(SUM(y) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos,
+           ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+                     - CAST(SUM(y) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)), 6) AS gap
+    FROM bins GROUP BY bin ORDER BY bin
+    """,
+    "reliability diagram for the trained quality classifier: predicted "
+    "probabilities bucketed into 10 fixed micro-unit bins (integer "
+    "p DIV 100k — no float binning), per-bin mean prediction vs "
+    "empirical positive rate and their absolute gap (the per-bin "
+    "calibration error that sums to ECE). Exact integer bin counts; "
+    "the two rates are shared all-DOUBLE texts over exact sums — the "
+    "audit that decides whether classifier scores can be used as "
+    "sampling WEIGHTS rather than a hard gate",
+    "LLM-pipeline extension (trained quality filter, calibration)",
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats, labels = _qc_features(docs)
+    w = _qc_weights_for(spark, sf_dir)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, w bigint"
+        )
+    )
+    z = (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("z")
+        )
+    )
+    pr = z.join(labels, "doc_id").select(
+        F.expr(_QC_P.format(z="z")).alias("p"),
+        F.expr("y DIV 1000000").alias("y"),
+    )
+    return (
+        pr.select(F.expr("LEAST(p DIV 100000, 9)").alias("bin"), "p", "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("mean_p"),
+            F.expr(
+                "ROUND(CAST(SUM(y) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("frac_pos"),
+            F.expr(
+                "ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0"
+                " - CAST(SUM(y) AS DOUBLE)"
+                "   / CAST(COUNT(*) AS DOUBLE)), 6)"
+            ).alias("gap"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_docs",
+            "mean_p",
+            "frac_pos",
+            "gap",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "quality_classifier_disagreements",
+    f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    pr AS (
+      SELECT sc.doc_id, {_QC_P.format(z="z")} AS p,
+             l.y // 1000000 AS y
+      FROM sc JOIN lab l USING (doc_id)),
+    wrong AS (
+      SELECT doc_id, p, y,
+             CASE WHEN y = 1 THEN 1000000 - p ELSE p END AS conf_wrong
+      FROM pr
+      WHERE (y = 1 AND p < 500000) OR (y = 0 AND p >= 500000))
+    SELECT doc_id, p, CAST(y AS BIGINT) AS y_label,
+           conf_wrong
+    FROM wrong
+    ORDER BY conf_wrong DESC, doc_id LIMIT 20
+    """,
+    "hard-disagreement mining over the trained quality classifier: "
+    "the 20 documents where the model contradicts the heuristic gate "
+    "MOST confidently (confidence-of-wrong = p for false-keeps, 1-p "
+    "for false-drops). In a real curation loop these are "
+    "simultaneously the label-noise audit (the heuristic may be wrong "
+    "here) and the hard-negative pool the next training round mines. "
+    "One broadcast-model pass + TakeOrdered top-k; exact integer "
+    "confidence, no float ordering",
+    "LLM-pipeline extension (trained quality filter, disagreement "
+    "mining)",
+)
+def quality_classifier_disagreements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats, labels = _qc_features(docs)
+    w = _qc_weights_for(spark, sf_dir)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, w bigint"
+        )
+    )
+    z = (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("z")
+        )
+    )
+    pr = z.join(labels, "doc_id").select(
+        "doc_id",
+        F.expr(_QC_P.format(z="z")).alias("p"),
+        F.expr("y DIV 1000000").alias("y"),
+    )
+    return (
+        pr.filter(
+            "(y = 1 AND p < 500000) OR (y = 0 AND p >= 500000)"
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.col("y").cast("bigint").alias("y_label"),
+            F.expr(
+                "CASE WHEN y = 1 THEN 1000000 - p ELSE p END"
+            ).alias("conf_wrong"),
+        )
+        .orderBy(F.desc("conf_wrong"), "doc_id")
+        .limit(20)
+    )

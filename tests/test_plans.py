@@ -313,6 +313,8 @@ EXCHANGE_BOUNDS = {
     # regression above these bounds means the feature subtree is being
     # recomputed per consumer or the model join stopped broadcasting.
     "quality_classifier_apply": 5,
+    "quality_classifier_calibration": 5,
+    "quality_classifier_disagreements": 3,
     "quality_classifier_uncertainty": 3,
     "quality_classifier_source_yield": 5,
     "pipeline_classifier_gated_corpus": 7,
