@@ -66,6 +66,7 @@ ARTIFACTS = {
     "winnow_fps": "winnow_fps.parquet",
     "nsw_adj": "nsw_adj.parquet",
     "nsw_sigs": "nsw_sigs.parquet",
+    "quality_model": "quality_model.parquet",
 }
 
 # corpus tables the artifacts are derived from: the staleness scope.
@@ -316,6 +317,39 @@ def ensure_nsw_index(
     return adj_path, sigs_path
 
 
+def ensure_quality_model(spark: SparkSession, corpus_dir: str) -> str:
+    """Trained quality-classifier model (34 micro-weight rows) as a
+    durable artifact: train once at publish time, score forever — the
+    deployment shape of quality_classifier_apply and the model the
+    streaming admission maintenance broadcasts per micro-batch.
+    Training hyperparameters ride in a side file (the persisted-
+    geometry rule: readers derive them from the artifact, never the
+    module defaults)."""
+    from hangarbay_spark.operators import classifier as C
+
+    path = artifact_path(corpus_dir, "quality_model")
+    if not _is_built(path):
+        docs = load_table(spark, corpus_dir, "documents")
+        feats, labels = C.qc_features(docs)
+        w = C.qc_train(feats, labels, labels.count())
+        C.weights_df(spark, w).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        Path(path.rstrip("/") + "_model.json").write_text(
+            json.dumps(
+                {
+                    "buckets": C.QC_B,
+                    "bias": C.QC_BIAS,
+                    "len_feature": C.QC_LENF,
+                    "lr": C.QC_LR,
+                    "rounds": C.QC_ROUNDS,
+                    "threshold_micro": C.QC_THR,
+                }
+            )
+        )
+    return path
+
+
 def ensure_winnow_index(spark: SparkSession, corpus_dir: str) -> str:
     """Persisted winnowing fingerprint table over the NON-BATCH
     documents (doc_id % 10 != 0 — the incremental demo's frozen
@@ -393,6 +427,7 @@ def publish_corpus_indexes(
         ensure_ivfpq_residual_index(spark, corpus_dir)
         ensure_winnow_index(spark, corpus_dir)
         ensure_nsw_index(spark, corpus_dir)
+        ensure_quality_model(spark, corpus_dir)
         ensure_quantized_table(spark, corpus_dir)
         ensure_events_partitioned(spark, corpus_dir)
         root = Path(index_root(corpus_dir))
@@ -420,6 +455,8 @@ def publish_corpus_indexes(
                 "nsw_beam": S.NSW_BEAM,
                 "nsw_rounds": S.NSW_ROUNDS,
                 "nsw_entries": S.NSW_ENTRIES,
+                "qc_buckets": 32,
+                "qc_gd_rounds": 6,
             },
             "elapsed_sec": round(time.time() - t0, 2),
         }

@@ -7629,18 +7629,16 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond that shard the training set (the gradient is a sum — shards
 # merge exactly).
 
-_QC_B = 32          # hashed token-feature buckets
-_QC_BIAS = 32       # bias feature id
-_QC_LENF = 33       # saturated-length feature id
-_QC_LR = 6          # integer learning-rate numerator
-_QC_ROUNDS = 6      # fixed full-batch GD rounds
-_QC_THR = 550000    # micro quality-gate threshold (0.55)
-
-# sigmoid in micro units — shared formula text on both engines
-_QC_P = (
-    "CAST(ROUND(CAST(1000000 AS DOUBLE) / (CAST(1 AS DOUBLE) + "
-    "EXP(-(CAST({z} AS DOUBLE) / CAST(1000000000000 AS DOUBLE)))), 0) "
-    "AS BIGINT)"
+from hangarbay_spark.operators.classifier import (  # noqa: E402
+    QC_B as _QC_B,
+    QC_BIAS as _QC_BIAS,
+    QC_LENF as _QC_LENF,
+    QC_LR as _QC_LR,
+    QC_P as _QC_P,
+    QC_ROUNDS as _QC_ROUNDS,
+    QC_THR as _QC_THR,
+    qc_features as _qc_features,
+    qc_train as _qc_train,
 )
 
 _O_QUALITY_DOC = f"""
@@ -7654,101 +7652,6 @@ _O_QUALITY_DOC = f"""
                                - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
                               / CAST(LENGTH(text) AS DOUBLE)) * 10.0, 1.0))
 """
-
-
-def _qc_features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(feats, labels): feats = (doc_id, bucket, x) integer micro-tf
-    features (hashed buckets + bias + saturated length), labels =
-    (doc_id, y) with y in {0, 1000000}.  Both localCheckpointed — the
-    GD loop consumes them once per round (multi-consumer invariant)."""
-    tk = docs.select(
-        "doc_id",
-        X.tokens_expr("text").alias("t"),
-        F.when(
-            X.quality_score_expr("text") >= F.lit(0.55),
-            F.lit(1000000),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("y"),
-    ).localCheckpoint()
-    tf = (
-        tk.select("doc_id", F.size("t").alias("m"), F.explode("t").alias("tok"))
-        .withColumn(
-            "bucket",
-            F.expr(
-                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) "
-                f"% {_QC_B}"
-            ),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(
-            F.expr(
-                "(COUNT(*) * CAST(1000000 AS BIGINT)) DIV MIN(m)"
-            ).alias("x")
-        )
-    )
-    feats = (
-        tf.unionByName(
-            tk.select(
-                "doc_id",
-                F.lit(_QC_BIAS).cast("bigint").alias("bucket"),
-                F.lit(1000000).cast("bigint").alias("x"),
-            )
-        )
-        .unionByName(
-            tk.select(
-                "doc_id",
-                F.lit(_QC_LENF).cast("bigint").alias("bucket"),
-                F.expr(
-                    "CAST(LEAST(size(t), 100) * 10000 AS BIGINT)"
-                ).alias("x"),
-            )
-        )
-        .localCheckpoint()
-    )
-    return feats, tk.select("doc_id", "y").localCheckpoint()
-
-
-def _qc_train(feats: DataFrame, labels: DataFrame, n: int) -> dict[int, int]:
-    """Fixed-round full-batch GD; returns the final micro-weight per
-    feature id.  Weights live driver-side (34 values, contract-bounded)
-    as exact Python ints — the update is the SAME integer formula the
-    oracle runs (`sign(G) * (lr*|G|) // (n*1e6)`, floor == truncate on
-    the non-negative operand)."""
-    spark = feats.sparkSession
-    w = {b: 0 for b in range(_QC_B + 2)}
-    for _ in range(_QC_ROUNDS):
-        wdf = spark.createDataFrame(
-            [(b, wv) for b, wv in w.items()], "bucket bigint, w bigint"
-        )
-        z = (
-            feats.join(F.broadcast(wdf), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.expr(
-                    "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
-                ).alias("z")
-            )
-        )
-        p = z.select("doc_id", F.expr(_QC_P.format(z="z")).alias("p"))
-        grad = (
-            feats.join(p.join(labels, "doc_id"), "doc_id")
-            .groupBy("bucket")
-            .agg(
-                F.expr(
-                    "CAST(SUM(CAST((p - y) * x AS DECIMAL(38,0))) AS BIGINT)"
-                ).alias("g")
-            )
-        )
-        for row in grad.collect():  # bounded: <= 34 feature cells
-            gv = row["g"]
-            b = int(row["bucket"])
-            step = (1 if gv >= 0 else -1) * (
-                (_QC_LR * abs(gv)) // (n * 1000000)
-            )
-            w[b] = w[b] - step
-    return w
 
 
 def _o_qc_chain() -> str:
@@ -8317,4 +8220,84 @@ def quality_classifier_disagreements(
         )
         .orderBy(F.desc("conf_wrong"), "doc_id")
         .limit(20)
+    )
+
+
+_QC_STREAM_DIRS: dict[str, tuple[str, str, str]] = {}
+
+
+@register(
+    "streaming_classifier_admission",
+    f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    adm AS (
+      SELECT sc.doc_id, {_QC_P.format(z="z")} AS p, d.source
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE {_QC_P.format(z="z")} >= 500000)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p
+    FROM adm GROUP BY source ORDER BY source
+    """,
+    "streaming admission under the trained quality classifier: "
+    "documents drained as 4 micro-batches, each scored against the "
+    "PERSISTED model artifact (ensure_quality_model — train once at "
+    "publish, score forever) and its admitted (doc_id, p, source) "
+    "rows appended as plain parquet postings. Crash-safety by ALGEBRA "
+    "(the bloom_maintenance pattern): the model is frozen, so a "
+    "replayed batch re-appends identical rows and distinct-on-read "
+    "collapses them — no marker, no manifest. The per-source report "
+    "is computed ONLY from the maintained postings and hash-compared "
+    "against the full-corpus batch gate: admission is batch-"
+    "independent, so streamed == batch bit for bit",
+    "streaming §2.7 extension (classifier-gated admission, "
+    "oracle-verified)",
+)
+def streaming_classifier_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.pipelines import indexes
+    from hangarbay_spark.streaming import classifier_admission as CA
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = indexes.ensure_quality_model(spark, sf_dir)
+    key = f"{sf_dir}|qc_admission_stream"
+    dirs = _QC_STREAM_DIRS.get(key)
+    if dirs is None:
+        import tempfile
+
+        from hangarbay_spark.queries.base import stage_micro_batches
+
+        stage = stage_micro_batches(
+            docs, F.col("doc_id") % 4, 4, "hb_qcadm_src_"
+        )
+        root = tempfile.mkdtemp(prefix="hb_qcadm_root_")
+        ckpt = tempfile.mkdtemp(prefix="hb_qcadm_ckpt_")
+        _QC_STREAM_DIRS[key] = (stage, root, ckpt)
+    stage, root, ckpt = _QC_STREAM_DIRS[key]
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    CA.admission_ingest_stream(
+        stream, model_path, root, ckpt
+    ).awaitTermination()
+    adm = CA.read_admitted(spark, root)
+    return (
+        adm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)"
+            ).alias("mean_p"),
+        )
+        .orderBy("source")
     )

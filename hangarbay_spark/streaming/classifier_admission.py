@@ -1,0 +1,78 @@
+"""Streaming admission under the TRAINED quality classifier: each
+micro-batch of documents is scored against the persisted 34-row model
+(:func:`hangarbay_spark.pipelines.indexes.ensure_quality_model`) and
+the admitted rows — micro-probability at or above the decision
+boundary — are appended as (doc_id, p, source) parquet postings;
+readers take DISTINCT.
+
+Crash-safety by ALGEBRA (the bloom_maintenance contrast to the
+counts-shaped LSMs): the model is FROZEN at publish time, so a doc's
+(doc_id, p, source) row is a pure function of the doc — a replayed
+batch re-appends identical rows and the reader's distinct collapses
+them. No batch marker, generation dir, or manifest. The one invariant:
+the model artifact must not be retrained in place between batches
+(retraining = a NEW artifact root, the publish flow), or replays could
+disagree with first plays.
+
+At 100 TB: per batch the work is one broadcast 34-row join + one
+map-side-combined per-doc aggregate — no corpus-scale state is read or
+held; the admitted postings table is the output corpus itself.
+
+Reference parity: the reference has no streaming surface (SURVEY.md
+§2.7); this extends its publish-time gating story to ingest time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ADMITTED_SUBDIR = "admitted.parquet"
+ADMIT_THRESHOLD_MICRO = 500000  # the 0.5 decision boundary
+
+
+def ingest_batch(batch_df: DataFrame, model_path: str, root: str) -> None:
+    """Score one micro-batch against the persisted model and append
+    its admitted (doc_id, p, source) rows (idempotent postings — see
+    module docstring)."""
+    from hangarbay_spark.operators import classifier as C
+
+    spark = batch_df.sparkSession
+    wdf = spark.read.parquet(model_path)
+    admitted = (
+        C.score_docs(batch_df, wdf)
+        .filter(F.col("p") >= ADMIT_THRESHOLD_MICRO)
+        .join(batch_df.select("doc_id", "source"), "doc_id")
+    )
+    admitted.write.mode("append").parquet(f"{root}/{ADMITTED_SUBDIR}")
+
+
+def admission_ingest_stream(
+    stream: DataFrame, model_path: str, root: str, checkpoint_dir: str
+):
+    """Drain a documents stream through the classifier gate
+    (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(batch_df, model_path, root)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_admitted(spark: SparkSession, root: str) -> DataFrame:
+    """The maintained admitted-corpus postings (distinct-on-read).
+    Existence is probed through the Spark reader (AnalysisException),
+    never os.path — the bloom_maintenance FS-agnostic rule."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{root}/{ADMITTED_SUBDIR}").distinct()
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "doc_id bigint, p bigint, source string"
+        )

@@ -1487,3 +1487,41 @@ def test_bloom_maintenance_replay_idempotent(spark, tmp_path):
         .collect()
     )
     assert members == exp_members and bits == exp_bits
+
+
+def test_classifier_admission_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch through the classifier-admission sink
+    must change nothing after distinct-on-read (crash-safety by
+    ALGEBRA: the model is frozen, so admitted rows are pure functions
+    of the docs — the bloom_maintenance discipline), and the admitted
+    set must equal the batch gate exactly."""
+    import os
+
+    from hangarbay_spark.pipelines import indexes
+    from hangarbay_spark.operators import classifier as C
+    from hangarbay_spark.streaming import classifier_admission as CA
+
+    sf_dir = "/root/testdata/sf0.001"
+    os.environ.pop("HANGARBAY_INDEX_DIR", None)
+    model_path = indexes.ensure_quality_model(spark, sf_dir)
+    assert os.path.exists(model_path.rstrip("/") + "_model.json")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    root = str(tmp_path / "adm_root")
+    CA.ingest_batch(batch, model_path, root)
+    once = sorted(map(tuple, CA.read_admitted(spark, root).collect()))
+    CA.ingest_batch(batch, model_path, root)  # crash-replay
+    twice = sorted(map(tuple, CA.read_admitted(spark, root).collect()))
+    assert once == twice and once
+    # admitted == the batch gate over the same docs and frozen model
+    wdf = spark.read.parquet(model_path)
+    expect = sorted(
+        map(
+            tuple,
+            C.score_docs(batch, wdf)
+            .filter(F.col("p") >= CA.ADMIT_THRESHOLD_MICRO)
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .collect(),
+        )
+    )
+    assert once == expect
