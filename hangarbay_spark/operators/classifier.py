@@ -47,7 +47,13 @@ def qc_features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(feats, labels): feats = (doc_id, bucket, x) integer micro-tf
     features (hashed buckets + bias + saturated length), labels =
     (doc_id, y) with y in {0, 1000000}.  Both localCheckpointed — the
-    GD loop consumes them once per round (multi-consumer invariant)."""
+    GD loop consumes them once per round (multi-consumer invariant).
+
+    Repartitions first: the tokenizer + quality-score expressions are
+    the CPU-heavy stage, and a small corpus parquet scans as ONE input
+    split (the CLAUDE.md single-split rule) — without the spread the
+    whole feature build runs single-threaded."""
+    docs = docs.repartition("doc_id")
     tk = docs.select(
         "doc_id",
         X.tokens_expr("text").alias("t"),
