@@ -8301,3 +8301,94 @@ def streaming_classifier_admission(
         )
         .orderBy("source")
     )
+
+
+_QC_KEEP_PM = 600  # keep the top 600 permille (60%) by score
+
+
+@register(
+    "quality_classifier_quantile_gate",
+    f"""
+    WITH {_o_qc_chain()},
+    sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w * f.x AS DECIMAL(38,0))) AS BIGINT) AS z
+      FROM feats f JOIN w{_QC_ROUNDS} w USING (bucket)
+      GROUP BY f.doc_id),
+    pr AS (
+      SELECT doc_id, {_QC_P.format(z="z")} AS p FROM sc),
+    rk AS (
+      SELECT doc_id, p,
+             ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM pr),
+    kept AS (
+      SELECT doc_id, p,
+             CASE WHEN rn <= ({_QC_KEEP_PM} * n + 999) // 1000
+                  THEN 1 ELSE 0 END AS keep
+      FROM rk)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+           ROUND(CAST(100 AS DOUBLE) * CAST(SUM(k.keep) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS kept_pct
+    FROM kept k JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "FineWeb-style QUANTILE gate over the trained classifier: keep a "
+    "fixed top fraction (600 permille) of the corpus by score instead "
+    "of a fixed threshold — robust to score drift across crawls. The "
+    "cut rank is exact integer arithmetic ((pm*n+999) DIV 1000, the "
+    "GK permille rule: no float quantile can flip at an integer "
+    "boundary) and ranks come from the DISTRIBUTED TeraSort rank "
+    "(operators/ranks.range_rank — no global Sort+Window), ties "
+    "broken by doc_id so the kept set is deterministic. Per-source "
+    "keep-rate report is the bounded output",
+    "LLM-pipeline extension (trained quality filter, quantile gate)",
+)
+def quality_classifier_quantile_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hangarbay_spark.operators.ranks import range_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats, _labels = _qc_features(docs)
+    w = _qc_weights_for(spark, sf_dir)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, w bigint"
+        )
+    )
+    pr = (
+        feats.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("z")
+        )
+        .select("doc_id", F.expr(_QC_P.format(z="z")).alias("p"))
+    )
+    rk = range_rank(
+        pr, [F.col("p").desc(), F.col("doc_id").asc()], 32
+    )
+    kept = rk.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN rn <= ({_QC_KEEP_PM} * __n + 999) DIV 1000 "
+            "THEN 1 ELSE 0 END"
+        ).alias("keep"),
+    )
+    return (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.expr(
+                "ROUND(CAST(100 AS DOUBLE) * CAST(SUM(keep) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("kept_pct"),
+        )
+        .orderBy("source")
+    )

@@ -31,6 +31,36 @@ ADMITTED_SUBDIR = "admitted.parquet"
 ADMIT_THRESHOLD_MICRO = 500000  # the 0.5 decision boundary
 
 
+def _validate_model_geometry(model_path: str) -> None:
+    """Readers must derive feature geometry from the artifact, never
+    module defaults (the persisted-geometry rule the NSW side files
+    follow): scoring rebuilds features with the CURRENT module bucket
+    layout, so a model trained under a different layout would silently
+    mis-bucket every token. A missing side file means the artifact is
+    incomplete — fail, don't guess."""
+    import json
+    from pathlib import Path
+
+    from hangarbay_spark.operators import classifier as C
+
+    sp = Path(model_path.rstrip("/") + "_model.json")
+    if not sp.exists():
+        raise FileNotFoundError(
+            f"quality-model side file missing at {sp}: the artifact is "
+            "incomplete — rebuild it (hyperparameters must ride with "
+            "the model)"
+        )
+    meta = json.loads(sp.read_text())
+    got = (meta.get("buckets"), meta.get("bias"), meta.get("len_feature"))
+    want = (C.QC_B, C.QC_BIAS, C.QC_LENF)
+    if got != want:
+        raise ValueError(
+            f"quality-model feature geometry {got} does not match this "
+            f"module's layout {want}: rebuild the model artifact before "
+            "scoring (a silent mismatch mis-buckets every token)"
+        )
+
+
 def ingest_batch(batch_df: DataFrame, model_path: str, root: str) -> None:
     """Score one micro-batch against the persisted model and append
     its admitted (doc_id, p, source) rows (idempotent postings — see
@@ -39,6 +69,7 @@ def ingest_batch(batch_df: DataFrame, model_path: str, root: str) -> None:
 
     spark = batch_df.sparkSession
     wdf = spark.read.parquet(model_path)
+    _validate_model_geometry(model_path)
     admitted = (
         C.score_docs(batch_df, wdf)
         .filter(F.col("p") >= ADMIT_THRESHOLD_MICRO)
