@@ -4769,10 +4769,85 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_bpe_train_ctes(n_merges: int = 6) -> str:
+    """Unrolled DuckDB twin of operators.text.bpe_train_merges: the
+    (word, count) vocabulary collapse, then per merge round the
+    weighted adjacent-pair count, the (n DESC, a, b) argmax, and the
+    left-to-right greedy merge application.  Sequences ride as
+    DOUBLE-DELIMITED strings ('||' || join(chars, '||') || '||') so
+    one non-overlapping leftmost replace('|a||b|' -> '|ab|') IS the
+    trainer's fold: adjacent matches share no characters under the
+    doubled delimiter (verified: '||a||b||a||b||' -> '||ab||ab||',
+    '||a||a||a||' -> '||aa||a||' — both exactly the fold).  All chain
+    CTEs MATERIALIZED (the multi-reference inlining rule).  Ends with
+    t1..t{n} (the ranked merges) and s{n} (the rewritten vocab)."""
+    ctes = [
+        f"toks AS (SELECT unnest({O_TOKENS}) AS w FROM documents)",
+        "wc AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)",
+        ("s0 AS MATERIALIZED (SELECT w, c, '||' || "
+         "array_to_string(string_split(w, ''), '||') || '||' AS s FROM wc)"),
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""li{r} AS (
+      SELECT c, list_slice(string_split(s, '||'), 2,
+                           len(string_split(s, '||')) - 1) AS l
+      FROM s{r - 1})""")
+        ctes.append(f"""pe{r} AS (
+      SELECT c, l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM li{r} WHERE len(l) >= 2)""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+      SELECT a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM (
+        SELECT l[i] AS a, l[i + 1] AS b, SUM(c) AS n
+        FROM pe{r} GROUP BY 1, 2) p
+      ORDER BY n DESC, a, b LIMIT 1)""")
+        ctes.append(f"""s{r} AS MATERIALIZED (
+      SELECT w, c, replace(s,
+        '|' || (SELECT a FROM t{r}) || '||' || (SELECT b FROM t{r}) || '|',
+        '|' || (SELECT merged FROM t{r}) || '|') AS s
+      FROM s{r - 1})""")
+    return ",\n    ".join(ctes)
+
+
+def _o_bpe_train(n_merges: int = 6) -> str:
+    tail = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a, b, merged, n "
+        f"FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_o_bpe_train_ctes(n_merges)}
+    SELECT * FROM ({tail}) ORDER BY merge_rank
+    """
+
+
+def _o_bpe_encode(n_merges: int = 6) -> str:
+    """Encode twin: the trained chain's final rewritten vocabulary
+    s{n} already IS every distinct word's merge-rank segmentation
+    (greedy lowest-rank-present application == sequential in-order
+    application, because a pair's symbols always predate its rank —
+    no earlier-rank pair can re-emerge from a later merge), so
+    per-doc piece counts are one token-multiset join: pieces(word) =
+    symbols after the replaces, applied(word) = chars - pieces."""
+    n = n_merges
+    return f"""
+    WITH {_o_bpe_train_ctes(n_merges)},
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(s, '||')) - 2 AS pieces
+      FROM s{n}),
+    docw AS (SELECT doc_id, unnest({O_TOKENS}) AS w FROM documents)
+    SELECT doc_id,
+           CAST(SUM(e.pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(LENGTH(d.w)) - SUM(e.pieces) AS BIGINT) AS n_applied
+    FROM docw d JOIN enc e USING (w)
+    GROUP BY doc_id
+    """
+
+
 @register(
     "text_bpe_train_merges",
-    None,  # iterative argmax + rewrite loop has no SQL twin —
-    # rows-only; pinned against the pure-Python reference in tests
+    _o_bpe_train(6),  # promoted r9: the argmax+rewrite loop unrolled
+    # (the unigram hard-EM discipline) via the double-delimiter
+    # replace == fold equivalence
     "BPE tokenizer TRAINING (Sennrich et al. 2016), the full "
     "iterative loop — not just one merge-candidate count: corpus -> "
     "(word, count) vocabulary ONCE, then 6 rounds of weighted "
@@ -4799,9 +4874,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_encode",
-    None,  # greedy merge-rank application has no SQL twin — rows-only;
-    # the kernel is pinned against hand examples and an independent
-    # reference apply in tests
+    _o_bpe_encode(6),  # promoted r9: rank-priority apply == in-order
+    # sequential apply (a pair's symbols predate its rank), so the
+    # trained chain's rewritten vocabulary IS the segmentation
     "BPE tokenizer APPLICATION (the other half of the train->apply "
     "loop text_bpe_train_merges opens, VERDICT r6 task #4): the merge "
     "table trained on the corpus itself rides into an Arrow-batched "
