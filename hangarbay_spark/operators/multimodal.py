@@ -374,6 +374,11 @@ def bmp_dhash_fingerprints(
                 if bpp != 24 or hpx <= 0 or wpx < 2:
                     continue  # not a decodable 24bpp bottom-up BMP
                 rowsz = (wpx * 3 + 3) // 4 * 4
+                if len(b) < off + hpx * rowsz:
+                    continue  # truncated payload: the row walk would
+                    # run past the buffer and the short slice would
+                    # crash the whole stage — skip per-row like the
+                    # bpp guard (ADVICE r9)
                 gray = np.zeros((hpx, wpx), dtype=np.int64)
                 for rf in range(hpx):
                     row = b[off + rf * rowsz : off + rf * rowsz + wpx * 3]

@@ -397,12 +397,19 @@ def bpe_pieces(text: str | None, ranks: dict):
     learned pair remains. ``ranks`` maps (a, b) -> (rank, merged).
     Returns (n_pieces, n_applied). Shared by the Arrow kernel and its
     reference test so the distributed path is pinned to this exact
-    definition (the wordpiece_pieces precedent)."""
+    definition (the wordpiece_pieces precedent). Tokenization is the
+    ASCII ``\\s+`` regex split with empties dropped — the repo-wide
+    rule for oracle-pinned kernels (Python ``str.split`` treats
+    U+00A0/U+0085 as whitespace; RE2/Java regex do not)."""
+    import re
+
     if text is None:
         return None, None
     pieces = 0
     applied = 0
-    for w in text.lower().split():
+    for w in (
+        t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t
+    ):
         s = list(w)
         while len(s) >= 2:
             best = None

@@ -332,9 +332,13 @@ def ensure_quality_model(spark: SparkSession, corpus_dir: str) -> str:
         docs = load_table(spark, corpus_dir, "documents")
         feats, labels = C.qc_features(docs)
         w = C.qc_train(feats, labels, labels.count())
-        C.weights_df(spark, w).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # Side file BEFORE the parquet: _is_built keys on the parquet
+        # _SUCCESS marker, so writing the parquet first leaves a crash
+        # window where the artifact looks built but every reader's
+        # geometry validation raises FileNotFoundError forever
+        # (ADVICE r9).  Side-file-first self-heals: a crash between
+        # the two writes leaves _is_built false and the next ensure
+        # call rewrites both.
         Path(path.rstrip("/") + "_model.json").write_text(
             json.dumps(
                 {
@@ -347,6 +351,9 @@ def ensure_quality_model(spark: SparkSession, corpus_dir: str) -> str:
                 }
             )
         )
+        C.weights_df(spark, w).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

@@ -4825,21 +4825,35 @@ def _o_bpe_encode(n_merges: int = 6) -> str:
     s{n} already IS every distinct word's merge-rank segmentation
     (greedy lowest-rank-present application == sequential in-order
     application, because a pair's symbols always predate its rank —
-    no earlier-rank pair can re-emerge from a later merge), so
-    per-doc piece counts are one token-multiset join: pieces(word) =
-    symbols after the replaces, applied(word) = chars - pieces."""
+    no earlier-rank pair can re-emerge from a later merge — asserted
+    at runtime in text_bpe_encode), so per-doc piece counts are one
+    token-multiset join: pieces(word) = symbols after the replaces,
+    applied(word) = chars - pieces.  Emits one row PER DOCUMENT via a
+    LEFT join from documents so the kernel's null handling is matched
+    symmetrically: NULL text -> NULL counts (the kernel's (None,
+    None) row), empty/whitespace-only text -> (0, 0); '' tokens (an
+    artifact of str_split_regex on boundary whitespace) are filtered
+    to match the kernel's empties-dropped ASCII split."""
     n = n_merges
     return f"""
     WITH {_o_bpe_train_ctes(n_merges)},
     enc AS MATERIALIZED (
       SELECT w, len(string_split(s, '||')) - 2 AS pieces
       FROM s{n}),
-    docw AS (SELECT doc_id, unnest({O_TOKENS}) AS w FROM documents)
+    docw AS (SELECT doc_id, unnest({O_TOKENS}) AS w FROM documents),
+    agg AS (
+      SELECT d.doc_id,
+             CAST(SUM(e.pieces) AS BIGINT) AS np,
+             CAST(SUM(LENGTH(d.w)) - SUM(e.pieces) AS BIGINT) AS na
+      FROM docw d JOIN enc e USING (w)
+      WHERE d.w <> ''
+      GROUP BY d.doc_id)
     SELECT doc_id,
-           CAST(SUM(e.pieces) AS BIGINT) AS n_pieces,
-           CAST(SUM(LENGTH(d.w)) - SUM(e.pieces) AS BIGINT) AS n_applied
-    FROM docw d JOIN enc e USING (w)
-    GROUP BY doc_id
+           CASE WHEN text IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE COALESCE(a.np, 0) END AS n_pieces,
+           CASE WHEN text IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE COALESCE(a.na, 0) END AS n_applied
+    FROM documents LEFT JOIN agg a USING (doc_id)
     """
 
 
@@ -4895,6 +4909,21 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = X.bpe_train_merges(docs, "text", n_merges=6)
+    # The oracle applies ranks strictly once in ascending order; the
+    # kernel re-scans for the lowest rank PRESENT.  The two agree iff
+    # no later merge's output equals an earlier pair's constituent
+    # (else the later merge could recreate an earlier-rank adjacency
+    # the one-pass chain never revisits).  Assert that precondition on
+    # the trained table — ambiguous derivations would invalidate the
+    # hash-compare claim, so fail loudly rather than drift.
+    for i, (a_i, b_i, _m_i, _n_i) in enumerate(merges):
+        for _a_j, _b_j, m_j, _n_j in merges[i + 1 :]:
+            if m_j == a_i or m_j == b_i:
+                raise AssertionError(
+                    "BPE oracle equivalence precondition violated: "
+                    f"later merge output {m_j!r} equals a constituent "
+                    f"of earlier pair ({a_i!r}, {b_i!r})"
+                )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -77,13 +77,38 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     of the set algebra, not an error.  Existence is probed through the
     Spark reader itself (catching the PATH_NOT_FOUND / schema-inference
     AnalysisException), not os.path — a local-fs check would misread a
-    populated hdfs://-or-s3:// store as empty (ADVICE r8)."""
+    populated hdfs://-or-s3:// store as empty (ADVICE r8).  Only the
+    missing-path / empty-dir error classes map to "empty store"; any
+    other AnalysisException (a corrupted or unreadable store) re-raises
+    — masking data problems as valid empty state would silently
+    re-admit everything (ADVICE r9)."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path).distinct()
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if _is_missing_store(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+#: AnalysisException error classes that mean "no store here yet" (vs a
+#: store that exists but cannot be read — which must re-raise).
+_MISSING_STORE_CLASSES = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def _is_missing_store(e) -> bool:
+    """True iff ``e`` is the missing-path / empty-dir class of
+    AnalysisException (shared with classifier_admission's
+    read_admitted)."""
+    try:
+        cls = e.getCondition()  # Spark 4 name for getErrorClass
+    except Exception:
+        try:
+            cls = e.getErrorClass()
+        except Exception:
+            cls = None
+    return cls in _MISSING_STORE_CLASSES
 
 
 def read_members(spark: SparkSession, root: str) -> DataFrame:

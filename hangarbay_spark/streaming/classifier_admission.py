@@ -97,13 +97,13 @@ def admission_ingest_stream(
 
 def read_admitted(spark: SparkSession, root: str) -> DataFrame:
     """The maintained admitted-corpus postings (distinct-on-read).
-    Existence is probed through the Spark reader (AnalysisException),
-    never os.path — the bloom_maintenance FS-agnostic rule."""
-    from pyspark.errors import AnalysisException
+    Existence is probed through the Spark reader, never os.path — the
+    bloom_maintenance FS-agnostic rule, with the same narrow
+    missing-store-only handler (a corrupted store re-raises)."""
+    from hangarbay_spark.streaming.bloom_maintenance import _read_or_empty
 
-    try:
-        return spark.read.parquet(f"{root}/{ADMITTED_SUBDIR}").distinct()
-    except AnalysisException:
-        return spark.createDataFrame(
-            [], "doc_id bigint, p bigint, source string"
-        )
+    return _read_or_empty(
+        spark,
+        f"{root}/{ADMITTED_SUBDIR}",
+        "doc_id bigint, p bigint, source string",
+    )
