@@ -1238,12 +1238,12 @@ def _normsq_exact(a: Column) -> Column:
     return F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p)
 
 
-def _collect_codebook(cent: DataFrame) -> tuple[list[int], list[list[float]]]:
+def _collect_codebook(cent: DataFrame) -> tuple[list[int], list[list[int]]]:
     """Driver-side copy of one tiny codebook, cid-ascending. Bounded by
-    contract: ksub <= 256 rows of sub-dim floats — the same category as
-    the probe/vocab/argmax collects. Book frames built by
-    :func:`pq_train` / :func:`pq_topk_from_index` carry the literals as
-    an attribute so steady-state search launches no collect jobs."""
+    contract: ksub <= 256 rows of sub-dim micro-unit integers — the
+    same category as the probe/vocab/argmax collects. Book frames built
+    by :func:`pq_train` / :func:`pq_topk_from_index` carry the literals
+    as an attribute so steady-state search launches no collect jobs."""
     cached = getattr(cent, "_hb_lits", None)
     if cached is not None:
         return cached
@@ -1251,49 +1251,95 @@ def _collect_codebook(cent: DataFrame) -> tuple[list[int], list[list[float]]]:
         cent.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
     cids = [int(r["cid"]) for r in rows]
-    cvecs = [[float(x) for x in r["cvec"]] for r in rows]
+    cvecs = [[int(x) for x in r["cvec"]] for r in rows]
     return cids, cvecs
 
 
+def _mk_book(spark, cids: list[int], cvecs: list[list[int]]) -> DataFrame:
+    """Materialize one micro-unit integer codebook as a tiny local
+    relation with the literal lists attached (so downstream
+    encode/search never pays a collect job for it)."""
+    b = spark.createDataFrame(
+        [(c, [int(x) for x in v]) for c, v in zip(cids, cvecs)],
+        "cid int, cvec array<bigint>",
+    )
+    b._hb_lits = (list(cids), [[int(x) for x in v] for v in cvecs])
+    return b
+
+
+#: Micro-unit scale for PQ/IVF centroids: codebooks store
+#: round(mean * PQ_SCALE) as exact integers, so every assignment and
+#: ADC score in the family is an exact int64 — order-independent,
+#: map-side combinable, and replayable verbatim by the DuckDB oracle
+#: (the sim_kmeans_train quantized-Lloyd precedent, promoted to the
+#: whole PQ family in round 10).
+PQ_SCALE = 1_000_000
+
+
+def _half_away(a: int, n: int) -> int:
+    """round(a / n) half-away-from-zero in pure integer ops (n > 0) —
+    the shared centroid rounding rule. DuckDB twin (queries/llmops
+    ``_o_pq_chain``): ``CASE WHEN a >= 0 THEN (2*a + n) // (2*n)
+    ELSE -((-2*a + n) // (2*n)) END`` — abs-magnitude form so trunc
+    vs floor division can never differ across engines."""
+    if a >= 0:
+        return (2 * a + n) // (2 * n)
+    return -((-2 * a + n) // (2 * n))
+
+
+def _quantize_py(x: list[float]) -> list[int]:
+    """Driver-side twin of :func:`quantize_int8_expr` (identical IEEE
+    double ops: scale = 127/max|x|, floor(x*scale + 0.5)) — proven
+    engine-exact by the int8-ANN oracle family."""
+    import math
+
+    sc = 127.0 / max(max(abs(v) for v in x), 1e-30)
+    return [int(math.floor(v * sc + 0.5)) for v in x]
+
+
 def _pq_codes_kernel(
-    lits: list[tuple[list[int], list[list[float]]]],
+    lits: list[tuple[list[int], list[list[int]]]],
     sub: int,
     id_col: str,
-    vec_col: str,
+    qv_col: str,
     with_norm: bool,
     keep_vec: bool,
-    cell_lits: tuple[list[int], list[list[float]]] | None = None,
+    cell_lits: tuple[list[int], list[list[int]]] | None = None,
     residual: bool = False,
     emit_residual: bool = False,
 ):
-    """Arrow-batched PQ assignment kernel (mapInPandas): one vectorized
-    numpy call per PARTITION computes every subspace's argmin code (and
-    optionally the vector norm) — zero exchanges, no crossJoin row
-    expansion, no window.
+    """Arrow-batched PQ assignment kernel (mapInPandas) over QUANTIZED
+    int8 vectors: one vectorized numpy call per PARTITION computes
+    every subspace's argmin code (and optionally the vector norm) —
+    zero exchanges, no crossJoin row expansion, no window.
 
     Why not a literal-SQL projection: at m=4/ksub=16/sub=16 the inlined
-    codebooks are ~4k double literals; parsing that ``F.expr`` text
-    measured 2.9 s of driver time PER projection build (and Lloyd
-    training rebuilds it every iteration) — the parse dominates any
-    realistic corpus scan. The kernel closes over plain Python lists
-    instead and its per-row cost is a handful of fused numpy ops.
+    codebooks are ~4k literals; parsing that ``F.expr`` text measured
+    2.9 s of driver time PER projection build (and Lloyd training
+    rebuilds it every iteration) — the parse dominates any realistic
+    corpus scan. The kernel closes over plain Python lists instead and
+    its per-row cost is a handful of fused numpy ops.
 
-    Bit-compatibility with the former broadcast-assign fold (and hence
-    with persisted indexes built by it): every accumulation below runs
-    SEQUENTIALLY over array order in float64 — ``acc = acc + x_i*c_i``
-    starting from 0.0 is the identical IEEE op sequence as the old
-    ``aggregate(zip_with(...))``; |c|^2/2 is folded the same way in
-    driver floats; ``np.argmax`` takes the FIRST max, matching the old
-    (desc score, cid asc) window tie-break since centroids are
-    cid-ascending.
+    Cross-engine exactness (what lets the family's queries carry
+    hash-compared DuckDB oracles): vectors are int8, codebooks are
+    micro-unit integers (:data:`PQ_SCALE`), and the min-L2 argmin is
+    the argmax of ``2*PQ_SCALE*dot(x, C) - |C|^2`` — an exact int64
+    (|score| < 3.2e18 at dim=64: dot <= 64*127*127e6 ~ 1.03e12, so
+    2e6*dot <= 2.1e18 and |C|^2 <= 64*(127e6)^2 ~ 1.03e18; no float
+    accumulation order to defend anywhere). ``np.argmax`` takes the
+    FIRST max, matching the oracle's (desc score, cid asc) tie-break
+    since centroids are cid-ascending. ``norm`` is sqrt of the exact
+    integer |x|^2 — a single correctly-rounded IEEE op both engines
+    agree on.
 
     ``residual=True`` (FAISS IVFADC proper, Jegou et al. 2011 §V-A):
-    the subspace assignment runs over ``x - centroid(cell)`` instead of
-    ``x`` — the code domain concentrates around the cell centroid,
-    buying recall at the same m/ksub. Requires ``cell_lits``. ``norm``
-    stays the ORIGINAL vector's norm (it is the cosine denominator).
+    the subspace assignment runs over ``PQ_SCALE*x - C_cell`` (the
+    micro-unit residual, still exact integers; |r| <= 2*127e6, so the
+    scale-1 score ``2*dot(r, B) - |B|^2`` stays under 3.2e18 at
+    sub=16) — the code domain concentrates around the cell centroid,
+    buying recall at the same m/ksub. Requires ``cell_lits``.
     ``emit_residual=True`` additionally yields the residual vector as
-    ``__res`` (array<double>) — the training loop's update pass needs
+    ``__res`` (array<bigint>) — the training loop's update pass needs
     it."""
     import numpy as np
 
@@ -1306,50 +1352,39 @@ def _pq_codes_kernel(
             if n == 0:
                 continue
             X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.int64) for v in pdf[qv_col]]
             )
             cols = {id_col: pdf[id_col].to_numpy()}
             if with_norm:
-                acc = np.zeros(n)
-                for i in range(X.shape[1]):
-                    acc = acc + X[:, i] * X[:, i]
-                cols["norm"] = np.sqrt(acc)
+                cols["norm"] = np.sqrt(
+                    (X * X).sum(axis=1).astype(np.float64)
+                )
             Xs = X
+            scale = PQ_SCALE  # books micro vs int8 x
             if cell_lits is not None:
                 # coarse-quantizer cell over the FULL vector (IVF
-                # routing) — same sequential score fold as the
-                # subspace assignment below.
+                # routing) — same exact-integer score as the subspace
+                # assignment below.
                 ccids, ccvecs = cell_lits
-                C = np.asarray(ccvecs, dtype=np.float64)
-                hs = []
-                for cv in ccvecs:
-                    h = 0.0
-                    for c in cv:
-                        h += c * c
-                    hs.append(0.5 * h)
-                acc = np.zeros((n, len(ccids)))
-                for i in range(X.shape[1]):
-                    acc = acc + X[:, i : i + 1] * C[None, :, i]
-                scores = acc - np.asarray(hs)[None, :]
+                C = np.asarray(ccvecs, dtype=np.int64)
+                scores = (
+                    2 * PQ_SCALE * (X @ C.T)
+                    - (C * C).sum(axis=1)[None, :]
+                )
                 ci = np.argmax(scores, axis=1)  # first max = cid-asc tie
                 cols["cell"] = np.asarray(ccids, dtype=np.int32)[ci]
                 if residual:
-                    Xs = X - C[ci]
+                    Xs = PQ_SCALE * X - C[ci]  # micro residuals, exact
+                    scale = 1  # residual books micro vs micro x
                     if emit_residual:
                         res_lists = [r.tolist() for r in Xs]
             for j, (cids, cvecs) in enumerate(lits):
                 Sj = Xs[:, j * sub : (j + 1) * sub]
-                C = np.asarray(cvecs, dtype=np.float64)  # (k, sub)
-                hs = []
-                for cv in cvecs:
-                    h = 0.0
-                    for c in cv:
-                        h += c * c
-                    hs.append(0.5 * h)
-                acc = np.zeros((n, len(cids)))
-                for i in range(sub):
-                    acc = acc + Sj[:, i : i + 1] * C[None, :, i]
-                scores = acc - np.asarray(hs)[None, :]
+                B = np.asarray(cvecs, dtype=np.int64)  # (k, sub)
+                scores = (
+                    2 * scale * (Sj @ B.T)
+                    - (B * B).sum(axis=1)[None, :]
+                )
                 cols[f"code_{j}"] = np.asarray(cids, dtype=np.int32)[
                     np.argmax(scores, axis=1)
                 ]
@@ -1357,10 +1392,33 @@ def _pq_codes_kernel(
             if residual and emit_residual:
                 out["__res"] = res_lists
             if keep_vec:
-                out[vec_col] = pdf[vec_col].to_numpy()
+                out[qv_col] = pdf[qv_col].to_numpy()
             yield out
 
     return kernel
+
+
+def _lits_from_sums(rows, m: int, scale: int):
+    """Shared Lloyd update: collected (j, cid, i, s, n) component sums
+    -> cid-ascending micro-unit integer codebooks via the
+    :func:`_half_away` rounding rule (``scale`` = PQ_SCALE when the
+    summed components are int8, 1 when they are already micro
+    residuals). Empty clusters simply drop out (no row -> no cid),
+    identically on both engines."""
+    by: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for r in rows:
+        by.setdefault((int(r["j"]), int(r["cid"])), []).append(
+            (int(r["i"]), int(r["s"]), int(r["n"]))
+        )
+    lits = []
+    for j in range(m):
+        cids = sorted(c for (jj, c) in by if jj == j)
+        cvecs = []
+        for c in cids:
+            vals = sorted(by[(j, c)])
+            cvecs.append([_half_away(s * scale, n) for _, s, n in vals])
+        lits.append((cids, cvecs))
+    return lits
 
 
 def pq_train(
@@ -1373,30 +1431,38 @@ def pq_train(
     iters: int = 3,
 ) -> list[DataFrame]:
     """Per-subspace product-quantizer codebooks (Jegou et al. 2011):
-    slice vectors into ``m`` contiguous subspaces and run L2 Lloyd
-    iterations in each — deterministic init (ksub smallest-id
-    subvectors), zero-shuffle literal-argmax assignment, decimal-exact elementwise means
-    (centroid_update-equivalent combined shuffle). Returns ``m`` tiny
-    (cid, cvec) local-relation DataFrames with the literal lists
-    attached. Corpus cost: one kernel scan + one combined mean shuffle
-    per iteration; only codebooks (bounded) reach the driver."""
+    int8-quantize vectors (:func:`quantize_int8_expr`), slice into
+    ``m`` contiguous subspaces and run L2 Lloyd iterations in each —
+    deterministic init (ksub smallest-id subvectors, lifted to
+    micro-units), zero-shuffle exact-integer argmin assignment, exact
+    integer component sums + the shared :func:`_half_away` rounding
+    rule for the means. Everything the loop computes is an exact
+    integer (order-independent, map-side combinable), which is what
+    lets the family's queries carry hash-compared DuckDB oracles
+    (queries/llmops ``_o_pq_chain``). Returns ``m`` tiny (cid, cvec)
+    micro-unit local-relation DataFrames with the literal lists
+    attached. Corpus cost: one kernel scan + one combined integer-sum
+    shuffle per iteration; only codebooks (bounded) reach the
+    driver."""
     sub = dim // m
     spark = corpus.sparkSession
     idt = dict(corpus.dtypes)[id_col]
-    vt = dict(corpus.dtypes)[vec_col]
-    base = corpus.select(F.col(id_col), F.col(vec_col))
+    qbase = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
+    )
 
     # Deterministic init: the ksub smallest-id vectors, sliced
     # driver-side — per subspace, the same ksub smallest-id subvectors
     # the per-subspace init picked.
     init = sorted(
-        base.orderBy(id_col).limit(ksub).collect(), key=lambda r: r[id_col]
+        qbase.orderBy(id_col).limit(ksub).collect(),
+        key=lambda r: r[id_col],
     )
     lits = [
         (
             list(range(1, len(init) + 1)),
             [
-                [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+                [int(x) * PQ_SCALE for x in r["__qv"][j * sub : (j + 1) * sub]]
                 for r in init
             ],
         )
@@ -1406,7 +1472,7 @@ def pq_train(
     code_schema = (
         f"{id_col} {idt}, "
         + ", ".join(f"code_{j} int" for j in range(m))
-        + f", {vec_col} {vt}"
+        + ", __qv array<int>"
     )
     for _ in range(iters):
         # Assignment: all m argmins in ONE Arrow-batched kernel pass —
@@ -1414,16 +1480,17 @@ def pq_train(
         # instead of m separate per-subspace job chains (the m*iters
         # tiny-job scheduler overhead dominated wall time on bounded
         # training samples).
-        coded = base.mapInPandas(
+        coded = qbase.mapInPandas(
             _pq_codes_kernel(
-                lits, sub, id_col, vec_col, with_norm=False, keep_vec=True
+                lits, sub, id_col, "__qv", with_norm=False, keep_vec=True
             ),
             code_schema,
         )
-        # Update: explode every (subspace, cluster, subvector) triple at
-        # once; decimal-exact per-(j, cid, dim) means — identical values
-        # to the per-subspace centroid_update (exact sums are
-        # associative), in ONE shuffle instead of m.
+        # Update: explode every (subspace, cluster, subvector) triple
+        # at once; exact bigint per-(j, cid, dim) component sums in ONE
+        # map-side-combined shuffle; the bounded (m*ksub*sub)-row sum
+        # table is collected and rounded driver-side with the shared
+        # integer rule.
         ex = coded.select(
             F.explode(
                 F.array(
@@ -1432,7 +1499,7 @@ def pq_train(
                             F.lit(j).alias("j"),
                             F.col(f"code_{j}").alias("cid"),
                             F.slice(
-                                F.col(vec_col), j * sub + 1, sub
+                                F.col("__qv"), j * sub + 1, sub
                             ).alias("sv"),
                         )
                         for j in range(m)
@@ -1445,48 +1512,21 @@ def pq_train(
             F.col("e.cid").alias("cid"),
             F.posexplode(F.col("e.sv")).alias("i", "x"),
         )
-        means = pos.groupBy("j", "cid", "i").agg(
-            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
-            .cast("float")
-            .alias("mval")
-        )
         rows = (
-            means.groupBy("j", "cid")
+            pos.groupBy("j", "cid", "i")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
-                    ),
-                    lambda s: s.getField("mval"),
-                ).alias("cvec")
+                F.sum(F.col("x").cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
-        lits = []
-        for j in range(m):
-            sel = sorted(
-                (r for r in rows if r["j"] == j), key=lambda r: r["cid"]
-            )
-            lits.append(
-                (
-                    [int(r["cid"]) for r in sel],
-                    [[float(x) for x in r["cvec"]] for r in sel],
-                )
-            )
+        lits = _lits_from_sums(rows, m, scale=PQ_SCALE)
 
     # Materialize the trained books as tiny local DataFrames (the
-    # contract callers expect); values round-trip exactly (float-exact
-    # doubles back to float). The literal lists ride along so
-    # downstream encode/search never pays a collect job for them.
-    books = []
-    for cids, cvecs in lits:
-        b = spark.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvecs)],
-            "cid int, cvec array<float>",
-        )
-        b._hb_lits = (cids, cvecs)
-        books.append(b)
-    return books
+    # contract callers expect); micro-unit integers round-trip exactly.
+    # The literal lists ride along so downstream encode/search never
+    # pays a collect job for them.
+    return [_mk_book(spark, cids, cvecs) for cids, cvecs in lits]
 
 
 def pq_encode(
@@ -1499,19 +1539,20 @@ def pq_encode(
     """Corpus -> (id, norm, code_0..code_{m-1}): each vector stored as m
     small centroid ids (m bytes at ksub<=256 — the 4-byte-per-vector
     memory path that lets a 100 TB corpus's index fit a cluster) plus
-    its exact norm for cosine denominators.
+    its quantized norm (sqrt of the exact int |qv|^2) for ADC cosine
+    denominators.
 
-    ONE corpus scan, ZERO exchanges: the m tiny codebooks are collected
+    ONE corpus scan, ZERO exchanges: the quantize projection is JVM
+    column expressions, and the m tiny codebooks are collected
     driver-side (bounded: m*ksub rows) and closed over by an
     Arrow-batched ``mapInPandas`` kernel that computes the norm and all
-    m argmins per partition in vectorized numpy
+    m argmins per partition in vectorized integer numpy
     (:func:`_pq_codes_kernel` — see its docstring for why the kernel
-    beats an inlined-literal SQL projection and for the bit-identical
-    IEEE accumulation order). Replaces the former per-subspace
-    crossJoin(ksub-row expansion) + row_number window + m join-backs,
-    ~2m corpus-scale shuffles that dominated at 100 TB scale. Codes are
-    bit-identical to that path (same IEEE score fold, same tie-break),
-    so persisted indexes built before/after agree row-for-row."""
+    beats an inlined-literal SQL projection and for the exact-integer
+    score construction the DuckDB oracle replays). Replaces the former
+    per-subspace crossJoin(ksub-row expansion) + row_number window + m
+    join-backs, ~2m corpus-scale shuffles that dominated at 100 TB
+    scale."""
     m = len(books)
     sub = dim // m
     lits = [_collect_codebook(cent) for cent in books]
@@ -1519,9 +1560,12 @@ def pq_encode(
     schema = f"{id_col} {idt}, norm double, " + ", ".join(
         f"code_{j} int" for j in range(m)
     )
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    qb = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
+    )
+    return qb.mapInPandas(
         _pq_codes_kernel(
-            lits, sub, id_col, vec_col, with_norm=True, keep_vec=False
+            lits, sub, id_col, "__qv", with_norm=True, keep_vec=False
         ),
         schema,
     )
@@ -1537,14 +1581,14 @@ def pq_topk(
     m: int = 4,
     ksub: int = 16,
     iters: int = 2,
-    rerank: int = 20,
+    rerank: int = 30,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-rank: score every coded
     vector against each probe through per-subspace dot LOOKUP TABLES
     (probe x subspace x centroid, ~m*ksub rows per probe — broadcast),
     keep the top ``rerank*k`` ADC candidates, then re-score those few
     with the exact cosine and emit the final top-k. ``rerank*k`` is an
-    ABSOLUTE per-probe candidate count (default 100): generous on test
+    ABSOLUTE per-probe candidate count (default 150): generous on test
     corpora, a vanishing fraction at scale — the re-rank cost never
     grows with the corpus. The corpus-wide
     pass touches only codes + tables (no vectors), which is the entire
@@ -1571,7 +1615,7 @@ def pq_topk_from_codes(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    rerank: int = 20,
+    rerank: int = 30,
 ) -> DataFrame:
     """ADC scoring + exact re-rank over PREBUILT codes/codebooks — the
     steady-state search path shared by the inline trainer
@@ -1588,7 +1632,15 @@ def pq_topk_from_codes(
     are computed driver-side from the collected probes + codebooks
     (both bounded by contract — nprobes * m * ksub dot products), so
     building them launches one probe-collect job, not a per-subspace
-    crossJoin/union/groupBy chain."""
+    crossJoin/union/groupBy chain.
+
+    Cross-engine exactness: probes are int8-quantized driver-side
+    (:func:`_quantize_py`), so each table entry is an exact integer dot
+    (probe int8 x micro-unit book), the m-lookup sum is exact bigint
+    addition, and the only float ops in ``approx_cos`` — one cast, one
+    multiply of two sqrt's of exact ints, one divide — are single IEEE
+    operations both engines compute identically. Candidate sets are
+    therefore bit-reproducible by the DuckDB oracle."""
     import math
 
     m = len(books)
@@ -1600,31 +1652,26 @@ def pq_topk_from_codes(
     prows = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     ).collect()
-    # Per-probe ADC lookup map: key j*1024+cid -> dot(q_j, c_{j,cid}).
-    # Same 0.0-seeded sequential double folds as _dot_exact /
-    # _normsq_exact, evaluated in driver floats (identical IEEE ops).
+    # Per-probe ADC lookup map: key j*1024+cid -> dot(qv_j, c_{j,cid})
+    # as exact Python ints.
     pt = []
     for r in prows:
-        q = [float(x) for x in r["probe_vec"]]
-        acc = 0.0
-        for x in q:
-            acc += x * x
-        qnorm = math.sqrt(acc)
+        qv = _quantize_py([float(x) for x in r["probe_vec"]])
+        qnorm = math.sqrt(sum(c * c for c in qv))
         tab = {}
         for j, (cids, cvecs) in enumerate(lits):
-            qj = q[j * sub : (j + 1) * sub]
+            qj = qv[j * sub : (j + 1) * sub]
             for cid, cv in zip(cids, cvecs):
-                d = 0.0
-                for a, b in zip(qj, cv):
-                    d += a * b
-                tab[j * 1024 + cid] = d
+                tab[j * 1024 + cid] = sum(
+                    int(a) * int(b) for a, b in zip(qj, cv)
+                )
         pt.append((r["probe_id"], qnorm, tab))
     ptab = spark.createDataFrame(
-        pt, f"probe_id {idt}, qnorm double, tab map<int,double>"
+        pt, f"probe_id {idt}, qnorm double, tab map<int,bigint>"
     )
 
-    # ADC: m map lookups per (vector, probe), summed in fixed j order
-    # (deterministic IEEE sequence — no aggregation order to defend).
+    # ADC: m map lookups per (vector, probe), summed as exact bigints;
+    # one cast + one divide at the end (single IEEE ops).
     lookup = " + ".join(
         f"element_at(tab, {j} * 1024 + code_{j})" for j in range(m)
     )
@@ -1634,9 +1681,10 @@ def pq_topk_from_codes(
         .select(
             "probe_id",
             F.col(id_col).alias("neighbor_id"),
-            (F.expr(f"(0.0D + {lookup})") / (F.col("qnorm") * F.col("norm"))).alias(
-                "approx_cos"
-            ),
+            (
+                F.expr(f"CAST({lookup} AS DOUBLE)")
+                / (F.col("qnorm") * F.col("norm"))
+            ).alias("approx_cos"),
         )
     )
     wa = W.partitionBy("probe_id").orderBy(F.desc("approx_cos"), "neighbor_id")
@@ -1696,13 +1744,8 @@ def _load_books(spark, books_path: str) -> list[DataFrame]:
             (r for r in brows if r["j"] == j), key=lambda r: r["cid"]
         )
         cids = [int(r["cid"]) for r in sel]
-        cvecs = [[float(x) for x in r["cvec"]] for r in sel]
-        b = spark.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvecs)],
-            "cid int, cvec array<float>",
-        )
-        b._hb_lits = (cids, cvecs)
-        books.append(b)
+        cvecs = [[int(x) for x in r["cvec"]] for r in sel]
+        books.append(_mk_book(spark, cids, cvecs))
     return books
 
 
@@ -1745,7 +1788,7 @@ def pq_topk_from_index(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    rerank: int = 20,
+    rerank: int = 30,
 ) -> DataFrame:
     """PQ/ADC top-k from the PERSISTED index: the timed search reads
     m-byte codes + tiny codebooks, never re-trains or re-encodes;
@@ -1766,8 +1809,7 @@ def pq_topk_from_index(
 
 def _probe_rows(probes: DataFrame, id_col: str, vec_col: str):
     """Collect the bounded probe set once: (probe_id, vec-as-floats,
-    qnorm) with the same 0.0-seeded sequential norm fold as
-    ``_normsq_exact``."""
+    int8-quantized vec, qnorm = sqrt of the exact int |qv|^2)."""
     import math
 
     out = []
@@ -1775,54 +1817,49 @@ def _probe_rows(probes: DataFrame, id_col: str, vec_col: str):
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     ).collect():
         q = [float(x) for x in r["probe_vec"]]
-        acc = 0.0
-        for x in q:
-            acc += x * x
-        out.append((r["probe_id"], q, math.sqrt(acc)))
+        qv = _quantize_py(q)
+        out.append(
+            (r["probe_id"], q, qv, math.sqrt(sum(c * c for c in qv)))
+        )
     return out
 
 
 def _route_cells(
-    q: list[float],
-    cell_lits: tuple[list[int], list[list[float]]],
+    qv: list[int],
+    cell_lits: tuple[list[int], list[list[int]]],
     nprobe: int = 1,
-) -> list[tuple[int, float, list[float]]]:
-    """Top-``nprobe`` coarse cells for one vector — the SAME score fold
-    (sequential ``dot(q,c) - |c|^2/2``) and tie-break (desc score, cid
-    asc) as the kernel's assignment argmax, so driver-side routing and
-    executor-side encoding always agree on a vector's cell. Returns
-    [(cid, dot(q, c), c)] best-first; the dot rides along because the
-    residual ADC score needs it and the fold already computed it."""
+) -> list[tuple[int, int, list[int]]]:
+    """Top-``nprobe`` coarse cells for one quantized vector — the SAME
+    exact-integer score (``2*PQ_SCALE*dot(qv, C) - |C|^2``) and
+    tie-break (desc score, cid asc) as the kernel's assignment argmax,
+    so driver-side routing and executor-side encoding always agree on
+    a vector's cell. Returns [(cid, dot(qv, C), C)] best-first; the
+    integer dot rides along because the residual ADC score needs it
+    and the score already computed it."""
     ccids, ccvecs = cell_lits
     scored = []
     for cid, cv in zip(ccids, ccvecs):
-        h = 0.0
-        for c in cv:
-            h += c * c
-        d = 0.0
-        for a, b in zip(q, cv):
-            d += a * b
-        scored.append((-(d - 0.5 * h), cid, d, cv))
+        d = sum(int(a) * int(b) for a, b in zip(qv, cv))
+        h = sum(int(c) * int(c) for c in cv)
+        scored.append((-(2 * PQ_SCALE * d - h), cid, d, cv))
     scored.sort(key=lambda t: (t[0], t[1]))
     return [(cid, d, cv) for _, cid, d, cv in scored[:nprobe]]
 
 
 def _adc_table(
-    q: list[float],
-    lits: list[tuple[list[int], list[list[float]]]],
+    qv: list[int],
+    lits: list[tuple[list[int], list[list[int]]]],
     sub: int,
-) -> dict[int, float]:
-    """Driver-side ADC lookup table for one probe: j*1024+cid ->
-    dot(q_j, c_{j,cid}), sequential double folds (identical IEEE ops to
-    ``_dot_exact``)."""
+) -> dict[int, int]:
+    """Driver-side ADC lookup table for one quantized probe:
+    j*1024+cid -> dot(qv_j, c_{j,cid}) as exact Python ints."""
     tab = {}
     for j, (cids, cvecs) in enumerate(lits):
-        qj = q[j * sub : (j + 1) * sub]
+        qj = qv[j * sub : (j + 1) * sub]
         for cid, cv in zip(cids, cvecs):
-            d = 0.0
-            for a, b in zip(qj, cv):
-                d += a * b
-            tab[j * 1024 + cid] = d
+            tab[j * 1024 + cid] = sum(
+                int(a) * int(b) for a, b in zip(qj, cv)
+            )
     return tab
 
 
@@ -1851,12 +1888,15 @@ def ivfpq_encode(
     schema = f"{id_col} {idt}, norm double, cell int, " + ", ".join(
         f"code_{j} int" for j in range(m)
     )
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    qb = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
+    )
+    return qb.mapInPandas(
         _pq_codes_kernel(
             lits,
             sub,
             id_col,
-            vec_col,
+            "__qv",
             with_norm=True,
             keep_vec=False,
             cell_lits=cell_lits,
@@ -1904,18 +1944,18 @@ def ivfpq_topk_from_codes(
 
     pt = []
     prows = _probe_rows(probes, id_col, vec_col)
-    for pid, q, qnorm in prows:
-        # coarse routing: argmax dot(q,c) - |c|^2/2, top nprobe cells
-        # (desc score, cid asc — the assignment tie-break)
-        tab = _adc_table(q, lits, sub)
-        for cell, cdot, _ in _route_cells(q, cell_lits, nprobe):
+    for pid, _q, qv, qnorm in prows:
+        # coarse routing: argmax of the exact-integer assignment score,
+        # top nprobe cells (desc score, cid asc — the kernel tie-break)
+        tab = _adc_table(qv, lits, sub)
+        for cell, cdot, _ in _route_cells(qv, cell_lits, nprobe):
             pt.append(
-                (pid, qnorm, cell, float(cdot) if residual else 0.0, tab)
+                (pid, qnorm, cell, int(cdot) if residual else 0, tab)
             )
     ptab = spark.createDataFrame(
         pt,
-        f"probe_id {idt}, qnorm double, cell int, cdot double, "
-        "tab map<int,double>",
+        f"probe_id {idt}, qnorm double, cell int, cdot bigint, "
+        "tab map<int,bigint>",
     )
 
     # Static probed-cell pushdown: the union of routed cells is known
@@ -1936,8 +1976,11 @@ def ivfpq_topk_from_codes(
         .select(
             "probe_id",
             F.col(id_col).alias("neighbor_id"),
+            # exact bigint lookup sum (+ the routing dot for residual
+            # codes), then one cast + one divide — single IEEE ops the
+            # oracle reproduces bit-for-bit
             (
-                (F.expr(f"(0.0D + {lookup})") + F.col("cdot"))
+                F.expr(f"CAST({lookup} + cdot AS DOUBLE)")
                 / (F.col("qnorm") * F.col("norm"))
             ).alias("approx_cos"),
         )
@@ -1949,7 +1992,8 @@ def ivfpq_topk_from_codes(
         .select("probe_id", "neighbor_id")
     )
     p = spark.createDataFrame(
-        [(pid, q) for pid, q, _ in prows], f"probe_id {idt}, probe_vec {vt}"
+        [(pid, q) for pid, q, _qv, _n in prows],
+        f"probe_id {idt}, probe_vec {vt}",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
@@ -2126,7 +2170,8 @@ def write_ivfpq_index(
     _write_side_json(
         books_path.rstrip("/") + "_meta.json",
         {"residual": bool(residual), "dim": dim, "m": m, "ksub": ksub,
-         "nlist": int(nlist), "nprobe": max(4, int(nlist) // 4)},
+         "nlist": int(nlist), "nprobe": max(4, int(nlist) // 4),
+         "centroid_scale": PQ_SCALE},
     )
     codes = ivfpq_encode(
         corpus, coarse, books, id_col, vec_col, dim, residual=residual
@@ -2307,12 +2352,13 @@ def ivfpq_train(
     """Joint Lloyd training of the IVF coarse quantizer AND the m
     subspace codebooks in ONE loop: every iteration is a single kernel
     assignment pass (cells + all subspace codes together) plus one
-    combined (book, cid, dim) decimal-mean shuffle — half the tiny-job
-    chatter of running two separate :func:`pq_train` loops.
+    combined (book, cid, dim) exact-integer-sum shuffle — half the
+    tiny-job chatter of running two separate :func:`pq_train` loops.
     Bit-identical to the separate trainers (same deterministic
-    smallest-id init, same sequential score folds, same exact decimal
-    means), so indexes built either way agree row-for-row. Returns
-    (coarse, books).
+    smallest-id init, same exact-integer scores, same
+    :func:`_half_away` integer means over int8-quantized vectors), so
+    indexes built either way agree row-for-row — and the whole loop is
+    replayable by the DuckDB oracle. Returns (coarse, books).
 
     ``residual=True`` trains FAISS IVFADC proper instead: the coarse
     quantizer is Lloyd-trained first (cells must be frozen before
@@ -2325,18 +2371,23 @@ def ivfpq_train(
     sub = dim // m
     spark = corpus.sparkSession
     idt = dict(corpus.dtypes)[id_col]
-    vt = dict(corpus.dtypes)[vec_col]
-    base = corpus.select(F.col(id_col), F.col(vec_col))
+    qbase = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
+    )
 
     kmax = max(ksub, nlist)
     init = sorted(
-        base.orderBy(id_col).limit(kmax).collect(), key=lambda r: r[id_col]
+        qbase.orderBy(id_col).limit(kmax).collect(),
+        key=lambda r: r[id_col],
     )
     lits = [
         (
             list(range(1, min(ksub, len(init)) + 1)),
             [
-                [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+                [
+                    int(x) * PQ_SCALE
+                    for x in r["__qv"][j * sub : (j + 1) * sub]
+                ]
                 for r in init[:ksub]
             ],
         )
@@ -2344,21 +2395,21 @@ def ivfpq_train(
     ]
     cell_lits = (
         list(range(1, min(nlist, len(init)) + 1)),
-        [[float(x) for x in r[vec_col]] for r in init[:nlist]],
+        [[int(x) * PQ_SCALE for x in r["__qv"]] for r in init[:nlist]],
     )
 
     schema = (
         f"{id_col} {idt}, cell int, "
         + ", ".join(f"code_{j} int" for j in range(m))
-        + f", {vec_col} {vt}"
+        + ", __qv array<int>"
     )
     for _ in range(iters):
-        coded = base.mapInPandas(
+        coded = qbase.mapInPandas(
             _pq_codes_kernel(
                 lits,
                 sub,
                 id_col,
-                vec_col,
+                "__qv",
                 with_norm=False,
                 keep_vec=True,
                 cell_lits=cell_lits,
@@ -2369,14 +2420,14 @@ def ivfpq_train(
             F.struct(
                 F.lit(j).alias("j"),
                 F.col(f"code_{j}").alias("cid"),
-                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
+                F.slice(F.col("__qv"), j * sub + 1, sub).alias("sv"),
             )
             for j in range(m)
         ] + [
             F.struct(
                 F.lit(m).alias("j"),
                 F.col("cell").alias("cid"),
-                F.slice(F.col(vec_col), 1, dim).alias("sv"),
+                F.slice(F.col("__qv"), 1, dim).alias("sv"),
             )
         ]
         ex = coded.select(F.explode(F.array(*entries)).alias("e"))
@@ -2385,46 +2436,20 @@ def ivfpq_train(
             F.col("e.cid").alias("cid"),
             F.posexplode(F.col("e.sv")).alias("i", "x"),
         )
-        means = pos.groupBy("j", "cid", "i").agg(
-            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
-            .cast("float")
-            .alias("mval")
-        )
         rows = (
-            means.groupBy("j", "cid")
+            pos.groupBy("j", "cid", "i")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
-                    ),
-                    lambda s: s.getField("mval"),
-                ).alias("cvec")
+                F.sum(F.col("x").cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
+        sel = _lits_from_sums(rows, m + 1, scale=PQ_SCALE)
+        lits = sel[:m]
+        cell_lits = sel[m]
 
-        def _sel(j: int):
-            sel = sorted(
-                (r for r in rows if r["j"] == j), key=lambda r: r["cid"]
-            )
-            return (
-                [int(r["cid"]) for r in sel],
-                [[float(x) for x in r["cvec"]] for r in sel],
-            )
-
-        lits = [_sel(j) for j in range(m)]
-        cell_lits = _sel(m)
-
-    def _mk(cids, cvecs):
-        b = spark.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvecs)],
-            "cid int, cvec array<float>",
-        )
-        b._hb_lits = (cids, cvecs)
-        return b
-
-    coarse = _mk(*cell_lits)
-    books = [_mk(*lit) for lit in lits]
+    coarse = _mk_book(spark, *cell_lits)
+    books = [_mk_book(spark, *lit) for lit in lits]
     return coarse, books
 
 
@@ -2440,91 +2465,83 @@ def _ivfpq_train_residual(
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Two-phase IVFADC training (Jegou et al. 2011 §V-A; the FAISS
     IVFPQ layout): phase 1 Lloyd-trains the coarse quantizer alone
-    (same deterministic smallest-id init and exact decimal means as the
+    (same deterministic smallest-id init and exact-integer means as the
     joint trainer); phase 2 freezes it and Lloyd-trains the m subspace
-    codebooks on the residuals ``x - centroid(cell)`` — the code domain
-    concentrates around zero, buying recall at identical m/ksub
-    geometry. Each phase-2 iteration is still ONE kernel assignment
-    scan (cell + residual + all subspace codes together) plus one
-    combined decimal-mean shuffle; residuals never persist anywhere —
-    they exist only inside the kernel batch and the update explode."""
+    codebooks on the micro-unit integer residuals
+    ``PQ_SCALE*x - C_cell`` — the code domain concentrates around
+    zero, buying recall at identical m/ksub geometry. Each phase-2
+    iteration is still ONE kernel assignment scan (cell + residual +
+    all subspace codes together) plus one combined integer-sum
+    shuffle; residuals never persist anywhere — they exist only inside
+    the kernel batch and the update explode. Every quantity in both
+    phases is an exact integer, so the whole two-phase loop is
+    replayable by the DuckDB oracle."""
     sub = dim // m
     spark = corpus.sparkSession
     idt = dict(corpus.dtypes)[id_col]
-    vt = dict(corpus.dtypes)[vec_col]
-    base = corpus.select(F.col(id_col), F.col(vec_col))
+    qbase = corpus.select(
+        F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
+    )
 
     kmax = max(ksub, nlist)
     init = sorted(
-        base.orderBy(id_col).limit(kmax).collect(), key=lambda r: r[id_col]
+        qbase.orderBy(id_col).limit(kmax).collect(),
+        key=lambda r: r[id_col],
     )
     cell_lits = (
         list(range(1, min(nlist, len(init)) + 1)),
-        [[float(x) for x in r[vec_col]] for r in init[:nlist]],
+        [[int(x) * PQ_SCALE for x in r["__qv"]] for r in init[:nlist]],
     )
 
-    def _collect_means(coded, entries):
+    def _collect_sums(coded, entries):
         ex = coded.select(F.explode(F.array(*entries)).alias("e"))
         pos = ex.select(
             F.col("e.j").alias("j"),
             F.col("e.cid").alias("cid"),
             F.posexplode(F.col("e.sv")).alias("i", "x"),
         )
-        means = pos.groupBy("j", "cid", "i").agg(
-            (F.sum(F.col("x").cast("decimal(30,9)")) / F.count(F.lit(1)))
-            .cast("float")
-            .alias("mval")
-        )
         return (
-            means.groupBy("j", "cid")
+            pos.groupBy("j", "cid", "i")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mval")))
-                    ),
-                    lambda s: s.getField("mval"),
-                ).alias("cvec")
+                F.sum(F.col("x").cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
 
-    def _sel(rows, j):
-        sel = sorted((r for r in rows if r["j"] == j), key=lambda r: r["cid"])
-        return (
-            [int(r["cid"]) for r in sel],
-            [[float(x) for x in r["cvec"]] for r in sel],
-        )
-
     # ---- phase 1: coarse quantizer alone ------------------------------
-    cell_schema = f"{id_col} {idt}, cell int, {vec_col} {vt}"
+    cell_schema = f"{id_col} {idt}, cell int, __qv array<int>"
     for _ in range(iters):
-        coded = base.mapInPandas(
+        coded = qbase.mapInPandas(
             _pq_codes_kernel(
-                [], sub, id_col, vec_col,
+                [], sub, id_col, "__qv",
                 with_norm=False, keep_vec=True, cell_lits=cell_lits,
             ),
             cell_schema,
         )
-        rows = _collect_means(
+        rows = _collect_sums(
             coded,
             [
                 F.struct(
                     F.lit(0).alias("j"),
                     F.col("cell").alias("cid"),
-                    F.slice(F.col(vec_col), 1, dim).alias("sv"),
+                    F.slice(F.col("__qv"), 1, dim).alias("sv"),
                 )
             ],
         )
-        cell_lits = _sel(rows, 0)
+        cell_lits = _lits_from_sums(rows, 1, scale=PQ_SCALE)[0]
 
     # ---- phase 2: subspace books over residuals (coarse frozen) -------
-    # init: residuals of the ksub smallest-id training vectors, routed
-    # driver-side with the kernel's exact fold/tie-break
+    # init: micro-unit residuals of the ksub smallest-id training
+    # vectors, routed driver-side with the kernel's exact integer
+    # score/tie-break
     init_res = []
     for r in init[:ksub]:
-        q = [float(x) for x in r[vec_col]]
-        _, _, cv = _route_cells(q, cell_lits, nprobe=1)[0]
-        init_res.append([a - b for a, b in zip(q, cv)])
+        qv = [int(x) for x in r["__qv"]]
+        _, _, cv = _route_cells(qv, cell_lits, nprobe=1)[0]
+        init_res.append(
+            [PQ_SCALE * a - int(b) for a, b in zip(qv, cv)]
+        )
     lits = [
         (
             list(range(1, len(init_res) + 1)),
@@ -2535,18 +2552,18 @@ def _ivfpq_train_residual(
     res_schema = (
         f"{id_col} {idt}, cell int, "
         + ", ".join(f"code_{j} int" for j in range(m))
-        + ", __res array<double>"
+        + ", __res array<bigint>"
     )
     for _ in range(iters):
-        coded = base.mapInPandas(
+        coded = qbase.mapInPandas(
             _pq_codes_kernel(
-                lits, sub, id_col, vec_col,
+                lits, sub, id_col, "__qv",
                 with_norm=False, keep_vec=False, cell_lits=cell_lits,
                 residual=True, emit_residual=True,
             ),
             res_schema,
         )
-        rows = _collect_means(
+        rows = _collect_sums(
             coded,
             [
                 F.struct(
@@ -2557,17 +2574,12 @@ def _ivfpq_train_residual(
                 for j in range(m)
             ],
         )
-        lits = [_sel(rows, j) for j in range(m)]
+        # residual components are ALREADY micro-units -> scale=1
+        lits = _lits_from_sums(rows, m, scale=1)
 
-    def _mk(cids, cvecs):
-        b = spark.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvecs)],
-            "cid int, cvec array<float>",
-        )
-        b._hb_lits = (cids, cvecs)
-        return b
-
-    return _mk(*cell_lits), [_mk(*lit) for lit in lits]
+    return _mk_book(spark, *cell_lits), [
+        _mk_book(spark, *lit) for lit in lits
+    ]
 
 
 def ivfpq_append_to_index(

@@ -53,14 +53,17 @@ ARTIFACTS = {
     "minhash_sigs": "minhash_sigs.parquet",
     "hyperplane_sigs": "hyperplane_sigs.parquet",
     "simhash_sigs": "simhash_sigs.parquet",
-    "pq_books": "pq_books.parquet",
-    "pq_codes": "pq_codes.parquet",
-    "ivfpq_codes": "ivfpq_codes.parquet",
-    "ivfpq_coarse": "ivfpq_coarse.parquet",
-    "ivfpq_books": "ivfpq_books.parquet",
-    "ivfpq_res_codes": "ivfpq_res_codes.parquet",
-    "ivfpq_res_coarse": "ivfpq_res_coarse.parquet",
-    "ivfpq_res_books": "ivfpq_res_books.parquet",
+    # ..._q dirs: the round-10 quantized-integer PQ format (micro-unit
+    # bigint codebooks, sqrt(|qv|^2) norms) — renamed so a durable root
+    # can never serve a stale float-format artifact to the new readers
+    "pq_books": "pq_books_q.parquet",
+    "pq_codes": "pq_codes_q.parquet",
+    "ivfpq_codes": "ivfpq_codes_q.parquet",
+    "ivfpq_coarse": "ivfpq_coarse_q.parquet",
+    "ivfpq_books": "ivfpq_books_q.parquet",
+    "ivfpq_res_codes": "ivfpq_res_codes_q.parquet",
+    "ivfpq_res_coarse": "ivfpq_res_coarse_q.parquet",
+    "ivfpq_res_books": "ivfpq_res_books_q.parquet",
     "quantized": "quantized.parquet",
     "events_bydate": "events_bydate.parquet",
     "winnow_fps": "winnow_fps.parquet",

@@ -2386,11 +2386,12 @@ def test_ivfpq_persisted_matches_inline_and_prunes_partitions(spark):
 
 def test_ivfpq_residual_mse_and_recall(spark):
     """Residual encoding (IVFADC proper) at IDENTICAL m/ksub/nlist
-    geometry: reconstruction MSE is strictly lower than plain encoding
-    (the Jegou et al. §V-A property — the code domain concentrates
-    around the cell centroid), and recall@5 on the standard probes is
-    never worse. Measured 0.669 vs 0.741 MSE and tied 0.867 recall at
-    sf0.001."""
+    geometry: reconstruction MSE — in the int8-quantized domain the
+    quantized trainer operates on, with micro-unit codebooks mapped
+    back via /PQ_SCALE — is strictly lower than plain encoding (the
+    Jegou et al. §V-A property: the code domain concentrates around
+    the cell centroid), and recall@5 on the standard probes is never
+    worse."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -2399,16 +2400,25 @@ def test_ivfpq_residual_mse_and_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     train = emb.orderBy("vec_id").limit(2048).localCheckpoint()
     X = {
-        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        r["vec_id"]: np.array(
+            S._quantize_py([float(x) for x in r["embedding"]]),
+            dtype=np.float64,
+        )
         for r in emb.collect()
     }
     mse = {}
     for res in (False, True):
         coarse, books = S.ivfpq_train(train, residual=res)
         codes = S.ivfpq_encode(emb, coarse, books, residual=res).collect()
-        cmap = {c: np.array(v) for c, v in zip(*S._collect_codebook(coarse))}
+        cmap = {
+            c: np.array(v, dtype=np.float64) / S.PQ_SCALE
+            for c, v in zip(*S._collect_codebook(coarse))
+        }
         bmaps = [
-            {c: np.array(v) for c, v in zip(*S._collect_codebook(b))}
+            {
+                c: np.array(v, dtype=np.float64) / S.PQ_SCALE
+                for c, v in zip(*S._collect_codebook(b))
+            }
             for b in books
         ]
         errs = []
@@ -3135,8 +3145,12 @@ def test_bloom_false_positive_rate_bounded(spark):
 def test_pq_kernel_assignment_matches_numpy_bruteforce(spark):
     """First-principles guard on the Arrow assignment kernel: every
     emitted code (and IVF cell) is the true L2-argmin centroid for its
-    subvector (ties -> smallest cid), checked against a plain numpy
-    distance computation over the sf0.001 embeddings."""
+    int8-quantized subvector against the micro-unit codebooks (ties ->
+    smallest cid), checked against a plain exact-fraction distance
+    computation over the sf0.001 embeddings; ``norm`` is sqrt of the
+    exact integer |qv|^2."""
+    import math
+
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -3151,23 +3165,34 @@ def test_pq_kernel_assignment_matches_numpy_bruteforce(spark):
         .collect()
     }
     vecs = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        r["vec_id"]: S._quantize_py([float(x) for x in r["embedding"]])
         for r in emb.limit(200).collect()
     }
     book_lits = [S._collect_codebook(b) for b in books]
     cell_lits = S._collect_codebook(coarse)
 
-    def argmin_cid(x, cids, cvecs):
-        d = [np.sum((x - np.asarray(cv)) ** 2) for cv in cvecs]
-        return cids[int(np.argmin(d))]  # first min -> smallest cid
+    def argmin_cid(qv, cids, cvecs, scale):
+        # exact integer min-L2: argmax 2*scale*dot - |C|^2, first max
+        # -> smallest cid (cids ascend)
+        best = None
+        for cid, cv in zip(cids, cvecs):
+            d = sum(int(a) * int(b) for a, b in zip(qv, cv))
+            nn = sum(int(c) * int(c) for c in cv)
+            sc = 2 * scale * d - nn
+            if best is None or sc > best[0]:
+                best = (sc, cid)
+        return best[1]
 
-    for vid, x in vecs.items():
+    for vid, qv in vecs.items():
         r = codes[vid]
-        assert r["cell"] == argmin_cid(x, *cell_lits)
+        assert r["cell"] == argmin_cid(qv, *cell_lits, S.PQ_SCALE)
         for j, (cids, cvecs) in enumerate(book_lits):
-            want = argmin_cid(x[j * 16 : (j + 1) * 16], cids, cvecs)
+            want = argmin_cid(
+                qv[j * 16 : (j + 1) * 16], cids, cvecs, S.PQ_SCALE
+            )
             assert r[f"code_{j}"] == want, (vid, j)
-        assert abs(r["norm"] - float(np.sqrt(np.sum(x * x)))) < 1e-9
+        qq = sum(c * c for c in qv)
+        assert r["norm"] == math.sqrt(qq), vid
 
 
 def test_ivfpq_append_idempotent_and_pruned_search(spark, tmp_path):
