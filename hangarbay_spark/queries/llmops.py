@@ -3916,19 +3916,413 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-verified PQ/IVFPQ family (promoted round 10).
+#
+# The whole pipeline — int8 quantization, Lloyd codebook training with
+# micro-unit integer centroids, encode, IVF routing, residuals, ADC
+# candidate scoring — is exact integer arithmetic on the Spark side
+# (operators/similarity.py PQ_SCALE design), so the DuckDB twins below
+# replay it verbatim: assignment scores are the exact int64
+# 2*scale*dot(x, C) - |C|^2 with (score DESC, cid ASC) tie-break,
+# centroid updates are exact component sums + the shared half-away
+# integer rounding formula, and the only float ops anywhere (sqrt of
+# an exact int, one multiply, one divide, the final _o_cosine rerank)
+# are single IEEE operations both engines compute identically.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_KSUB = 16
+_PQ_ITERS = 2
+_PQ_TRAIN_N = 2048
+_PQ_NLIST = 16
+_PQ_NPROBE = 4
+_PQ_SCALE = 1_000_000  # similarity.PQ_SCALE
+
+# half-away-from-zero integer rounding of (s*scale)/n — the
+# similarity._half_away twin (abs-magnitude form: trunc vs floor
+# division can never differ across engines)
+def _o_half_away(s: str, n: str, scale: int) -> str:
+    a = f"({s}) * {scale}" if scale != 1 else f"({s})"
+    return (
+        f"CASE WHEN ({s}) >= 0 THEN (2 * {a} + ({n})) // (2 * ({n})) "
+        f"ELSE -((-2 * {a} + ({n})) // (2 * ({n}))) END"
+    )
+
+
+def _o_pq_base(train_where: str = "") -> str:
+    """Shared base CTEs: int8 quantization (the proven _O_QUANT
+    fragment), full-dim components ``lif``, subspace coordinates
+    ``li``, exact integer norms ``qq``, and the bounded deterministic
+    training sample ``tli``."""
+    return f"""{_O_QUANT.strip()},
+    lif AS MATERIALIZED (
+      SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS fi,
+             CAST(unnest(qv) AS BIGINT) AS x
+      FROM q),
+    li AS MATERIALIZED (
+      SELECT vec_id, CAST((fi - 1) // {_PQ_SUB} AS INT) AS j,
+             CAST(((fi - 1) % {_PQ_SUB}) + 1 AS INT) AS si, x
+      FROM lif),
+    qq AS MATERIALIZED (
+      SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS qq
+      FROM lif GROUP BY vec_id),
+    tr AS (SELECT vec_id FROM q {train_where}
+           ORDER BY vec_id LIMIT {_PQ_TRAIN_N}),
+    tli AS MATERIALIZED (SELECT l.* FROM li l JOIN tr USING (vec_id)),
+    tlif AS MATERIALIZED (SELECT l.* FROM lif l JOIN tr USING (vec_id))"""
+
+
+def _o_pq_books(pfx: str, src: str, tsrc: str, scale: int) -> str:
+    """CTE chain for one Lloyd-trained codebook family over component
+    CTE ``src(vec_id, j, si, x)`` (training rows ``tsrc``): init from
+    the ksub smallest-id training vectors, _PQ_ITERS rounds of
+    exact-integer assignment + half-away mean update, ending in
+    ``{pfx}bf(j, cid, si, c)`` and per-(j,cid) norms ``{pfx}bnf``.
+    ``scale`` is PQ_SCALE when components are int8 (books are lifted
+    micro-units), 1 when they are already micro residuals."""
+    p = pfx
+    ctes = [
+        f"""{p}ini AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT)
+               AS cid
+      FROM (SELECT DISTINCT vec_id FROM {tsrc}
+            ORDER BY vec_id LIMIT {_PQ_KSUB}))""",
+        f"""{p}b0 AS MATERIALIZED (
+      SELECT l.j, i.cid, l.si, l.x * {scale} AS c
+      FROM {p}ini i JOIN {tsrc} l USING (vec_id))""",
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        prev = f"{p}b{it - 1}"
+        ctes.append(
+            f"""{p}bn{it - 1} AS (
+      SELECT j, cid, SUM(c * c) AS nn FROM {prev} GROUP BY j, cid)"""
+        )
+        ctes.append(
+            f"""{p}a{it} AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT d.vec_id, d.j, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY (2 * {scale} * d.d - n.nn) DESC, d.cid) AS rn
+        FROM (SELECT l.vec_id, b.j, b.cid, SUM(l.x * b.c) AS d
+              FROM {tsrc} l JOIN {prev} b
+                ON b.j = l.j AND b.si = l.si
+              GROUP BY 1, 2, 3) d
+        JOIN {p}bn{it - 1} n ON n.j = d.j AND n.cid = d.cid) t
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{p}b{it} AS MATERIALIZED (
+      SELECT j, cid, si, {_o_half_away("s", "n", scale)} AS c
+      FROM (SELECT a.j, a.cid, l.si, CAST(SUM(l.x) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM {p}a{it} a JOIN {tsrc} l
+              ON l.vec_id = a.vec_id AND l.j = a.j
+            GROUP BY 1, 2, 3))"""
+        )
+    ctes.append(
+        f"""{p}bf AS MATERIALIZED (SELECT * FROM {p}b{_PQ_ITERS})"""
+    )
+    ctes.append(
+        f"""{p}bnf AS MATERIALIZED (
+      SELECT j, cid, SUM(c * c) AS nn FROM {p}bf GROUP BY j, cid)"""
+    )
+    ctes.append(
+        f"""{p}asg AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT d.vec_id, d.j, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY (2 * {scale} * d.d - n.nn) DESC, d.cid) AS rn
+        FROM (SELECT l.vec_id, b.j, b.cid, SUM(l.x * b.c) AS d
+              FROM {src} l JOIN {p}bf b
+                ON b.j = l.j AND b.si = l.si
+              GROUP BY 1, 2, 3) d
+        JOIN {p}bnf n ON n.j = d.j AND n.cid = d.cid) t
+      WHERE rn = 1)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def _o_pq_cells(pfx: str) -> str:
+    """CTE chain for the IVF coarse quantizer over the FULL vectors
+    (``lif``/``tlif``): same init/assign/update loop as the books at
+    j=0, ending in ``{pfx}cbf(cid, fi, c)``, norms ``{pfx}cbn`` and
+    the full-corpus cell assignment ``{pfx}caf(vec_id, cid)``."""
+    p = pfx
+    ctes = [
+        f"""{p}cini AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT)
+               AS cid
+      FROM (SELECT DISTINCT vec_id FROM tlif
+            ORDER BY vec_id LIMIT {_PQ_NLIST}))""",
+        f"""{p}cb0 AS MATERIALIZED (
+      SELECT i.cid, l.fi, l.x * {_PQ_SCALE} AS c
+      FROM {p}cini i JOIN tlif l USING (vec_id))""",
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        prev = f"{p}cb{it - 1}"
+        ctes.append(
+            f"""{p}cn{it - 1} AS (
+      SELECT cid, SUM(c * c) AS nn FROM {prev} GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""{p}ca{it} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                 ORDER BY (2 * {_PQ_SCALE} * d.d - n.nn) DESC, d.cid)
+                 AS rn
+        FROM (SELECT l.vec_id, b.cid, SUM(l.x * b.c) AS d
+              FROM tlif l JOIN {prev} b ON b.fi = l.fi
+              GROUP BY 1, 2) d
+        JOIN {p}cn{it - 1} n ON n.cid = d.cid) t
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{p}cb{it} AS MATERIALIZED (
+      SELECT cid, fi, {_o_half_away("s", "n", _PQ_SCALE)} AS c
+      FROM (SELECT a.cid, l.fi, CAST(SUM(l.x) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM {p}ca{it} a JOIN tlif l ON l.vec_id = a.vec_id
+            GROUP BY 1, 2))"""
+        )
+    ctes.append(
+        f"""{p}cbf AS MATERIALIZED (SELECT * FROM {p}cb{_PQ_ITERS})"""
+    )
+    ctes.append(
+        f"""{p}cbn AS MATERIALIZED (
+      SELECT cid, SUM(c * c) AS nn FROM {p}cbf GROUP BY cid)"""
+    )
+    ctes.append(
+        f"""{p}caf AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                 ORDER BY (2 * {_PQ_SCALE} * d.d - n.nn) DESC, d.cid)
+                 AS rn
+        FROM (SELECT l.vec_id, b.cid, SUM(l.x * b.c) AS d
+              FROM lif l JOIN {p}cbf b ON b.fi = l.fi
+              GROUP BY 1, 2) d
+        JOIN {p}cbn n ON n.cid = d.cid) t
+      WHERE rn = 1)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def _o_pq_adc_tail(
+    pfx: str, rerank_k: int, cells: bool, residual: bool
+) -> str:
+    """ADC + exact-rerank CTEs from ``{pfx}asg``/``{pfx}bf`` (+ cell
+    CTEs when ``cells``): probe dot tables, exact bigint candidate
+    scores, the (score DESC, neighbor_id) top-rerank window, and the
+    _o_cosine exact re-rank — ending in ``{pfx}top(probe_id,
+    neighbor_id, cosine, rk)``."""
+    p = pfx
+    pl = f"(SELECT l.* FROM li l WHERE l.vec_id IN {PROBE_IDS})"
+    ctes = [
+        f"""{p}pt AS MATERIALIZED (
+      SELECT p.vec_id AS probe_id, b.j, b.cid,
+             CAST(SUM(p.x * b.c) AS BIGINT) AS pd
+      FROM {pl} p JOIN {p}bf b ON b.j = p.j AND b.si = p.si
+      GROUP BY 1, 2, 3)"""
+    ]
+    if cells:
+        # probe routing: top nprobe cells by the exact assignment
+        # score (DESC, cid ASC); the integer routing dot rides along
+        # for the residual ADC term
+        ctes.append(
+            f"""{p}rt AS MATERIALIZED (
+      SELECT probe_id, cid, cdot FROM (
+        SELECT d.probe_id, d.cid, d.d AS cdot,
+               ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                 ORDER BY (2 * {_PQ_SCALE} * d.d - n.nn) DESC, d.cid)
+                 AS rn
+        FROM (SELECT l.vec_id AS probe_id, b.cid,
+                     CAST(SUM(l.x * b.c) AS BIGINT) AS d
+              FROM lif l JOIN {p}cbf b ON b.fi = l.fi
+              WHERE l.vec_id IN {PROBE_IDS}
+              GROUP BY 1, 2) d
+        JOIN {p}cbn n ON n.cid = d.cid) t
+      WHERE rn <= {_PQ_NPROBE})"""
+        )
+        cd = f"+ r.cdot" if residual else ""
+        ctes.append(
+            f"""{p}adc AS (
+      SELECT t.probe_id, g.vec_id AS neighbor_id,
+             CAST(SUM(t.pd) {cd} AS BIGINT) AS A
+      FROM {p}asg g
+      JOIN {p}caf nc ON nc.vec_id = g.vec_id
+      JOIN {p}rt r ON r.cid = nc.cid
+      JOIN {p}pt t ON t.probe_id = r.probe_id
+                  AND t.j = g.j AND t.cid = g.cid
+      WHERE g.vec_id <> t.probe_id
+      GROUP BY 1, 2, r.cdot)"""
+        )
+    else:
+        ctes.append(
+            f"""{p}adc AS (
+      SELECT t.probe_id, g.vec_id AS neighbor_id,
+             CAST(SUM(t.pd) AS BIGINT) AS A
+      FROM {p}asg g JOIN {p}pt t ON t.j = g.j AND t.cid = g.cid
+      WHERE g.vec_id <> t.probe_id
+      GROUP BY 1, 2)"""
+        )
+    ctes.append(
+        f"""{p}cand AS MATERIALIZED (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT a.probe_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.probe_id
+                 ORDER BY CAST(a.A AS DOUBLE)
+                          / (sqrt(CAST(pn.qq AS DOUBLE))
+                             * sqrt(CAST(nn.qq AS DOUBLE))) DESC,
+                          a.neighbor_id) AS ark
+        FROM {p}adc a
+        JOIN qq pn ON pn.vec_id = a.probe_id
+        JOIN qq nn ON nn.vec_id = a.neighbor_id) t
+      WHERE ark <= {rerank_k})"""
+    )
+    ctes.append(
+        f"""{p}top AS MATERIALIZED (
+      SELECT probe_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+      FROM (SELECT c.probe_id, c.neighbor_id,
+                   {_o_cosine("pe.embedding", "ne.embedding")} AS cosine
+            FROM {p}cand c
+            JOIN embeddings pe ON pe.vec_id = c.probe_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id) s)"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def _o_pq_topk() -> str:
+    """Flat PQ/ADC twin: train -> encode -> ADC -> exact rerank."""
+    return f"""
+    WITH {_o_pq_base()},
+    {_o_pq_books("", "li", "tli", _PQ_SCALE)},
+    {_o_pq_adc_tail("", 150, cells=False, residual=False)}
+    SELECT probe_id, neighbor_id, cosine, rk FROM top WHERE rk <= 5
+    """
+
+
+def _o_ivfpq_topk(residual: bool = False) -> str:
+    """IVFADC twin: joint (or two-phase residual) train -> cell-tagged
+    encode -> nprobe routing -> cell-restricted ADC -> exact rerank."""
+    p = "r_" if residual else "p_"
+    if residual:
+        books = f"""{_o_pq_cells(p)},
+    {p}rli AS MATERIALIZED (
+      SELECT l.vec_id, CAST((l.fi - 1) // {_PQ_SUB} AS INT) AS j,
+             CAST(((l.fi - 1) % {_PQ_SUB}) + 1 AS INT) AS si,
+             {_PQ_SCALE} * l.x - cb.c AS x
+      FROM lif l
+      JOIN {p}caf a ON a.vec_id = l.vec_id
+      JOIN {p}cbf cb ON cb.cid = a.cid AND cb.fi = l.fi),
+    {p}trli AS MATERIALIZED (
+      SELECT l.* FROM {p}rli l JOIN tr USING (vec_id)),
+    {_o_pq_books(p, f"{p}rli", f"{p}trli", 1)}"""
+    else:
+        books = f"""{_o_pq_cells(p)},
+    {_o_pq_books(p, "li", "tli", _PQ_SCALE)}"""
+    return f"""
+    WITH {_o_pq_base()},
+    {books},
+    {_o_pq_adc_tail(p, 100, cells=True, residual=residual)}
+    SELECT probe_id, neighbor_id, cosine, rk FROM {p}top WHERE rk <= 5
+    """
+
+
+def _o_pq_incremental() -> str:
+    """Incremental-encode twin: books trained on the frozen corpus
+    (vec_id % 10 <> 0), the new batch (vec_id % 10 = 0) encoded
+    against them; output (vec_id, norm_r, code_0..3)."""
+    codes = ", ".join(
+        f"CAST(MAX(CASE WHEN g.j = {j} THEN g.cid END) AS INT)"
+        f" AS code_{j}"
+        for j in range(_PQ_M)
+    )
+    return f"""
+    WITH {_o_pq_base(train_where="WHERE vec_id % 10 <> 0")},
+    enc AS (SELECT l.* FROM li l WHERE l.vec_id % 10 = 0),
+    {_o_pq_books("", "enc", "tli", _PQ_SCALE)}
+    SELECT g.vec_id,
+           round(sqrt(CAST(MAX(n.qq) AS DOUBLE)), 6) AS norm_r,
+           {codes}
+    FROM asg g JOIN qq n ON n.vec_id = g.vec_id
+    GROUP BY g.vec_id
+    """
+
+
+def _o_ivfpq_recall() -> str:
+    """Recall@5 report twin: the exact brute-force arm and BOTH IVFADC
+    arms (plain + residual) replayed in one statement."""
+    plain = f"""{_o_pq_cells("p_")},
+    {_o_pq_books("p_", "li", "tli", _PQ_SCALE)},
+    {_o_pq_adc_tail("p_", 100, cells=True, residual=False)}"""
+    res = f"""{_o_pq_cells("r_")},
+    r_rli AS MATERIALIZED (
+      SELECT l.vec_id, CAST((l.fi - 1) // {_PQ_SUB} AS INT) AS j,
+             CAST(((l.fi - 1) % {_PQ_SUB}) + 1 AS INT) AS si,
+             {_PQ_SCALE} * l.x - cb.c AS x
+      FROM lif l
+      JOIN r_caf a ON a.vec_id = l.vec_id
+      JOIN r_cbf cb ON cb.cid = a.cid AND cb.fi = l.fi),
+    r_trli AS MATERIALIZED (
+      SELECT l.* FROM r_rli l JOIN tr USING (vec_id)),
+    {_o_pq_books("r_", "r_rli", "r_trli", 1)},
+    {_o_pq_adc_tail("r_", 100, cells=True, residual=True)}"""
+    return f"""
+    WITH {_o_pq_base()},
+    exact AS MATERIALIZED (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {_o_cosine("p.embedding", "e.embedding")}
+                          DESC, e.vec_id) AS rk
+        FROM embeddings p CROSS JOIN embeddings e
+        WHERE p.vec_id IN {PROBE_IDS} AND e.vec_id <> p.vec_id) t
+      WHERE rk <= 5),
+    {plain},
+    {res},
+    arms AS (
+      SELECT 'ivfpq' AS method, probe_id, neighbor_id
+      FROM p_top WHERE rk <= 5
+      UNION ALL
+      SELECT 'ivfpq_residual' AS method, probe_id, neighbor_id
+      FROM r_top WHERE rk <= 5)
+    SELECT m.method,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.probe_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(a.probe_id) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 6)
+             AS recall
+    FROM (SELECT DISTINCT method FROM arms) m
+    LEFT JOIN (SELECT a.method, a.probe_id
+               FROM arms a JOIN exact e
+                 ON e.probe_id = a.probe_id
+                AND e.neighbor_id = a.neighbor_id) a USING (method)
+    GROUP BY m.method
+    """
+
+
 @register(
     "sim_pq_topk",
-    None,  # PQ codebooks/codes have no tractable SQL twin — rows-only;
-    # recall vs the exact brute force is pinned in tests
+    _o_pq_topk(),  # promoted r10: the quantized-integer PQ pipeline
+    # replayed end-to-end (train/encode/ADC exact int64, rerank via
+    # the shared _o_cosine fold)
     "product-quantization ANN (Jegou et al. 2011, ADC with exact "
-    "re-rank): per-subspace L2 codebooks (broadcast-assign Lloyd "
-    "iterations, decimal-exact means), corpus stored as m=4 one-byte "
-    "codes + a norm — the memory path that fits a 100 TB corpus's "
-    "index in cluster RAM; probes score codes through m*16-entry "
-    "broadcast dot tables (the corpus-wide pass never touches "
-    "vectors), and only the top 4k ADC candidates are re-scored with "
-    "the exact cosine. Completes the ANN ladder: brute force / IVF / "
-    "hyperplane LSH / int8 / JL / PQ, all with the same output shape",
+    "re-rank), ORACLE-VERIFIED END TO END: per-subspace L2 codebooks "
+    "Lloyd-trained over int8-quantized vectors with micro-unit "
+    "integer centroids (every assignment score and centroid update "
+    "is exact int64 — order-independent, map-side combinable), corpus "
+    "stored as m=4 one-byte codes + a norm — the memory path that "
+    "fits a 100 TB corpus's index in cluster RAM; probes score codes "
+    "through m*16-entry broadcast integer dot tables (the corpus-wide "
+    "pass never touches vectors), and only the top 150 ADC candidates "
+    "are re-scored with the exact cosine. Completes the ANN ladder: "
+    "brute force / IVF / hyperplane LSH / int8 / JL / PQ, all with "
+    "the same output shape — and now all oracle-green",
     "similarity extension (product quantization / ADC)",
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4183,7 +4577,9 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pq_persisted_topk",
-    None,  # rows-only like its inline twin (no SQL form for PQ)
+    _o_pq_topk(),  # promoted r10: row-identical to the inline twin
+    # (same bounded training sample), so the same replayed pipeline
+    # is its oracle
     "PQ/ADC ANN from the PERSISTED index: codebook training and the "
     "corpus-wide encode — all of sim_pq_topk's dominant cost — are "
     "paid once at publish (pipelines/indexes.py:ensure_pq_index); "
@@ -4208,9 +4604,10 @@ def sim_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_topk",
-    None,  # kmeans cells + PQ codebooks have no tractable SQL twin —
-    # rows-only; recall vs exact brute force is regression-guarded in
-    # tests (test_ivfpq_recall_floor) and measured by sim_ivfpq_recall
+    _o_ivfpq_topk(residual=False),  # promoted r10: the joint
+    # quantized-integer IVFADC loop (cells + books + routing + ADC)
+    # unrolled; recall vs exact brute force additionally
+    # regression-guarded in tests and measured by sim_ivfpq_recall
     "composed IVF x PQ ANN (the FAISS IVFADC billion-vector serving "
     "layout): a 16-cell coarse quantizer routes each probe to its 4 "
     "nearest cells, the PQ/ADC code scan is restricted to those "
@@ -4232,7 +4629,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_recall",
-    None,  # composed from a rows-only arm — rows-only by construction
+    _o_ivfpq_recall(),  # promoted r10: exact arm + BOTH IVFADC arms
+    # (plain and residual) replayed in one statement
     "recall@5 A/B report for the composed IVF x PQ search against the "
     "exact brute force on the same probes (the sim_ann_recall_report "
     "pattern for the arm that has no SQL twin): routing misses — the "
@@ -4296,7 +4694,9 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_persisted_topk",
-    None,  # rows-only like its inline twin (no SQL form for IVFADC)
+    _o_ivfpq_topk(residual=False),  # promoted r10: row-identical to
+    # the inline twin at oracle scale (auto geometry resolves to the
+    # fixed 16/4/2048 at sf0.01)
     "IVFADC ANN from the PERSISTED cell-partitioned index: coarse "
     "routing + ADC tables come from tiny collected codebook parquets, "
     "and the probed-cell filter prunes the code scan AT THE PARQUET "
@@ -4322,7 +4722,9 @@ def sim_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivfpq_residual_topk",
-    None,  # rows-only like the other IVFADC arms (no SQL form)
+    _o_ivfpq_topk(residual=True),  # promoted r10: the two-phase
+    # residual trainer (frozen cells, micro-unit integer residuals)
+    # unrolled, with the routing dot added to the ADC score
     "IVFADC-proper ANN from the PERSISTED residual index: subspace "
     "codes quantize x - centroid(cell) (the FAISS residual layout — "
     "lower quantization error at identical geometry, MSE improvement "
@@ -4350,8 +4752,9 @@ _PQ_OLD_PATHS: dict[str, tuple[str, str]] = {}
 
 @register(
     "sim_pq_incremental",
-    None,  # codes have no SQL twin — rows-only; append/idempotency
-    # semantics are pinned in test_pq_append_idempotent_and_search
+    _o_pq_incremental(),  # promoted r10: books trained on the frozen
+    # corpus, batch-only encode replayed; append/idempotency semantics
+    # additionally pinned in test_pq_append_idempotent_and_search
     "incremental PQ ingest: a new batch (vec_id % 10 == 0) coded "
     "against the PERSISTED frozen codebooks of the remaining corpus — "
     "the timed run reads the tiny books parquet plus the batch only "
