@@ -2667,7 +2667,15 @@ def _nsw_score_edges(
     edges: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(src, dst) -> (src, dst, cos): fetch both endpoint vectors by id
-    join and score with the sequential-exact cosine."""
+    join and score with the sequential-exact cosine.
+
+    Scorer = the Arrow sequential kernel (``_cosine_pair_col(fast=
+    False)``), bit-identical to :func:`cosine_expr`'s interpreted HOF
+    fold by construction (identical IEEE op order; pinned by
+    tests/test_operators.py::test_cosine_seq_udf_matches_expr) — this
+    is the bulk edge-scoring path, and the kernel measured 1.55 s ->
+    0.58 s over the sf0.1 candidate set (guide §4.2: vectorized native
+    batches beat interpreted per-row lambdas)."""
     a = corpus.select(
         F.col(id_col).alias("src"), F.col(vec_col).alias("__va")
     )
@@ -2680,7 +2688,9 @@ def _nsw_score_edges(
         .select(
             "src",
             "dst",
-            cosine_expr(F.col("__va"), F.col("__vb")).alias("cos"),
+            _cosine_pair_col(F.col("__va"), F.col("__vb"), False).alias(
+                "cos"
+            ),
         )
     )
 
@@ -2703,13 +2713,12 @@ def _nsw_ring_edges(corpus: DataFrame, id_col: str) -> DataFrame:
         rr.select(F.col("src").alias("dst"), F.col("rn").alias("__rn2")),
         "__rn2",
     ).select("src", "dst")
-    return (
-        ring.unionByName(
-            ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # DIRECTED successor pairs only (no mirror here): the caller scores
+    # these once and mirrors the SCORED rows — cosine is bit-symmetric
+    # (per-element multiply commutes, the accumulation order over i is
+    # identical either way), so scoring each undirected ring edge once
+    # halves the interpreted-HOF cosine work (the knn-half precedent).
+    return ring.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def nsw_build_adjacency(
@@ -2751,9 +2760,26 @@ def nsw_build_adjacency(
         id_col,
         vec_col,
     )
-    knn = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
-    )
+    # Mirror by ONE explode of a 2-struct array: unionByName's two
+    # branches are differently-projected consumers of `half`, which
+    # ReuseExchange does not dedup — the exact-cosine scoring (the
+    # dominant build cost) would run TWICE (CLAUDE.md row-variant rule).
+    knn = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("dst").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
     w = W.partitionBy("src").orderBy(F.desc("cos"), "dst")
     knn_top = (
         knn.withColumn("rk", F.row_number().over(w))
@@ -2761,9 +2787,35 @@ def nsw_build_adjacency(
         .drop("rk")
         .select("src", "dst", "cos", F.lit("knn").alias("kind"))
     )
-    ring = _nsw_score_edges(
+    # Ring edges: score the DIRECTED successor pairs once, mirror the
+    # scored rows by one explode (cosine is bit-symmetric, so the
+    # mirrored direction's cos is identical by construction), and
+    # distinct to collapse 2-cycles (n=2 rings) the directed relation
+    # already contains in both directions.
+    ring_half = _nsw_score_edges(
         _nsw_ring_edges(corpus, id_col), corpus, id_col, vec_col
-    ).select("src", "dst", "cos", F.lit("ring").alias("kind"))
+    )
+    ring = (
+        ring_half.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                        F.col("cos").alias("cos"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("cos").alias("cos"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.cos")
+        .distinct()
+        .select("src", "dst", "cos", F.lit("ring").alias("kind"))
+    )
     return knn_top.unionByName(ring)
 
 
@@ -2833,7 +2885,11 @@ def nsw_topk(
             "nid",
             cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cos"),
         )
-        .localCheckpoint(eager=True)
+        # Lazy: no action runs inside the loop, so every checkpoint
+        # materializes exactly once inside the single final action —
+        # eager=True paid one extra job launch per frame (A/B: walk
+        # 2.78 s -> 2.32 s, identical rows).
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     wb = W.partitionBy("probe_id").orderBy(F.desc("cos"), "nid")
@@ -2857,7 +2913,7 @@ def nsw_topk(
                 "nid",
                 cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cos"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # see the visited note
         )
         # visited is a union chain of <= rounds checkpointed frames —
         # no checkpoint needed (each leg is already materialized)
@@ -3045,13 +3101,26 @@ def nsw_append_to_index(
         .filter(F.col("rk") <= degree)
         .drop("rk")
     )
-    back = knn_new.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
-    )
-    edges = (
-        knn_new.unionByName(back)
-        .select("src", "dst", "cos", F.lit("knn").alias("kind"))
-    )
+    # Mirror by ONE explode (CLAUDE.md row-variant rule): a unionByName
+    # of two selects would consume the scored+windowed subtree twice —
+    # ReuseExchange does not dedup differently-projected consumers, so
+    # the candidate scoring would run twice.
+    edges = knn_new.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("dst").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos", F.lit("knn").alias("kind"))
     anchor_id = corpus.agg(F.min(id_col).alias("m")).first()["m"]
     anchors = _nsw_score_edges(
         batch.select(F.col(id_col).alias("src")).select(
@@ -3061,11 +3130,22 @@ def nsw_append_to_index(
         id_col,
         vec_col,
     ).filter(F.col("src") != F.col("dst"))
-    anchors = anchors.unionByName(
-        anchors.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
-        )
-    ).select("src", "dst", "cos", F.lit("ring").alias("kind"))
+    anchors = anchors.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("dst").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos", F.lit("ring").alias("kind"))
     edges.unionByName(anchors).write.mode("append").parquet(adj_path)
     new_sigs.write.mode("append").parquet(sigs_path)
     return n_new
