@@ -420,14 +420,18 @@ def minhash_lsh_dedup_pairs(
         ],
         F.collect_list("shingle").alias("sh"),
     ).localCheckpoint()
-    # Single-consumption plan: the shingle arrays ride along into the
-    # banded bucket rows, so the expensive sigs subtree is computed
-    # exactly once (measured: the candidate-then-lookup formulation
-    # recomputed postings+groupBy four times — ReuseExchange does not
-    # dedup across differently-projected consumers). The extra shuffle
-    # weight is bands x |sh| per doc — the standard LSH trade for a
-    # one-shot run; the build-once path that avoids it is
-    # write_minhash_signature_table + minhash_pairs_from_signature_table.
+    # Candidate-then-lookup over the CHECKPOINTED sigs (r10): the band
+    # explode and bucket self-join carry only (id, bucket) — the
+    # shingle arrays never enter the bands-x-|sh| explode or cross the
+    # bucket exchange (guide §2.3: project before the exchange; ~4x
+    # fewer shuffled array bytes) — and verification re-attaches the
+    # arrays by joining the candidate pairs back to sigs twice. The
+    # historical hazard of this shape (postings+groupBy recomputed
+    # four times — ReuseExchange does not dedup differently-projected
+    # consumers) is gone because sigs is an eager localCheckpoint: all
+    # three consumers scan the same materialized RDD. The build-once
+    # path remains write_minhash_signature_table +
+    # minhash_pairs_from_signature_table.
     band_hashes = F.array(
         *[
             F.concat_ws(
@@ -447,19 +451,22 @@ def minhash_lsh_dedup_pairs(
         ]
     )
     buckets = sigs.select(
-        F.col(id_col), F.explode(band_hashes).alias("bucket"), F.col("sh")
+        F.col(id_col), F.explode(band_hashes).alias("bucket")
     )
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), "bucket", F.col("sh").alias("sh_a")
-    )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), "bucket", F.col("sh").alias("sh_b")
-    )
-    pairs = (
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
