@@ -2314,22 +2314,26 @@ def _ams_sign(r: int, key_sql: str, cast_t: str) -> str:
     "2.4 extension (AMS F2 sketch, oracle-verified estimate)",
 )
 def agg_ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum over rows of sign_r(key) == sum over distinct keys of
+    # cnt * sign_r(key) (exact bigint arithmetic), so both the sketch
+    # and the exact arm fold over ONE groupBy — one lineitem scan, the
+    # 9 md5 signs evaluated per distinct key instead of per row, and
+    # no scalar cross join.
     li = load_table(spark, sf_dir, "lineitem")
-    z = li.agg(
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    z = counts.agg(
         *[
-            F.sum(F.expr(_ams_sign(r, "l_partkey", "STRING")))
+            F.sum(F.col("cnt") * F.expr(_ams_sign(r, "l_partkey", "STRING")))
             .cast("bigint")
             .alias(f"z{r}")
             for r in range(_AMS_D)
-        ]
-    )
-    e = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2"))
+        ],
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2"),
     )
     sumsq = " + ".join(f"z{r} * z{r}" for r in range(_AMS_D))
-    return z.crossJoin(F.broadcast(e)).select(
+    return z.select(
         F.expr(
             f"round(CAST({sumsq} AS DOUBLE) / {_AMS_D}.0, 6)"
         ).alias("est_f2"),
