@@ -53,7 +53,9 @@ def qc_features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the CPU-heavy stage, and a small corpus parquet scans as ONE input
     split (the CLAUDE.md single-split rule) — without the spread the
     whole feature build runs single-threaded."""
-    docs = docs.repartition("doc_id")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     tk = docs.select(
         "doc_id",
         X.tokens_expr("text").alias("t"),

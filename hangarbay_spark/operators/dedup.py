@@ -76,7 +76,7 @@ def shingle_postings(
 
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(id_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(
             F.col(id_col),
@@ -571,7 +571,7 @@ def duplicated_span_counts(
 
     post = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(id_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(
             F.col(id_col),
@@ -604,7 +604,7 @@ def positional_gram_postings(
 
     toks_src = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(id_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     )
     sz = F.size("__toks")
@@ -665,7 +665,7 @@ def duplicated_span_removal(
 
     toks_src = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(id_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .localCheckpoint()  # two consumers: gram stage + splice stage
     )

@@ -310,7 +310,9 @@ def as_of_join_arrow(
         F.col(right_ts).alias("__rts"),
         *([F.col(tie_break).alias("__tb")] if tie_break else []),
     )
-    unioned = u_left.unionByName(u_right).repartition("__k")
+    unioned = u_left.unionByName(u_right).repartition(
+        left.sparkSession.sparkContext.defaultParallelism, "__k"
+    )
 
     out_schema = T.StructType(
         [
@@ -336,7 +338,12 @@ def as_of_join_arrow(
     l_renames = {f"l_{c}": c for c in l_cols}
 
     def kernel(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # an explicit-N key spread can hand a task ZERO Arrow batches
+        # (fewer keys than partitions) — pd.concat raises on []
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         lf = pdf[pdf["__is_left"] == 1]

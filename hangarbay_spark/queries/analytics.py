@@ -21,6 +21,7 @@ from hangarbay_spark.queries.base import (
     load_table,
     o_dsum,
     register,
+    spread,
 )
 
 
@@ -2706,7 +2707,10 @@ _OLS_GUARD = "s11 * s22 - s12 * s12 > 0.0 AND syy > 0.0 AND n > 3.0"
     "analytics extension (closed-form OLS regression per group)",
 )
 def report_ols_price_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # The nine decimal(30,x) moment sums are the measured cost (~5 µs/row
+    # at the Int128 accumulator) and the single-row-group testdata scans
+    # as ONE task — spread the pruned columns first (base.spread).
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     d2 = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
     d4 = lambda e: e.cast("decimal(30,4)")  # noqa: E731
     q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")

@@ -70,6 +70,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Spread a small scan across the cluster before a CPU-heavy stage.
+
+    Parquet scan parallelism is row-group-granular and the driver's
+    testdata writes ONE row group per table, so every per-row-expensive
+    scan stage (exact decimal moment casts, per-row hashing, tokenize)
+    otherwise runs in a single task no matter how many cores the master
+    has (``spark.sql.files.maxPartitionBytes`` cannot split inside a
+    row group). One narrow shuffle of the pruned columns spreads the
+    work; partition count is ``defaultParallelism`` (scales with the
+    master / executor count, not a local[32] constant). With many
+    input splits (the 100 TB case) the shuffle is merely redundant.
+    Explicit-N repartition so AQE cannot coalesce the tiny byte size
+    back into one partition (the CLAUDE.md checkpointed-loop rule).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
+    return df.repartition(n)
+
+
 def normalize_ns_ts(df: DataFrame, *cols: str) -> DataFrame:
     """TIMESTAMP(NANOS) parquet columns -> TimestampType (µs).
 

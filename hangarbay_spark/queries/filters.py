@@ -119,7 +119,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute; a one-split corpus scan would serialize them
     toks = (
         load_table(spark, sf_dir, "documents")
-        .repartition("doc_id")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
         .select("doc_id", X.tokens_expr("text").alias("toks"))
     )
     docfeat = toks.select(
@@ -1568,7 +1570,9 @@ def quality_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU: two regexp_extract_all passes over the
     # full text are the cost, and a single-file corpus scans as ONE
     # split (sf1 A/B: 2.8 s single-split vs 1.5 s spread)
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     c = docs.select(
         "doc_id",
         "lang",

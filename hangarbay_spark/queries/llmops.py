@@ -906,7 +906,9 @@ def _token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", "text")
-        .repartition("doc_id")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
         .select("doc_id", X.tokens_expr("text").alias("__toks"))
         .select("doc_id", F.explode("__toks").alias("token"))
     )
@@ -1311,7 +1313,9 @@ def text_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU (shingle_postings rationale): a single-
     # file corpus scans as ONE split, and the 4-row hash explode would
     # otherwise run single-threaded no matter the core count
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(F.explode(X.tokens_expr("text")).alias("token"))
 
     def lane_of(r, digest_col):
@@ -1485,7 +1489,9 @@ def bloom_lanes_of(frame: DataFrame) -> DataFrame:
 )
 def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU: single-file corpus scans as one split
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "lang", F.explode(X.tokens_expr("text")).alias("token")
     )
@@ -1615,7 +1621,9 @@ def streaming_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = BM.read_members(spark, root).localCheckpoint()
     bits = BM.read_bits(spark, root).localCheckpoint()
     cands = (
-        docs.repartition("doc_id")
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
         .filter(F.col("lang") != "en")
         .select(F.explode(X.tokens_expr("text")).alias("token"))
         .distinct()
@@ -3321,7 +3329,9 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU: the bigram struct transform is the
     # cost; a one-split corpus scan would serialize it
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     t = X.tokens_expr("text")
     toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
     g = F.transform(
@@ -3442,7 +3452,9 @@ _PKN_TEXT = (
 def text_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU: the bigram transform dominates; a
     # one-split corpus scan would serialize it
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     t = X.tokens_expr("text")
     toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
     g = F.transform(
@@ -3581,7 +3593,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition-to-spread-CPU: char-array splitting and sorting is
     # pure per-row compute; a one-split corpus scan would serialize it
     # (sf1 A/B: 19.7 s single-split vs see BENCH_NOTES)
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     # Staged projections: every array consumed inside a higher-order
     # lambda is materialized as a plain column first — lambdas re-run
@@ -8083,7 +8097,9 @@ _VMR_TXT = (
     "text-analysis extension (term burstiness / dispersion)",
 )
 def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tf = (
         docs.select(
             "doc_id", F.explode(X.tokens_expr("text")).alias("term")

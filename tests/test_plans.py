@@ -483,7 +483,9 @@ EXCHANGE_BOUNDS = {
     "quality_snapshot_diff": 8,
     # repartition-to-spread-CPU + distributed top-k
     "quality_readability_flesch": 2,
-    "report_ols_price_drivers": 2,
+    # +1 exchange r10: explicit spread of the single-row-group scan
+    # before the nine decimal(30,x) moment sums (base.spread)
+    "report_ols_price_drivers": 3,
     "events_diff_in_diff": 2,
     # round-5 continuation-6 additions (audited at sf0.001): the
     # corpus-scale work in each is one groupBy (rank grids, weighted
