@@ -348,7 +348,9 @@ _STATS_SELECT = ",\n           ".join(
     "2.4 aggregation extension (statistical aggregates)",
 )
 def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread before the five decimal(30,x) moment sums (base.spread;
+    # the report_ols_price_drivers precedent)
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     q = F.col("l_quantity").cast("double")
     p = F.col("l_extendedprice").cast("double")
     m = li.groupBy("l_returnflag").agg(
@@ -2457,8 +2459,17 @@ def _o_bootstrap() -> str:
 def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hangarbay_spark.operators.sampling import POISSON1_U16_LADDER
 
-    pur = load_events(spark, sf_dir).filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    # spread: the per-(event, chunk) md5 replicate expansion below is
+    # the CPU stage and the events parquet scans as one row group.
+    # Checkpointed: the exact-mean arm and the replicate arm would
+    # otherwise each re-scan + re-spread (multi-consumer rule).
+    pur = (
+        spread(load_events(spark, sf_dir), "event_id")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select("event_id", "value")
+        .localCheckpoint()
     )
     est = pur.agg(
         F.count(F.lit(1)).cast("double").alias("n_obs"),

@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from hangarbay_spark.queries.base import dsum, load_table, o_dsum, register
+from hangarbay_spark.queries.base import (
+    dsum,
+    load_table,
+    o_dsum,
+    register,
+    spread,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -38,7 +44,9 @@ from hangarbay_spark.queries.base import dsum, load_table, o_dsum, register
     "A1,A4,P1,F8",
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread before the four decimal(30,x) sums (base.spread; the
+    # report_ols_price_drivers precedent)
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     # Partial (map-side) aggregation is automatic for hash aggs; the only
@@ -2778,7 +2786,10 @@ _O_GK_SKETCH = _o_gk_sketch_sql(
 
 
 def _gk_lineitem_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: consumers run per-row md5 bucketing + window ranking
+    # (summary build) and the 5-estimate cross + rank counts (envelope
+    # audit) straight off this single-row-group scan
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.select(
         F.col("l_extendedprice").alias("v"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
@@ -2941,7 +2952,11 @@ def agg_gk_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         gk_summary,
     )
 
-    vals = _gk_lineitem_vals(spark, sf_dir)
+    # THREE consumers re-derive vals (merged arm, direct arm, envelope
+    # rank scan) — materialize the spread scan once; each arm then
+    # reads the checkpoint instead of re-scanning + re-spreading
+    # (multi-consumer rule)
+    vals = _gk_lineitem_vals(spark, sf_dir).localCheckpoint()
     merged = gk_summary(
         vals, "v", "tb", partitions=_GK_P, err_div=_GK_ERRDIV,
         batch_col="l_returnflag",
