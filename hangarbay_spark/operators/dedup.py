@@ -1245,7 +1245,6 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Primitives (md5, strpos, >>, %) match DuckDB bit-for-bit.
     """
     toks = shingle_postings(df, id_col, text_col, n=1)
-    h = F.md5(F.col("shingle"))
     # The 64 per-gram bit-counters ride PACKED, four 16-bit fields per
     # long (16 sum aggregates + a count instead of 64): per-token rows
     # contribute bit<<16f, and summing packed longs adds each field
@@ -1256,17 +1255,26 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     # Measured: 1.0 s vs 1.7 s warm at sf0.1, and the narrow aggregate
     # fixes the pathological first-compile cost of 64 codegen'd sum
     # columns (5.4 s -> 1.2 s cold).
-    packed = []
+    # Both 64-term expression families are built as SQL TEXT in one
+    # F.expr per column: the Column-by-Column construction made ~900
+    # py4j roundtrips and cost ~1.9 s of DRIVER time per call
+    # (measured; the CLAUDE.md wide-literal rule) — identical integer
+    # expressions either way.
     fields_per_long = 4
     n_longs = SIMHASH_BITS // fields_per_long
+    md5_sql = "md5(shingle)"
+    packed = []
     for blk in range(n_longs):
-        expr = F.lit(0).cast("long")
+        terms = ["CAST(0 AS BIGINT)"]
         for f in range(fields_per_long):
             g = blk * fields_per_long + f
-            d = F.instr(F.lit(HEX_DIGITS), F.substring(h, g // 4 + 1, 1)) - 1
-            bit = (F.shiftright(d, g % 4) % 2).cast("long")
-            expr = expr + F.shiftleft(bit, 16 * f)
-        packed.append(expr.alias(f"p{blk}"))
+            d = (
+                f"(instr('{HEX_DIGITS}', "
+                f"substr({md5_sql}, {g // 4 + 1}, 1)) - 1)"
+            )
+            bit = f"CAST((shiftright({d}, {g % 4}) % 2) AS BIGINT)"
+            terms.append(f"shiftleft({bit}, {16 * f})")
+        packed.append(F.expr(" + ".join(terms)).alias(f"p{blk}"))
     summed = (
         toks.select(F.col(id_col), *packed)
         .groupBy(id_col)
@@ -1277,18 +1285,19 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
     words = []
     for j in range(SIMHASH_BLOCKS):
-        w = F.lit(0)
+        terms = ["0"]
         for i in range(SIMHASH_BLOCK_BITS):
             g = j * SIMHASH_BLOCK_BITS + i
             cnt = (
-                F.shiftright(F.col(f"s{g // fields_per_long}"),
-                             16 * (g % fields_per_long))
-                % (1 << 16)
+                f"(shiftright(s{g // fields_per_long}, "
+                f"{16 * (g % fields_per_long)}) % {1 << 16})"
             )
-            w = w + F.when(2 * cnt > F.col("__n"), F.lit(1 << i)).otherwise(
-                F.lit(0)
+            terms.append(
+                f"(CASE WHEN 2 * {cnt} > __n THEN {1 << i} ELSE 0 END)"
             )
-        words.append(w.cast("int").alias(f"w{j}"))
+        words.append(
+            F.expr(f"CAST(({' + '.join(terms)}) AS INT)").alias(f"w{j}")
+        )
     out = summed.select(F.col(id_col), *words)
     hex_str = F.lower(
         F.concat(
