@@ -103,6 +103,14 @@ def deletion_join(
         F.xxhash64("__v.var").alias("__vh"),
         F.col("__v.pos").alias("__pos"),
     )
+    # THREE consumers (both sides of the substitution join + the
+    # deletion side of the indel join) re-derived the explode+hash off
+    # a single-row-group scan (serial; ReuseExchange does not dedup
+    # differently-aliased consumers) — materialize it once, spread
+    # (multi-consumer + single-split rules).
+    dels = dels.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__vh"
+    ).localCheckpoint()
     idents = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__s"),
