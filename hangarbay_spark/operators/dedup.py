@@ -140,6 +140,12 @@ def prefix_filter_jaccard_pairs(
             <= F.col("__m") - F.expr(f"({t} * __m + 99) DIV 100") + 1
         )
         .select(F.col(id_col), "shingle")
+        # BOTH sides of the candidate self-join consume this frame —
+        # without the checkpoint the rank-join + per-doc window chain
+        # executes twice (ReuseExchange does not dedup
+        # differently-aliased consumers); the frame is prefix-sized
+        # (~m - ceil(t*m) + 1 shingles per doc).
+        .localCheckpoint()
     )
     pa = prefix.select(F.col(id_col).alias("id_a"), "shingle")
     pb = prefix.select(F.col(id_col).alias("id_b"), "shingle")
