@@ -5181,6 +5181,9 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_unk", T.LongType()),
         ]
     )
+    # NOT spread: the one-pass greedy kernel costs well under the
+    # added exchange at bench scale (A/B 0.67 -> 0.75 s; contrast the
+    # rescanning BPE kernel below, where the spread wins)
     return docs.select("doc_id", "text").mapInPandas(
         X.wordpiece_encode_kernel(vocab), schema
     )
@@ -5348,8 +5351,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_applied", T.LongType()),
         ]
     )
-    return docs.select("doc_id", "text").mapInPandas(
-        X.bpe_encode_kernel(merges), schema
+    # spread: the merge-application kernel is pure per-row Python CPU
+    # and the corpus scans as one row group (single task otherwise)
+    return (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .mapInPandas(X.bpe_encode_kernel(merges), schema)
     )
 
 
