@@ -75,8 +75,26 @@ def main() -> None:
     spark = get_spark(app_name="hangarbay_bench")
 
     def jvm_gc() -> None:
-        """Synchronous full GC — the slow-tail decontamination boundary."""
+        """Slow-tail decontamination boundary: drop leaked checkpoint
+        blocks, then force a synchronous full GC.
+
+        Every ``localCheckpoint()`` a query materializes stays pinned
+        in the block manager after the query finishes — the Python
+        wrappers are garbage but the ContextCleaner's weak-ref path
+        lags py4j detach by minutes, so over a 355-query run the
+        leaked blocks grow to GBs of storage memory and the whole
+        slow tail pays their GC pressure (measured: the full run
+        read 12.5 s for a query whose 11-query tail-only run reads
+        5.8 s and whose clean-JVM min is ~5.1 s). Queries are
+        independent (no cross-query RDD reuse — CLAUDE.md forbids
+        ``.cache()``), so explicitly unpersisting everything between
+        queries is safe and makes each timed read start from the
+        same (empty) block manager the driver's per-query runs see."""
         try:
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
@@ -118,6 +136,13 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             t = min(t, time.perf_counter() - t2)
         timings[name] = round(t, 4)
+        try:  # drop this query's checkpoint blocks (cheap, no GC)
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 4)
     # Fastest-first emission; aggregates last (see module docstring).

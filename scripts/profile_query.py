@@ -59,6 +59,12 @@ def main() -> None:
         reads = []
         for i in range(args.runs):
             try:
+                # same boundary as bench.py: drop leaked checkpoint
+                # blocks (ContextCleaner lags py4j detach), then GC
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist(False)
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
