@@ -1516,6 +1516,31 @@ def test_connected_components_and_survivors(spark):
     assert kept == {1, 5, 7}
 
 
+def test_connected_components_kernel_matches_loop(spark, monkeypatch):
+    """The small-graph union-find kernel (CC_KERNEL_MAX_EDGES fast
+    path, r10) must produce labels identical to the distributed
+    min-label loop — both compute cluster = min reachable id."""
+    import random
+
+    rng = random.Random(7)
+    # chains, stars, a cycle, isolated pairs — varied diameters
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (7, 8)]
+    edges += [(100, 100 + i) for i in range(1, 6)]  # star
+    edges += [(200, 201), (201, 202), (202, 200)]  # cycle
+    edges += [(rng.randint(300, 340), rng.randint(300, 340)) for _ in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    new = sorted(
+        (r["id"], r["cluster"])
+        for r in D.connected_components(pairs).collect()
+    )
+    monkeypatch.setattr(D, "CC_KERNEL_MAX_EDGES", -1)  # force the loop
+    old = sorted(
+        (r["id"], r["cluster"])
+        for r in D.connected_components(pairs).collect()
+    )
+    assert new == old and len(new) > 0
+
+
 # ---------------------------------------------------------------------------
 # Corpus filters (operators/filters.py)
 # ---------------------------------------------------------------------------
