@@ -58,6 +58,85 @@ PIN_NODES = 2_000_000
 BCAST_EDGES = 8_000_000
 
 
+# Below this many (distinct) edge rows the power-iteration loop is
+# replaced by ONE Arrow task replaying all iterations over the
+# checkpointed edge list (the CC_KERNEL_MAX_EDGES regime-switch
+# discipline, operators/dedup.py): the loop pays ~2 jobs of stage
+# latency per round even on a vocab-sized graph (TextRank: 31 nodes /
+# 930 edges x 10 rounds ≈ 3 s of scheduling), while the kernel
+# replays the float discipline bit-identically — rank/deg is the same
+# IEEE divide, the decimal(30,15) accumulation is Decimal(repr(c))
+# quantized HALF_UP (Spark's double→decimal cast goes through
+# BigDecimal.valueOf = shortest repr, the tests/test_estimators _r6
+# finding), sums are exact, and the 12 dp iteration round uses the
+# identical shortest-repr HALF_UP path (queries/events.py:5653
+# precedent). Equivalence is pinned by a full-rank-vector test.
+# Python-decimal edge math is ~µs/edge, so 100k edges x 10 rounds is
+# ~seconds — comparable to the loop at the bound, far faster below.
+PAGERANK_KERNEL_MAX_EDGES = 100_000
+
+
+def _pagerank_kernel(
+    ed: DataFrame, iters: int, damping: float, symmetric: bool
+) -> DataFrame:
+    """Single-task bit-identical replay of :func:`_pagerank_loop` for
+    SMALL graphs: input = the checkpointed (src, dst, deg) frame."""
+    import pandas as pd
+
+    node_type = ed.schema["src"].dataType.simpleString()
+    out_schema = f"node {node_type}, rank double"
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q15 = Decimal("1e-15")
+        q12 = Decimal("1e-12")
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(
+                zip(pdf["src"], pdf["dst"], (int(d) for d in pdf["deg"]))
+            )
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "rank": []})
+            return
+        all_nodes = sorted({s for s, _, _ in edges_l})
+        n = float(len(all_nodes))
+        jump = 1.0 - damping
+        rank = {v: 1.0 / n for v in all_nodes}
+        for _ in range(iters):
+            sums: dict = {}
+            for s, d, deg in edges_l:
+                c = rank[s] / float(deg)
+                dec = Decimal(repr(c)).quantize(q15, ROUND_HALF_UP)
+                sums[d] = sums.get(d, Decimal(0)) + dec
+            if symmetric:
+                rank = {
+                    v: float(
+                        Decimal(
+                            repr(jump / n + damping * float(sv))
+                        ).quantize(q12, ROUND_HALF_UP)
+                    )
+                    for v, sv in sums.items()
+                }
+            else:
+                rank = {
+                    v: float(
+                        Decimal(
+                            repr(
+                                jump / n
+                                + damping * float(sums.get(v, Decimal(0)))
+                            )
+                        ).quantize(q12, ROUND_HALF_UP)
+                    )
+                    for v in all_nodes
+                }
+        yield pd.DataFrame(
+            {"node": list(rank), "rank": [rank[v] for v in rank]}
+        )
+
+    return ed.coalesce(1).mapInPandas(kernel, out_schema)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -109,6 +188,11 @@ def pagerank(
         p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         ed = ed.repartition(p, "src")
     ed = ed.localCheckpoint(eager=True)
+    # Regime switch on EDGE count (see PAGERANK_KERNEL_MAX_EDGES):
+    # vocab-sized graphs replay all iterations in one Arrow task;
+    # counting the materialized checkpoint is ~free.
+    if ed.count() <= PAGERANK_KERNEL_MAX_EDGES:
+        return _pagerank_kernel(ed, iters, damping, symmetric)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .distinct()

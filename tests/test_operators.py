@@ -2598,6 +2598,37 @@ def test_pagerank_symmetric_path_matches_general(spark):
     assert general == fast
 
 
+def test_pagerank_kernel_matches_loop(spark, monkeypatch):
+    """The small-graph single-task kernel (PAGERANK_KERNEL_MAX_EDGES
+    fast path, r10) must reproduce the distributed loop's rank vector
+    BIT-IDENTICALLY — same IEEE divide, same shortest-repr HALF_UP
+    decimal(30,15) accumulation, same 12 dp iteration round — on both
+    the symmetric and the general (re-attach) paths."""
+    import random
+
+    from hangarbay_spark.operators import graph as G
+
+    rng = random.Random(11)
+    raw = {
+        (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(1500)
+    }
+    edges = [(a, b) for a, b in raw if a != b]
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, ["src", "dst"]).localCheckpoint()
+    for symm in (True, False):
+        new = sorted(
+            (r["node"], r["rank"])
+            for r in G.pagerank(df, iters=7, symmetric=symm).collect()
+        )
+        monkeypatch.setattr(G, "PAGERANK_KERNEL_MAX_EDGES", -1)
+        old = sorted(
+            (r["node"], r["rank"])
+            for r in G.pagerank(df, iters=7, symmetric=symm).collect()
+        )
+        monkeypatch.undo()
+        assert new == old and len(new) > 100
+
+
 def test_triangle_query_matches_bruteforce_on_clique_plus_path(spark):
     """K4 + pendant path: per-node triangle counts are known exactly —
     every K4 node sits on C(3,2)=3 triangles, path nodes on none."""
