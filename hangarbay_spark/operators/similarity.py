@@ -1421,6 +1421,231 @@ def _lits_from_sums(rows, m: int, scale: int):
     return lits
 
 
+# Below this many corpus rows the Lloyd training loops collapse into
+# ONE Arrow task replaying every iteration in-executor (the
+# CC_KERNEL_MAX_EDGES / PAGERANK_KERNEL_MAX_EDGES regime-switch
+# discipline): each distributed iteration costs an assignment-scan job
+# plus a sum-collect job of scheduler latency, which dominates wall
+# time on bounded training corpora (sf0.1: 2000 vectors). Everything
+# the loops compute is an exact integer, and the fast path calls the
+# SAME _pq_codes_kernel / _lits_from_sums / _route_cells helpers the
+# distributed loops use, so the books are bit-identical by
+# construction (pinned by test_pq_train_kernel_matches_loop).
+# Cluster-scale corpora keep the distributed per-iteration shape.
+PQ_TRAIN_KERNEL_MAX_ROWS = 100_000
+
+
+def _train_books_single_task(
+    qbase: DataFrame,
+    id_col: str,
+    dim: int,
+    m: int,
+    sub: int,
+    ksub: int,
+    nlist: int,
+    iters: int,
+    mode: str,
+):
+    """Single-task replay of the Lloyd trainers over a SMALL quantized
+    corpus: ``mode`` in {'pq', 'joint', 'residual'}. Returns
+    (cell_lits | None, lits) — the same literal structures the
+    distributed loops produce, via one collect of bounded codebook
+    rows."""
+    import numpy as np  # noqa: F401  (kernel import)
+
+    def kern(batches):
+        import numpy as np
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(
+            pdfs, ignore_index=True
+        )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # ids unique
+        kmax = max(ksub, nlist)
+        init_qv = [
+            [int(x) for x in pdf["__qv"].iloc[i]] for i in order[:kmax]
+        ]
+
+        def book_init(rows):
+            return [
+                (
+                    list(range(1, min(ksub, len(rows)) + 1)),
+                    [r[j * sub : (j + 1) * sub] for r in rows[:ksub]],
+                )
+                for j in range(m)
+            ]
+
+        def sums_for(vals, codes, j):
+            rows = []
+            for cid in np.unique(codes):
+                mask = codes == cid
+                s = vals[mask].sum(axis=0)
+                n = int(mask.sum())
+                rows.extend(
+                    {
+                        "j": j,
+                        "cid": int(cid),
+                        "i": i,
+                        "s": int(s[i]),
+                        "n": n,
+                    }
+                    for i in range(vals.shape[1])
+                )
+            return rows
+
+        def run(lits, cell_lits, residual, emit_residual, keep_vec):
+            fn = _pq_codes_kernel(
+                lits,
+                sub,
+                id_col,
+                "__qv",
+                with_norm=False,
+                keep_vec=keep_vec,
+                cell_lits=cell_lits,
+                residual=residual,
+                emit_residual=emit_residual,
+            )
+            return next(fn(iter([pdf])))
+
+        cell_lits = None
+        if mode == "pq":
+            lits = book_init(
+                [[x * PQ_SCALE for x in qv] for qv in init_qv]
+            )
+            for _ in range(iters):
+                coded = run(lits, None, False, False, True)
+                X = np.asarray(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in coded["__qv"]
+                    ]
+                )
+                rows = []
+                for j in range(m):
+                    rows += sums_for(
+                        X[:, j * sub : (j + 1) * sub],
+                        coded[f"code_{j}"].to_numpy(),
+                        j,
+                    )
+                lits = _lits_from_sums(rows, m, scale=PQ_SCALE)
+        elif mode == "joint":
+            lits = book_init(
+                [[x * PQ_SCALE for x in qv] for qv in init_qv]
+            )
+            cell_lits = (
+                list(range(1, min(nlist, len(init_qv)) + 1)),
+                [
+                    [x * PQ_SCALE for x in qv]
+                    for qv in init_qv[:nlist]
+                ],
+            )
+            for _ in range(iters):
+                coded = run(lits, cell_lits, False, False, True)
+                X = np.asarray(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in coded["__qv"]
+                    ]
+                )
+                rows = []
+                for j in range(m):
+                    rows += sums_for(
+                        X[:, j * sub : (j + 1) * sub],
+                        coded[f"code_{j}"].to_numpy(),
+                        j,
+                    )
+                rows += sums_for(X, coded["cell"].to_numpy(), m)
+                sel = _lits_from_sums(rows, m + 1, scale=PQ_SCALE)
+                lits, cell_lits = sel[:m], sel[m]
+        else:  # residual: phase 1 cells alone, phase 2 books on x - C
+            cell_lits = (
+                list(range(1, min(nlist, len(init_qv)) + 1)),
+                [
+                    [x * PQ_SCALE for x in qv]
+                    for qv in init_qv[:nlist]
+                ],
+            )
+            for _ in range(iters):
+                coded = run([], cell_lits, False, False, True)
+                X = np.asarray(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in coded["__qv"]
+                    ]
+                )
+                rows = sums_for(X, coded["cell"].to_numpy(), 0)
+                cell_lits = _lits_from_sums(rows, 1, scale=PQ_SCALE)[0]
+            init_res = []
+            for qv in init_qv[:ksub]:
+                _, _, cv = _route_cells(qv, cell_lits, nprobe=1)[0]
+                init_res.append(
+                    [PQ_SCALE * a - int(b) for a, b in zip(qv, cv)]
+                )
+            lits = [
+                (
+                    list(range(1, len(init_res) + 1)),
+                    [rv[j * sub : (j + 1) * sub] for rv in init_res],
+                )
+                for j in range(m)
+            ]
+            for _ in range(iters):
+                coded = run(lits, cell_lits, True, True, False)
+                R = np.asarray(
+                    [
+                        np.asarray(v, dtype=np.int64)
+                        for v in coded["__res"]
+                    ]
+                )
+                rows = []
+                for j in range(m):
+                    rows += sums_for(
+                        R[:, j * sub : (j + 1) * sub],
+                        coded[f"code_{j}"].to_numpy(),
+                        j,
+                    )
+                lits = _lits_from_sums(rows, m, scale=1)
+        out = []
+        if cell_lits is not None:
+            out += [
+                (m, int(c), [int(x) for x in v])
+                for c, v in zip(*cell_lits)
+            ]
+        for j, (cids, cvecs) in enumerate(lits):
+            out += [
+                (j, int(c), [int(x) for x in v])
+                for c, v in zip(cids, cvecs)
+            ]
+        yield pd.DataFrame(
+            {
+                "j": [o[0] for o in out],
+                "cid": [o[1] for o in out],
+                "cvec": [o[2] for o in out],
+            }
+        )
+
+    rows = (
+        qbase.coalesce(1)
+        .mapInPandas(kern, "j int, cid int, cvec array<bigint>")
+        .collect()
+    )
+    by: dict[int, list] = {}
+    for r in rows:
+        by.setdefault(int(r["j"]), []).append(
+            (int(r["cid"]), [int(x) for x in r["cvec"]])
+        )
+
+    def mk(j):
+        entries = sorted(by.get(j, []))
+        return [c for c, _ in entries], [v for _, v in entries]
+
+    lits = [mk(j) for j in range(m)]
+    cells = mk(m) if mode != "pq" else None
+    return cells, lits
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1450,6 +1675,14 @@ def pq_train(
     qbase = corpus.select(
         F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
     )
+    # Regime switch on corpus rows (see PQ_TRAIN_KERNEL_MAX_ROWS):
+    # bounded training corpora replay every Lloyd iteration in one
+    # Arrow task instead of iters x (assignment job + sum-collect job).
+    if qbase.count() <= PQ_TRAIN_KERNEL_MAX_ROWS:
+        _, lits = _train_books_single_task(
+            qbase, id_col, dim, m, sub, ksub, 0, iters, "pq"
+        )
+        return [_mk_book(spark, c, v) for c, v in lits]
 
     # Deterministic init: the ksub smallest-id vectors, sliced
     # driver-side — per subspace, the same ksub smallest-id subvectors
@@ -2374,6 +2607,14 @@ def ivfpq_train(
     qbase = corpus.select(
         F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
     )
+    # Regime switch on corpus rows (see PQ_TRAIN_KERNEL_MAX_ROWS).
+    if qbase.count() <= PQ_TRAIN_KERNEL_MAX_ROWS:
+        cells, lits = _train_books_single_task(
+            qbase, id_col, dim, m, sub, ksub, nlist, iters, "joint"
+        )
+        return _mk_book(spark, *cells), [
+            _mk_book(spark, c, v) for c, v in lits
+        ]
 
     kmax = max(ksub, nlist)
     init = sorted(
@@ -2482,6 +2723,14 @@ def _ivfpq_train_residual(
     qbase = corpus.select(
         F.col(id_col), quantize_int8_expr(vec_col).alias("__qv")
     )
+    # Regime switch on corpus rows (see PQ_TRAIN_KERNEL_MAX_ROWS).
+    if qbase.count() <= PQ_TRAIN_KERNEL_MAX_ROWS:
+        cells, lits = _train_books_single_task(
+            qbase, id_col, dim, m, sub, ksub, nlist, iters, "residual"
+        )
+        return _mk_book(spark, *cells), [
+            _mk_book(spark, c, v) for c, v in lits
+        ]
 
     kmax = max(ksub, nlist)
     init = sorted(

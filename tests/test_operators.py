@@ -2598,6 +2598,52 @@ def test_pagerank_symmetric_path_matches_general(spark):
     assert general == fast
 
 
+def test_pq_train_kernel_matches_loop(spark, monkeypatch):
+    """The single-task Lloyd-training fast path
+    (PQ_TRAIN_KERNEL_MAX_ROWS, r10) must produce codebooks
+    bit-identical to the distributed per-iteration loops for all
+    three trainers (pq / joint ivfpq / residual ivfpq) — it reuses
+    _pq_codes_kernel and _lits_from_sums, so assignment and update
+    math are shared by construction; this pins the init and sum
+    plumbing around them."""
+    import random
+
+    from hangarbay_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).localCheckpoint()
+
+    def sig(books):
+        return [
+            sorted(
+                (r["cid"], tuple(r["cvec"])) for r in b.collect()
+            )
+            for b in books
+        ]
+
+    def run_all():
+        out = {"pq": sig(S.pq_train(emb, dim=16, m=4, ksub=8, iters=2))}
+        c, b = S.ivfpq_train(emb, dim=16, m=4, ksub=8, nlist=6, iters=2)
+        out["joint"] = sig([c] + b)
+        c, b = S.ivfpq_train(
+            emb, dim=16, m=4, ksub=8, nlist=6, iters=2, residual=True
+        )
+        out["residual"] = sig([c] + b)
+        return out
+
+    fast = run_all()
+    monkeypatch.setattr(S, "PQ_TRAIN_KERNEL_MAX_ROWS", -1)
+    loop = run_all()
+    monkeypatch.undo()
+    assert fast == loop
+    assert all(len(v) > 0 for v in fast.values())
+
+
 def test_pagerank_kernel_matches_loop(spark, monkeypatch):
     """The small-graph single-task kernel (PAGERANK_KERNEL_MAX_EDGES
     fast path, r10) must reproduce the distributed loop's rank vector
