@@ -137,6 +137,171 @@ def _pagerank_kernel(
     return ed.coalesce(1).mapInPandas(kernel, out_schema)
 
 
+# Shared edge-count guard for the query-side small-graph loop kernels
+# below (PPR / LPA / path-load centrality): same regime-switch
+# discipline as PAGERANK_KERNEL_MAX_EDGES — tiny graphs replay the
+# whole iteration schedule in one Arrow task; cluster-scale graphs
+# keep the distributed per-round loops.
+LOOP_KERNEL_MAX_EDGES = 100_000
+
+
+def _node_schema(und: DataFrame, val: str) -> str:
+    return f"node {und.schema['src'].dataType.simpleString()}, {val}"
+
+
+def ppr_ranks_kernel(
+    und: DataFrame, n_seeds: int, iters: int
+) -> DataFrame:
+    """Single-task bit-identical replay of the personalized-PageRank
+    loop (queries/analytics.graph_personalized_pagerank) over a SMALL
+    checkpointed symmetric edge list: seeds = the ``n_seeds`` smallest
+    node ids, teleport 0.15/ns to seeds only, damping 0.85, the same
+    IEEE divide / decimal(30,15) HALF_UP accumulation / 12 dp
+    iteration round as :func:`_pagerank_kernel`."""
+    import pandas as pd
+
+    out_schema = _node_schema(und, "rank double")
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q15, q12 = Decimal("1e-15"), Decimal("1e-12")
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "rank": []})
+            return
+        deg: dict = {}
+        for s, _ in edges_l:
+            deg[s] = deg.get(s, 0) + 1
+        seeds = set(sorted(deg)[:n_seeds])
+        ns = float(len(seeds))
+        rank = {
+            v: (1.0 / ns if v in seeds else 0.0) for v in deg
+        }
+        for _ in range(iters):
+            msum: dict = {}
+            for s, d in edges_l:
+                c = rank[s] / float(deg[s])
+                msum[d] = msum.get(d, Decimal(0)) + Decimal(
+                    repr(c)
+                ).quantize(q15, ROUND_HALF_UP)
+            rank = {
+                d: float(
+                    Decimal(
+                        repr(
+                            (0.15 / ns if d in seeds else 0.0)
+                            + 0.85 * float(sv)
+                        )
+                    ).quantize(q12, ROUND_HALF_UP)
+                )
+                for d, sv in msum.items()
+            }
+        yield pd.DataFrame(
+            {"node": list(rank), "rank": [rank[v] for v in rank]}
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
+def lpa_labels_kernel(und: DataFrame, iters: int) -> DataFrame:
+    """Single-task replay of synchronous label propagation over a
+    SMALL symmetric edge list: each round every node adopts its
+    neighborhood's most frequent label (count-desc, label-asc
+    tie-break) — exact integer counts, so identity with the
+    distributed loop is by arithmetic."""
+    import pandas as pd
+
+    t = und.schema["src"].dataType.simpleString()
+    out_schema = f"node {t}, label {t}"
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "label": []})
+            return
+        nodes = {s for s, _ in edges_l}
+        lab = {v: v for v in nodes}
+        for _ in range(iters):
+            cnt: dict = {}
+            for s, d in edges_l:
+                key = (s, lab[d])
+                cnt[key] = cnt.get(key, 0) + 1
+            best: dict = {}
+            for (node, label), c in cnt.items():
+                cur = best.get(node)
+                if cur is None or (-c, label) < cur[0]:
+                    best[node] = ((-c, label), label)
+            lab = {node: v[1] for node, v in best.items()}
+        yield pd.DataFrame(
+            {"node": list(lab), "label": [lab[v] for v in lab]}
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
+def plc_kernel(und: DataFrame, n_seeds: int, hops: int) -> DataFrame:
+    """Single-task replay of the bounded-hop path-load centrality
+    sweeps (queries/analytics.graph_path_load_centrality): multi-seed
+    BFS with path counts sigma forward, tail counts c backward,
+    load(v) = sum over levels 1..hops of sigma*c — exact integers
+    throughout."""
+    import pandas as pd
+
+    out_schema = _node_schema(und, "path_load bigint")
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "path_load": []})
+            return
+        nodes = sorted({s for s, _ in edges_l})
+        seeds = nodes[:n_seeds]
+        levels = [{(sd, sd): 1 for sd in seeds}]  # (seed, node) -> sigma
+        visited = set(levels[0])
+        for _ in range(hops):
+            nxt: dict = {}
+            prev = levels[-1]
+            for s, d in edges_l:
+                for sd in seeds:
+                    sg = prev.get((sd, s))
+                    if sg is not None and (sd, d) not in visited:
+                        nxt[(sd, d)] = nxt.get((sd, d), 0) + sg
+            levels.append(nxt)
+            visited |= set(nxt)
+        tail_for = {hops: {k: 1 for k in levels[hops]}}
+        c = tail_for[hops]
+        for k in range(hops - 1, -1, -1):
+            contrib: dict = {}
+            for s, d in edges_l:
+                for sd in seeds:
+                    cv = c.get((sd, d))
+                    if cv is not None:
+                        contrib[(sd, s)] = contrib.get((sd, s), 0) + cv
+            c = {
+                k2: 1 + contrib.get(k2, 0) for k2 in levels[k]
+            }
+            tail_for[k] = c
+        load: dict = {}
+        for k in range(1, hops + 1):
+            tf = tail_for[k]
+            for (sd, node), sg in levels[k].items():
+                load[node] = load.get(node, 0) + sg * tf[(sd, node)]
+        yield pd.DataFrame(
+            {
+                "node": list(load),
+                "path_load": [load[v] for v in load],
+            }
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,

@@ -1073,6 +1073,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     n_und = und0.count()  # one cheap job over the materialized checkpoint
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay all 4 synchronous rounds in ONE Arrow task — exact
+    # integer counts, identical count-desc/label-asc tie-break
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops).
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        lpa_labels_kernel,
+    )
+
+    if n_und <= LOOP_KERNEL_MAX_EDGES:
+        return (
+            lpa_labels_kernel(und0, _LPA_ITERS)
+            .groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .orderBy(F.col("n_nodes").desc(), "community")
+            .limit(20)
+        )
     labels0 = und0.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1694,6 +1711,24 @@ def graph_path_load_centrality(
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay both bounded-hop sweeps (forward sigma, backward
+    # tail counts) in ONE Arrow task — exact integers throughout
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops).
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        plc_kernel,
+    )
+
+    if und.count() <= LOOP_KERNEL_MAX_EDGES:
+        return (
+            plc_kernel(und, _PLC_SEEDS, _PLC_HOPS)
+            .orderBy(F.desc("path_load"), "node")
+            .limit(20)
+            .select(
+                F.col("node").cast("bigint").alias("node"), "path_load"
+            )
+        )
     seeds = (
         und.select("src").distinct().orderBy("src").limit(_PLC_SEEDS)
         .select(F.col("src").alias("seed"))
@@ -3946,6 +3981,38 @@ def graph_personalized_pagerank(
             )
         ).alias("ed")
     ).select("ed.src", "ed.dst").localCheckpoint(eager=True)
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay all 6 teleport iterations in ONE Arrow task with
+    # the identical float discipline (bit-identity pinned by
+    # test_small_graph_loop_kernels_match_loops); counting the checkpoint is ~free.
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        ppr_ranks_kernel,
+    )
+
+    if und.count() <= LOOP_KERNEL_MAX_EDGES:
+        r = ppr_ranks_kernel(und, _PPR_SEEDS, _PPR_ITERS)
+        sd = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(_PPR_SEEDS)
+        )
+        return (
+            r.join(
+                F.broadcast(sd.withColumn("isflag", F.lit(1))),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("isflag", F.lit(0)).alias("is_seed"),
+                "rank",
+            )
+            .orderBy(F.desc("rank"), "node")
+            .limit(15)
+            .select("node", "is_seed", F.round("rank", 9).alias("rank"))
+        )
     dg = und.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).localCheckpoint(eager=True)

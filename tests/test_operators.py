@@ -2598,6 +2598,27 @@ def test_pagerank_symmetric_path_matches_general(spark):
     assert general == fast
 
 
+def test_small_graph_loop_kernels_match_loops(spark, monkeypatch):
+    """The single-task small-graph replays (graph.LOOP_KERNEL_MAX_EDGES
+    fast paths: PPR teleport iterations, synchronous LPA rounds, the
+    path-load BFS sweeps — r10) must produce query results identical
+    to the distributed loops."""
+    from hangarbay_spark.operators import graph as G
+    from hangarbay_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    for qname in (
+        "graph_personalized_pagerank",
+        "graph_label_propagation",
+        "graph_path_load_centrality",
+    ):
+        fast = [tuple(r) for r in REGISTRY[qname].fn(spark, sf).collect()]
+        monkeypatch.setattr(G, "LOOP_KERNEL_MAX_EDGES", -1)
+        loop = [tuple(r) for r in REGISTRY[qname].fn(spark, sf).collect()]
+        monkeypatch.undo()
+        assert fast == loop and len(fast) > 0, qname
+
+
 def test_pq_train_kernel_matches_loop(spark, monkeypatch):
     """The single-task Lloyd-training fast path
     (PQ_TRAIN_KERNEL_MAX_ROWS, r10) must produce codebooks

@@ -503,8 +503,10 @@ EXCHANGE_BOUNDS = {
     # rollup + join-back (assign scans are kernel projections; loop
     # frames checkpoint per round)
     "sim_kmeans_train": 3,
-    # PPR's visible plan is post-checkpoint (per-round checkpoints)
-    "graph_personalized_pagerank": 1,
+    # PPR (small-graph kernel regime at test scale): the MapInPandas
+    # replay + the seed-set distinct exchange + its broadcast join —
+    # the per-round loop exchanges are gone entirely
+    "graph_personalized_pagerank": 2,
     # textrank's visible plan is post-checkpoint (the pagerank loop
     # checkpoints per round — its 1-shuffle/iteration property is
     # pinned by test_pagerank_iteration_single_shuffle)
