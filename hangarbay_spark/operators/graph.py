@@ -302,6 +302,82 @@ def plc_kernel(und: DataFrame, n_seeds: int, hops: int) -> DataFrame:
     return und.coalesce(1).mapInPandas(kernel, out_schema)
 
 
+def bfs_dist_kernel(
+    und: DataFrame, n_seeds: int, hops: int
+) -> DataFrame:
+    """Single-task replay of the bounded multi-source BFS
+    (queries/analytics.graph_bfs_hops): seeds = the ``n_seeds``
+    smallest node ids sharing ONE visited set, dist = first hop
+    reached — exact integers."""
+    import pandas as pd
+
+    out_schema = _node_schema(und, "dist int")
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "dist": []})
+            return
+        nodes = sorted({s for s, _ in edges_l})
+        dist = {v: 0 for v in nodes[:n_seeds]}
+        frontier = set(dist)
+        for k in range(1, hops + 1):
+            nxt = {
+                d
+                for s, d in edges_l
+                if s in frontier and d not in dist
+            }
+            for d in nxt:
+                dist[d] = k
+            frontier = nxt
+        yield pd.DataFrame(
+            {"node": list(dist), "dist": [dist[v] for v in dist]}
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
+def sssp_dist_kernel(
+    und: DataFrame, n_seeds: int, rounds: int
+) -> DataFrame:
+    """Single-task replay of the bounded Bellman-Ford relaxation
+    (queries/analytics.graph_weighted_sssp) over a SMALL weighted
+    symmetric edge list (src, dst, w): per round
+    dist = min(carry, one-edge relax) — exact integers."""
+    import pandas as pd
+
+    out_schema = _node_schema(und, "dist bigint")
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(
+                zip(pdf["src"], pdf["dst"], (int(w) for w in pdf["w"]))
+            )
+        if not edges_l:
+            yield pd.DataFrame({"node": [], "dist": []})
+            return
+        nodes = sorted({s for s, _, _ in edges_l})
+        dist = {v: 0 for v in nodes[:n_seeds]}
+        for _ in range(rounds):
+            new = dict(dist)
+            for s, d, w in edges_l:
+                dv = dist.get(s)
+                if dv is not None:
+                    cand = dv + w
+                    cur = new.get(d)
+                    if cur is None or cand < cur:
+                        new[d] = cand
+            dist = new
+        yield pd.DataFrame(
+            {"node": list(dist), "dist": [dist[v] for v in dist]}
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,

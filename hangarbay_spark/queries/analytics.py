@@ -1473,6 +1473,29 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay the bounded BFS in ONE Arrow task — exact integers
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops).
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        bfs_dist_kernel,
+    )
+
+    if und.count() <= LOOP_KERNEL_MAX_EDGES:
+        return (
+            bfs_dist_kernel(und, _BFS_SEEDS, _BFS_HOPS)
+            .groupBy("dist")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.min("node").cast("bigint").alias("min_node"),
+            )
+            .select(
+                F.col("dist").cast("bigint").alias("dist"),
+                "n_nodes",
+                "min_node",
+            )
+            .orderBy("dist")
+        )
     seeds = (
         und.select("src").distinct().orderBy("src").limit(_BFS_SEEDS)
         .select(F.col("src").alias("node"))
@@ -1591,6 +1614,23 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     ).localCheckpoint(eager=True)
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay the bounded Bellman-Ford rounds in ONE Arrow task
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops).
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        sssp_dist_kernel,
+    )
+
+    if und.count() <= LOOP_KERNEL_MAX_EDGES:
+        return (
+            sssp_dist_kernel(und, _SSSP_SEEDS, _SSSP_ROUNDS)
+            .select(
+                F.col("node").cast("bigint").alias("node"),
+                F.col("dist").cast("bigint").alias("dist"),
+            )
+            .orderBy("node")
+        )
     dist = (
         und.select("src").distinct().orderBy("src").limit(_SSSP_SEEDS)
         .select(
