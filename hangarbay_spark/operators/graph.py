@@ -521,6 +521,85 @@ def _pagerank_loop(
     return ranks
 
 
+def ktruss_rounds_kernel(
+    e: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """Single-task replay of the k-truss peel rounds
+    (queries/analytics.graph_ktruss_edges) over a SMALL oriented
+    (src < dst) edge list: per round keep edges in >= k-2 triangles of
+    the survivor graph (support = |adj(u) ∩ adj(v)| over the
+    symmetrized adjacency); emits per-round (n_edges, n_src) for
+    rounds 0..rounds — exact integers."""
+    import pandas as pd
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        cur = edges_l
+        stats = [
+            (0, len(cur), len({s for s, _ in cur}))
+        ]
+        for r in range(1, rounds + 1):
+            adj: dict = {}
+            for s, d in cur:
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+            cur = [
+                (u, v)
+                for u, v in cur
+                if len(adj[u] & adj[v]) >= k - 2
+            ]
+            stats.append((r, len(cur), len({s for s, _ in cur})))
+        yield pd.DataFrame(
+            {
+                "round": [s[0] for s in stats],
+                "n_edges": [s[1] for s in stats],
+                "n_src": [s[2] for s in stats],
+            }
+        )
+
+    return e.coalesce(1).mapInPandas(
+        kernel, "round bigint, n_edges bigint, n_src bigint"
+    )
+
+
+def _kcore_kernel(
+    und: DataFrame, k: int, max_rounds: int
+) -> DataFrame:
+    """Single-task replay of the :func:`kcore` peel loop over a SMALL
+    symmetric edge list — per round drop nodes of degree < k (and
+    their edges) until the edge count is stable or ``max_rounds``;
+    returns (node, core_deg)."""
+    import pandas as pd
+
+    out_schema = _node_schema(und, "core_deg bigint")
+
+    def kernel(batches):
+        edges_l: list = []
+        for pdf in batches:
+            edges_l.extend(zip(pdf["src"], pdf["dst"]))
+        cur = edges_l
+        for _ in range(max_rounds):
+            deg: dict = {}
+            for s, _d in cur:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {v for v, dv in deg.items() if dv >= k}
+            nxt = [(s, d) for s, d in cur if s in keep and d in keep]
+            converged = len(nxt) == len(cur)
+            cur = nxt
+            if converged:
+                break
+        core: dict = {}
+        for s, _d in cur:
+            core[s] = core.get(s, 0) + 1
+        yield pd.DataFrame(
+            {"node": list(core), "core_deg": [core[v] for v in core]}
+        )
+
+    return und.coalesce(1).mapInPandas(kernel, out_schema)
+
+
 def kcore(und: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
     """k-core of an undirected graph given as a SYMMETRIC edge list
     (both directions present): iteratively remove nodes of degree < k
@@ -535,6 +614,12 @@ def kcore(und: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
     parallelism — see loop_partitions)."""
     spark = und.sparkSession
     n_cur = und.count()
+    # Regime switch on edge count (LOOP_KERNEL_MAX_EDGES): tiny graphs
+    # replay the peel rounds in ONE Arrow task — exact integers
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops
+    # via graph_kcore_membership).
+    if n_cur <= LOOP_KERNEL_MAX_EDGES:
+        return _kcore_kernel(und, k, max_rounds)
     p = loop_partitions(n_cur, spark)
     cur = und.repartition(p, "src").localCheckpoint(eager=True)
     for _ in range(max_rounds):

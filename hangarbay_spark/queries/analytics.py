@@ -4777,6 +4777,18 @@ def _o_ktruss() -> str:
 )
 def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_small(spark, sf_dir)
+    # Regime switch on edge count (graph.LOOP_KERNEL_MAX_EDGES): tiny
+    # graphs replay the peel rounds in ONE Arrow task — exact integers
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops).
+    from hangarbay_spark.operators.graph import (
+        LOOP_KERNEL_MAX_EDGES,
+        ktruss_rounds_kernel,
+    )
+
+    if e.count() <= LOOP_KERNEL_MAX_EDGES:
+        return ktruss_rounds_kernel(e, _TRUSS_K, _TRUSS_ROUNDS).orderBy(
+            "round"
+        )
     rounds = [e.localCheckpoint(eager=True)]
     cur = rounds[0]
     for _ in range(_TRUSS_ROUNDS):

@@ -2613,6 +2613,8 @@ def test_small_graph_loop_kernels_match_loops(spark, monkeypatch):
         "graph_path_load_centrality",
         "graph_bfs_hops",
         "graph_weighted_sssp",
+        "graph_kcore_membership",
+        "graph_ktruss_edges",
     ):
         fast = [tuple(r) for r in REGISTRY[qname].fn(spark, sf).collect()]
         monkeypatch.setattr(G, "LOOP_KERNEL_MAX_EDGES", -1)
