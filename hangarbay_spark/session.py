@@ -37,6 +37,24 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # glibc malloc tuning for the PYTHON WORKERS only (guide §4): large
+    # numpy/Arrow temporaries otherwise come from fresh mmap regions,
+    # and first-touch page faults on those dominate vectorized kernels
+    # in this environment (measured ~1000x a warm-page pass for a
+    # 19 MB array; pd.Index.get_indexer 11 s in-worker vs 0.2 s in the
+    # driver on identical data). Keeping allocations on the sbrk heap
+    # (MMAP_MAX_=0) and never trimming it back (TRIM_THRESHOLD_ max)
+    # makes worker reuse keep pages warm — kernels run at driver speed
+    # from the second task on. Delivered via spark.executorEnv.* — the
+    # Python daemon/worker launch env includes getExecutorEnv in local
+    # mode too — NOT by mutating this process's environ: the JVM and
+    # driver-side Python must keep default malloc (a same-hour A/B of
+    # the JVM-only PageRank loop read 17 s default vs 42 s with the
+    # env inherited process-wide).
+    malloc_env = {
+        "MALLOC_MMAP_MAX_": "0",
+        "MALLOC_TRIM_THRESHOLD_": "2147483647",
+    }
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -74,6 +92,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
