@@ -71,70 +71,216 @@ BCAST_EDGES = 8_000_000
 # finding), sums are exact, and the 12 dp iteration round uses the
 # identical shortest-repr HALF_UP path (queries/events.py:5653
 # precedent). Equivalence is pinned by a full-rank-vector test.
-# Python-decimal edge math is ~µs/edge, so 100k edges x 10 rounds is
-# ~seconds — comparable to the loop at the bound, far faster below.
-PAGERANK_KERNEL_MAX_EDGES = 100_000
+#
+# The kernel's per-iteration work is vectorized (r10 resume): the
+# per-edge contribution rank[src]/deg[src] depends only on SRC, so
+# the Decimal quantization runs once per NODE and the per-dst sums
+# are two-limb int64 scatter-adds over the edge arrays — an exact-
+# arithmetic identity with the per-edge Decimal fold (sums of equal
+# decimals), ~25 ns/edge/iteration instead of ~µs. That moves the
+# kernel/loop crossover well past the old 100k bound: at 2.4M edges
+# x 10 rounds the kernel replays in ~2 s on one core while the
+# distributed loop pays ~0.5 s of stage latency per round ON TOP of
+# its scan+shuffle (sf0.1 A/B: 7.5 -> 2.6 s for the loop phase). The
+# bound stays row-count-derived, NOT a local[32] constant: 4M edge
+# rows x 3 int64 cols ≈ 100 MB in one task, and the sf1 24M-edge
+# graph (where the adaptive distributed loop measured 2x faster than
+# any pinned alternative) stays distributed.
+PAGERANK_KERNEL_MAX_EDGES = 4_000_000
 
 
 def _pagerank_kernel(
     ed: DataFrame, iters: int, damping: float, symmetric: bool
 ) -> DataFrame:
     """Single-task bit-identical replay of :func:`_pagerank_loop` for
-    SMALL graphs: input = the checkpointed (src, dst, deg) frame."""
-    import pandas as pd
-
+    broadcast-scale graphs: input = the checkpointed (src, dst, deg)
+    frame. Vectorized: per-NODE Decimal quantization (the contribution
+    is constant across a src's out-edges) + exact two-limb int64
+    scatter-add per dst; finishing math per node is byte-for-byte the
+    loop's float discipline."""
     node_type = ed.schema["src"].dataType.simpleString()
     out_schema = f"node {node_type}, rank double"
 
     def kernel(batches):
         from decimal import ROUND_HALF_UP, Decimal
 
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
         q15 = Decimal("1e-15")
         q12 = Decimal("1e-12")
-        edges_l: list = []
-        for pdf in batches:
-            edges_l.extend(
-                zip(pdf["src"], pdf["dst"], (int(d) for d in pdf["deg"]))
-            )
-        if not edges_l:
-            yield pd.DataFrame({"node": [], "rank": []})
-            return
-        all_nodes = sorted({s for s, _, _ in edges_l})
-        n = float(len(all_nodes))
+        srcs, dsts = [], []
+        node_pa_type = None
+        for rb in batches:
+            node_pa_type = rb.schema.field(0).type
+            srcs.append(rb.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(rb.column(1).to_numpy(zero_copy_only=False))
+        if not srcs or sum(len(a) for a in srcs) == 0:
+            return  # zero batches == empty result
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # Node universe = distinct srcs (sorted) == the loop's
+        # nodes-frame; hash-based pd.unique + get_indexer instead of
+        # np.unique(return_inverse)/searchsorted — the sort-based
+        # inverse measured ~10x the hash path at 2.4M edges.
+        nodes = np.sort(pd.unique(src))
+        nn = len(nodes)
+        ix = pd.Index(nodes)
+        src_idx = ix.get_indexer(src)
+        # dst values outside the node universe (general graphs only:
+        # a sink that never occurs as src; get_indexer yields -1)
+        # collect into a discard bucket at index nn — the loop's
+        # inner join drops them too.
+        dst_idx = ix.get_indexer(dst)
+        dst_idx = np.where(dst_idx < 0, nn, dst_idx)
+        # Out-degree per node: exact integer edge count per src over
+        # the same distinct edge set the checkpointed frame's window
+        # count saw — identical bigints, so rank/deg divides the
+        # identical doubles.
+        node_deg = np.bincount(
+            src_idx, minlength=nn
+        ).astype(np.float64)
+        n = float(nn)
         jump = 1.0 - damping
-        rank = {v: 1.0 / n for v in all_nodes}
+        rank = np.full(nn, 1.0 / n)
+        # In the symmetric regime every node also occurs as dst; in
+        # the general regime nodes with no in-edges still get the
+        # teleport term (sum = 0), matching the loop's left join.
         for _ in range(iters):
-            sums: dict = {}
-            for s, d, deg in edges_l:
-                c = rank[s] / float(deg)
-                dec = Decimal(repr(c)).quantize(q15, ROUND_HALF_UP)
-                sums[d] = sums.get(d, Decimal(0)) + dec
-            if symmetric:
-                rank = {
-                    v: float(
-                        Decimal(
-                            repr(jump / n + damping * float(sv))
-                        ).quantize(q12, ROUND_HALF_UP)
-                    )
-                    for v, sv in sums.items()
-                }
-            else:
-                rank = {
-                    v: float(
-                        Decimal(
-                            repr(
-                                jump / n
-                                + damping * float(sums.get(v, Decimal(0)))
-                            )
-                        ).quantize(q12, ROUND_HALF_UP)
-                    )
-                    for v in all_nodes
-                }
-        yield pd.DataFrame(
-            {"node": list(rank), "rank": [rank[v] for v in rank]}
+            # c = rank/deg: one IEEE float64 divide per NODE —
+            # identical to the loop's per-edge divide because both
+            # operands are constant across a src's out-edges.
+            c = rank / node_deg
+            q = np.empty(nn, dtype=np.int64)
+            for i in range(nn):
+                q[i] = int(
+                    Decimal(repr(float(c[i])))
+                    .quantize(q15, ROUND_HALF_UP)
+                    .scaleb(15)
+                )
+            # Exact decimal(30,15) sums per dst: scaled-integer
+            # scatter-add in two 32-bit limbs (q < 2^50, so per-dst
+            # limb sums stay far inside int64 up to ~2^13 M edges).
+            qe = q[src_idx]
+            acc_hi = np.zeros(nn + 1, dtype=np.int64)
+            acc_lo = np.zeros(nn + 1, dtype=np.int64)
+            np.add.at(acc_hi, dst_idx, qe >> 32)
+            np.add.at(acc_lo, dst_idx, qe & 0xFFFFFFFF)
+            for i in range(nn):
+                s_int = (int(acc_hi[i]) << 32) + int(acc_lo[i])
+                sv = Decimal(s_int).scaleb(-15)
+                rank[i] = float(
+                    Decimal(
+                        repr(jump / n + damping * float(sv))
+                    ).quantize(q12, ROUND_HALF_UP)
+                )
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame({"node": nodes, "rank": rank}),
+            schema=pa.schema(
+                [
+                    pa.field("node", node_pa_type),
+                    pa.field("rank", pa.float64()),
+                ]
+            ),
         )
 
-    return ed.coalesce(1).mapInPandas(kernel, out_schema)
+    # Arrow-native and 2 columns only: deg is recomputed in-kernel, so
+    # a third of the single-task transfer never crosses the boundary
+    # (guide §4.1 — pass only the columns the function needs).
+    return ed.select("src", "dst").coalesce(1).mapInArrow(
+        kernel, out_schema
+    )
+
+
+# HITS replay bound (same discipline as PAGERANK_KERNEL_MAX_EDGES:
+# row-count-derived, not a local[32] constant). Equivalence with the
+# decimal(38,0) loop is PROVABLE under the bound: with h0 = 1 every
+# score is a positive integer, each half-step multiplies the max by
+# at most E (max h1 <= E, a2 <= E^2, h2 <= E^3, a3 <= E^4) — so at
+# iters=3 the final authorities are <= (4M)^4 < 2.6e26, far inside
+# decimal(38,0)'s 1e38: neither engine saturates and exact integer
+# replay == the loop on any graph the kernel accepts.
+HITS_KERNEL_MAX_EDGES = 4_000_000
+
+
+def hits_authority_kernel(e: DataFrame, iters: int) -> DataFrame:
+    """Single-task bit-identical replay of the HITS power iteration
+    (queries/analytics.graph_hits_authorities) over a SMALL distinct
+    bipartite edge list ``(c, p)``: h0 = 1, a_k(p) = sum of h_{k-1}
+    over in-edges, h_k(c) = sum of a_k over out-edges — all EXACT
+    integers, like the loop's decimal(38,0) sums (see
+    HITS_KERNEL_MAX_EDGES for the no-saturation proof). Fast path is
+    an int64 scatter-add per half-step, guarded by the exact
+    pre-check max(value) * max(degree) < 2^63 (degree bounds the
+    number of addends per output, so no partial sum can exceed the
+    product); arbitrary-precision Python-int (object dtype) fallback
+    keeps the replay exact for adversarial degree distributions.
+    Output ``(p, a)`` with ``a`` as decimal(38,0) — the caller's
+    cast-to-double runs in the JVM exactly as the loop's."""
+    p_type = e.schema["p"].dataType.simpleString()
+    out_schema = f"p {p_type}, a decimal(38,0)"
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        cs_l, ps_l = [], []
+        p_pa_type = None
+        for rb in batches:
+            p_pa_type = rb.schema.field(1).type
+            cs_l.append(rb.column(0).to_numpy(zero_copy_only=False))
+            ps_l.append(rb.column(1).to_numpy(zero_copy_only=False))
+        if not cs_l or sum(len(a) for a in cs_l) == 0:
+            return  # zero batches == empty result
+        c = np.concatenate(cs_l)
+        p = np.concatenate(ps_l)
+        cu = pd.unique(c)  # hub universe (order irrelevant)
+        pu = np.sort(pd.unique(p))  # deterministic output order
+        ci = pd.Index(cu).get_indexer(c)
+        pi = pd.Index(pu).get_indexer(p)
+        # max degree on either side bounds the addend count of every
+        # per-node sum — the exact overflow guard's multiplier.
+        dmax = int(
+            max(
+                np.bincount(ci, minlength=len(cu)).max(),
+                np.bincount(pi, minlength=len(pu)).max(),
+            )
+        )
+
+        def half_step(vals, src_idx, dst_idx, n_out):
+            # vals: per-source scores (int64 or object). Sums are
+            # exact on the int64 path because every output receives
+            # <= dmax addends each <= max(vals).
+            if (
+                vals.dtype == np.int64
+                and int(vals.max()) * dmax < 2**63
+            ):
+                out = np.zeros(n_out, dtype=np.int64)
+            else:
+                vals = vals.astype(object)
+                out = np.zeros(n_out, dtype=object)
+            np.add.at(out, dst_idx, vals[src_idx])
+            return out
+
+        h = np.ones(len(cu), dtype=np.int64)
+        a = None
+        for k in range(1, iters + 1):
+            a = half_step(h, ci, pi, len(pu))
+            if k < iters:
+                h = half_step(a, pi, ci, len(cu))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pu, type=p_pa_type),
+                pa.array(
+                    [int(v) for v in a], type=pa.decimal128(38, 0)
+                ),
+            ],
+            names=["p", "a"],
+        )
+
+    return e.select("c", "p").coalesce(1).mapInArrow(kernel, out_schema)
 
 
 # Shared edge-count guard for the query-side small-graph loop kernels

@@ -3787,22 +3787,35 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # consumed by every half-step join (2k+1 uses)
     )
-    h = e.select("c").distinct().select(
-        "c", F.lit(1).cast("decimal(38,0)").alias("h")
+    # Regime switch on edge count (graph.HITS_KERNEL_MAX_EDGES): below
+    # it all 2k-1 half-steps replay in ONE Arrow task as exact-integer
+    # scatter-adds — provably identical to the decimal(38,0) loop
+    # (equivalence pinned by test_small_graph_loop_kernels_match_loops;
+    # counting the materialized checkpoint is ~free).
+    from hangarbay_spark.operators.graph import (
+        HITS_KERNEL_MAX_EDGES,
+        hits_authority_kernel,
     )
-    a = None
-    for k in range(1, _HITS_ITERS + 1):
-        a = (
-            e.join(h, "c")
-            .groupBy("p")
-            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+
+    if e.count() <= HITS_KERNEL_MAX_EDGES:
+        a = hits_authority_kernel(e, _HITS_ITERS)
+    else:
+        h = e.select("c").distinct().select(
+            "c", F.lit(1).cast("decimal(38,0)").alias("h")
         )
-        if k < _HITS_ITERS:
-            h = (
-                e.join(a, "p")
-                .groupBy("c")
-                .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        a = None
+        for k in range(1, _HITS_ITERS + 1):
+            a = (
+                e.join(h, "c")
+                .groupBy("p")
+                .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
             )
+            if k < _HITS_ITERS:
+                h = (
+                    e.join(a, "p")
+                    .groupBy("c")
+                    .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+                )
     return (
         a.select(
             F.col("p").cast("bigint").alias("p_partkey"),

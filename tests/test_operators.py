@@ -2615,12 +2615,34 @@ def test_small_graph_loop_kernels_match_loops(spark, monkeypatch):
         "graph_weighted_sssp",
         "graph_kcore_membership",
         "graph_ktruss_edges",
+        "graph_hits_authorities",
     ):
         fast = [tuple(r) for r in REGISTRY[qname].fn(spark, sf).collect()]
         monkeypatch.setattr(G, "LOOP_KERNEL_MAX_EDGES", -1)
+        monkeypatch.setattr(G, "HITS_KERNEL_MAX_EDGES", -1)
         loop = [tuple(r) for r in REGISTRY[qname].fn(spark, sf).collect()]
         monkeypatch.undo()
         assert fast == loop and len(fast) > 0, qname
+
+
+def test_hits_kernel_object_fallback_exact(spark):
+    """The HITS replay kernel's int64 overflow guard must hand off to
+    exact Python-int accumulation mid-replay: on K_{16,16} the scores
+    are a_k = 16^(2k-1), which crosses 2^63 at k=9 while staying far
+    inside decimal(38,0) — iters=12 therefore exercises both the fast
+    path and the object fallback, and every authority must equal the
+    closed form exactly."""
+    from hangarbay_spark.operators.graph import hits_authority_kernel
+
+    rows = [(c, p) for c in range(16) for p in range(16)]
+    e = spark.createDataFrame(
+        rows, "c bigint, p bigint"
+    ).localCheckpoint()
+    out = {
+        int(r["p"]): int(r["a"])
+        for r in hits_authority_kernel(e, 12).collect()
+    }
+    assert out == {p: 16**23 for p in range(16)}
 
 
 def test_pq_train_kernel_matches_loop(spark, monkeypatch):

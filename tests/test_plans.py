@@ -494,7 +494,10 @@ EXCHANGE_BOUNDS = {
     "agg_spearman_corr": 7,
     "agg_kendall_tau": 9,
     "agg_weighted_median": 3,
-    "graph_hits_authorities": 11,
+    # r10: kernel regime below HITS_KERNEL_MAX_EDGES — the visible
+    # plan is TakeOrdered over the single-task replay (was 11: the
+    # 5 message-passing join+agg half-steps)
+    "graph_hits_authorities": 0,
     "events_theilsen_trend": 13,
     "events_sequence_pattern": 3,
     "text_keywords_rake": 4,
