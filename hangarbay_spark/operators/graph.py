@@ -93,8 +93,10 @@ def _pagerank_kernel(
     ed: DataFrame, iters: int, damping: float, symmetric: bool
 ) -> DataFrame:
     """Single-task bit-identical replay of :func:`_pagerank_loop` for
-    broadcast-scale graphs: input = the checkpointed (src, dst, deg)
-    frame. Vectorized: per-NODE Decimal quantization (the contribution
+    broadcast-scale graphs: input = the checkpointed distinct
+    (src, dst) frame — out-degrees are recomputed in-kernel (identical
+    bincount integers), so the loop path's deg window never runs here.
+    Vectorized: per-NODE Decimal quantization (the contribution
     is constant across a src's out-edges) + exact two-limb int64
     scatter-add per dst; finishing math per node is byte-for-byte the
     loop's float discipline."""
@@ -185,9 +187,8 @@ def _pagerank_kernel(
             ),
         )
 
-    # Arrow-native and 2 columns only: deg is recomputed in-kernel, so
-    # a third of the single-task transfer never crosses the boundary
-    # (guide §4.1 — pass only the columns the function needs).
+    # Arrow-native, (src, dst) only (guide §4.1 — pass only the
+    # columns the function needs; degrees never cross the boundary).
     return ed.select("src", "dst").coalesce(1).mapInArrow(
         kernel, out_schema
     )
@@ -566,7 +567,20 @@ def pagerank(
     # One-time edge build under the adaptive planner (keeps AQE's
     # runtime broadcast conversion for the caller's derivation joins
     # and the distinct's map-side dedup of the raw duplicate stream).
-    e = edges.select("src", "dst").distinct()
+    # The distinct edge set is checkpointed and counted BEFORE the
+    # out-degree window: the replay kernel recomputes degrees
+    # in-kernel (identical bincount integers), so on the kernel path
+    # the window's shuffle+sort never runs at all (sf0.1 A/B: the
+    # window+repartition+checkpoint pass costs ~2.7 s warm on the
+    # 2.4M-edge copurchase graph — ~40% of the query). The loop path
+    # pays one extra edge-list materialization for it, a single
+    # linear pass that is noise against 10+ join/agg rounds.
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # Regime switch on EDGE count (see PAGERANK_KERNEL_MAX_EDGES):
+    # broadcast-scale graphs replay all iterations in one Arrow task;
+    # counting the materialized checkpoint is ~free.
+    if e.count() <= PAGERANK_KERNEL_MAX_EDGES:
+        return _pagerank_kernel(e, iters, damping, symmetric)
     ed = e.withColumn(
         "deg",
         F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
@@ -575,11 +589,6 @@ def pagerank(
         p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         ed = ed.repartition(p, "src")
     ed = ed.localCheckpoint(eager=True)
-    # Regime switch on EDGE count (see PAGERANK_KERNEL_MAX_EDGES):
-    # vocab-sized graphs replay all iterations in one Arrow task;
-    # counting the materialized checkpoint is ~free.
-    if ed.count() <= PAGERANK_KERNEL_MAX_EDGES:
-        return _pagerank_kernel(ed, iters, damping, symmetric)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .distinct()
