@@ -49,15 +49,24 @@ from hangarbay_spark.queries import REGISTRY  # noqa: E402
 from hangarbay_spark.session import get_spark  # noqa: E402
 
 
-def _prior_timings() -> dict[str, float]:
-    """Last recorded per-query times, used only to order execution."""
+def _prior_record() -> tuple[dict[str, float], int | None]:
+    """Last recorded per-query times + the core count they were taken
+    at. Timings order execution regardless of core count (relative
+    order is roughly preserved); the 3x prior-record retake guard only
+    trusts a record taken at the SAME core count (VERDICT r10 #3: the
+    driver's 8-core scaling run overwrote the 32-core record, and an
+    anti-scaling query legitimately reads >3x its low-core time)."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
-            prior = json.load(f).get("queries", {})
-        return {k: float(v) for k, v in prior.items()}
+            doc = json.load(f)
+        prior = doc.get("queries", {})
+        cpus = doc.get("cpus")
+        return {k: float(v) for k, v in prior.items()}, (
+            int(cpus) if cpus is not None else None
+        )
     except (OSError, ValueError):
-        return {}
+        return {}, None
 
 
 def main() -> None:
@@ -70,9 +79,14 @@ def main() -> None:
     # Fastest-known-first execution; queries with no prior record are
     # assumed cheap (0.0) so genuinely new heavy queries contaminate at
     # most one round before the record reorders them.
-    prior = _prior_timings()
+    prior, prior_cpus = _prior_record()
     names.sort(key=lambda n: (prior.get(n, 0.0), n))
     spark = get_spark(app_name="hangarbay_bench")
+    cpus = spark.sparkContext.defaultParallelism
+    # The 3x retake guard below is only meaningful against a record
+    # taken at this core count (legacy records without one are trusted
+    # — they were 32-core full runs by construction of this guard).
+    guard_prior = prior if prior_cpus in (None, cpus) else {}
 
     def jvm_gc() -> None:
         """Slow-tail decontamination boundary: drop leaked checkpoint
@@ -121,7 +135,7 @@ def main() -> None:
             t1 = time.perf_counter()
             fn(spark, sf_dir).collect()
             t = min(t, time.perf_counter() - t1)
-        rec = prior.get(name, 0.0)
+        rec = guard_prior.get(name, 0.0)
         if rec > 0.0 and t > 3.0 * rec:
             # Prior-record guard (VERDICT r9 #3): the absolute-cost
             # retake above only fires past 2 s, so a CHEAP query
@@ -149,18 +163,35 @@ def main() -> None:
     ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1], kv[0])))
     payload = {
         "queries": ordered,
+        "cpus": cpus,
         "sf": sf,
         "unit": "sec",
         "metric": "registry_queries_total",
         "value": total,
     }
-    print(json.dumps(payload))
+    # Stdout line is COMPACT (2-dp values, no separators whitespace,
+    # VERDICT r10 #2): the driver keeps only a bounded stdout tail, and
+    # r9's full-precision line was cut mid-`queries`, zeroing the
+    # round-over-round comparison. 2 dp is ±0.005 s — well under the
+    # ±10-20% container noise — and the 4-dp readings stay in
+    # BENCH_LOCAL.json for local analysis.
+    compact = dict(payload)
+    compact["queries"] = {k: round(v, 2) for k, v in ordered.items()}
+    print(json.dumps(compact, separators=(",", ":")))
     # Durable local copy — survives any stdout truncation. Only a full
     # (unfiltered) run AT THE DRIVER'S SCALE FACTOR may overwrite it: a
     # BENCH_ONLY subset would wipe the registry-wide record used for
-    # execution ordering, and an sf1 headroom sweep would poison the
-    # sf0.1 fastest-first order with 10x timings.
-    if not only and abs(sf - 0.1) < 1e-9:
+    # execution ordering, an sf1 headroom sweep would poison the sf0.1
+    # fastest-first order with 10x timings, and a run at a DIFFERENT
+    # CORE COUNT than the existing record (the driver's scaling pass)
+    # would poison both the ordering and the 3x retake threshold
+    # (VERDICT r10 #3: the 8-core scaling run overwrote the 32-core
+    # record).
+    if (
+        not only
+        and abs(sf - 0.1) < 1e-9
+        and prior_cpus in (None, cpus)
+    ):
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:

@@ -28,7 +28,7 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        path = os.path.join(here, "plans", "r10", f"{name}_{suffix}.txt")
+        path = os.path.join(here, "plans", "r11", f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print("wrote", path)
