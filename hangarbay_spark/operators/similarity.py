@@ -3102,6 +3102,7 @@ def nsw_topk(
     rounds: int = NSW_ROUNDS,
     entries: int = NSW_ENTRIES,
     degree: int = NSW_DEGREE,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Beam search over the NSW graph: start from the ``entries``
     smallest node ids, expand ``rounds`` fixed rounds (frontier x
@@ -3111,7 +3112,20 @@ def nsw_topk(
     corpus is touched only by id-joins fetching candidate vectors
     (bucket-prunable against an id-bucketed vector table at cluster
     scale).  Output matches brute_force_topk:
-    (probe_id, neighbor_id, cosine, rk) excluding self-matches."""
+    (probe_id, neighbor_id, cosine, rk) excluding self-matches.
+
+    Regime switch (the PAGERANK_KERNEL_MAX_EDGES discipline): corpora
+    at or below :data:`NSW_KERNEL_MAX_NODES` replay view+walk in one
+    Arrow task (:func:`nsw_walk_kernel`, bit-identical — pinned in
+    tests); the distributed loop below is the path above the gate.
+    Pass ``n_nodes`` when the caller already knows the corpus count."""
+    if n_nodes is None:
+        n_nodes = corpus.count()
+    if n_nodes <= NSW_KERNEL_MAX_NODES:
+        return nsw_walk_kernel(
+            corpus, probes, adj, id_col, vec_col,
+            k=k, beam=beam, rounds=rounds, entries=entries, degree=degree,
+        )
     edges = (
         nsw_edges_view(adj, degree)
         .select(F.col("src").alias("nid"), "dst")
@@ -3191,6 +3205,390 @@ def nsw_topk(
         )
         .filter(F.col("rk") <= k)
     )
+
+
+# --- NSW single-task replay kernels -----------------------------------------
+#
+# The distributed beam walk costs (rounds x ~6) tiny stages — 51-77
+# jobs per query at bench scale, pure scheduling overhead once the
+# corpus fits one task (the r10 32-core anti-scaling pathology; guide
+# §2.2 right-size parallelism).  Below NSW_KERNEL_MAX_NODES the whole
+# view+walk (and for the inline query, the graph build too) replays in
+# ONE Arrow task with bit-identical arithmetic: sequential per-dim
+# cosine accumulation (the cosine_pair_seq_udf op order), Spark-round
+# parity via Decimal(repr(x)) HALF_UP with the +0.0 normalization
+# (Spark's BigDecimal path never returns -0.0 — CLAUDE.md
+# events_uplift_qini precedent), and (cos DESC NULLS LAST, id ASC)
+# tie-breaks everywhere.  Equivalence with the distributed loop is
+# pinned by tests (kernel == loop on the test corpora); the
+# distributed implementations remain the path above the gate.
+#
+# Bound arithmetic: 50k nodes = 25 MB of float64 vectors in the task
+# plus ~50k*9 adjacency rows; the in-kernel candidate generation at
+# auto-scaled band bits stays ~tens of ids per bucket, so pair arrays
+# are O(bands * n).  sf1 (20k vectors) replays in-kernel; larger
+# corpora take the distributed build/walk unchanged.
+NSW_KERNEL_MAX_NODES = 50_000
+
+
+def _replay_round9(vals) -> list:
+    """Spark ``round(double, 9)`` replay: Decimal(repr(x)) HALF_UP
+    (BigDecimal.valueOf = shortest repr — the graph-kernel precedent),
+    normalizing -0.0 to +0.0 (BigDecimal has no signed zero).  ``vals``
+    is an iterable of float-or-None; returns the same shape."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        r = float(Decimal(repr(float(v))).quantize(q9, ROUND_HALF_UP))
+        out.append(0.0 if r == 0.0 else r)
+    return out
+
+
+def _replay_pair_cosines(A, B) -> list:
+    """Rounded cosines for row-aligned vector stacks A, B — sequential
+    per-dim accumulation (cosine_expr / cosine_pair_seq_udf op order),
+    x/0 -> None (Spark double division by zero is NULL)."""
+    import numpy as np
+
+    n = A.shape[0]
+    if n == 0:
+        return []
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for j in range(A.shape[1]):
+        dot += A[:, j] * B[:, j]
+        na += A[:, j] * A[:, j]
+        nb += B[:, j] * B[:, j]
+    den = np.sqrt(na) * np.sqrt(nb)
+    raw = [
+        None if den[i] == 0.0 else float(dot[i] / den[i]) for i in range(n)
+    ]
+    return _replay_round9(raw)
+
+
+def _nsw_sort_key(item):
+    """(cos DESC NULLS LAST, id ASC) — the window orderBy of the
+    distributed walk (F.desc is nulls-last in Spark)."""
+    nid, cos = item
+    return (cos is None, -(cos if cos is not None else 0.0), nid)
+
+
+def _nsw_view_py(rows: dict, degree: int) -> dict:
+    """Replay of :func:`nsw_edges_view` over collapsed postings
+    ``{(src, dst): (cos, kind)}`` (already max-collapsed): trim 'knn'
+    per src to ``degree`` by (cos desc, dst asc), keep every 'ring'.
+    Returns adjacency ``{src: sorted tuple of dst}``."""
+    per_src: dict = {}
+    for (src, dst), (cos, kind) in rows.items():
+        per_src.setdefault(src, []).append((dst, cos, kind))
+    adj: dict = {}
+    for src, lst in per_src.items():
+        knn = [(d, c) for d, c, kd in lst if kd == "knn"]
+        knn.sort(key=lambda t: (t[1] is None,
+                                -(t[1] if t[1] is not None else 0.0), t[0]))
+        keep = {d for d, _ in knn[:degree]}
+        keep.update(d for d, _, kd in lst if kd == "ring")
+        adj[src] = tuple(sorted(keep))
+    return adj
+
+
+def _nsw_walk_py(
+    adj: dict,
+    ids,
+    V,
+    probes: list,
+    k: int,
+    beam: int,
+    rounds: int,
+    entries: int,
+) -> list:
+    """Replay of the :func:`nsw_topk` beam loop over an adjacency map.
+    ``ids``/``V``: corpus id list + row-aligned vector stack; ``probes``
+    = [(probe_id, vec)].  Returns (probe_id, neighbor_id, cosine, rk)
+    tuples in (probe, rk) order."""
+    import numpy as np
+
+    idx = {i: j for j, i in enumerate(ids)}
+    ent = sorted(adj.keys())[:entries]
+    out = []
+    for pid, pvec in probes:
+        P = np.asarray(pvec, dtype=np.float64)
+
+        def score(nids):
+            A = np.stack([P] * len(nids))
+            B = np.stack([V[idx[n]] for n in nids])
+            return _replay_pair_cosines(A, B)
+
+        visited = dict(zip(ent, score(ent))) if ent else {}
+        frontier = list(ent)
+        for _ in range(rounds):
+            cand = sorted(
+                {
+                    d
+                    for nid in frontier
+                    for d in adj.get(nid, ())
+                }
+                - visited.keys()
+            )
+            if not cand:
+                frontier = []
+                continue
+            scored = list(zip(cand, score(cand)))
+            visited.update(scored)
+            scored.sort(key=_nsw_sort_key)
+            frontier = [nid for nid, _ in scored[:beam]]
+        res = sorted(
+            ((nid, c) for nid, c in visited.items() if nid != pid),
+            key=_nsw_sort_key,
+        )[:k]
+        out.extend(
+            (pid, nid, c, rk + 1) for rk, (nid, c) in enumerate(res)
+        )
+    return out
+
+
+def _nsw_out_schema(corpus: DataFrame, id_col: str):
+    from pyspark.sql import types as T
+
+    idt = corpus.schema[id_col].dataType
+    return T.StructType(
+        [
+            T.StructField("probe_id", idt),
+            T.StructField("neighbor_id", idt),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rk", T.LongType()),
+        ]
+    )
+
+
+def _nsw_result_pdf(rows: list):
+    import numpy as np
+
+    cos = [r[2] for r in rows]
+    return pd.DataFrame(
+        {
+            "probe_id": pd.array([r[0] for r in rows], dtype="Int64"),
+            "neighbor_id": pd.array([r[1] for r in rows], dtype="Int64"),
+            "cosine": pd.arrays.FloatingArray(
+                np.asarray(
+                    [0.0 if c is None else c for c in cos], dtype="float64"
+                ),
+                np.asarray([c is None for c in cos], dtype=bool),
+            ),
+            "rk": pd.array([r[3] for r in rows], dtype="Int64"),
+        }
+    )
+
+
+def nsw_walk_kernel(
+    corpus: DataFrame,
+    probes: DataFrame,
+    adj: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    entries: int = NSW_ENTRIES,
+    degree: int = NSW_DEGREE,
+) -> DataFrame:
+    """Single-task replay of ``nsw_edges_view(adj)`` + the beam walk:
+    the adjacency postings fold into per-src arrays (one bounded
+    shuffle), ride a left join onto the corpus vectors, and one Arrow
+    task replays view-trim + walk with bit-identical arithmetic.
+    Results equal :func:`nsw_topk`'s distributed loop (pinned in
+    tests); callers gate on NSW_KERNEL_MAX_NODES."""
+    pr = probes.select(id_col, vec_col).collect()
+    probe_list = [(r[0], r[1]) for r in pr]
+    ga = adj.groupBy("src").agg(
+        F.collect_list(F.struct("dst", "cos", "kind")).alias("__adj")
+    )
+    inp = (
+        corpus.select(
+            F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+        )
+        .join(ga.withColumnRenamed("src", "__nid"), "__nid", "left")
+        .coalesce(1)
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        ids, vecs, posted = [], [], {}
+        for pdf in it:
+            for nid, vec, al in zip(
+                pdf["__nid"], pdf["__vec"], pdf["__adj"]
+            ):
+                nid = int(nid)
+                ids.append(nid)
+                vecs.append(np.asarray(vec, dtype=np.float64))
+                if al is None:
+                    continue
+                for e in al:
+                    key = (nid, int(e["dst"]))
+                    c = e["cos"]
+                    c = None if c is None or pd.isna(c) else float(c)
+                    kd = e["kind"]
+                    prev = posted.get(key)
+                    if prev is None:
+                        posted[key] = (c, kd)
+                    else:
+                        pc, pk = prev
+                        mc = (
+                            c
+                            if pc is None
+                            else pc
+                            if c is None
+                            else max(pc, c)
+                        )
+                        posted[key] = (mc, max(pk, kd))
+        if not ids:
+            yield _nsw_result_pdf([])
+            return
+        V = np.stack(vecs)
+        adj_map = _nsw_view_py(posted, degree)
+        yield _nsw_result_pdf(
+            _nsw_walk_py(
+                adj_map, ids, V, probe_list, k, beam, rounds, entries
+            )
+        )
+
+    return inp.mapInPandas(kernel, _nsw_out_schema(corpus, id_col))
+
+
+def nsw_build_walk_kernel(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    entries: int = NSW_ENTRIES,
+    degree: int = NSW_DEGREE,
+    nbits: int | None = None,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Single-task replay of the WHOLE inline NSW query — signatures,
+    banded candidate pairs, per-src top-degree knn edges, id-ring
+    backbone, reader view, beam walk — over one corpus scan.  Exact
+    twin of ``nsw_topk(corpus, probes, nsw_build_adjacency(corpus))``
+    (pinned in tests): signatures replay the sequential Rademacher
+    projection fold, candidates are the same bucket pair set
+    (max_bucket=None — the build default), and every cosine/round/
+    tie-break follows the replay discipline above."""
+    if n_nodes is None:
+        n_nodes = corpus.count()
+    if nbits is None:
+        nbits = auto_hyperplane_nbits(n_nodes, bands)
+    coefs = rademacher_coefs(nbits, dim, seed)
+    rpb = nbits // bands
+    pr = probes.select(id_col, vec_col).collect()
+    probe_list = [(r[0], r[1]) for r in pr]
+    inp = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).coalesce(1)
+
+    def kernel(it):
+        import numpy as np
+
+        ids, vecs = [], []
+        for pdf in it:
+            for nid, vec in zip(pdf["__nid"], pdf["__vec"]):
+                ids.append(int(nid))
+                vecs.append(np.asarray(vec, dtype=np.float64))
+        if not ids:
+            yield _nsw_result_pdf([])
+            return
+        V = np.stack(vecs)
+        n = len(ids)
+        # signatures: sequential per-dim projection fold (the
+        # hyperplane_band_cols op order), sign -> packed band values
+        C = np.asarray(coefs, dtype=np.float64)  # (nbits, dim)
+        proj = np.zeros((n, nbits))
+        for d in range(V.shape[1]):
+            proj += V[:, d : d + 1] * C[None, :, d]
+        bits = proj >= 0
+        buckets: dict = {}
+        for b in range(bands):
+            vals = np.zeros(n, dtype=np.int64)
+            for r in range(rpb):
+                vals += bits[:, b * rpb + r].astype(np.int64) << r
+            for j in range(n):
+                buckets.setdefault((b, int(vals[j])), []).append(ids[j])
+        pairs = set()
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            ms = members
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    a, b2 = ms[x], ms[y]
+                    pairs.add((a, b2) if a < b2 else (b2, a))
+        idx = {i: j for j, i in enumerate(ids)}
+        plist = sorted(pairs)
+        if plist:
+            A = np.stack([V[idx[a]] for a, _ in plist])
+            B = np.stack([V[idx[b2]] for _, b2 in plist])
+            pcos = _replay_pair_cosines(A, B)
+        else:
+            pcos = []
+        # mirrored knn postings; per-src top-degree trim
+        knn_all: dict = {}
+        for (a, b2), c in zip(plist, pcos):
+            knn_all.setdefault(a, []).append((b2, c))
+            knn_all.setdefault(b2, []).append((a, c))
+        posted: dict = {}
+        for src, lst in knn_all.items():
+            lst.sort(
+                key=lambda t: (
+                    t[1] is None,
+                    -(t[1] if t[1] is not None else 0.0),
+                    t[0],
+                )
+            )
+            for dst, c in lst[:degree]:
+                posted[(src, dst)] = (c, "knn")
+        # id-ring backbone: successor in sorted-id order, mirrored
+        sid = sorted(ids)
+        ring_pairs = set()
+        for j in range(n):
+            a, b2 = sid[j], sid[(j + 1) % n]
+            if a != b2:
+                ring_pairs.add((a, b2))
+                ring_pairs.add((b2, a))
+        rlist = sorted(ring_pairs)
+        if rlist:
+            A = np.stack([V[idx[a]] for a, _ in rlist])
+            B = np.stack([V[idx[b2]] for _, b2 in rlist])
+            rcos = _replay_pair_cosines(A, B)
+        else:
+            rcos = []
+        for (a, b2), c in zip(rlist, rcos):
+            prev = posted.get((a, b2))
+            if prev is None:
+                posted[(a, b2)] = (c, "ring")
+            else:
+                pc, _pk = prev
+                mc = c if pc is None else pc if c is None else max(pc, c)
+                posted[(a, b2)] = (mc, "ring")
+        adj_map = _nsw_view_py(posted, degree)
+        yield _nsw_result_pdf(
+            _nsw_walk_py(
+                adj_map, ids, V, probe_list, k, beam, rounds, entries
+            )
+        )
+
+    return inp.mapInPandas(kernel, _nsw_out_schema(corpus, id_col))
 
 
 def write_nsw_index(

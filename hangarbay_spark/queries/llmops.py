@@ -10,6 +10,8 @@ SQL mirrors the Column expression term by term.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4921,9 +4923,18 @@ def _o_nsw_topk() -> str:
 def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
+    n = emb.count()
+    beam = S.auto_nsw_beam(n)
+    if n <= S.NSW_KERNEL_MAX_NODES:
+        # build + view + walk replayed in ONE Arrow task (the r10/r11
+        # anti-scaling fix: the distributed build+walk cost 77 jobs of
+        # near-empty stages at bench scale); bit-equivalence with the
+        # distributed path is pinned in tests.
+        return S.nsw_build_walk_kernel(
+            emb, probes, k=5, beam=beam, n_nodes=n
+        ).select("probe_id", "neighbor_id", "cosine", "rk")
     adj = S.nsw_build_adjacency(emb)
-    beam = S.auto_nsw_beam(emb.count())
-    return S.nsw_topk(emb, probes, adj, k=5, beam=beam).select(
+    return S.nsw_topk(emb, probes, adj, k=5, beam=beam, n_nodes=n).select(
         "probe_id", "neighbor_id", "cosine", "rk"
     )
 
@@ -6217,139 +6228,118 @@ _MMR_STEP3 = (
     "similarity extension (diversity-aware MMR re-ranking)",
 )
 def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
+    # Greedy MMR over the bounded per-probe shortlist, collapsed into
+    # ONE array aggregate (guide §2.4): the old shape checkpointed the
+    # shortlist and its 8x8 pair-sim frame and ran 3 sequential
+    # join+window steps over them — 15 jobs / 26 single-row stages of
+    # pure scheduling overhead (the r10 32-core anti-scaling cluster).
+    # Here the shortlist rows (<= 8 per probe, 3 probes by contract)
+    # fold into one sorted array per probe and the greedy recurrence
+    # runs as array expressions inside a single projection: corpus
+    # top-8 scan -> one id-join re-attaching candidate vectors -> one
+    # groupBy.  Float parity: every score is the same JVM double
+    # arithmetic as the unrolled form — cosine_expr for sims (bit-
+    # symmetric sequential fold), lit(0.7)/lit(0.3) are the same
+    # doubles Spark's decimal-literal cast produces in _MMR_STEP2/3,
+    # and round(.., 9) is the shared contraction guard; argmax
+    # tie-breaks (score desc, nid asc) mirror the row_number orderBy.
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").isin(*PROBE_IDS))
-    cand = (
-        S.brute_force_topk(emb, probes, k=8)
-        .select(
-            "probe_id",
-            F.col("neighbor_id").alias("nid"),
-            F.col("cosine").alias("rel"),
-        )
-        .localCheckpoint()  # corpus-scan subtree feeds ps + 3 steps
+    cand = S.brute_force_topk(emb, probes, k=8).select(
+        "probe_id",
+        F.col("neighbor_id").alias("nid"),
+        F.col("cosine").alias("rel"),
     )
-    ev = emb.select("vec_id", "embedding")
-    ps = (
-        cand.alias("a")
-        .join(
-            cand.alias("b"),
-            (F.col("a.probe_id") == F.col("b.probe_id"))
-            & (F.col("a.nid") != F.col("b.nid")),
-        )
-        .join(
-            ev.select(
-                F.col("vec_id").alias("_va"), F.col("embedding").alias("_ea")
-            ),
-            F.col("a.nid") == F.col("_va"),
-        )
-        .join(
-            ev.select(
-                F.col("vec_id").alias("_vb"), F.col("embedding").alias("_eb")
-            ),
-            F.col("b.nid") == F.col("_vb"),
-        )
-        .select(
-            F.col("a.probe_id").alias("probe_id"),
-            F.col("a.nid").alias("ida"),
-            F.col("b.nid").alias("idb"),
-            S.cosine_expr(F.col("_ea"), F.col("_eb")).alias("sim"),
-        )
-        .localCheckpoint()  # bounded 8x8-per-probe, reused by 2 steps
+    att = cand.join(
+        emb.select(
+            F.col("vec_id").alias("nid"), F.col("embedding").alias("emb")
+        ),
+        "nid",
     )
-    wp = W.partitionBy("probe_id")
-    s1 = (
-        cand.withColumn(
-            "rk", F.row_number().over(wp.orderBy(F.desc("rel"), "nid"))
-        )
-        .filter(F.col("rk") == 1)
-        .select("probe_id", "nid", "rel")
-    )
-    r2 = (
-        cand.alias("c")
-        .join(
-            s1.select(
-                F.col("probe_id"), F.col("nid").alias("_s1")
+
+    def by_score_desc_nid(score_field: str):
+        def cmp(left, right):
+            return (
+                F.when(left[score_field] > right[score_field], F.lit(-1))
+                .when(left[score_field] < right[score_field], F.lit(1))
+                .when(left["nid"] < right["nid"], F.lit(-1))
+                .when(left["nid"] > right["nid"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        return cmp
+
+    def mmr_step(excluded_nids, picked_embs):
+        # round(0.7*rel - 0.3*max(sim to picked), 9): identical doubles
+        # to _MMR_STEP2/_MMR_STEP3 (decimal literals 0.7 / (1-0.7)
+        # cast to the same doubles as lit(0.7)/lit(0.3)).
+        def score(c):
+            sims = [S.cosine_expr(c["emb"], pe) for pe in picked_embs]
+            red = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            return F.round(
+                F.lit(0.7) * c["rel"] - F.lit(0.3) * red, 9
+            )
+
+        rest = F.filter(
+            F.col("cs"),
+            lambda c: reduce(
+                lambda a, b: a & b,
+                [c["nid"] != ex for ex in excluded_nids],
             ),
-            "probe_id",
         )
-        .filter(F.col("nid") != F.col("_s1"))
-        .join(
-            ps.select(
-                "probe_id",
-                F.col("ida").alias("nid"),
-                F.col("idb").alias("_s1"),
-                F.col("sim").alias("sim1"),
+        scored = F.transform(
+            rest,
+            lambda c: F.struct(
+                score(c).alias("score"),
+                c["nid"].alias("nid"),
+                c["emb"].alias("emb"),
             ),
-            ["probe_id", "nid", "_s1"],
         )
-        .select("probe_id", "nid", "rel", "sim1")
-    )
-    s2 = (
-        r2.withColumn("score", F.expr(_MMR_STEP2))
+        return F.array_sort(scored, by_score_desc_nid("score"))[0]
+
+    g = (
+        att.groupBy("probe_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("nid", "rel", "emb")),
+                by_score_desc_nid("rel"),
+            ).alias("cs")
+        )
+        .withColumn("s1", F.col("cs")[0])
+        .withColumn("s2", mmr_step([F.col("s1.nid")], [F.col("s1.emb")]))
         .withColumn(
-            "rk", F.row_number().over(wp.orderBy(F.desc("score"), "nid"))
-        )
-        .filter(F.col("rk") == 1)
-        .select("probe_id", "nid", "score")
-    )
-    r3 = (
-        cand.alias("c")
-        .join(s1.select("probe_id", F.col("nid").alias("_s1")), "probe_id")
-        .join(s2.select("probe_id", F.col("nid").alias("_s2")), "probe_id")
-        .filter((F.col("nid") != F.col("_s1")) & (F.col("nid") != F.col("_s2")))
-        .join(
-            ps.select(
-                "probe_id",
-                F.col("ida").alias("nid"),
-                F.col("idb").alias("_s1"),
-                F.col("sim").alias("sim1"),
+            "s3",
+            mmr_step(
+                [F.col("s1.nid"), F.col("s2.nid")],
+                [F.col("s1.emb"), F.col("s2.emb")],
             ),
-            ["probe_id", "nid", "_s1"],
         )
-        .join(
-            ps.select(
-                "probe_id",
-                F.col("ida").alias("nid"),
-                F.col("idb").alias("_s2"),
-                F.col("sim").alias("sim2"),
-            ),
-            ["probe_id", "nid", "_s2"],
-        )
-        .select("probe_id", "nid", "rel", "sim1", "sim2")
     )
-    s3 = (
-        r3.withColumn("score", F.expr(_MMR_STEP3))
-        .withColumn(
-            "rk", F.row_number().over(wp.orderBy(F.desc("score"), "nid"))
-        )
-        .filter(F.col("rk") == 1)
-        .select("probe_id", "nid", "score")
+    picks = F.array(
+        F.struct(
+            F.lit(1).cast("bigint").alias("pick"),
+            F.col("s1.nid").alias("nid"),
+            F.col("s1.rel").alias("score"),
+        ),
+        F.struct(
+            F.lit(2).cast("bigint").alias("pick"),
+            F.col("s2.nid").alias("nid"),
+            F.col("s2.score").alias("score"),
+        ),
+        F.struct(
+            F.lit(3).cast("bigint").alias("pick"),
+            F.col("s3.nid").alias("nid"),
+            F.col("s3.score").alias("score"),
+        ),
     )
     return (
-        s1.select(
+        g.select(
             "probe_id",
-            F.lit(1).cast("bigint").alias("pick"),
-            "nid",
-            F.col("rel").alias("score"),
+            F.explode(
+                F.filter(picks, lambda p: p["nid"].isNotNull())
+            ).alias("p"),
         )
-        .unionByName(
-            s2.select(
-                "probe_id",
-                F.lit(2).cast("bigint").alias("pick"),
-                "nid",
-                "score",
-            )
-        )
-        .unionByName(
-            s3.select(
-                "probe_id",
-                F.lit(3).cast("bigint").alias("pick"),
-                "nid",
-                "score",
-            )
-        )
+        .select("probe_id", "p.pick", "p.nid", "p.score")
         .orderBy("probe_id", "pick")
     )
 

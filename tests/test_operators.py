@@ -2361,6 +2361,51 @@ def test_nsw_append_recall_and_idempotence(spark, tmp_path):
     assert len(bf & got) / len(bf) >= 0.8
 
 
+def test_nsw_walk_kernel_matches_loop(spark):
+    """The single-task view+walk replay kernel (the path below
+    NSW_KERNEL_MAX_NODES) returns EXACTLY the distributed beam loop's
+    rows — ids, 9-dp cosines, ranks — on the test corpus (bit-identical
+    sequential cosine + Decimal(repr) HALF_UP round replay)."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    adj = S.nsw_build_adjacency(emb).localCheckpoint()
+    beam = S.auto_nsw_beam(emb.count())
+    kern = S.nsw_topk(emb, probes, adj, k=5, beam=beam)  # gate fires
+    loop = S.nsw_topk(
+        emb, probes, adj, k=5, beam=beam,
+        n_nodes=S.NSW_KERNEL_MAX_NODES + 1,  # force the distributed loop
+    )
+    a = sorted(map(tuple, kern.collect()))
+    b = sorted(map(tuple, loop.collect()))
+    assert a == b and len(a) == 15
+
+
+def test_nsw_build_walk_kernel_matches_distributed(spark):
+    """The whole-query replay kernel (signatures + banded candidates +
+    knn/ring build + view + walk in one Arrow task) equals the
+    distributed build + distributed walk exactly."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    n = emb.count()
+    beam = S.auto_nsw_beam(n)
+    kern = S.nsw_build_walk_kernel(emb, probes, k=5, beam=beam, n_nodes=n)
+    loop = S.nsw_topk(
+        emb, probes, S.nsw_build_adjacency(emb), k=5, beam=beam,
+        n_nodes=S.NSW_KERNEL_MAX_NODES + 1,
+    )
+    a = sorted(map(tuple, kern.collect()))
+    b = sorted(map(tuple, loop.collect()))
+    assert a == b and len(a) == 15
+
+
 def test_auto_hyperplane_geometry(spark, tmp_path):
     """Band width floors at the fixed 8-bit default for every
     oracle-compared corpus size (n <= 2048), grows ~log2(n) beyond, and
