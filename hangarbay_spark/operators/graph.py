@@ -89,6 +89,47 @@ BCAST_EDGES = 8_000_000
 PAGERANK_KERNEL_MAX_EDGES = 4_000_000
 
 
+def _replay_quantize_scaled(vals, scale: int):
+    """Vectorized exact replay of
+    ``int(Decimal(repr(float(v))).quantize(1e-scale, HALF_UP)
+    .scaleb(scale))`` over a float64 array.
+
+    Fast path: ``floor(v * 10^scale + 0.5)`` — exact whenever the
+    scaled value sits farther from a half-up boundary than the
+    accumulated float error (one multiplication rounding + the
+    shortest-repr gap, both O(ulp); margin 16 ulp).  Boundary-adjacent,
+    negative or non-finite elements fall back to the per-element
+    Decimal path, so the result is bit-identical to the scalar loop it
+    replaces by case analysis (HALF_UP on nonnegative v ==
+    floor(x + 0.5), ties included — ties are always inside the margin
+    and routed to Decimal).  This removes the per-node Python/Decimal
+    loops that dominated the PageRank replay kernel (ADVICE r10: 2*nn
+    Decimal ops per round; measured ~3 s of the sf0.1 co-purchase
+    kernel's single task)."""
+    import numpy as np
+
+    x = vals * float(10.0 ** scale)
+    half = x + 0.5
+    n0 = np.floor(half)
+    fr = half - n0
+    eps = 16.0 * np.spacing(np.maximum(np.abs(x), 1.0))
+    unsafe = (
+        ~np.isfinite(x) | (vals < 0) | (fr <= eps) | (fr >= 1.0 - eps)
+    )
+    out = np.where(unsafe, 0.0, n0).astype(np.int64)
+    if unsafe.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        qd = Decimal(1).scaleb(-scale)
+        for i in np.nonzero(unsafe)[0]:
+            out[i] = int(
+                Decimal(repr(float(vals[i])))
+                .quantize(qd, ROUND_HALF_UP)
+                .scaleb(scale)
+            )
+    return out
+
+
 def _pagerank_kernel(
     ed: DataFrame, iters: int, damping: float, symmetric: bool
 ) -> DataFrame:
@@ -104,14 +145,12 @@ def _pagerank_kernel(
     out_schema = f"node {node_type}, rank double"
 
     def kernel(batches):
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import Decimal
 
         import numpy as np
         import pandas as pd
         import pyarrow as pa
 
-        q15 = Decimal("1e-15")
-        q12 = Decimal("1e-12")
         srcs, dsts = [], []
         node_pa_type = None
         for rb in batches:
@@ -146,6 +185,18 @@ def _pagerank_kernel(
         n = float(nn)
         jump = 1.0 - damping
         rank = np.full(nn, 1.0 / n)
+        # Pre-sort the edge arrays by dst ONCE so each iteration's
+        # per-dst sums run as contiguous np.add.reduceat segments —
+        # np.add.at's scattered atomics measured ~0.5 s/iteration at
+        # 2.4M edges (the dominant kernel cost), reduceat is ~10 ms
+        # for the identical exact integer sums.
+        order = np.argsort(dst_idx)
+        src_idx_s = src_idx[order]
+        dst_sorted = dst_idx[order]
+        starts = np.flatnonzero(
+            np.r_[True, dst_sorted[1:] != dst_sorted[:-1]]
+        )
+        group_dst = dst_sorted[starts]
         # In the symmetric regime every node also occurs as dst; in
         # the general regime nodes with no in-edges still get the
         # teleport term (sum = 0), matching the loop's left join.
@@ -154,29 +205,37 @@ def _pagerank_kernel(
             # identical to the loop's per-edge divide because both
             # operands are constant across a src's out-edges.
             c = rank / node_deg
-            q = np.empty(nn, dtype=np.int64)
-            for i in range(nn):
-                q[i] = int(
-                    Decimal(repr(float(c[i])))
-                    .quantize(q15, ROUND_HALF_UP)
-                    .scaleb(15)
-                )
+            q = _replay_quantize_scaled(c, 15)
             # Exact decimal(30,15) sums per dst: scaled-integer
-            # scatter-add in two 32-bit limbs (q < 2^50, so per-dst
+            # segment sums in two 32-bit limbs (q < 2^50, so per-dst
             # limb sums stay far inside int64 up to ~2^13 M edges).
-            qe = q[src_idx]
+            qe = q[src_idx_s]
             acc_hi = np.zeros(nn + 1, dtype=np.int64)
             acc_lo = np.zeros(nn + 1, dtype=np.int64)
-            np.add.at(acc_hi, dst_idx, qe >> 32)
-            np.add.at(acc_lo, dst_idx, qe & 0xFFFFFFFF)
-            for i in range(nn):
-                s_int = (int(acc_hi[i]) << 32) + int(acc_lo[i])
-                sv = Decimal(s_int).scaleb(-15)
-                rank[i] = float(
-                    Decimal(
-                        repr(jump / n + damping * float(sv))
-                    ).quantize(q12, ROUND_HALF_UP)
-                )
+            acc_hi[group_dst] = np.add.reduceat(qe >> 32, starts)
+            acc_lo[group_dst] = np.add.reduceat(
+                qe & 0xFFFFFFFF, starts
+            )
+            # Per-dst sums: rank mass totals ~1, so the scaled sums
+            # stay < 2^53 and float64(s)/1e15 is the SAME correctly-
+            # rounded value as float(Decimal(s).scaleb(-15)); any
+            # larger sum (impossible for a stochastic rank vector, but
+            # guarded) takes the exact Decimal conversion.
+            s = (acc_hi[:nn] << np.int64(32)) + acc_lo[:nn]
+            sv = s.astype(np.float64) / 1e15
+            big = s >= np.int64(1) << np.int64(53)
+            if big.any():
+                for i in np.nonzero(big)[0]:
+                    sv[i] = float(Decimal(int(s[i])).scaleb(-15))
+            # jump/n + damping*sv: elementwise IEEE doubles — the same
+            # op sequence the scalar loop ran per node; the 12 dp
+            # iteration round replays vectorized (Decimal only at
+            # half-up boundaries), and k/1e12 is the correctly-rounded
+            # double of the quantized decimal (k < 2^53, 1e12 exact).
+            v = jump / n + damping * sv
+            rank = _replay_quantize_scaled(v, 12).astype(
+                np.float64
+            ) / 1e12
         yield pa.RecordBatch.from_pandas(
             pd.DataFrame({"node": nodes, "rank": rank}),
             schema=pa.schema(

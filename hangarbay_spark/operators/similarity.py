@@ -298,6 +298,7 @@ def hyperplane_topk(
     seed: str = "hplsh",
     fast: bool = False,
     fast_cosine: bool = False,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Multi-probe ANN: candidates = corpus vectors sharing >=1 of the
     probe's hyperplane band values, scored with exact cosine, per-probe
@@ -311,7 +312,20 @@ def hyperplane_topk(
     scores with the einsum kernel, whose pairwise summation can differ
     from the oracle's sequential accumulation at a 9-dp rounding
     boundary — keep it off when the cosine column feeds a hash-compared
-    result (ADVICE r3)."""
+    result (ADVICE r3).
+
+    Regime switch (the NSW_KERNEL_MAX_NODES discipline): corpora at or
+    below the bound replay the whole pipeline in one Arrow task
+    (:func:`hyperplane_topk_kernel`, bit-identical to the expr path —
+    pinned in tests); the distributed pipeline below is the path above
+    the gate."""
+    if n_nodes is None:
+        n_nodes = corpus.count()
+    if n_nodes <= NSW_KERNEL_MAX_NODES:
+        return hyperplane_topk_kernel(
+            corpus, probes, id_col, vec_col,
+            k=k, dim=dim, nbits=nbits, bands=bands, seed=seed,
+        )
 
     def buckets(df: DataFrame, out_id: str, use_fast: bool) -> DataFrame:
         sigs = hyperplane_signatures(
@@ -614,7 +628,19 @@ def embedding_near_dup_pairs(
     (ADVICE r3).
     """
     if nbits is None:
-        nbits = auto_hyperplane_nbits(corpus.count(), bands)
+        n_nodes = corpus.count()
+        nbits = auto_hyperplane_nbits(n_nodes, bands)
+        # Regime switch (the NSW_KERNEL_MAX_NODES discipline): small
+        # corpora replay band values + hot-bucket guard + pair
+        # expansion + cosine verify in ONE Arrow task.  Only taken when
+        # ``max_bucket`` bounds buckets (our callers always pass it) —
+        # the distributed path below keeps the _COLLECT_BUCKET_CAP
+        # join fallback for unguarded degenerate buckets.
+        if n_nodes <= NSW_KERNEL_MAX_NODES and max_bucket is not None:
+            return embedding_near_dup_kernel(
+                corpus, id_col, vec_col, threshold, dim,
+                nbits=nbits, bands=bands, seed=seed, max_bucket=max_bucket,
+            )
     # The signature subtree has a single consumer (the bucket pipeline:
     # explode -> hot-bucket window -> grouped pair expansion), so the
     # projections run exactly once per query — no checkpoint needed;
@@ -3272,6 +3298,28 @@ def _replay_pair_cosines(A, B) -> list:
     return _replay_round9(raw)
 
 
+def _replay_band_values(V, coefs, bands: int):
+    """Replay of :func:`hyperplane_band_cols` over a vector stack:
+    sequential per-dim projection fold (the expr path's zip_with/
+    aggregate op order), sign -> ``rpb``-bit packed band values.
+    Returns an int64 array of shape (n, bands)."""
+    import numpy as np
+
+    n = V.shape[0]
+    nbits = len(coefs)
+    rpb = nbits // bands
+    C = np.asarray(coefs, dtype=np.float64)  # (nbits, dim)
+    proj = np.zeros((n, nbits))
+    for d in range(V.shape[1]):
+        proj += V[:, d : d + 1] * C[None, :, d]
+    bits = proj >= 0
+    vals = np.zeros((n, bands), dtype=np.int64)
+    for b in range(bands):
+        for r in range(rpb):
+            vals[:, b] += bits[:, b * rpb + r].astype(np.int64) << r
+    return vals
+
+
 def _nsw_sort_key(item):
     """(cos DESC NULLS LAST, id ASC) — the window orderBy of the
     distributed walk (F.desc is nulls-last in Spark)."""
@@ -3491,7 +3539,6 @@ def nsw_build_walk_kernel(
     if nbits is None:
         nbits = auto_hyperplane_nbits(n_nodes, bands)
     coefs = rademacher_coefs(nbits, dim, seed)
-    rpb = nbits // bands
     pr = probes.select(id_col, vec_col).collect()
     probe_list = [(r[0], r[1]) for r in pr]
     inp = corpus.select(
@@ -3513,18 +3560,11 @@ def nsw_build_walk_kernel(
         n = len(ids)
         # signatures: sequential per-dim projection fold (the
         # hyperplane_band_cols op order), sign -> packed band values
-        C = np.asarray(coefs, dtype=np.float64)  # (nbits, dim)
-        proj = np.zeros((n, nbits))
-        for d in range(V.shape[1]):
-            proj += V[:, d : d + 1] * C[None, :, d]
-        bits = proj >= 0
+        vals = _replay_band_values(V, coefs, bands)
         buckets: dict = {}
         for b in range(bands):
-            vals = np.zeros(n, dtype=np.int64)
-            for r in range(rpb):
-                vals += bits[:, b * rpb + r].astype(np.int64) << r
             for j in range(n):
-                buckets.setdefault((b, int(vals[j])), []).append(ids[j])
+                buckets.setdefault((b, int(vals[j, b])), []).append(ids[j])
         pairs = set()
         for members in buckets.values():
             if len(members) < 2:
@@ -3589,6 +3629,165 @@ def nsw_build_walk_kernel(
         )
 
     return inp.mapInPandas(kernel, _nsw_out_schema(corpus, id_col))
+
+
+def hyperplane_topk_kernel(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = 64,
+    bands: int = 8,
+    seed: str = "hplsh",
+) -> DataFrame:
+    """Single-task replay of :func:`hyperplane_topk` (the path below
+    NSW_KERNEL_MAX_NODES): corpus + probe band values, >=1-shared-band
+    candidates, exact sequential cosine, per-probe top-k — one corpus
+    scan, one Arrow task, zero exchanges.  Bit-identical to the
+    distributed pipeline (pinned in tests): band values replay the
+    expr-path projection fold and every cosine/round/tie-break follows
+    the replay discipline above."""
+    coefs = rademacher_coefs(nbits, dim, seed)
+    pr = probes.select(id_col, vec_col).collect()
+    probe_list = [(r[0], r[1]) for r in pr]
+    inp = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).coalesce(1)
+
+    def kernel(it):
+        import numpy as np
+
+        ids, vecs = [], []
+        for pdf in it:
+            for nid, vec in zip(pdf["__nid"], pdf["__vec"]):
+                ids.append(int(nid))
+                vecs.append(np.asarray(vec, dtype=np.float64))
+        if not ids or not probe_list:
+            yield _nsw_result_pdf([])
+            return
+        V = np.stack(vecs)
+        cvals = _replay_band_values(V, coefs, bands)
+        P = np.stack(
+            [np.asarray(v, dtype=np.float64) for _, v in probe_list]
+        )
+        pvals = _replay_band_values(P, coefs, bands)
+        buckets: dict = {}
+        for j in range(len(ids)):
+            for b in range(bands):
+                buckets.setdefault((b, int(cvals[j, b])), []).append(j)
+        out = []
+        for pi, (pid, _v) in enumerate(probe_list):
+            cand_idx = sorted(
+                {
+                    j
+                    for b in range(bands)
+                    for j in buckets.get((b, int(pvals[pi, b])), ())
+                    if ids[j] != pid
+                }
+            )
+            if not cand_idx:
+                continue
+            A = np.stack([P[pi]] * len(cand_idx))
+            B = V[cand_idx]
+            cos = _replay_pair_cosines(A, B)
+            scored = sorted(
+                zip((ids[j] for j in cand_idx), cos), key=_nsw_sort_key
+            )[:k]
+            out.extend(
+                (pid, nid, c, rk + 1) for rk, (nid, c) in enumerate(scored)
+            )
+        yield _nsw_result_pdf(out)
+
+    return inp.mapInPandas(kernel, _nsw_out_schema(corpus, id_col))
+
+
+def embedding_near_dup_kernel(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    nbits: int = HYPERPLANE_BITS,
+    bands: int = HYPERPLANE_BANDS,
+    seed: str = HYPERPLANE_SEED,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Single-task replay of :func:`embedding_near_dup_pairs` (the path
+    below NSW_KERNEL_MAX_NODES): band values, hot-bucket guard, shared-
+    band (id_a < id_b) candidate pairs, exact sequential cosine >=
+    threshold — one corpus scan, one Arrow task.  Pass the RESOLVED
+    ``nbits`` (the caller's auto_hyperplane_nbits result) so kernel and
+    distributed paths bucket identically."""
+    from pyspark.sql import types as T
+
+    coefs = rademacher_coefs(nbits, dim, seed)
+    inp = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).coalesce(1)
+    idt = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", idt),
+            T.StructField("id_b", idt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        ids, vecs = [], []
+        for pdf in it:
+            for nid, vec in zip(pdf["__nid"], pdf["__vec"]):
+                ids.append(int(nid))
+                vecs.append(np.asarray(vec, dtype=np.float64))
+        if not ids:
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="Int64"),
+                    "id_b": pd.array([], dtype="Int64"),
+                    "cosine": pd.array([], dtype="Float64"),
+                }
+            )
+            return
+        V = np.stack(vecs)
+        vals = _replay_band_values(V, coefs, bands)
+        buckets: dict = {}
+        for j in range(len(ids)):
+            for b in range(bands):
+                buckets.setdefault((b, int(vals[j, b])), []).append(ids[j])
+        pairs = set()
+        for members in buckets.values():
+            if len(members) < 2 or (
+                max_bucket is not None and len(members) > max_bucket
+            ):
+                continue
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b2 = members[x], members[y]
+                    pairs.add((a, b2) if a < b2 else (b2, a))
+        idx = {i: j for j, i in enumerate(ids)}
+        plist = sorted(pairs)
+        rows = []
+        if plist:
+            A = np.stack([V[idx[a]] for a, _ in plist])
+            B = np.stack([V[idx[b2]] for _, b2 in plist])
+            for (a, b2), c in zip(plist, _replay_pair_cosines(A, B)):
+                if c is not None and c >= threshold:
+                    rows.append((a, b2, c))
+        yield pd.DataFrame(
+            {
+                "id_a": pd.array([r[0] for r in rows], dtype="Int64"),
+                "id_b": pd.array([r[1] for r in rows], dtype="Int64"),
+                "cosine": pd.array(
+                    [r[2] for r in rows], dtype="Float64"
+                ),
+            }
+        )
+
+    return inp.mapInPandas(kernel, schema)
 
 
 def write_nsw_index(

@@ -2361,6 +2361,49 @@ def test_nsw_append_recall_and_idempotence(spark, tmp_path):
     assert len(bf & got) / len(bf) >= 0.8
 
 
+def test_hyperplane_topk_kernel_matches_distributed(spark):
+    """The single-task hplsh replay kernel (the path below
+    NSW_KERNEL_MAX_NODES) equals the distributed bucket-join pipeline
+    exactly — candidate sets, 9-dp cosines, ranks."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    kern = S.hyperplane_topk(emb, probes, k=5, dim=64)  # gate fires
+    dist = S.hyperplane_topk(
+        emb, probes, k=5, dim=64,
+        n_nodes=S.NSW_KERNEL_MAX_NODES + 1,  # force distributed
+    )
+    a = sorted(map(tuple, kern.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b and len(a) == 15
+
+
+def test_near_dup_kernel_matches_distributed(spark):
+    """The single-task near-dup replay kernel (gated inside
+    embedding_near_dup_pairs for auto-nbits + guarded callers) equals
+    the distributed bucket pipeline exactly, including the hot-bucket
+    guard."""
+    from pyspark.sql import functions as F
+
+    from hangarbay_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    nbits = S.auto_hyperplane_nbits(n)
+    kern = S.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, max_bucket=100
+    )  # auto nbits + guard -> kernel
+    dist = S.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, max_bucket=100, nbits=nbits
+    )  # explicit nbits -> distributed path
+    a = sorted(map(tuple, kern.collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_nsw_walk_kernel_matches_loop(spark):
     """The single-task view+walk replay kernel (the path below
     NSW_KERNEL_MAX_NODES) returns EXACTLY the distributed beam loop's
